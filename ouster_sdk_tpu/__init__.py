@@ -1,0 +1,39 @@
+"""ouster_sdk_tpu: a TPU-native lidar SDK with the capabilities of the
+Ouster SDK, rebuilt around JAX/XLA/Pallas.
+
+The hot data path — packet bit-unpack, scan assembly, destagger, XYZ
+projection, SE(3) dewarp — runs as fused kernels on device; host-side code
+handles UDP/pcap/OSF ingest and the streaming state machines.
+"""
+
+__version__ = "0.1.0"
+
+from .core.types import (  # noqa: F401
+    DataFormat,
+    HeaderType,
+    LidarMode,
+    SensorConfig,
+    SensorInfo,
+    TimestampMode,
+    OperatingMode,
+    UDPProfileIMU,
+    UDPProfileLidar,
+    Version,
+)
+from .core.constants import ChanField, RANGE_UNIT  # noqa: F401
+from .core.field import FieldClass, FieldType  # noqa: F401
+from .core.lidar_scan import LidarScan, get_field_types  # noqa: F401
+from .core.batcher import ScanBatcher  # noqa: F401
+from .core.packets import (  # noqa: F401
+    ImuPacket,
+    LidarPacket,
+    Packet,
+    PacketValidationFailure,
+    ZonePacket,
+)
+from .core.metadata import (  # noqa: F401
+    ValidatorIssues,
+    parse_and_validate_metadata,
+    sensor_info_from_metadata,
+)
+from .ops.packet_format import PacketFormat, PacketWriter  # noqa: F401

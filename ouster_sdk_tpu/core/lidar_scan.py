@@ -1,0 +1,267 @@
+"""LidarScan: one assembled frame of lidar data.
+
+Rebuild of the reference's LidarScan container
+(ref: ouster_client/include/ouster/lidar_scan.h:122-206). Host representation
+is struct-of-numpy-arrays; `get_field_types` reproduces the reference's
+per-profile default field sets (ref: lidar_scan.cpp:799-893).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .constants import (
+    ChanField,
+    FRAME_STATUS_SHOT_LIMITING_SHIFT,
+    FRAME_STATUS_THERMAL_SHUTDOWN_SHIFT,
+    NMEA_SENTENCE_LENGTH,
+)
+from .field import FieldClass, FieldType, ZONE_STATE_DTYPE
+from .types import (
+    DataFormat,
+    SensorInfo,
+    ShotLimitingStatus,
+    ThermalShutdownStatus,
+    UDPProfileIMU,
+    UDPProfileLidar,
+    Version,
+)
+from ..ops.profiles import lookup_scan_fields
+
+
+def get_field_types(
+    info_or_format: Union[SensorInfo, DataFormat],
+    fw_version: Optional[Version] = None,
+) -> List[FieldType]:
+    """Default fields for a profile + IMU/zone scan-level extras
+    (ref: lidar_scan.cpp:799-893)."""
+    if isinstance(info_or_format, SensorInfo):
+        fmt = info_or_format.format
+        fw_version = info_or_format.get_version()
+    else:
+        fmt = info_or_format
+        fw_version = fw_version or Version()
+
+    C = ChanField
+    out: List[FieldType] = []
+    for name, dtype in lookup_scan_fields(fmt.udp_profile_lidar):
+        extra = (3,) if name == C.RGB else ()
+        out.append(FieldType(name, dtype, extra, FieldClass.PIXEL_FIELD))
+
+    imu_meas = fmt.imu_packets_per_frame * fmt.imu_measurements_per_packet
+    if fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA:
+        S = FieldClass.SCAN_FIELD
+        out += [
+            FieldType(C.IMU_ACC, np.float32, (imu_meas, 3), S),
+            FieldType(C.IMU_GYRO, np.float32, (imu_meas, 3), S),
+            FieldType(C.IMU_TIMESTAMP, np.uint64, (imu_meas,), S),
+            FieldType(C.IMU_MEASUREMENT_ID, np.uint16, (imu_meas,), S),
+            FieldType(C.IMU_STATUS, np.uint16, (imu_meas,), S),
+            FieldType(C.IMU_PACKET_TIMESTAMP, np.uint64,
+                      (fmt.imu_packets_per_frame,), S),
+            FieldType(C.POSITION_STRING, np.dtype("S1"),
+                      (fmt.imu_packets_per_frame, NMEA_SENTENCE_LENGTH), S),
+            FieldType(C.POSITION_LAT_LONG, np.float64,
+                      (fmt.imu_packets_per_frame, 2), S),
+            FieldType(C.POSITION_TIMESTAMP, np.uint64,
+                      (fmt.imu_packets_per_frame,), S),
+            FieldType(C.IMU_ALERT_FLAGS, np.uint8,
+                      (fmt.imu_packets_per_frame,), S),
+        ]
+
+    if fmt.zone_monitoring_enabled:
+        S = FieldClass.SCAN_FIELD
+        out += [
+            FieldType(C.LIVE_ZONESET_HASH, np.uint8, (32,), S),
+            FieldType(C.ZONE_TIMESTAMP, np.uint64, (1,), S),
+            FieldType(C.ZONE_PACKET_TIMESTAMP, np.uint64, (1,), S),
+            FieldType(C.ZONE_ALERT_FLAGS, np.uint8, (1,), S),
+            FieldType(C.ZONE_STATES, ZONE_STATE_DTYPE, (16,), S),
+        ]
+
+    # WINDOW requires fw >= 3.2 (ref: lidar_scan.cpp:882-890)
+    if fw_version < Version(3, 2, 0):
+        out = [ft for ft in out if ft.name != C.WINDOW]
+
+    return out
+
+
+class LidarScan:
+    """One frame: H x W pixel fields + per-column/packet/scan headers.
+
+    (ref: lidar_scan.h:122-206). Header semantics:
+      - timestamp: (w,) uint64, per-column sensor timestamps
+      - measurement_id: (w,) uint16
+      - status: (w,) uint32 (bit 0 = valid)
+      - packet_timestamp: (w / columns_per_packet,) uint64 host receive times
+      - alert_flags: (packets,) uint8
+      - pose: (w, 4, 4) float64 per-column world poses (row-major identity)
+    """
+
+    def __init__(
+        self,
+        info: Optional[SensorInfo] = None,
+        *,
+        w: Optional[int] = None,
+        h: Optional[int] = None,
+        field_types: Optional[List[FieldType]] = None,
+        columns_per_packet: int = 16,
+    ):
+        if info is not None:
+            w = info.format.columns_per_frame
+            h = info.format.pixels_per_column
+            columns_per_packet = info.format.columns_per_packet
+            if field_types is None:
+                field_types = get_field_types(info)
+        if w is None or h is None:
+            raise ValueError("LidarScan requires dimensions or SensorInfo")
+        if field_types is None:
+            field_types = get_field_types(
+                DataFormat(pixels_per_column=h, columns_per_frame=w,
+                           columns_per_packet=columns_per_packet,
+                           udp_profile_lidar=UDPProfileLidar.LEGACY))
+
+        self.w = int(w)
+        self.h = int(h)
+        self.columns_per_packet = int(columns_per_packet)
+        n_packets = self.w // self.columns_per_packet \
+            if self.columns_per_packet else 0
+
+        self.frame_id: int = -1
+        self.frame_status: int = 0
+        self.shutdown_countdown: int = 0
+        self.shot_limiting_countdown: int = 0
+        self.sensor_info: Optional[SensorInfo] = info
+
+        self.timestamp = np.zeros(self.w, dtype=np.uint64)
+        self.packet_timestamp = np.zeros(n_packets, dtype=np.uint64)
+        self.alert_flags = np.zeros(n_packets, dtype=np.uint8)
+        self.measurement_id = np.zeros(self.w, dtype=np.uint16)
+        self.status = np.zeros(self.w, dtype=np.uint32)
+        self.pose = np.broadcast_to(
+            np.eye(4, dtype=np.float64), (self.w, 4, 4)).copy()
+
+        self._fields: Dict[str, np.ndarray] = {}
+        self._field_types: Dict[str, FieldType] = {}
+        for ft in field_types:
+            self.add_field(ft)
+
+    # -- field management -------------------------------------------------
+    def add_field(self, ft: FieldType,
+                  data: Optional[np.ndarray] = None) -> np.ndarray:
+        """(ref: lidar_scan.h:446-471)"""
+        if ft.name in self._fields:
+            raise ValueError(f"Duplicated field {ft.name!r}")
+        shape = ft.shape(self.h, self.w, len(self.packet_timestamp))
+        if data is None:
+            data = np.zeros(shape, dtype=ft.element_type)
+        else:
+            data = np.asarray(data, dtype=ft.element_type).reshape(shape)
+        self._fields[ft.name] = data
+        self._field_types[ft.name] = ft
+        return data
+
+    def del_field(self, name: str) -> np.ndarray:
+        if name not in self._fields:
+            raise ValueError(f"No such field {name!r}")
+        self._field_types.pop(name)
+        return self._fields.pop(name)
+
+    def field(self, name: str) -> np.ndarray:
+        return self._fields[name]
+
+    def has_field(self, name: str) -> bool:
+        return name in self._fields
+
+    def field_class(self, name: str) -> FieldClass:
+        return self._field_types[name].field_class
+
+    @property
+    def fields(self) -> Iterator[str]:
+        return iter(sorted(self._fields))
+
+    @property
+    def field_types(self) -> List[FieldType]:
+        return [self._field_types[k] for k in sorted(self._field_types)]
+
+    # -- derived status ---------------------------------------------------
+    def thermal_shutdown(self) -> ThermalShutdownStatus:
+        return ThermalShutdownStatus(
+            (self.frame_status >> FRAME_STATUS_THERMAL_SHUTDOWN_SHIFT) & 0x0F)
+
+    def shot_limiting(self) -> ShotLimitingStatus:
+        return ShotLimitingStatus(
+            (self.frame_status >> FRAME_STATUS_SHOT_LIMITING_SHIFT) & 0x0F)
+
+    # -- column helpers (ref: lidar_scan.h:574-700) -----------------------
+    def complete(self, window: Optional[Tuple[int, int]] = None) -> bool:
+        if window is None:
+            if self.sensor_info is not None:
+                window = self.sensor_info.format.column_window
+            else:
+                window = (0, self.w - 1)
+        start, end = window
+        status = self.status
+        if start <= end:
+            cols = status[start:end + 1]
+        else:
+            cols = np.concatenate([status[start:], status[:end + 1]])
+        return bool(np.all(cols & 0x01))
+
+    def first_valid_column(self) -> int:
+        valid = np.flatnonzero(self.status & 0x01)
+        return int(valid[0]) if valid.size else -1
+
+    def last_valid_column(self) -> int:
+        valid = np.flatnonzero(self.status & 0x01)
+        return int(valid[-1]) if valid.size else -1
+
+    def first_valid_column_timestamp(self) -> int:
+        c = self.first_valid_column()
+        return int(self.timestamp[c]) if c >= 0 else 0
+
+    def last_valid_column_timestamp(self) -> int:
+        c = self.last_valid_column()
+        return int(self.timestamp[c]) if c >= 0 else 0
+
+    def first_valid_packet_timestamp(self) -> int:
+        nz = np.flatnonzero(self.packet_timestamp)
+        return int(self.packet_timestamp[nz[0]]) if nz.size else 0
+
+    def last_valid_packet_timestamp(self) -> int:
+        nz = np.flatnonzero(self.packet_timestamp)
+        return int(self.packet_timestamp[nz[-1]]) if nz.size else 0
+
+    def get_first_valid_column_pose(self) -> np.ndarray:
+        c = max(self.first_valid_column(), 0)
+        return self.pose[c]
+
+    def set_column_pose(self, idx: int, pose: np.ndarray) -> None:
+        self.pose[idx] = pose
+
+    # -- equality (ref: lidar_scan.cpp operator==) ------------------------
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, LidarScan):
+            return NotImplemented
+        if (self.w, self.h, self.frame_id, self.frame_status) != \
+                (other.w, other.h, other.frame_id, other.frame_status):
+            return False
+        if sorted(self._fields) != sorted(other._fields):
+            return False
+        for k in self._fields:
+            if not np.array_equal(self._fields[k], other._fields[k]):
+                return False
+        return (
+            np.array_equal(self.timestamp, other.timestamp)
+            and np.array_equal(self.measurement_id, other.measurement_id)
+            and np.array_equal(self.status, other.status)
+            and np.array_equal(self.packet_timestamp, other.packet_timestamp)
+            and np.array_equal(self.pose, other.pose)
+        )
+
+    def __repr__(self) -> str:
+        return (f"LidarScan(w={self.w}, h={self.h}, "
+                f"frame_id={self.frame_id}, "
+                f"fields={sorted(self._fields)})")

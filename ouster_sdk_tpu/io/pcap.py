@@ -1,0 +1,354 @@
+"""Pcap file reading: classic libpcap format + IPv4 fragment reassembly.
+
+Rebuild of the reference pcap layer (ref: ouster_pcap/src/pcap.cpp,
+ouster_pcap/include/ouster/ip_reassembler.h:76-100). Ouster lidar packets
+(up to ~33 kB) fragment at MTU, so reassembly is mandatory. Pure Python/numpy
+host path; throughput-critical ingest later moves to the native extension,
+but frame decode dominates and runs on the TPU.
+
+Supported link types: Ethernet (1, incl. 802.1Q VLAN), raw IPv4/6 (101, 228),
+Linux SLL (113), SLL2 (276), null/loopback (0).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class PacketInfo:
+    """Metadata of one (reassembled) UDP datagram
+    (ref: ouster_pcap/include/ouster/pcap.h:37-62)."""
+
+    src_ip: str
+    dst_ip: str
+    src_port: int
+    dst_port: int
+    timestamp: int  # nanoseconds
+    payload_size: int
+    fragments_count: int = 1
+    file_offset: int = -1  # offset of the *first* record of the datagram
+
+
+class _Fragments:
+    """Accumulates IPv4 fragments of one datagram."""
+
+    __slots__ = ("chunks", "total_len", "received", "first_info")
+
+    def __init__(self) -> None:
+        self.chunks: List[Tuple[int, bytes]] = []
+        self.total_len = -1
+        self.received = 0
+        self.first_info: Optional[PacketInfo] = None
+
+    def add(self, offset: int, data: bytes, more: bool) -> Optional[bytes]:
+        self.chunks.append((offset, data))
+        self.received += len(data)
+        if not more:
+            self.total_len = offset + len(data)
+        if self.total_len >= 0 and self.received >= self.total_len:
+            buf = bytearray(self.total_len)
+            for off, chunk in self.chunks:
+                buf[off:off + len(chunk)] = chunk
+            return bytes(buf)
+        return None
+
+
+class IpReassembler:
+    """IPv4 fragment reassembly keyed on (src, dst, id, proto)
+    (ref: ip_reassembler.h:76-100)."""
+
+    def __init__(self) -> None:
+        self._pending: Dict[Tuple, _Fragments] = {}
+
+    def process(self, src: str, dst: str, ip_id: int, proto: int,
+                frag_offset: int, more_fragments: bool,
+                payload: bytes) -> Optional[bytes]:
+        if frag_offset == 0 and not more_fragments:
+            return payload  # unfragmented fast path
+        key = (src, dst, ip_id, proto)
+        frags = self._pending.get(key)
+        if frags is None:
+            frags = self._pending[key] = _Fragments()
+        done = frags.add(frag_offset, payload, more_fragments)
+        if done is not None:
+            del self._pending[key]
+        return done
+
+
+_PCAP_MAGICS = {
+    0xA1B2C3D4: ("<", 1_000),      # little endian, microseconds
+    0xD4C3B2A1: (">", 1_000),      # big endian, microseconds
+    0xA1B23C4D: ("<", 1),          # little endian, nanoseconds
+    0x4D3CB2A1: (">", 1),          # big endian, nanoseconds
+}
+
+LINKTYPE_NULL = 0
+LINKTYPE_ETHERNET = 1
+LINKTYPE_RAW = 101
+LINKTYPE_LINUX_SLL = 113
+LINKTYPE_IPV4 = 228
+LINKTYPE_LINUX_SLL2 = 276
+
+
+def _ip4_str(b: bytes) -> str:
+    return ".".join(str(x) for x in b)
+
+
+class PcapReader:
+    """Iterates UDP datagrams (reassembled) from a pcap file
+    (ref: ouster_pcap/include/ouster/pcap.h:62)."""
+
+    def __init__(self, path: str):
+        self._path = path
+        with open(path, "rb") as f:
+            self._data = f.read()
+        if len(self._data) < 24:
+            raise ValueError(f"{path}: not a pcap file")
+        magic = struct.unpack("<I", self._data[:4])[0]
+        if magic not in _PCAP_MAGICS:
+            magic = struct.unpack(">I", self._data[:4])[0]
+        if magic not in _PCAP_MAGICS:
+            raise ValueError(f"{path}: unknown pcap magic")
+        self._endian, self._ts_scale = _PCAP_MAGICS[magic]
+        hdr = struct.unpack(self._endian + "IHHiIII", self._data[:24])
+        self._linktype = hdr[6] & 0x0FFFFFFF
+        self._pos = 24
+        self._reasm = IpReassembler()
+
+    def reset(self) -> None:
+        self._pos = 24
+        self._reasm = IpReassembler()
+
+    @property
+    def path(self) -> str:
+        return self._path
+
+    def seek(self, file_offset: int) -> None:
+        self._pos = file_offset
+        self._reasm = IpReassembler()
+
+    def __iter__(self) -> Iterator[Tuple[PacketInfo, bytes]]:
+        return self
+
+    def __next__(self) -> Tuple[PacketInfo, bytes]:
+        res = self.next_packet()
+        if res is None:
+            raise StopIteration
+        return res
+
+    def next_packet(self) -> Optional[Tuple[PacketInfo, bytes]]:
+        data = self._data
+        e = self._endian
+        while self._pos + 16 <= len(data):
+            rec_off = self._pos
+            ts_sec, ts_frac, incl, _orig = struct.unpack(
+                e + "IIII", data[rec_off:rec_off + 16])
+            start = rec_off + 16
+            self._pos = start + incl
+            if start + incl > len(data):
+                return None  # truncated capture
+            ts_ns = ts_sec * 1_000_000_000 + ts_frac * self._ts_scale
+            frame = data[start:start + incl]
+            res = self._parse_frame(frame, ts_ns, rec_off)
+            if res is not None:
+                return res
+        return None
+
+    # -- frame parsing ----------------------------------------------------
+    def _parse_frame(self, frame: bytes, ts_ns: int,
+                     file_offset: int) -> Optional[Tuple[PacketInfo, bytes]]:
+        lt = self._linktype
+        if lt == LINKTYPE_ETHERNET:
+            if len(frame) < 14:
+                return None
+            ethertype = struct.unpack(">H", frame[12:14])[0]
+            off = 14
+            while ethertype in (0x8100, 0x88A8):  # VLAN tags
+                if len(frame) < off + 4:
+                    return None
+                ethertype = struct.unpack(">H", frame[off + 2:off + 4])[0]
+                off += 4
+            if ethertype == 0x0800:
+                return self._parse_ip4(frame[off:], ts_ns, file_offset)
+            if ethertype == 0x86DD:
+                return self._parse_ip6(frame[off:], ts_ns, file_offset)
+            return None
+        if lt in (LINKTYPE_RAW, LINKTYPE_IPV4):
+            return self._parse_ip4(frame, ts_ns, file_offset)
+        if lt == LINKTYPE_LINUX_SLL:
+            if len(frame) < 16:
+                return None
+            proto = struct.unpack(">H", frame[14:16])[0]
+            if proto == 0x0800:
+                return self._parse_ip4(frame[16:], ts_ns, file_offset)
+            if proto == 0x86DD:
+                return self._parse_ip6(frame[16:], ts_ns, file_offset)
+            return None
+        if lt == LINKTYPE_LINUX_SLL2:
+            if len(frame) < 20:
+                return None
+            proto = struct.unpack(">H", frame[0:2])[0]
+            if proto == 0x0800:
+                return self._parse_ip4(frame[20:], ts_ns, file_offset)
+            return None
+        if lt == LINKTYPE_NULL:
+            if len(frame) < 4:
+                return None
+            family = struct.unpack("<I", frame[:4])[0]
+            if family in (2,):  # AF_INET
+                return self._parse_ip4(frame[4:], ts_ns, file_offset)
+            return None
+        return None
+
+    def _parse_ip4(self, pkt: bytes, ts_ns: int,
+                   file_offset: int) -> Optional[Tuple[PacketInfo, bytes]]:
+        if len(pkt) < 20:
+            return None
+        ver_ihl = pkt[0]
+        if ver_ihl >> 4 != 4:
+            return None
+        ihl = (ver_ihl & 0x0F) * 4
+        total_len = struct.unpack(">H", pkt[2:4])[0]
+        ip_id = struct.unpack(">H", pkt[4:6])[0]
+        flags_frag = struct.unpack(">H", pkt[6:8])[0]
+        more = bool(flags_frag & 0x2000)
+        frag_offset = (flags_frag & 0x1FFF) * 8
+        proto = pkt[9]
+        src = _ip4_str(pkt[12:16])
+        dst = _ip4_str(pkt[16:20])
+        if proto != 17:  # UDP only
+            return None
+        payload = pkt[ihl:total_len] if total_len >= ihl else pkt[ihl:]
+
+        datagram = self._reasm.process(src, dst, ip_id, proto, frag_offset,
+                                       more, payload)
+        if datagram is None or len(datagram) < 8:
+            return None
+        src_port, dst_port, udp_len, _ck = struct.unpack(
+            ">HHHH", datagram[:8])
+        udp_payload = datagram[8:8 + max(udp_len - 8, 0)] \
+            if udp_len >= 8 else datagram[8:]
+        info = PacketInfo(
+            src_ip=src, dst_ip=dst, src_port=src_port, dst_port=dst_port,
+            timestamp=ts_ns, payload_size=len(udp_payload),
+            file_offset=file_offset)
+        return info, udp_payload
+
+    def _parse_ip6(self, pkt: bytes, ts_ns: int,
+                   file_offset: int) -> Optional[Tuple[PacketInfo, bytes]]:
+        if len(pkt) < 40:
+            return None
+        next_hdr = pkt[6]
+        payload_len = struct.unpack(">H", pkt[4:6])[0]
+        src = pkt[8:24].hex()
+        dst = pkt[24:40].hex()
+        if next_hdr != 17:
+            return None  # extension headers unsupported for now
+        datagram = pkt[40:40 + payload_len]
+        if len(datagram) < 8:
+            return None
+        src_port, dst_port, udp_len, _ck = struct.unpack(
+            ">HHHH", datagram[:8])
+        udp_payload = datagram[8:8 + max(udp_len - 8, 0)]
+        info = PacketInfo(
+            src_ip=src, dst_ip=dst, src_port=src_port, dst_port=dst_port,
+            timestamp=ts_ns, payload_size=len(udp_payload),
+            file_offset=file_offset)
+        return info, udp_payload
+
+
+@dataclass
+class StreamKey:
+    src_ip: str
+    dst_ip: str
+    src_port: int
+    dst_port: int
+
+    def __hash__(self) -> int:
+        return hash((self.src_ip, self.dst_ip, self.src_port, self.dst_port))
+
+
+@dataclass
+class StreamStats:
+    """Per-(flow, payload-size) packet counts for guessing which streams are
+    lidar/imu (ref: ouster_pcap/include/ouster/os_pcap.h:89-178)."""
+
+    count: int = 0
+    sizes: Dict[int, int] = None  # payload size -> count
+
+    def __post_init__(self):
+        if self.sizes is None:
+            self.sizes = {}
+
+
+def stream_info(path: str, max_packets: int = 0) -> Dict[Tuple, StreamStats]:
+    """Scan a pcap and collect per-flow payload-size histograms."""
+    reader = PcapReader(path)
+    out: Dict[Tuple, StreamStats] = {}
+    n = 0
+    for info, payload in reader:
+        key = (info.dst_ip, info.dst_port)
+        st = out.setdefault(key, StreamStats())
+        st.count += 1
+        st.sizes[len(payload)] = st.sizes.get(len(payload), 0) + 1
+        n += 1
+        if max_packets and n >= max_packets:
+            break
+    return out
+
+
+class PcapWriter:
+    """Record UDP packets to a classic pcap file (Ethernet frames, with IPv4
+    fragmentation for payloads over MTU)
+    (ref: ouster_pcap/src/os_pcap.cpp record functions)."""
+
+    def __init__(self, path: str, mtu: int = 1500):
+        self._f = open(path, "wb")
+        self._mtu = mtu
+        self._ip_id = 0
+        # magic, vmaj, vmin, thiszone, sigfigs, snaplen, linktype
+        self._f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0,
+                                  0x40000, LINKTYPE_ETHERNET))
+
+    def write(self, payload: bytes, src_ip: str, dst_ip: str,
+              src_port: int, dst_port: int, timestamp_ns: int) -> None:
+        udp = struct.pack(">HHHH", src_port, dst_port, 8 + len(payload),
+                          0) + payload
+        self._ip_id = (self._ip_id + 1) & 0xFFFF
+        max_frag = (self._mtu - 20) & ~7
+        frags = []
+        off = 0
+        while off < len(udp) or not frags:
+            chunk = udp[off:off + max_frag]
+            more = off + len(chunk) < len(udp)
+            frags.append((off, chunk, more))
+            off += len(chunk)
+
+        src_b = bytes(int(x) for x in src_ip.split("."))
+        dst_b = bytes(int(x) for x in dst_ip.split("."))
+        for off, chunk, more in frags:
+            flags_frag = (0x2000 if more else 0) | (off // 8)
+            ip = struct.pack(">BBHHHBBH4s4s", 0x45, 0, 20 + len(chunk),
+                             self._ip_id, flags_frag, 64, 17, 0,
+                             src_b, dst_b)
+            eth = b"\x00" * 12 + struct.pack(">H", 0x0800)
+            frame = eth + ip + chunk
+            ts_sec, ts_rem = divmod(timestamp_ns, 1_000_000_000)
+            self._f.write(struct.pack("<IIII", ts_sec, ts_rem // 1000,
+                                      len(frame), len(frame)))
+            self._f.write(frame)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self) -> "PcapWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

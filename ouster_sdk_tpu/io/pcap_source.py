@@ -1,0 +1,153 @@
+"""PcapPacketSource: pcap file -> typed, sensor-attributed packets.
+
+Rebuild of the reference pcap backend (ref: ouster_pcap/src/
+pcap_packet_source.cpp, indexed_pcap_reader.h:28-101). Packets are matched to
+sensors by destination port (when configured) and payload size, with eUDP
+init_id/serial disambiguation for same-port captures
+(ref: indexed_pcap_reader.cpp check_sensor_idx_for_packet).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.metadata import sensor_info_from_metadata
+from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
+from ..core.types import SensorInfo, UDPProfileLidar
+from ..ops.packet_format import PacketFormat
+from .pcap import PcapReader
+
+
+def resolve_metadata_paths(pcap_path: str) -> List[str]:
+    """Find metadata json files next to a pcap, following the reference
+    conventions (ref: python/src/ouster/sdk/util/metadata.py): exact stem
+    match first, then stem prefixes, with multi-sensor `.N.json` variants."""
+    d = os.path.dirname(os.path.abspath(pcap_path)) or "."
+    base = os.path.splitext(os.path.basename(pcap_path))[0]
+    candidates = []
+    listing = sorted(os.listdir(d))
+    json_files = [f for f in listing if f.endswith(".json")]
+
+    # exact stem and numbered multi-sensor variants: stem.json, stem.1.json..
+    def stem_of(f: str) -> str:
+        s = f[: -len(".json")]
+        parts = s.rsplit(".", 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            return parts[0]
+        return s
+
+    exact = [f for f in json_files if stem_of(f) == base]
+    if exact:
+        return [os.path.join(d, f) for f in exact]
+
+    # longest prefix match: metadata recorded under a shortened name
+    best: List[str] = []
+    best_len = 0
+    for f in json_files:
+        s = stem_of(f)
+        if base.startswith(s) and len(s) > best_len:
+            best, best_len = [f], len(s)
+        elif base.startswith(s) and len(s) == best_len:
+            best.append(f)
+    return [os.path.join(d, f) for f in best]
+
+
+class PcapPacketSource:
+    """Iterate (sensor_idx, packet) pairs from a pcap
+    (ref: ouster_pcap/src/pcap_packet_source.cpp)."""
+
+    def __init__(
+        self,
+        pcap_path: str,
+        *,
+        metadata_paths: Optional[List[str]] = None,
+        sensor_infos: Optional[List[SensorInfo]] = None,
+        soft_id_check: bool = False,
+    ):
+        self._path = pcap_path
+        if sensor_infos is not None:
+            self._infos = list(sensor_infos)
+        else:
+            if metadata_paths is None:
+                metadata_paths = resolve_metadata_paths(pcap_path)
+            if not metadata_paths:
+                raise FileNotFoundError(
+                    f"no metadata json found for {pcap_path}")
+            self._infos = []
+            for p in metadata_paths:
+                with open(p) as f:
+                    self._infos.append(sensor_info_from_metadata(f.read()))
+        self._soft_id_check = soft_id_check
+        self._formats = [PacketFormat.from_info(i) for i in self._infos]
+        self.id_error_count = 0
+        self.size_error_count = 0
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        return self._infos
+
+    def _classify(self, dst_port: int, payload: bytes
+                  ) -> Optional[Tuple[int, type]]:
+        """Match a datagram to (sensor_idx, packet class)."""
+        size = len(payload)
+        candidates: List[Tuple[int, type]] = []
+        for idx, (info, pf) in enumerate(zip(self._infos, self._formats)):
+            cfg = info.config
+            lidar_port = cfg.udp_port_lidar or 0
+            imu_port = cfg.udp_port_imu or 0
+            zm_port = cfg.udp_port_zm or 0
+            if size == pf.lidar_packet_size and \
+                    (lidar_port in (0, dst_port)):
+                candidates.append((idx, LidarPacket))
+            elif size == pf.imu_packet_size and (imu_port in (0, dst_port)):
+                candidates.append((idx, ImuPacket))
+            elif pf.zone_monitoring_enabled and \
+                    size == pf.zone_packet_size and \
+                    (zm_port in (0, dst_port)):
+                candidates.append((idx, ZonePacket))
+
+        if not candidates:
+            return None
+        if len(candidates) == 1:
+            return candidates[0]
+
+        # ambiguous: disambiguate eUDP lidar packets by init_id / serial
+        for idx, cls in candidates:
+            info = self._infos[idx]
+            if cls is LidarPacket and \
+                    info.format.udp_profile_lidar != UDPProfileLidar.LEGACY:
+                pf = self._formats[idx]
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                if pf.init_id(buf) == info.init_id or \
+                        pf.prod_sn(buf) == info.sn:
+                    return idx, cls
+        return candidates[0]
+
+    def __iter__(self) -> Iterator[Tuple[int, Packet]]:
+        reader = PcapReader(self._path)
+        for pkt_info, payload in reader:
+            m = self._classify(pkt_info.dst_port, payload)
+            if m is None:
+                self.size_error_count += 1
+                continue
+            idx, cls = m
+            packet = cls(payload, host_timestamp=pkt_info.timestamp)
+            if cls is LidarPacket:
+                from ..core.packets import PacketValidationFailure
+
+                res = packet.validate(self._infos[idx], self._formats[idx])
+                if res == PacketValidationFailure.ID:
+                    self.id_error_count += 1
+                    if not self._soft_id_check:
+                        continue
+                elif res == PacketValidationFailure.PACKET_SIZE:
+                    self.size_error_count += 1
+                    continue
+            yield idx, packet
+
+    def close(self) -> None:
+        pass

@@ -1,0 +1,51 @@
+"""Test configuration: force a deterministic 8-device CPU mesh for JAX.
+
+Sharding/pjit paths are validated on a virtual CPU mesh; real-TPU runs happen
+in the benchmark harness (bench.py).
+"""
+
+import os
+import sys
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+PCAP_DIR = os.path.join(REFERENCE_ROOT, "tests", "pcaps")
+METADATA_DIR = os.path.join(REFERENCE_ROOT, "tests", "metadata")
+OSF_DIR = os.path.join(REFERENCE_ROOT, "tests", "osfs")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "conformance: bit-exactness tests against reference fixtures")
+    config.addinivalue_line("markers", "slow: long-running tests")
+
+
+@pytest.fixture(scope="session")
+def pcap_dir():
+    if not os.path.isdir(PCAP_DIR):
+        pytest.skip("reference pcap fixtures unavailable")
+    return PCAP_DIR
+
+
+@pytest.fixture(scope="session")
+def metadata_dir():
+    if not os.path.isdir(METADATA_DIR):
+        pytest.skip("reference metadata fixtures unavailable")
+    return METADATA_DIR
+
+
+@pytest.fixture(scope="session")
+def osf_dir():
+    if not os.path.isdir(OSF_DIR):
+        pytest.skip("reference OSF fixtures unavailable")
+    return OSF_DIR
