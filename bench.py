@@ -1,0 +1,79 @@
+"""Headline benchmark: packet -> XYZ throughput at 128x2048 dual-return.
+
+Target (BASELINE.md): >= 1 Gpt/s/chip first-return points, XYZ within the
+f32-representable tolerance of the reference f64 math. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Runs on whatever jax.devices() provides (real TPU under the driver; CPU
+locally). Measures the steady-state jitted pipeline on device-resident
+frames (host->HBM staging is double-buffered in deployment and overlaps
+compute; its bandwidth is reported separately on stderr).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _make_info, _synth_frame
+    from ouster_sdk_tpu.ops.fused import ScanPipeline
+
+    W, H = 2048, 128
+    info = _make_info(w=W, h=H, dual=True)
+    pipe = ScanPipeline(info)
+    frame = _synth_frame(info)
+
+    B = 8  # frames per step
+    frames = np.stack([frame] * B)
+    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (B, W, 4, 4)).copy()
+
+    dev_frames = jnp.asarray(frames)
+    dev_poses = jnp.asarray(poses)
+
+    def step(fr, po):
+        out = pipe._batch(fr, pipe.lut, po)
+        return out["XYZ"], out["XYZ2"], out["RANGE"]
+
+    step_c = jax.jit(step)
+    # warmup/compile
+    r = step_c(dev_frames, dev_poses)
+    jax.block_until_ready(r)
+
+    # steady-state timing
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = step_c(dev_frames, dev_poses)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+
+    pts = B * H * W * iters  # first-return points
+    mpts = pts / dt / 1e6
+
+    # host->device staging bandwidth (side info)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        jax.block_until_ready(jax.device_put(frames))
+    h2d = frames.nbytes * 5 / (time.perf_counter() - t0) / 1e9
+
+    print(f"device={jax.devices()[0].device_kind} "
+          f"B={B} iters={iters} dt={dt:.3f}s h2d={h2d:.2f} GB/s "
+          f"dual-return (2x XYZ computed)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "packet_to_xyz_throughput_128x2048_dual",
+        "value": round(mpts, 1),
+        "unit": "Mpt/s/chip",
+        "vs_baseline": round(mpts / 1000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

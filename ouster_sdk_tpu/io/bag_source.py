@@ -1,0 +1,16 @@
+"""ROS bag ScanSource registration (reader in io/bag.py)."""
+
+from .sources import IoType, ScanSourceOptions, register_scan_source
+
+
+@register_scan_source(IoType.BAG)
+def _build_bag_scan_source(source: str, opts: ScanSourceOptions):
+    from .bag import BagScanSource
+
+    return BagScanSource(
+        source,
+        meta=opts.take("meta"),
+        soft_id_check=bool(opts.take("soft_id_check")),
+        extrinsics=opts.take("extrinsics"),
+        extrinsics_file=opts.take("extrinsics_file"),
+    )

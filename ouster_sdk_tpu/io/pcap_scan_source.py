@@ -1,0 +1,145 @@
+"""PcapScanSource: indexed ScanSource over a pcap file.
+
+Rebuild of the reference pcap scan source + frame index
+(ref: ouster_pcap/src/pcap_scan_source.cpp,
+indexed_pcap_reader.h:28-101).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.batcher import ScanBatcher
+from ..core.lidar_scan import LidarScan
+from ..core.packets import LidarPacket
+from ..core.types import SensorInfo
+from .pcap_source import PcapPacketSource
+from .sources import (
+    IoType,
+    LidarScanSet,
+    ScanSource,
+    ScanSourceOptions,
+    collate_scans,
+    populate_extrinsics,
+    register_packet_source,
+    register_scan_source,
+)
+
+
+class PcapScanSource(ScanSource):
+    """Batches a pcap's packets into per-sensor scans; builds a frame index
+    for random access when index=True (ref: indexed_pcap_reader.h:28-79)."""
+
+    def __init__(self, path: str, *,
+                 sensor_infos: Optional[List[SensorInfo]] = None,
+                 meta: Optional[List[str]] = None,
+                 soft_id_check: bool = False,
+                 index: bool = False,
+                 extrinsics=None, extrinsics_file=None,
+                 field_names: Optional[List[str]] = None):
+        self._path = path
+        self._packets = PcapPacketSource(
+            path, metadata_paths=meta, sensor_infos=sensor_infos,
+            soft_id_check=soft_id_check)
+        infos = self._packets.sensor_info
+        populate_extrinsics(infos, extrinsics, extrinsics_file)
+        super().__init__(infos)
+        self._field_names = field_names
+        self._index: Optional[List[List[int]]] = None
+        self._scan_cache: Optional[List[List[LidarScan]]] = None
+        if index:
+            self._build_index()
+
+    @property
+    def is_indexed(self) -> bool:
+        return self._index is not None
+
+    def _iter_scans(self) -> Iterator[Tuple[int, LidarScan]]:
+        batchers = [ScanBatcher(i) for i in self.sensor_info]
+        scans = [LidarScan(i, field_types=self._field_types(i))
+                 for i in self.sensor_info]
+        for idx, packet in self._packets:
+            if batchers[idx](packet, scans[idx]):
+                out = scans[idx]
+                scans[idx] = LidarScan(
+                    self.sensor_info[idx],
+                    field_types=self._field_types(self.sensor_info[idx]))
+                yield idx, out
+        # flush partials (matches reference behavior of emitting incomplete
+        # trailing scans)
+        for idx, s in enumerate(scans):
+            if s.frame_id != -1 and np.any(s.status & 1):
+                yield idx, s
+
+    def _field_types(self, info: SensorInfo):
+        from ..core.lidar_scan import get_field_types
+
+        fts = get_field_types(info)
+        if self._field_names is not None:
+            fts = [ft for ft in fts if ft.name in self._field_names]
+        return fts
+
+    def _iter_sets(self) -> Iterator[LidarScanSet]:
+        return collate_scans(self._iter_scans(), len(self.sensor_info))
+
+    # -- indexing ----------------------------------------------------------
+    def _build_index(self) -> None:
+        """Materialize all scans (fixtures are small; a file-offset index
+        like the reference's comes with the native reader)."""
+        cache: List[List[LidarScan]] = [[] for _ in self.sensor_info]
+        for idx, scan in self._iter_scans():
+            cache[idx].append(scan)
+        self._scan_cache = cache
+        self._index = [[s.frame_id for s in lst] for lst in cache]
+
+    def __len__(self) -> int:
+        if self._scan_cache is None:
+            raise TypeError("source is not indexed")
+        return max((len(c) for c in self._scan_cache), default=0)
+
+    def __getitem__(self, i) -> LidarScanSet:
+        if self._scan_cache is None:
+            raise TypeError("source is not indexed")
+        n = len(self)
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(n))]
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(i)
+        return LidarScanSet([
+            c[i] if i < len(c) else None for c in self._scan_cache])
+
+    def scans_num(self) -> List[int]:
+        if self._scan_cache is None:
+            raise TypeError("source is not indexed")
+        return [len(c) for c in self._scan_cache]
+
+    def close(self) -> None:
+        self._packets.close()
+
+
+@register_scan_source(IoType.PCAP)
+def _build_pcap_scan_source(source: str, opts: ScanSourceOptions):
+    return PcapScanSource(
+        source,
+        sensor_infos=opts.take("sensor_info"),
+        meta=opts.take("meta"),
+        soft_id_check=bool(opts.take("soft_id_check")),
+        index=bool(opts.take("index")),
+        extrinsics=opts.take("extrinsics"),
+        extrinsics_file=opts.take("extrinsics_file"),
+        field_names=opts.take("field_names"),
+    )
+
+
+@register_packet_source(IoType.PCAP)
+def _build_pcap_packet_source(source: str, opts: ScanSourceOptions):
+    return PcapPacketSource(
+        source,
+        metadata_paths=opts.take("meta"),
+        sensor_infos=opts.take("sensor_info"),
+        soft_id_check=bool(opts.take("soft_id_check")),
+    )

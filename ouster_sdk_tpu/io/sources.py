@@ -1,0 +1,316 @@
+"""ScanSource / PacketSource abstractions, collation and open_source registry.
+
+Rebuild of the reference source layer (ref: ouster_client/include/ouster/
+scan_source.h:48-194, open_source.h:26-226, scan_source_utils.h:22-90,
+io_type.h:17-25). Sources are Python iterables; the registry maps an IoType
+to a builder so backends self-register exactly like the reference's static
+ScanSourceBuilder registry (ref: impl/open_source_impl.h:98-122).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+from enum import Enum
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.lidar_scan import LidarScan
+from ..core.types import SensorInfo
+
+
+class IoType(Enum):
+    """(ref: io_type.h:17-25)"""
+
+    OSF = "OSF"
+    PCAP = "PCAP"
+    SENSOR = "SENSOR"
+    BAG = "BAG"
+    CSV = "CSV"
+    PLY = "PLY"
+    PCD = "PCD"
+    LAS = "LAS"
+
+
+_EXTENSIONS = {
+    ".osf": IoType.OSF,
+    ".pcap": IoType.PCAP,
+    ".bag": IoType.BAG,
+    ".mcap": IoType.BAG,
+    ".csv": IoType.CSV,
+    ".ply": IoType.PLY,
+    ".pcd": IoType.PCD,
+    ".las": IoType.LAS,
+}
+
+
+def io_type(source: str) -> IoType:
+    """URL/extension -> IoType (ref: io_type.cpp)."""
+    ext = os.path.splitext(source)[1].lower()
+    if ext in _EXTENSIONS:
+        return _EXTENSIONS[ext]
+    if os.path.exists(source):
+        raise ValueError(f"unknown source extension: {source}")
+    return IoType.SENSOR  # hostname / IP
+
+
+class LidarScanSet:
+    """One collated time slice: at most one scan per sensor
+    (ref: lidar_scan_set.h:213)."""
+
+    def __init__(self, scans: Sequence[Optional[LidarScan]]):
+        self._scans: List[Optional[LidarScan]] = list(scans)
+
+    def __len__(self) -> int:
+        return len(self._scans)
+
+    def __getitem__(self, i: int) -> Optional[LidarScan]:
+        return self._scans[i]
+
+    def __iter__(self) -> Iterator[Optional[LidarScan]]:
+        return iter(self._scans)
+
+    def valid(self) -> List[LidarScan]:
+        return [s for s in self._scans if s is not None]
+
+    def combined_timestamp(self) -> int:
+        ts = [s.first_valid_column_timestamp() for s in self.valid()]
+        return min(ts) if ts else 0
+
+    def __repr__(self) -> str:
+        return f"LidarScanSet({self._scans!r})"
+
+
+class ScanSource:
+    """Iterable of LidarScanSet (ref: scan_source.h:48-194).
+
+    Subclasses implement _iter_sets(); indexed backends also implement
+    __len__/__getitem__.
+    """
+
+    def __init__(self, sensor_infos: List[SensorInfo]):
+        self._sensor_infos = sensor_infos
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        return self._sensor_infos
+
+    @property
+    def is_live(self) -> bool:
+        return False
+
+    @property
+    def is_indexed(self) -> bool:
+        return False
+
+    def __iter__(self) -> Iterator[LidarScanSet]:
+        return self._iter_sets()
+
+    def _iter_sets(self) -> Iterator[LidarScanSet]:
+        raise NotImplementedError
+
+    def single(self, sensor_idx: int = 0) -> "SingleScanSource":
+        """Iterate one sensor's scans (ref: Singler,
+        scan_source_utils.h:90)."""
+        return SingleScanSource(self, sensor_idx)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "ScanSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- optional random access -------------------------------------------
+    def __len__(self) -> int:
+        raise TypeError("source is not indexed")
+
+    def __getitem__(self, i) -> LidarScanSet:
+        raise TypeError("source is not indexed")
+
+
+class SingleScanSource:
+    """Single-sensor view over a ScanSource."""
+
+    def __init__(self, parent: ScanSource, sensor_idx: int):
+        self._parent = parent
+        self._idx = sensor_idx
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        return [self._parent.sensor_info[self._idx]]
+
+    @property
+    def metadata(self) -> SensorInfo:
+        return self._parent.sensor_info[self._idx]
+
+    def __iter__(self) -> Iterator[LidarScan]:
+        for ls_set in self._parent:
+            s = ls_set[self._idx]
+            if s is not None:
+                yield s
+
+    def __len__(self) -> int:
+        return len(self._parent)
+
+    def close(self) -> None:
+        self._parent.close()
+
+
+DEFAULT_COLLATION_DT_NS = 210_000_000  # 210 ms (ref: scan_source_utils.h:22)
+
+
+def collate_scans(
+    scans: Iterator, n_sensors: int,
+    dt_ns: int = DEFAULT_COLLATION_DT_NS,
+) -> Iterator[LidarScanSet]:
+    """Time-collate an iterator of (sensor_idx, LidarScan) into
+    LidarScanSets, cutting a set when dt_ns elapses or a sensor repeats
+    (ref: scan_source_utils.cpp Collator)."""
+    pending: List[Optional[LidarScan]] = [None] * n_sensors
+    start_ts: Optional[int] = None
+
+    for idx, scan in scans:
+        ts = scan.first_valid_column_timestamp() or \
+            scan.first_valid_packet_timestamp()
+        if start_ts is None:
+            start_ts = ts
+        if pending[idx] is not None or (ts - start_ts) > dt_ns:
+            yield LidarScanSet(pending)
+            pending = [None] * n_sensors
+            start_ts = ts
+        pending[idx] = scan
+        if all(s is not None for s in pending):
+            yield LidarScanSet(pending)
+            pending = [None] * n_sensors
+            start_ts = None
+
+    if any(s is not None for s in pending):
+        yield LidarScanSet(pending)
+
+
+# ---------------------------------------------------------------------------
+# Options + registry (ref: open_source.h:26-100, impl/open_source_impl.h)
+# ---------------------------------------------------------------------------
+
+class _Unused:
+    pass
+
+
+@dataclass
+class ScanSourceOptions:
+    """Construction options with check-on-unused semantics
+    (ref: open_source.h:26-100, open_source.cpp:281-318): every option a
+    backend does not consume raises, so callers learn immediately when an
+    option is meaningless for a given backend."""
+
+    extrinsics_file: Optional[str] = None
+    extrinsics: Optional[List[np.ndarray]] = None
+    field_names: Optional[List[str]] = None
+    soft_id_check: Optional[bool] = None
+    index: Optional[bool] = None
+    meta: Optional[List[str]] = None
+    lidar_port: Optional[int] = None
+    imu_port: Optional[int] = None
+    do_not_reinitialize: Optional[bool] = None
+    no_auto_udp_dest: Optional[bool] = None
+    timeout: Optional[float] = None
+    queue_size: Optional[int] = None
+    sensor_info: Optional[List[SensorInfo]] = None
+    sensor_config: Optional[Any] = None
+    raw_headers: Optional[bool] = None
+    raw_fields: Optional[bool] = None
+    error_handler: Optional[Callable] = None
+
+    def __post_init__(self) -> None:
+        self._consumed: set = set()
+
+    def take(self, name: str):
+        self._consumed.add(name)
+        return getattr(self, name)
+
+    def check(self, context: str) -> None:
+        """Raise if a set option was never consumed
+        (ref: open_source.cpp:281-318)."""
+        for name, value in vars(self).items():
+            if name.startswith("_") or value is None:
+                continue
+            if name not in self._consumed:
+                raise ValueError(
+                    f"option '{name}' is not supported by {context}")
+
+
+_SCAN_SOURCE_BUILDERS: Dict[IoType, Callable] = {}
+_PACKET_SOURCE_BUILDERS: Dict[IoType, Callable] = {}
+
+
+def register_scan_source(iotype: IoType):
+    def deco(fn):
+        _SCAN_SOURCE_BUILDERS[iotype] = fn
+        return fn
+    return deco
+
+
+def register_packet_source(iotype: IoType):
+    def deco(fn):
+        _PACKET_SOURCE_BUILDERS[iotype] = fn
+        return fn
+    return deco
+
+
+def open_source(source: str, *, sensor_idx: int = -1, collate: bool = True,
+                **options):
+    """URL -> ScanSource (ref: open_source.cpp:205-245, sdk/open_source.py).
+
+    sensor_idx >= 0 returns a single-sensor view; otherwise the collated
+    multi-sensor source.
+    """
+    # ensure backends are registered
+    from . import osf_source  # noqa: F401
+    from . import pcap_scan_source  # noqa: F401
+    from ..sensor import sensor_scan_source  # noqa: F401
+    from . import bag_source  # noqa: F401
+    from . import cloud_source  # noqa: F401
+
+    t = io_type(source)
+    if t not in _SCAN_SOURCE_BUILDERS:
+        raise ValueError(f"No scan source backend for {t}")
+    opts = ScanSourceOptions(**options)
+    src = _SCAN_SOURCE_BUILDERS[t](source, opts)
+    opts.check(f"{t.value} scan source")
+    if sensor_idx >= 0:
+        return src.single(sensor_idx)
+    return src
+
+
+def open_packet_source(source: str, **options):
+    from . import pcap_scan_source  # noqa: F401
+    from ..sensor import sensor_scan_source  # noqa: F401
+
+    t = io_type(source)
+    if t not in _PACKET_SOURCE_BUILDERS:
+        raise ValueError(f"No packet source backend for {t}")
+    opts = ScanSourceOptions(**options)
+    src = _PACKET_SOURCE_BUILDERS[t](source, opts)
+    opts.check(f"{t.value} packet source")
+    return src
+
+
+def populate_extrinsics(infos: List[SensorInfo],
+                        extrinsics: Optional[List[np.ndarray]] = None,
+                        extrinsics_file: Optional[str] = None) -> None:
+    """Apply extrinsics overrides to sensor infos
+    (ref: open_source.h:214, sdk/util/extrinsics.py)."""
+    if extrinsics is not None:
+        for info, ext in zip(infos, extrinsics):
+            info.extrinsic = np.asarray(ext, dtype=np.float64).reshape(4, 4)
+    elif extrinsics_file is not None:
+        from ..utils.extrinsics import resolve_extrinsics
+
+        resolved = resolve_extrinsics(extrinsics_file, infos)
+        for info, ext in zip(infos, resolved):
+            if ext is not None:
+                info.extrinsic = ext

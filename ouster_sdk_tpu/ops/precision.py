@@ -1,0 +1,79 @@
+"""Double-single (two-float) arithmetic for TPU-precision XYZ projection.
+
+The reference computes XYZ in float64 (ref: ouster_client/include/ouster/
+cartesian.h:36-69 cartesianT<double>). TPUs have no native f64; plain f32
+accumulates ~2e-5 m error at 300 m range which misses the 1e-5 m target.
+Instead we carry each LUT coefficient as an (hi, lo) f32 pair and evaluate
+r * dir + off in error-free-transform arithmetic (Dekker/Knuth, no FMA
+required), giving ~1e-9 m worst-case error at lidar ranges for ~15 extra VPU
+flops per component — negligible against HBM bandwidth.
+
+All functions are jnp-traceable and safe inside jit/pallas.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+_SPLITTER = 4097.0  # 2**12 + 1 for f32 Veltkamp splitting
+
+
+def two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Dekker fast-two-sum; requires |a| >= |b|."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """Veltkamp split of f32 into two 12-bit-mantissa halves."""
+    c = _SPLITTER * a
+    a_hi = c - (c - a)
+    a_lo = a - a_hi
+    return a_hi, a_lo
+
+
+def two_prod(a, b):
+    """Dekker product: p + e == a * b exactly (no FMA)."""
+    p = a * b
+    a_hi, a_lo = _split(a)
+    b_hi, b_lo = _split(b)
+    e = ((a_hi * b_hi - p) + a_hi * b_lo + a_lo * b_hi) + a_lo * b_lo
+    return p, e
+
+
+def dd_mul_f(x_hi, x_lo, f):
+    """(x_hi, x_lo) * f where f is a plain f32."""
+    p, e = two_prod(x_hi, f)
+    e = e + x_lo * f
+    return fast_two_sum(p, e)
+
+
+def dd_add(x_hi, x_lo, y_hi, y_lo):
+    s, e = two_sum(x_hi, y_hi)
+    e = e + x_lo + y_lo
+    return fast_two_sum(s, e)
+
+
+def dd_to_f32(hi, lo):
+    return hi + lo
+
+
+def split_f64_array(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-side: split a float64 numpy array into (hi, lo) float32 pair with
+    hi + lo == x to f32-pair precision."""
+    import numpy as np
+
+    hi = x.astype(np.float32)
+    lo = (x - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo

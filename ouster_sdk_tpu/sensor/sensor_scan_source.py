@@ -1,0 +1,23 @@
+"""Live sensor ScanSource registration (client in sensor/client.py)."""
+
+from ..io.sources import IoType, ScanSourceOptions, register_scan_source
+
+
+@register_scan_source(IoType.SENSOR)
+def _build_sensor_scan_source(source: str, opts: ScanSourceOptions):
+    from .scan_source import SensorScanSource
+
+    return SensorScanSource(
+        [source],
+        lidar_port=opts.take("lidar_port"),
+        imu_port=opts.take("imu_port"),
+        do_not_reinitialize=bool(opts.take("do_not_reinitialize")),
+        no_auto_udp_dest=bool(opts.take("no_auto_udp_dest")),
+        timeout=opts.take("timeout"),
+        queue_size=opts.take("queue_size") or 2,
+        sensor_config=opts.take("sensor_config"),
+        sensor_info=opts.take("sensor_info"),
+        soft_id_check=bool(opts.take("soft_id_check")),
+        extrinsics=opts.take("extrinsics"),
+        extrinsics_file=opts.take("extrinsics_file"),
+    )

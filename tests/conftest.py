@@ -7,12 +7,20 @@ in the benchmark harness (bench.py).
 import os
 import sys
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Tests always run on CPU with a virtual 8-device mesh (real-TPU runs happen
+# via bench.py, which does not load this conftest). NOTE: this sandbox's
+# sitecustomize force-registers the TPU backend and overrides JAX_PLATFORMS
+# from the environment, so the env var alone is NOT enough — the jax.config
+# update below is what actually selects CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
