@@ -1,0 +1,118 @@
+"""Voxel downsampling: centroid (not center) per occupied voxel.
+
+Rebuild of the reference voxel_downsample (ref: ouster_client/include/
+ouster/downsample.h:11-60, impl/downsample_impl.h — robin-map accumulation
+of per-voxel point/attribute means with a min_pts_per_voxel threshold).
+
+Two paths:
+  - voxel_downsample: host numpy via sort+reduceat (exact reference
+    semantics, variable output size)
+  - voxel_downsample_jax: device path with static capacity — sort-based
+    segment means padded to `capacity`, usable inside jit for the SLAM
+    pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _voxel_keys_np(points: np.ndarray, voxel_size: np.ndarray) -> np.ndarray:
+    idx = np.floor(points / voxel_size).astype(np.int64)
+    # pack 3x21-bit signed coordinates into one int64 key
+    off = np.int64(1 << 20)
+    return ((idx[:, 0] + off) << 42) | ((idx[:, 1] + off) << 21) | \
+        (idx[:, 2] + off)
+
+
+def voxel_downsample(
+    points: np.ndarray,
+    voxel_size: Union[float, Sequence[float]],
+    attribs: Optional[List[np.ndarray]] = None,
+    min_pts_per_voxel: int = 1,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Centroid-of-voxel downsample (ref: downsample.h:11-60).
+
+    points: (N, 3); attribs: optional list of (N, ...) arrays averaged per
+    voxel. Returns (centroids (M, 3), [attrib means]).
+    """
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    vs = np.broadcast_to(np.asarray(voxel_size, dtype=np.float64), (3,))
+    if points.size == 0:
+        return points.reshape(0, 3), [
+            a[:0] for a in (attribs or [])]
+
+    keys = _voxel_keys_np(points, vs)
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    boundaries = np.flatnonzero(np.diff(keys_s)) + 1
+    starts = np.concatenate([[0], boundaries])
+    counts = np.diff(np.concatenate([starts, [keys_s.size]]))
+
+    sums = np.add.reduceat(points[order], starts, axis=0)
+    keep = counts >= min_pts_per_voxel
+    centroids = sums[keep] / counts[keep, None]
+
+    out_attribs: List[np.ndarray] = []
+    for a in attribs or []:
+        a = np.asarray(a)
+        a_s = a[order].astype(np.float64)
+        a_sums = np.add.reduceat(a_s, starts, axis=0)
+        denom = counts[keep].reshape((-1,) + (1,) * (a.ndim - 1))
+        out_attribs.append((a_sums[keep] / denom).astype(a.dtype
+                           if np.issubdtype(a.dtype, np.floating)
+                           else np.float64))
+    return centroids, out_attribs
+
+
+def voxel_downsample_jax(
+    points: jnp.ndarray,
+    voxel_size: float,
+    capacity: int,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device voxel downsample with a static output capacity.
+
+    points: (N, 3) f32 (invalid rows masked via `valid`). Returns
+    (centroids (capacity, 3), mask (capacity,)) — unused slots are zero with
+    mask False. Deterministic, jit/vmap-safe: sort by voxel key +
+    segment-mean.
+    """
+    n = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+
+    # two int32 keys (avoids int64, which jax disables by default):
+    # k1 = (ix, iy) packed, k2 = iz; lexsort groups equal voxels together
+    idx = jnp.floor(points / voxel_size).astype(jnp.int32)
+    off = jnp.int32(1 << 14)
+    k1 = ((idx[:, 0] + off) << jnp.int32(15)) | (idx[:, 1] + off)
+    k2 = idx[:, 2] + off
+    big = jnp.int32(2**30)
+    k1 = jnp.where(valid, k1, big)  # invalid sorts last
+    k2 = jnp.where(valid, k2, big)
+
+    order = jnp.lexsort((k2, k1))
+    k1_s, k2_s = k1[order], k2[order]
+    pts_s = points[order]
+    valid_s = valid[order]
+
+    # segment ids: positions where either key changes
+    new_seg = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (k1_s[1:] != k1_s[:-1]) | (k2_s[1:] != k2_s[:-1])])
+    seg_id = jnp.cumsum(new_seg) - 1  # 0..n_segments-1
+    seg_id = jnp.minimum(seg_id, capacity - 1)
+
+    w = valid_s.astype(points.dtype)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id,
+                               num_segments=capacity)
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=capacity)
+    mask = counts > 0
+    centroids = jnp.where(mask[:, None], sums / jnp.maximum(counts, 1)[:, None],
+                          0.0)
+    return centroids, mask

@@ -1,0 +1,108 @@
+"""SLAM tests: synthetic ICP recovery + trajectory vs KITTI ground truth
+(ref: tests/slam_test.cpp, tests/integration/mapping)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu.slam.kiss_icp import (
+    KissConfig,
+    KissICP,
+    VoxelHashMap,
+    register_points_to_map,
+    se3_exp,
+)
+
+OSF = "/root/reference/tests/osfs/OS-1-128_v2.3.0_1024x10_lb_n3.osf"
+GT = "/root/reference/tests/pcaps/OS-1-128_v2.3.0_1024x10_lb_n3_poses_kitti.txt"
+
+
+def _random_world(n=4000, seed=0):
+    rng = np.random.default_rng(seed)
+    # structured scene: two walls + floor + scattered clutter
+    pts = []
+    pts.append(np.stack([rng.uniform(5, 30, n // 4),
+                         np.full(n // 4, 8.0) + rng.normal(0, 0.01, n // 4),
+                         rng.uniform(0, 4, n // 4)], axis=1))
+    pts.append(np.stack([np.full(n // 4, 25.0) + rng.normal(0, 0.01, n // 4),
+                         rng.uniform(-10, 8, n // 4),
+                         rng.uniform(0, 4, n // 4)], axis=1))
+    pts.append(np.stack([rng.uniform(5, 30, n // 4),
+                         rng.uniform(-10, 8, n // 4),
+                         rng.normal(0, 0.01, n // 4)], axis=1))
+    pts.append(rng.uniform([5, -10, 0], [30, 8, 4], size=(n // 4, 3)))
+    return np.concatenate(pts, axis=0)
+
+
+def test_icp_recovers_known_transform():
+    world = _random_world()
+    vm = VoxelHashMap(voxel_size=1.0, max_distance=200.0,
+                      max_points_per_voxel=20)
+    vm.add_points(world)
+
+    true_xi = np.array([0.3, -0.2, 0.1, 0.02, -0.01, 0.03])
+    T_true = se3_exp(true_xi)
+    # scan = world seen from T_true: register(scan, I) should estimate T s.t.
+    # T @ scan ~ world, i.e. T ~ T_true^-1... use forward convention:
+    scan = (world - T_true[:3, 3]) @ T_true[:3, :3]
+    est = register_points_to_map(scan, vm, np.eye(4),
+                                 max_correspondence_distance=1.0,
+                                 kernel_scale=0.3)
+    err_t = np.linalg.norm(est[:3, 3] - T_true[:3, 3])
+    err_r = np.abs(est[:3, :3] - T_true[:3, :3]).max()
+    assert err_t < 0.02, f"translation error {err_t}"
+    assert err_r < 0.01, f"rotation error {err_r}"
+
+
+def test_kiss_icp_odometry_synthetic():
+    """Three synthetic frames moving forward: estimated motion ~ truth."""
+    world = _random_world(6000, seed=1)
+    kiss = KissICP(KissConfig(voxel_size=0.5, min_range=0.5, max_range=200))
+    motion = np.eye(4)
+    motion[:3, 3] = [0.5, 0.05, 0.0]
+
+    poses = [np.eye(4)]
+    T = np.eye(4)
+    est = []
+    for i in range(4):
+        # frame in sensor coords at pose T: p_sensor = R^-1 (p_world - t)
+        frame = (world - T[:3, 3]) @ T[:3, :3]
+        guess = poses[-1] if len(est) < 2 else est[-1] @ \
+            np.linalg.solve(est[-2], est[-1])
+        new_pose = kiss.register_frame(frame, guess)
+        est.append(new_pose)
+        poses.append(T.copy())
+        T = T @ motion
+
+    # after warmup, per-frame translation should be ~0.5 m
+    d = np.linalg.norm(est[3][:3, 3] - est[2][:3, 3])
+    assert 0.3 < d < 0.7, f"frame-to-frame displacement {d}"
+
+
+@pytest.mark.slow
+def test_slam_trajectory_vs_kitti():
+    if not (os.path.exists(OSF) and os.path.exists(GT)):
+        pytest.skip("fixtures missing")
+    from ouster_sdk_tpu.io.osf import OsfScanSource
+    from ouster_sdk_tpu.slam.engine import SlamConfig, SlamEngine
+
+    src = OsfScanSource(OSF)
+    engine = SlamEngine(src.sensor_info,
+                        SlamConfig(min_range=1.0, max_range=100.0,
+                                   voxel_size=1.0))
+    traj = []
+    for ls_set in src:
+        engine.update(ls_set)
+        traj.append(engine.last_pose.copy())
+
+    gt = np.loadtxt(GT).reshape(-1, 3, 4)
+    assert len(traj) == gt.shape[0]
+
+    # compare frame-to-frame translation magnitudes
+    for i in range(1, len(traj)):
+        est_d = traj[i][:3, 3] - traj[i - 1][:3, 3]
+        gt_d = gt[i][:, 3] - gt[i - 1][:, 3]
+        err = np.linalg.norm(est_d - gt_d)
+        assert err < 0.2, f"frame {i}: delta error {err} (est {est_d}, " \
+            f"gt {gt_d})"
