@@ -30,27 +30,24 @@ def main():
     pipe = ScanPipeline(info)
     frame = _synth_frame(info)
 
-    B = 8  # frames per step
-    frames = np.stack([frame] * B)
-    poses = np.broadcast_to(np.eye(4, dtype=np.float32), (B, W, 4, 4)).copy()
-
-    dev_frames = jnp.asarray(frames)
-    dev_poses = jnp.asarray(poses)
+    B = 1  # the single-frame program; batching adds no arithmetic
+    dev_frame = jnp.asarray(frame)
+    dev_poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (W, 4, 4))
 
     def step(fr, po):
-        out = pipe._batch(fr, pipe.lut, po)
+        out = pipe._single(fr, pipe.lut, po)
         return out["XYZ"], out["XYZ2"], out["RANGE"]
 
     step_c = jax.jit(step)
     # warmup/compile
-    r = step_c(dev_frames, dev_poses)
+    r = step_c(dev_frame, dev_poses)
     jax.block_until_ready(r)
 
-    # steady-state timing
-    iters = 30
+    # steady-state timing: enqueue a pipelined window of async dispatches
+    iters = 100
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = step_c(dev_frames, dev_poses)
+        r = step_c(dev_frame, dev_poses)
     jax.block_until_ready(r)
     dt = time.perf_counter() - t0
 
@@ -58,10 +55,11 @@ def main():
     mpts = pts / dt / 1e6
 
     # host->device staging bandwidth (side info)
+    frame_np = np.asarray(frame)
     t0 = time.perf_counter()
     for _ in range(5):
-        jax.block_until_ready(jax.device_put(frames))
-    h2d = frames.nbytes * 5 / (time.perf_counter() - t0) / 1e9
+        jax.block_until_ready(jax.device_put(frame_np))
+    h2d = frame_np.nbytes * 5 / (time.perf_counter() - t0) / 1e9
 
     print(f"device={jax.devices()[0].device_kind} "
           f"B={B} iters={iters} dt={dt:.3f}s h2d={h2d:.2f} GB/s "

@@ -1,0 +1,363 @@
+"""ouster-cli equivalent: chained `source <url> cmd1 cmd2 ...` pipeline.
+
+Rebuild of the reference CLI (ref: python/src/ouster/cli/core/__init__.py:72,
+plugins/source.py, plugins/source_util.py:16-66): commands are typed
+processors composed over a scan iterator, so `source x.pcap slice --start 1
+clip --max-range 50 save out.osf` chains lazily.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Callable, Iterator, List, Optional
+
+import click
+import numpy as np
+
+from .. import __version__
+from ..core.constants import ChanField
+from ..io.sources import LidarScanSet, open_source
+
+
+class SourcePipeline:
+    """Holds the scan-set iterator being transformed by chained commands."""
+
+    def __init__(self, url: str, **opts):
+        self.url = url
+        self.source = open_source(url, **opts)
+        self.infos = self.source.sensor_info
+        self._stages: List[Callable[[Iterator], Iterator]] = []
+        self.consumers: List[Callable[[Iterator], None]] = []
+
+    def add_stage(self, fn: Callable[[Iterator], Iterator]) -> None:
+        self._stages.append(fn)
+
+    def scan_iter(self) -> Iterator[LidarScanSet]:
+        it: Iterator = iter(self.source)
+        for stage in self._stages:
+            it = stage(it)
+        return it
+
+    def run(self) -> None:
+        it = self.scan_iter()
+        if not self.consumers:
+            for _ in it:
+                pass
+            return
+        if len(self.consumers) == 1:
+            self.consumers[0](it)
+            return
+        # CoupledTee (ref: source_util.py:85): fan one stream to N consumers
+        import itertools
+
+        tees = itertools.tee(it, len(self.consumers))
+        for consumer, t in zip(self.consumers, tees):
+            consumer(t)
+
+
+@click.group(name="ouster-cli")
+@click.version_option(__version__, prog_name="ouster-cli (ouster_sdk_tpu)")
+def cli() -> None:
+    """Ouster SDK command-line tool (TPU-native rebuild)."""
+
+
+@cli.group(chain=True)
+@click.argument("url")
+@click.option("--meta", "-m", multiple=True, help="metadata json path(s)")
+@click.option("--soft-id-check", is_flag=True, default=False)
+@click.option("--extrinsics-file", default=None)
+@click.pass_context
+def source(ctx, url, meta, soft_id_check, extrinsics_file):
+    """Operate on a sensor / pcap / osf / bag source with chained
+    commands."""
+    opts = {}
+    if meta:
+        opts["meta"] = list(meta)
+    if soft_id_check:
+        opts["soft_id_check"] = True
+    if extrinsics_file:
+        opts["extrinsics_file"] = extrinsics_file
+    ctx.obj = SourcePipeline(url, **opts)
+
+
+@source.result_callback()
+@click.pass_context
+def _run_pipeline(ctx, results, **kwargs):
+    ctx.obj.run()
+
+
+@source.command("info")
+@click.pass_context
+def source_info(ctx):
+    """Print sensor metadata summary (ref: plugins/source.py metadata)."""
+    for i, info in enumerate(ctx.obj.infos):
+        fmt = info.format
+        click.echo(f"sensor {i}: {info.prod_line} sn={info.sn} "
+                   f"fw={info.fw_rev or info.image_rev}")
+        click.echo(f"  profile={fmt.udp_profile_lidar.value} "
+                   f"{fmt.pixels_per_column}x{fmt.columns_per_frame}"
+                   f"@{fmt.fps}fps cols/packet={fmt.columns_per_packet}")
+
+
+@source.command("metadata")
+@click.pass_context
+def source_metadata(ctx):
+    """Dump full metadata json."""
+    for info in ctx.obj.infos:
+        click.echo(info.to_json_string())
+
+
+@source.command("slice")
+@click.argument("spec")
+@click.pass_context
+def source_slice(ctx, spec):
+    """Take a [start]:[stop][:step] slice of the scan stream."""
+    parts = (spec.split(":") + ["", ""])[:3]
+    start = int(parts[0]) if parts[0] else 0
+    stop = int(parts[1]) if parts[1] else None
+    step = int(parts[2]) if parts[2] else 1
+
+    def stage(it):
+        import itertools
+
+        return itertools.islice(it, start, stop, step)
+
+    ctx.obj.add_stage(stage)
+
+
+@source.command("clip")
+@click.option("--min-range", type=float, default=0.0, help="meters")
+@click.option("--max-range", type=float, default=float("inf"), help="meters")
+@click.option("--fields", default="RANGE,RANGE2")
+@click.pass_context
+def source_clip(ctx, min_range, max_range, fields):
+    """Zero returns outside a range band
+    (ref: sdk/core/clipped_scan_source.py)."""
+    from ..io.derived import clip_scan
+
+    names = fields.split(",")
+
+    def stage(it):
+        for ls_set in it:
+            for s in ls_set.valid():
+                clip_scan(s, min_range, max_range, names)
+            yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+
+@source.command("reduce")
+@click.option("--beams", type=int, required=True,
+              help="target number of beams")
+@click.pass_context
+def source_reduce(ctx, beams):
+    """Decimate beams (ref: sdk/core/reduced_scan_source.py)."""
+    from ..io.derived import reduce_scan
+
+    def stage(it):
+        for ls_set in it:
+            yield LidarScanSet([
+                reduce_scan(s, beams) if s is not None else None
+                for s in ls_set])
+
+    ctx.obj.add_stage(stage)
+
+
+@source.command("stats")
+@click.pass_context
+def source_stats(ctx):
+    """Print per-scan statistics (ref: plugins/source.py stats)."""
+    def consumer(it):
+        n = 0
+        for ls_set in it:
+            for idx, s in enumerate(ls_set):
+                if s is None:
+                    continue
+                rng = s.field(ChanField.RANGE)
+                valid = rng[rng > 0]
+                click.echo(
+                    f"scan {n} sensor {idx}: frame_id={s.frame_id} "
+                    f"complete={s.complete()} "
+                    f"valid_px={valid.size} "
+                    f"range[m] min={valid.min()*1e-3 if valid.size else 0:.2f} "
+                    f"max={valid.max()*1e-3 if valid.size else 0:.2f}")
+            n += 1
+        click.echo(f"total scan sets: {n}")
+
+    ctx.obj.consumers.append(consumer)
+
+
+@source.command("save")
+@click.argument("path")
+@click.option("--fields", default=None, help="subset of fields to write")
+@click.pass_context
+def source_save(ctx, path, fields):
+    """Save the stream to .osf/.pcap/.csv/.ply/.pcd
+    (ref: plugins/source_save.py)."""
+    ext = os.path.splitext(path)[1].lower()
+    pipeline = ctx.obj
+
+    def consumer(it):
+        from ..io.save import save_scans
+
+        n = save_scans(path, pipeline.infos, it, fields=fields and
+                       fields.split(","))
+        click.echo(f"wrote {n} scans to {path} ({ext})")
+
+    pipeline.consumers.append(consumer)
+
+
+@source.command("slam")
+@click.option("--voxel-size", type=float, default=-1.0)
+@click.option("--min-range", type=float, default=5.0)
+@click.option("--max-range", type=float, default=100.0)
+@click.option("--trajectory", default=None,
+              help="write KITTI poses to this file")
+@click.pass_context
+def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
+    """Run KISS-ICP SLAM over the stream, updating scan poses
+    (ref: plugins/source_mapping.py)."""
+    from ..slam.engine import SlamConfig, SlamEngine
+
+    engine = SlamEngine(ctx.obj.infos, SlamConfig(
+        min_range=min_range, max_range=max_range, voxel_size=voxel_size))
+    poses: List[np.ndarray] = []
+
+    def stage(it):
+        for ls_set in it:
+            engine.update(ls_set)
+            poses.append(engine.last_pose.copy())
+            yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+    if trajectory:
+        def consumer(it):
+            for _ in it:
+                pass
+            with open(trajectory, "w") as f:
+                for p in poses:
+                    f.write(" ".join(f"{v:.18e}"
+                                     for v in p[:3, :].reshape(-1)) + "\n")
+            click.echo(f"wrote {len(poses)} poses to {trajectory}")
+
+        ctx.obj.consumers.append(consumer)
+
+
+@source.command("viz")
+@click.option("--out", default=None,
+              help="render PNG snapshot(s) to this path instead of a window")
+@click.option("--every", type=int, default=10, help="snapshot every N scans")
+@click.pass_context
+def source_viz(ctx, out, every):
+    """Visualize scans (offscreen renderer; ref: plugins/source.py viz)."""
+    from ..viz.core import SimpleViz
+
+    def consumer(it):
+        viz = SimpleViz(ctx.obj.infos, snapshot_path=out,
+                        snapshot_every=every)
+        viz.run(it)
+
+    ctx.obj.consumers.append(consumer)
+
+
+@cli.group()
+def util() -> None:
+    """Utilities."""
+
+
+@util.command("benchmark")
+@click.argument("url")
+@click.option("--frames", type=int, default=10)
+def util_benchmark(url, frames):
+    """Time read/batch/destagger/cartesian per frame
+    (ref: cli/core/util.py:180-310)."""
+    import platform
+    import time
+
+    from ..ops.destagger import destagger
+    from ..ops.xyzlut import make_xyz_lut
+
+    src = open_source(url)
+    info = src.sensor_info[0]
+    lut = make_xyz_lut(info)
+
+    t_read = t_destagger = t_xyz = 0.0
+    n = 0
+    t0 = time.perf_counter()
+    for ls_set in src:
+        t_read += time.perf_counter() - t0
+        for s in ls_set.valid():
+            t1 = time.perf_counter()
+            for name in s.fields:
+                f = s.field(name)
+                if f.ndim >= 2 and f.shape[:2] == (s.h, s.w):
+                    destagger(info, f)
+            t2 = time.perf_counter()
+            lut(s.field(ChanField.RANGE))
+            t3 = time.perf_counter()
+            t_destagger += t2 - t1
+            t_xyz += t3 - t2
+        n += 1
+        if n >= frames:
+            break
+        t0 = time.perf_counter()
+
+    report = {
+        "host": platform.node(),
+        "machine": platform.machine(),
+        "frames": n,
+        "read_ms_per_frame": round(t_read / max(n, 1) * 1e3, 3),
+        "destagger_ms_per_frame": round(t_destagger / max(n, 1) * 1e3, 3),
+        "cartesian_ms_per_frame": round(t_xyz / max(n, 1) * 1e3, 3),
+    }
+    click.echo(json.dumps(report, indent=2))
+
+
+@cli.command("discover")
+@click.option("--timeout", type=float, default=3.0)
+def discover(timeout):
+    """Discover sensors via mDNS (ref: plugins/discover.py). Requires
+    zeroconf; falls back to a notice when unavailable."""
+    try:
+        from zeroconf import ServiceBrowser, Zeroconf
+    except ImportError:
+        click.echo("zeroconf not available in this environment; "
+                   "use sensor hostnames/IPs directly", err=True)
+        sys.exit(1)
+
+    import time as _time
+
+    found = []
+
+    class Listener:
+        def add_service(self, zc, type_, name):
+            info = zc.get_service_info(type_, name)
+            if info:
+                addrs = [a for a in info.parsed_addresses()]
+                found.append((name, addrs))
+
+        def update_service(self, *a):
+            pass
+
+        def remove_service(self, *a):
+            pass
+
+    zc = Zeroconf()
+    ServiceBrowser(zc, "_roger._tcp.local.", Listener())
+    _time.sleep(timeout)
+    zc.close()
+    for name, addrs in found:
+        click.echo(f"{name}: {', '.join(addrs)}")
+    if not found:
+        click.echo("no sensors discovered")
+
+
+def main() -> None:
+    cli()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,373 @@
+"""ROS1 bag reader/writer + scan/packet sources (no external ROS deps).
+
+Rebuild of the reference bag support (ref: python/src/ouster/sdk/bag/
+bag_packet_source.py, bag_scan_source.py — which lean on the `rosbags`
+package; this is a self-contained ROS1 v2.0 implementation). Handles
+`ouster_ros/PacketMsg`-style messages (`uint8[] buf`) on */lidar_packets
+and */imu_packets topics plus `std_msgs/String` */metadata topics, with
+none/bz2-compressed chunks.
+"""
+
+from __future__ import annotations
+
+import bz2
+import os
+import struct
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.metadata import sensor_info_from_metadata
+from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
+from ..core.types import SensorInfo
+from .sources import (
+    IoType,
+    LidarScanSet,
+    ScanSource,
+    collate_scans,
+    populate_extrinsics,
+)
+
+_MAGIC = b"#ROSBAG V2.0\n"
+
+OP_MSG = 0x02
+OP_BAG_HEADER = 0x03
+OP_INDEX = 0x04
+OP_CHUNK = 0x05
+OP_CHUNK_INFO = 0x06
+OP_CONNECTION = 0x07
+
+
+def _parse_header(data: bytes) -> Dict[bytes, bytes]:
+    out = {}
+    pos = 0
+    while pos + 4 <= len(data):
+        n = struct.unpack_from("<I", data, pos)[0]
+        pos += 4
+        field = data[pos:pos + n]
+        pos += n
+        eq = field.find(b"=")
+        if eq >= 0:
+            out[field[:eq]] = field[eq + 1:]
+    return out
+
+
+def _make_header(fields: Dict[bytes, bytes]) -> bytes:
+    parts = []
+    for k, v in fields.items():
+        item = k + b"=" + v
+        parts.append(struct.pack("<I", len(item)) + item)
+    return b"".join(parts)
+
+
+@dataclass
+class Connection:
+    id: int
+    topic: str
+    msgtype: str
+    md5sum: str = ""
+    message_definition: str = ""
+
+
+@dataclass
+class BagMessage:
+    connection: Connection
+    timestamp: int  # nanoseconds
+    data: bytes
+
+
+class Ros1BagReader:
+    """Iterates (connection, timestamp, raw message bytes)."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            self._data = f.read()
+        if not self._data.startswith(_MAGIC):
+            raise ValueError(f"{path}: not a ROS1 v2.0 bag")
+        self.connections: Dict[int, Connection] = {}
+        self._messages: List[BagMessage] = []
+        self._parse(memoryview(self._data)[len(_MAGIC):])
+
+    def _records(self, buf: memoryview) -> Iterator[Tuple[Dict, memoryview]]:
+        pos = 0
+        while pos + 4 <= len(buf):
+            hlen = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            header = _parse_header(bytes(buf[pos:pos + hlen]))
+            pos += hlen
+            if pos + 4 > len(buf):
+                break
+            dlen = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            data = buf[pos:pos + dlen]
+            pos += dlen
+            yield header, data
+
+    def _parse(self, buf: memoryview) -> None:
+        for header, data in self._records(buf):
+            op = header.get(b"op", b"\x00")[0]
+            if op == OP_CONNECTION:
+                self._add_connection(header, data)
+            elif op == OP_CHUNK:
+                compression = header.get(b"compression", b"none").decode()
+                if compression == "none":
+                    chunk = data
+                elif compression == "bz2":
+                    chunk = memoryview(bz2.decompress(bytes(data)))
+                elif compression == "lz4":
+                    chunk = memoryview(_lz4_decompress(bytes(data)))
+                else:
+                    raise ValueError(
+                        f"unsupported bag compression {compression}")
+                for h2, d2 in self._records(chunk):
+                    op2 = h2.get(b"op", b"\x00")[0]
+                    if op2 == OP_CONNECTION:
+                        self._add_connection(h2, d2)
+                    elif op2 == OP_MSG:
+                        self._add_message(h2, d2)
+            elif op == OP_MSG:
+                self._add_message(header, data)
+
+    def _add_connection(self, header: Dict, data: memoryview) -> None:
+        conn_id = struct.unpack("<I", header[b"conn"])[0]
+        topic = header.get(b"topic", b"").decode()
+        info = _parse_header(bytes(data))
+        self.connections[conn_id] = Connection(
+            id=conn_id,
+            topic=info.get(b"topic", topic.encode()).decode() or topic,
+            msgtype=info.get(b"type", b"").decode(),
+            md5sum=info.get(b"md5sum", b"").decode(),
+            message_definition=info.get(b"message_definition",
+                                        b"").decode(),
+        )
+
+    def _add_message(self, header: Dict, data: memoryview) -> None:
+        conn_id = struct.unpack("<I", header[b"conn"])[0]
+        sec, nsec = struct.unpack("<II", header[b"time"])
+        conn = self.connections.get(conn_id)
+        if conn is not None:
+            self._messages.append(BagMessage(
+                conn, sec * 1_000_000_000 + nsec, bytes(data)))
+
+    def messages(self, topics: Optional[List[str]] = None
+                 ) -> Iterator[BagMessage]:
+        for m in sorted(self._messages, key=lambda m: m.timestamp):
+            if topics is None or m.connection.topic in topics:
+                yield m
+
+
+def _lz4_decompress(data: bytes) -> bytes:
+    raise ValueError("lz4-compressed bags are not supported yet")
+
+
+def _unpack_packet_msg(data: bytes) -> bytes:
+    """ouster_ros/PacketMsg: uint8[] buf -> u32 length + bytes."""
+    n = struct.unpack_from("<I", data, 0)[0]
+    return data[4:4 + n]
+
+
+def _unpack_string_msg(data: bytes) -> str:
+    n = struct.unpack_from("<I", data, 0)[0]
+    return data[4:4 + n].decode("utf-8", errors="replace")
+
+
+_PACKET_MSG_TYPES = {
+    "ouster_ros/PacketMsg", "ouster_ros/msg/PacketMsg",
+    "ouster_sensor_msgs/msg/PacketMsg", "ouster_msgs/msg/PacketMsg",
+}
+
+
+class BagPacketSource:
+    """(ref: bag/bag_packet_source.py): maps */lidar_packets, */imu_packets
+    and */metadata topics to per-sensor packet streams."""
+
+    def __init__(self, path: str, *,
+                 meta: Optional[List[str]] = None,
+                 soft_id_check: bool = False):
+        self._reader = Ros1BagReader(path)
+        self._soft_id_check = soft_id_check
+        self.id_error_count = 0
+
+        conns = list(self._reader.connections.values())
+        lidar_conns = [c for c in conns if c.msgtype in _PACKET_MSG_TYPES
+                       and "lidar_packets" in c.topic]
+        imu_conns = [c for c in conns if c.msgtype in _PACKET_MSG_TYPES
+                     and "imu_packets" in c.topic]
+        meta_conns = [c for c in conns
+                      if c.msgtype in ("std_msgs/String", "std_msgs/msg/String")
+                      and "metadata" in c.topic]
+
+        # sensor index by namespace (ref: bag_packet_source.py:199-210)
+        self._topic_sensor: Dict[str, Tuple[int, str]] = {}
+        self._infos: List[Optional[SensorInfo]] = [None] * len(lidar_conns)
+        for idx, conn in enumerate(sorted(lidar_conns,
+                                          key=lambda c: c.topic)):
+            ns = "/".join(conn.topic.split("/")[:-1]) + "/"
+            self._topic_sensor[conn.topic] = (idx, "lidar")
+            for ic in imu_conns:
+                if ic.topic.startswith(ns):
+                    self._topic_sensor[ic.topic] = (idx, "imu")
+            for mc in meta_conns:
+                if mc.topic.startswith(ns):
+                    for m in self._reader.messages([mc.topic]):
+                        self._infos[idx] = sensor_info_from_metadata(
+                            _unpack_string_msg(m.data))
+                        break
+
+        if meta:
+            for i, p in enumerate(meta):
+                if i < len(self._infos):
+                    with open(p) as f:
+                        self._infos[i] = sensor_info_from_metadata(f.read())
+        if not lidar_conns:
+            raise ValueError(f"{path}: no ouster lidar packet topics found")
+        missing = [i for i, info in enumerate(self._infos) if info is None]
+        if missing:
+            raise ValueError(
+                f"{path}: no metadata for sensor(s) {missing}; pass meta=")
+
+        from ..ops.packet_format import PacketFormat
+
+        self._formats = [PacketFormat.from_info(i) for i in self._infos]
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        return self._infos  # type: ignore[return-value]
+
+    def __iter__(self) -> Iterator[Tuple[int, Packet]]:
+        topics = list(self._topic_sensor)
+        for m in self._reader.messages(topics):
+            idx, kind = self._topic_sensor[m.connection.topic]
+            payload = _unpack_packet_msg(m.data)
+            pf = self._formats[idx]
+            if kind == "lidar" and len(payload) == pf.lidar_packet_size:
+                pkt: Packet = LidarPacket(payload, m.timestamp)
+                from ..core.packets import PacketValidationFailure
+
+                res = pkt.validate(self._infos[idx], pf)
+                if res == PacketValidationFailure.ID:
+                    self.id_error_count += 1
+                    if not self._soft_id_check:
+                        continue
+                yield idx, pkt
+            elif kind == "imu" and len(payload) == pf.imu_packet_size:
+                yield idx, ImuPacket(payload, m.timestamp)
+
+    def close(self) -> None:
+        pass
+
+
+class BagScanSource(ScanSource):
+    """(ref: bag/bag_scan_source.py)"""
+
+    def __init__(self, path: str, *, meta=None, soft_id_check=False,
+                 extrinsics=None, extrinsics_file=None):
+        self._packets = BagPacketSource(path, meta=meta,
+                                        soft_id_check=soft_id_check)
+        infos = self._packets.sensor_info
+        populate_extrinsics(infos, extrinsics, extrinsics_file)
+        super().__init__(infos)
+
+    def _iter_sets(self):
+        from ..core.batcher import ScanBatcher
+        from ..core.lidar_scan import LidarScan
+
+        def scans():
+            batchers = [ScanBatcher(i) for i in self.sensor_info]
+            current = [LidarScan(i) for i in self.sensor_info]
+            for idx, pkt in self._packets:
+                if batchers[idx](pkt, current[idx]):
+                    out = current[idx]
+                    current[idx] = LidarScan(self.sensor_info[idx])
+                    yield idx, out
+            for idx, s in enumerate(current):
+                if s.frame_id != -1 and np.any(s.status & 1):
+                    yield idx, s
+
+        return collate_scans(scans(), len(self.sensor_info))
+
+
+class Ros1BagWriter:
+    """Minimal uncompressed ROS1 v2.0 bag writer for ouster packet topics
+    (ref: source_save.py bag save)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._f.write(_MAGIC)
+        self._conns: Dict[str, int] = {}
+        self._records = bytearray()
+        self._chunk_msgs = 0
+        # placeholder bag header record (4096-byte padded like rosbag)
+        hdr = _make_header({
+            b"op": bytes([OP_BAG_HEADER]),
+            b"index_pos": struct.pack("<Q", 0),
+            b"conn_count": struct.pack("<I", 0),
+            b"chunk_count": struct.pack("<I", 1),
+        })
+        pad = max(4096 - len(hdr), 0)
+        self._f.write(struct.pack("<I", len(hdr)))
+        self._f.write(hdr)
+        filler = b" " * pad
+        self._f.write(struct.pack("<I", len(filler)))
+        self._f.write(filler)
+
+    def _conn_id(self, topic: str, msgtype: str) -> int:
+        if topic in self._conns:
+            return self._conns[topic]
+        cid = len(self._conns)
+        self._conns[topic] = cid
+        conn_data = _make_header({
+            b"topic": topic.encode(),
+            b"type": msgtype.encode(),
+            b"md5sum": b"0" * 32,
+            b"message_definition": b"uint8[] buf\n",
+        })
+        rec_hdr = _make_header({
+            b"op": bytes([OP_CONNECTION]),
+            b"conn": struct.pack("<I", cid),
+            b"topic": topic.encode(),
+        })
+        self._records += struct.pack("<I", len(rec_hdr)) + rec_hdr
+        self._records += struct.pack("<I", len(conn_data)) + conn_data
+        return cid
+
+    def write_string(self, topic: str, text: str, ts_ns: int) -> None:
+        data = text.encode()
+        payload = struct.pack("<I", len(data)) + data
+        self._write_msg(topic, "std_msgs/String", payload, ts_ns)
+
+    def write_packet(self, topic: str, payload: bytes, ts_ns: int) -> None:
+        msg = struct.pack("<I", len(payload)) + bytes(payload)
+        self._write_msg(topic, "ouster_ros/PacketMsg", msg, ts_ns)
+
+    def _write_msg(self, topic: str, msgtype: str, payload: bytes,
+                   ts_ns: int) -> None:
+        cid = self._conn_id(topic, msgtype)
+        sec, nsec = divmod(ts_ns, 1_000_000_000)
+        rec_hdr = _make_header({
+            b"op": bytes([OP_MSG]),
+            b"conn": struct.pack("<I", cid),
+            b"time": struct.pack("<II", sec, nsec),
+        })
+        self._records += struct.pack("<I", len(rec_hdr)) + rec_hdr
+        self._records += struct.pack("<I", len(payload)) + payload
+        self._chunk_msgs += 1
+
+    def close(self) -> None:
+        chunk_hdr = _make_header({
+            b"op": bytes([OP_CHUNK]),
+            b"compression": b"none",
+            b"size": struct.pack("<I", len(self._records)),
+        })
+        self._f.write(struct.pack("<I", len(chunk_hdr)))
+        self._f.write(chunk_hdr)
+        self._f.write(struct.pack("<I", len(self._records)))
+        self._f.write(self._records)
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,135 @@
+"""Save scan streams to OSF / pcap / CSV / PLY / PCD / LAS.
+
+Rebuild of the reference save sink (ref: python/src/ouster/cli/plugins/
+source_save.py): dispatch on extension, re-packetize for pcap
+(scan_to_packets, ref: sdk/util/parsing.py), point-cloud exports via
+io/cloud_io.py.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.constants import ChanField
+from ..core.lidar_scan import LidarScan
+from ..core.types import SensorInfo
+from ..ops.packet_format import PacketWriter
+from ..ops.xyzlut import make_xyz_lut
+
+
+def scan_to_packets(scan: LidarScan, info: SensorInfo) -> List[np.ndarray]:
+    """Re-packetize a scan into synthetic UDP payloads
+    (ref: sdk/util/parsing.py scan_to_packets)."""
+    pw = PacketWriter(info.format)
+    cpp = pw.columns_per_packet
+    out = []
+    for p in range(scan.w // cpp):
+        cols = slice(p * cpp, (p + 1) * cpp)
+        buf = pw.new_packet()
+        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn,
+                             packet_type=1)
+        pw.set_frame_id(buf, max(scan.frame_id, 0))
+        pw.set_col_headers(buf, scan.timestamp[cols],
+                           scan.measurement_id[cols], scan.status[cols])
+        for name in pw.fields:
+            if scan.has_field(name) and not name.startswith("RAW32"):
+                pw.set_field(buf, name, scan.field(name)[:, cols])
+        out.append(buf)
+    return out
+
+
+def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
+               fields: Optional[Sequence[str]] = None) -> int:
+    """Dispatch on extension; returns number of scans written."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".osf":
+        return _save_osf(path, infos, scan_sets, fields)
+    if ext == ".pcap":
+        return _save_pcap(path, infos, scan_sets)
+    if ext == ".csv":
+        return _save_points(path, infos, scan_sets, "csv")
+    if ext == ".ply":
+        return _save_points(path, infos, scan_sets, "ply")
+    if ext == ".pcd":
+        return _save_points(path, infos, scan_sets, "pcd")
+    if ext == ".las":
+        return _save_points(path, infos, scan_sets, "las")
+    raise ValueError(f"unsupported save format {ext}")
+
+
+def _save_osf(path, infos, scan_sets, fields) -> int:
+    from .osf import Writer
+
+    n = 0
+    with Writer(path) as w:
+        ids = []
+        for info in infos:
+            from ..core.lidar_scan import get_field_types
+
+            fts = get_field_types(info)
+            if fields:
+                fts = [ft for ft in fts if ft.name in fields]
+            ids.append(w.add_sensor(info, fts))
+        for ls_set in scan_sets:
+            for idx, scan in enumerate(ls_set):
+                if scan is not None:
+                    w.save(ids[idx], scan)
+                    n += 1
+    return n
+
+
+def _save_pcap(path, infos, scan_sets) -> int:
+    from .pcap import PcapWriter
+
+    n = 0
+    with PcapWriter(path) as w:
+        for ls_set in scan_sets:
+            for idx, scan in enumerate(ls_set):
+                if scan is None:
+                    continue
+                info = infos[idx]
+                port = info.config.udp_port_lidar or 7502
+                base_ts = int(scan.first_valid_packet_timestamp()
+                              or scan.first_valid_column_timestamp() or 0)
+                for i, pkt in enumerate(scan_to_packets(scan, info)):
+                    w.write(pkt.tobytes(), "127.0.0.1",
+                            info.config.udp_dest or "127.0.0.1",
+                            7502, port, base_ts + i)
+                n += 1
+    return n
+
+
+def _save_points(path, infos, scan_sets, kind: str) -> int:
+    """Accumulate world-frame points from all scans and write one cloud
+    (ref: source_save.py point-cloud consumers write per-scan files; we
+    write `<stem>_NNN.<ext>` per scan like the reference)."""
+    from .cloud_io import write_pointcloud
+
+    luts = [make_xyz_lut(i, use_extrinsics=True) for i in infos]
+    stem, ext = os.path.splitext(path)
+    n = 0
+    for ls_set in scan_sets:
+        for idx, scan in enumerate(ls_set):
+            if scan is None:
+                continue
+            rng = scan.field(ChanField.RANGE)
+            xyz = luts[idx](rng)
+            valid = rng > 0
+            pts = xyz[valid]
+            # dewarp by per-column poses
+            pose_cols = np.broadcast_to(
+                scan.pose[None, :, :, :], (scan.h, scan.w, 4, 4))[valid]
+            pts = np.einsum("nij,nj->ni", pose_cols[:, :3, :3], pts) \
+                + pose_cols[:, :3, 3]
+            attrs = {}
+            if scan.has_field(ChanField.REFLECTIVITY):
+                attrs["reflectivity"] = \
+                    scan.field(ChanField.REFLECTIVITY)[valid]
+            out_path = f"{stem}_{n:03d}{ext}" \
+                if not isinstance(scan_sets, list) else path
+            write_pointcloud(out_path, pts, kind=kind, attributes=attrs)
+            n += 1
+    return n

@@ -1,0 +1,165 @@
+"""Low-level UDP client: socket setup, polling, packet reads.
+
+Rebuild of the reference client layer (ref: ouster_sensor/include/ouster/
+client.h:109-380, src/client.cpp): UDP socket creation with SO_REUSEPORT /
+multicast membership, select()-based polling, and sized packet reads.
+"""
+
+from __future__ import annotations
+
+import select
+import socket
+import struct
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+from ..core.types import SensorConfig, SensorInfo
+from .http import SensorHttp, build_sensor_config, fetch_metadata
+
+RCVBUF_SIZE = 256 * 1024 * 1024  # generous; kernel clamps to rmem_max
+
+
+@dataclass
+class ClientEvent:
+    """(ref: sensor_packet_source.h:43)"""
+
+    source: int
+    type: str  # "lidar" | "imu" | "zone" | "timeout" | "error"
+
+
+def udp_data_socket(port: int, reuse: bool = True,
+                    mtp_group: Optional[str] = None) -> socket.socket:
+    """Bind a UDP data socket, optionally joining a multicast group
+    (ref: client.cpp udp_data_socket, sensor_packet_source.cpp:49-70)."""
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    if reuse and hasattr(socket, "SO_REUSEPORT"):
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
+    try:
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, RCVBUF_SIZE)
+    except OSError:
+        pass
+    sock.bind(("", port))
+    if mtp_group:
+        mreq = struct.pack("4s4s", socket.inet_aton(mtp_group),
+                           socket.inet_aton("0.0.0.0"))
+        sock.setsockopt(socket.IPPROTO_IP, socket.IP_ADD_MEMBERSHIP, mreq)
+    sock.setblocking(False)
+    return sock
+
+
+def in_multicast(addr: str) -> bool:
+    """(ref: client.h:380)"""
+    try:
+        first = int(addr.split(".")[0])
+    except (ValueError, IndexError):
+        return False
+    return 224 <= first <= 239
+
+
+class Client:
+    """One sensor's data-plane connection (ref: client.h init_client)."""
+
+    def __init__(self, hostname: str, lidar_port: int = 7502,
+                 imu_port: int = 7503, zm_port: Optional[int] = None,
+                 mtp_group: Optional[str] = None):
+        self.hostname = hostname
+        self.lidar_sock = udp_data_socket(lidar_port, mtp_group=mtp_group)
+        self.imu_sock = udp_data_socket(imu_port, mtp_group=mtp_group)
+        self.zm_sock = udp_data_socket(zm_port, mtp_group=mtp_group) \
+            if zm_port else None
+        self.lidar_port = self.lidar_sock.getsockname()[1]
+        self.imu_port = self.imu_sock.getsockname()[1]
+        self.zm_port = self.zm_sock.getsockname()[1] if self.zm_sock else 0
+
+    def close(self) -> None:
+        self.lidar_sock.close()
+        self.imu_sock.close()
+        if self.zm_sock:
+            self.zm_sock.close()
+
+    def poll(self, timeout_sec: float = 1.0) -> List[str]:
+        """select() for readable sockets (ref: client.h:189 poll_client)."""
+        socks = [self.lidar_sock, self.imu_sock] + (
+            [self.zm_sock] if self.zm_sock else [])
+        readable, _, err = select.select(socks, [], socks, timeout_sec)
+        if err:
+            return ["error"]
+        out = []
+        for s in readable:
+            if s is self.lidar_sock:
+                out.append("lidar")
+            elif s is self.imu_sock:
+                out.append("imu")
+            else:
+                out.append("zone")
+        return out or ["timeout"]
+
+    def _read(self, sock: socket.socket, expected: int
+              ) -> Optional[Tuple[bytes, int]]:
+        try:
+            data = sock.recv(65536)
+        except BlockingIOError:
+            return None
+        ts = time.time_ns()
+        if expected and len(data) != expected:
+            return data, ts  # caller validates
+        return data, ts
+
+    def read_lidar_packet(self, expected: int = 0):
+        """(ref: client.h:202)"""
+        return self._read(self.lidar_sock, expected)
+
+    def read_imu_packet(self, expected: int = 0):
+        return self._read(self.imu_sock, expected)
+
+    def read_zone_packet(self, expected: int = 0):
+        return self._read(self.zm_sock, expected) if self.zm_sock else None
+
+
+def init_client(
+    hostname: str,
+    lidar_port: int = 0,
+    imu_port: int = 0,
+    *,
+    config: Optional[SensorConfig] = None,
+    do_not_reinitialize: bool = False,
+    no_auto_udp_dest: bool = False,
+    timeout_sec: float = 60.0,
+) -> Tuple[Client, SensorInfo]:
+    """Configure the sensor over HTTP and open data sockets
+    (ref: client.h:109-166 init_client overloads + config handshake
+    client.cpp:309-396)."""
+    client = Client(hostname, lidar_port or 7502, imu_port or 7503)
+
+    http_client = SensorHttp.create(hostname)
+    if config is not None and not do_not_reinitialize:
+        cfg = config
+        if cfg.udp_port_lidar is None:
+            cfg.udp_port_lidar = client.lidar_port
+        if cfg.udp_port_imu is None:
+            cfg.udp_port_imu = client.imu_port
+        build_sensor_config(http_client, cfg,
+                            udp_dest_auto=not no_auto_udp_dest)
+    elif not no_auto_udp_dest:
+        try:
+            http_client.set_udp_dest_auto()
+        except Exception:
+            pass
+
+    # metadata fetch with retry while the sensor reinitializes
+    # (ref: client.cpp:402)
+    deadline = time.monotonic() + timeout_sec
+    last_err: Optional[Exception] = None
+    while time.monotonic() < deadline:
+        try:
+            info = fetch_metadata(hostname)
+            if info.status in ("RUNNING", "", None) or info.status:
+                return client, info
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+        time.sleep(1.0)
+    client.close()
+    raise TimeoutError(
+        f"timed out waiting for sensor {hostname} to initialize: {last_err}")

@@ -1,0 +1,191 @@
+"""Sensor HTTP control plane.
+
+Rebuild of the reference SensorHttp interface (ref: ouster_sensor/include/
+ouster/sensor_http.h:40-505, sensor_http_imp.cpp): firmware-versioned REST
+endpoints for metadata, config get/set, intrinsics, reinitialization, user
+data, network info and zone-monitor configuration. Uses stdlib http.client
+(the reference uses libcurl).
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import socket
+from typing import Any, Dict, List, Optional, Union
+
+from ..core.types import SensorConfig, Version
+from ..core.metadata import sensor_info_from_metadata
+
+SHORT_HTTP_REQUEST_TIMEOUT_SECONDS = 4   # ref: defaults.h:3
+LONG_HTTP_REQUEST_TIMEOUT_SECONDS = 40
+
+
+class SensorHttpError(RuntimeError):
+    pass
+
+
+class SensorHttp:
+    """HTTP client for one sensor (ref: sensor_http.h:93-461)."""
+
+    def __init__(self, hostname: str,
+                 timeout: float = LONG_HTTP_REQUEST_TIMEOUT_SECONDS):
+        self.hostname = hostname
+        self._timeout = timeout
+
+    @classmethod
+    def create(cls, hostname: str,
+               timeout: float = LONG_HTTP_REQUEST_TIMEOUT_SECONDS
+               ) -> "SensorHttp":
+        """Probe firmware and return a client (ref: sensor_http.h:475-505).
+        All supported fw (2.x/3.x) share the /api/v1 surface."""
+        return cls(hostname, timeout)
+
+    # -- plumbing ---------------------------------------------------------
+    def _request(self, method: str, path: str,
+                 body: Optional[Union[str, bytes]] = None,
+                 content_type: str = "application/json",
+                 timeout: Optional[float] = None) -> bytes:
+        conn = http.client.HTTPConnection(
+            self.hostname, timeout=timeout or self._timeout)
+        try:
+            headers = {}
+            if body is not None:
+                headers["Content-Type"] = content_type
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            data = resp.read()
+            if resp.status >= 400:
+                raise SensorHttpError(
+                    f"{method} {path} -> {resp.status}: "
+                    f"{data[:200].decode(errors='replace')}")
+            return data
+        except (socket.timeout, ConnectionError, OSError) as e:
+            raise SensorHttpError(f"{method} {path} failed: {e}") from e
+        finally:
+            conn.close()
+
+    def _get_json(self, path: str, timeout: Optional[float] = None) -> Any:
+        return json.loads(self._request("GET", path, timeout=timeout))
+
+    # -- metadata / info --------------------------------------------------
+    def metadata(self, timeout: Optional[float] = None) -> str:
+        """Full metadata blob (ref: sensor_http.h metadata())."""
+        return self._request("GET", "/api/v1/sensor/metadata",
+                             timeout=timeout).decode()
+
+    def sensor_info(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/sensor_info")
+
+    def firmware_version(self) -> Version:
+        data = self._get_json("/api/v1/system/firmware")
+        return Version.from_string(data.get("fw", ""))
+
+    def beam_intrinsics(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/beam_intrinsics")
+
+    def imu_intrinsics(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/imu_intrinsics")
+
+    def lidar_intrinsics(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/lidar_intrinsics")
+
+    def lidar_data_format(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/lidar_data_format")
+
+    def calibration_status(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/metadata/calibration_status")
+
+    # -- config -----------------------------------------------------------
+    def active_config_params(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/cmd/get_config_param?args=active")
+
+    def staged_config_params(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/sensor/cmd/get_config_param?args=staged")
+
+    def set_config_param(self, key: str, value: Any) -> None:
+        val = json.dumps(value) if not isinstance(value, str) else value
+        self._request(
+            "POST",
+            f"/api/v1/sensor/cmd/set_config_param?args={key}+{val}")
+
+    def set_udp_dest_auto(self) -> None:
+        self._request("POST", "/api/v1/sensor/cmd/set_udp_dest_auto")
+
+    def reinitialize(self) -> None:
+        self._request("POST", "/api/v1/sensor/cmd/reinitialize")
+
+    def save_config_params(self) -> None:
+        self._request("POST", "/api/v1/sensor/cmd/save_config_params")
+
+    def restart(self) -> None:
+        self._request("POST", "/api/v1/system/restart")
+
+    # -- user data (ref: sensor_http.h user_data endpoints) ---------------
+    def get_user_data(self) -> str:
+        return json.loads(self._request("GET", "/api/v1/user/data"))
+
+    def set_user_data(self, data: str, keep_on_config_delete: bool = True
+                      ) -> None:
+        policy = "keep_on_config_delete" if keep_on_config_delete \
+            else "clear_on_config_delete"
+        self._request("PUT",
+                      f"/api/v1/user/data?policy={policy}",
+                      body=json.dumps(data))
+
+    def delete_user_data(self) -> None:
+        self._request("DELETE", "/api/v1/user/data")
+
+    # -- network ----------------------------------------------------------
+    def network(self) -> Dict[str, Any]:
+        return self._get_json("/api/v1/system/network")
+
+    def set_static_ip(self, ip: str) -> None:
+        self._request("PUT", "/api/v1/system/network/ipv4/override",
+                      body=json.dumps(ip))
+
+    def delete_static_ip(self) -> None:
+        self._request("DELETE", "/api/v1/system/network/ipv4/override")
+
+    def diagnostics_dump(self) -> bytes:
+        return self._request("GET", "/api/v1/diagnostics/dump",
+                             timeout=LONG_HTTP_REQUEST_TIMEOUT_SECONDS)
+
+    # -- zone monitoring (ref: sensor_http.h:401-461) ---------------------
+    def get_zone_monitoring_config(self) -> bytes:
+        return self._request("GET", "/api/v1/zones/config")
+
+    def set_zone_monitoring_config(self, zip_bytes: bytes) -> None:
+        self._request("PUT", "/api/v1/zones/config", body=zip_bytes,
+                      content_type="application/zip")
+
+    def delete_zone_monitoring_config(self) -> None:
+        self._request("DELETE", "/api/v1/zones/config")
+
+    def live_zone_ids(self) -> List[int]:
+        return self._get_json("/api/v1/zones/live")
+
+
+def fetch_metadata(hostname: str, timeout: float = 40.0):
+    """GET + parse metadata into a SensorInfo (ref: client.cpp:402
+    get_metadata with retry)."""
+    http_client = SensorHttp.create(hostname, timeout)
+    return sensor_info_from_metadata(http_client.metadata())
+
+
+def build_sensor_config(
+    http_client: SensorHttp,
+    config: SensorConfig,
+    *,
+    udp_dest_auto: bool = True,
+    persist: bool = False,
+) -> None:
+    """Stage config params + optional auto udp dest + reinitialize
+    (ref: client.cpp:309-396 set_config handshake)."""
+    for key, value in config.to_json_dict().items():
+        http_client.set_config_param(key, value)
+    if udp_dest_auto and config.udp_dest is None:
+        http_client.set_udp_dest_auto()
+    http_client.reinitialize()
+    if persist:
+        http_client.save_config_params()

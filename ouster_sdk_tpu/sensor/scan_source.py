@@ -1,0 +1,243 @@
+"""Live sensor scan source: multi-sensor UDP fan-in + batcher thread.
+
+Rebuild of the reference live backend (ref: ouster_sensor/src/
+sensor_packet_source.cpp:343-580, sensor_scan_source.cpp:128-275): one
+socket set per sensor, an optional buffering thread with drop-oldest
+overflow, and a batcher thread pushing completed scans into a bounded
+queue consumed by iteration.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.batcher import ScanBatcher
+from ..core.lidar_scan import LidarScan
+from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
+from ..core.types import SensorConfig, SensorInfo
+from ..io.sources import (
+    LidarScanSet,
+    ScanSource,
+    collate_scans,
+    populate_extrinsics,
+)
+from ..ops.packet_format import PacketFormat
+from .client import Client, init_client
+
+
+class ClientError(RuntimeError):
+    """(ref: sensor_packet_source.h:60)"""
+
+
+class ClientTimeout(ClientError):
+    pass
+
+
+class ClientOverflow(ClientError):
+    pass
+
+
+class SensorPacketSource:
+    """Multi-sensor UDP packet fan-in (ref: sensor_packet_source.cpp)."""
+
+    def __init__(
+        self,
+        hostnames: List[str],
+        *,
+        configs: Optional[List[Optional[SensorConfig]]] = None,
+        sensor_info: Optional[List[SensorInfo]] = None,
+        lidar_port: Optional[int] = None,
+        imu_port: Optional[int] = None,
+        do_not_reinitialize: bool = False,
+        no_auto_udp_dest: bool = False,
+        timeout: float = 60.0,
+        buffer_time_sec: float = 0.0,
+        soft_id_check: bool = False,
+    ):
+        self._soft_id_check = soft_id_check
+        self._clients: List[Client] = []
+        self._infos: List[SensorInfo] = []
+        self.id_error_count = 0
+
+        configs = configs or [None] * len(hostnames)
+        for i, (host, cfg) in enumerate(zip(hostnames, configs)):
+            if sensor_info is not None:
+                # operate without contacting hardware
+                # (ref: open_source.h:80 sensor_info override)
+                info = sensor_info[i]
+                client = Client(host,
+                                lidar_port or info.config.udp_port_lidar
+                                or 7502,
+                                imu_port or info.config.udp_port_imu or 7503)
+            else:
+                client, info = init_client(
+                    host, lidar_port or 0, imu_port or 0, config=cfg,
+                    do_not_reinitialize=do_not_reinitialize,
+                    no_auto_udp_dest=no_auto_udp_dest,
+                    timeout_sec=timeout)
+            self._clients.append(client)
+            self._infos.append(info)
+
+        self._formats = [PacketFormat.from_info(i) for i in self._infos]
+        self._buffer: Optional[queue.deque] = None
+        self._buffer_time = buffer_time_sec
+        self._stop = threading.Event()
+        self._bufq: "queue.Queue" = queue.Queue(maxsize=4096)
+        self._thread: Optional[threading.Thread] = None
+        if buffer_time_sec > 0:
+            self._thread = threading.Thread(target=self._buffer_loop,
+                                            daemon=True)
+            self._thread.start()
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        return self._infos
+
+    def _classify(self, idx: int, data: bytes, ts: int) -> Optional[Packet]:
+        pf = self._formats[idx]
+        n = len(data)
+        if n == pf.lidar_packet_size:
+            p = LidarPacket(data, ts)
+            from ..core.packets import PacketValidationFailure
+
+            res = p.validate(self._infos[idx], pf)
+            if res == PacketValidationFailure.ID:
+                self.id_error_count += 1
+                if not self._soft_id_check:
+                    return None
+            return p
+        if n == pf.imu_packet_size:
+            return ImuPacket(data, ts)
+        if pf.zone_monitoring_enabled and n == pf.zone_packet_size:
+            return ZonePacket(data, ts)
+        return None
+
+    def get_packet(self, timeout_sec: float = 1.0
+                   ) -> Tuple[Optional[int], Optional[Packet]]:
+        """Blocking read of the next packet from any sensor
+        (ref: sensor_packet_source.cpp get_packet)."""
+        if self._thread is not None:
+            try:
+                return self._bufq.get(timeout=timeout_sec)
+            except queue.Empty:
+                return None, None
+        return self._poll_once(timeout_sec)
+
+    def _poll_once(self, timeout_sec: float
+                   ) -> Tuple[Optional[int], Optional[Packet]]:
+        import select as _select
+
+        socks = {}
+        for i, c in enumerate(self._clients):
+            socks[c.lidar_sock] = i
+            socks[c.imu_sock] = i
+            if c.zm_sock:
+                socks[c.zm_sock] = i
+        readable, _, _ = _select.select(list(socks), [], [], timeout_sec)
+        for s in readable:
+            idx = socks[s]
+            try:
+                data = s.recv(65536)
+            except BlockingIOError:
+                continue
+            pkt = self._classify(idx, data, time.time_ns())
+            if pkt is not None:
+                return idx, pkt
+        return None, None
+
+    def _buffer_loop(self) -> None:
+        """Background receiver with drop-oldest overflow
+        (ref: sensor_packet_source.cpp:550-580)."""
+        while not self._stop.is_set():
+            idx, pkt = self._poll_once(0.1)
+            if pkt is None:
+                continue
+            try:
+                self._bufq.put_nowait((idx, pkt))
+            except queue.Full:
+                try:
+                    self._bufq.get_nowait()  # drop oldest
+                except queue.Empty:
+                    pass
+                self._bufq.put_nowait((idx, pkt))
+
+    def __iter__(self) -> Iterator[Tuple[int, Packet]]:
+        while True:
+            idx, pkt = self.get_packet()
+            if pkt is not None:
+                yield idx, pkt
+
+    def close(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=1)
+        for c in self._clients:
+            c.close()
+
+
+class SensorScanSource(ScanSource):
+    """Live ScanSource with a batcher thread and bounded scan queue
+    (ref: sensor_scan_source.cpp:128-275)."""
+
+    def __init__(self, hostnames: List[str], *, queue_size: int = 2,
+                 extrinsics=None, extrinsics_file=None, **kw):
+        self._packets = SensorPacketSource(hostnames, **kw)
+        infos = self._packets.sensor_info
+        populate_extrinsics(infos, extrinsics, extrinsics_file)
+        super().__init__(infos)
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(queue_size, 1))
+        self._stop = threading.Event()
+        self.dropped_scans = 0
+        self._thread = threading.Thread(target=self._batch_loop, daemon=True)
+        self._thread.start()
+
+    @property
+    def is_live(self) -> bool:
+        return True
+
+    def _batch_loop(self) -> None:
+        batchers = [ScanBatcher(i) for i in self.sensor_info]
+        scans = [LidarScan(i) for i in self.sensor_info]
+        while not self._stop.is_set():
+            idx, pkt = self._packets.get_packet(timeout_sec=0.5)
+            if pkt is None:
+                continue
+            if batchers[idx](pkt, scans[idx]):
+                done = scans[idx]
+                scans[idx] = LidarScan(self.sensor_info[idx])
+                try:
+                    self._queue.put_nowait((idx, done))
+                except queue.Full:
+                    # drop oldest (ref: sensor_scan_source.cpp:222)
+                    self.dropped_scans += 1
+                    try:
+                        self._queue.get_nowait()
+                    except queue.Empty:
+                        pass
+                    self._queue.put_nowait((idx, done))
+
+    def get_scan(self, timeout_sec: Optional[float] = None
+                 ) -> Tuple[Optional[int], Optional[LidarScan]]:
+        try:
+            return self._queue.get(timeout=timeout_sec)
+        except queue.Empty:
+            return None, None
+
+    def _iter_scans(self):
+        while not self._stop.is_set():
+            idx, scan = self.get_scan(timeout_sec=1.0)
+            if scan is not None:
+                yield idx, scan
+
+    def _iter_sets(self):
+        return collate_scans(self._iter_scans(), len(self.sensor_info))
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._packets.close()

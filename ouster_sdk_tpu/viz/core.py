@@ -1,0 +1,287 @@
+"""Point-cloud & range-image visualization (offscreen software renderer).
+
+Rebuild of the reference viz layer (ref: ouster_viz/src/point_viz.cpp,
+python/src/ouster/sdk/viz/core.py:63,1180). The reference renders through
+GLFW/OpenGL with the XYZ projection done in the vertex shader; this
+environment is headless, so the renderer here is a vectorized numpy
+rasterizer (perspective camera + z-buffered point splatting) with the same
+conceptual pieces: Camera (orbit/fov/dolly), Cloud/Image drawables,
+colormaps, AutoExposure-driven image panels, and a SimpleViz playback loop
+that writes PNG snapshots. The device pipeline can feed it directly
+(range image + LUT, exactly like the reference's GPU path,
+ref: ouster_viz/src/common.h:221-260).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..core.constants import ChanField
+from ..core.lidar_scan import LidarScan
+from ..core.types import SensorInfo
+from ..ops.destagger import destagger
+from ..ops.image_processing import AutoExposure
+from ..ops.xyzlut import make_xyz_lut
+
+
+# -- colormaps (ref: ouster_viz/src/colormaps.h) ---------------------------
+
+def _make_viridis() -> np.ndarray:
+    anchors = np.array([
+        [0.267, 0.005, 0.329], [0.283, 0.141, 0.458], [0.254, 0.265, 0.530],
+        [0.207, 0.372, 0.553], [0.164, 0.471, 0.558], [0.128, 0.567, 0.551],
+        [0.135, 0.659, 0.518], [0.267, 0.749, 0.441], [0.478, 0.821, 0.318],
+        [0.741, 0.873, 0.150], [0.993, 0.906, 0.144]])
+    x = np.linspace(0, 1, len(anchors))
+    xi = np.linspace(0, 1, 256)
+    return np.stack([np.interp(xi, x, anchors[:, c]) for c in range(3)],
+                    axis=1)
+
+
+def _make_turbo() -> np.ndarray:
+    anchors = np.array([
+        [0.190, 0.072, 0.232], [0.275, 0.408, 0.860], [0.212, 0.718, 0.946],
+        [0.098, 0.940, 0.708], [0.437, 0.998, 0.365], [0.796, 0.910, 0.178],
+        [0.988, 0.652, 0.211], [0.897, 0.286, 0.075], [0.480, 0.016, 0.011]])
+    x = np.linspace(0, 1, len(anchors))
+    xi = np.linspace(0, 1, 256)
+    return np.stack([np.interp(xi, x, anchors[:, c]) for c in range(3)],
+                    axis=1)
+
+
+COLORMAPS: Dict[str, np.ndarray] = {
+    "viridis": _make_viridis(),
+    "turbo": _make_turbo(),
+    "grey": np.repeat(np.linspace(0, 1, 256)[:, None], 3, axis=1),
+}
+
+
+def colorize(key: np.ndarray, palette: str = "viridis") -> np.ndarray:
+    """Map [0,1] keys to RGB u8."""
+    cm = COLORMAPS[palette]
+    idx = np.clip((key * 255).astype(np.int32), 0, 255)
+    return (cm[idx] * 255).astype(np.uint8)
+
+
+@dataclass
+class Camera:
+    """Orbit camera (ref: ouster_viz/src/camera.cpp:269)."""
+
+    yaw: float = 140.0       # degrees
+    pitch: float = -35.0
+    distance: float = 40.0   # dolly
+    target: np.ndarray = dc_field(default_factory=lambda: np.zeros(3))
+    fov: float = 60.0        # degrees
+
+    def view_matrix(self) -> np.ndarray:
+        cy, sy = math.cos(math.radians(self.yaw)), \
+            math.sin(math.radians(self.yaw))
+        cp, sp = math.cos(math.radians(self.pitch)), \
+            math.sin(math.radians(self.pitch))
+        # camera position on the orbit sphere
+        eye = self.target + self.distance * np.array(
+            [cp * cy, cp * sy, -sp])
+        fwd = self.target - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, [0.0, 0.0, 1.0])
+        nr = np.linalg.norm(right)
+        right = right / (nr if nr > 1e-9 else 1.0)
+        up = np.cross(right, fwd)
+        V = np.eye(4)
+        V[0, :3], V[1, :3], V[2, :3] = right, up, -fwd
+        V[:3, 3] = -V[:3, :3] @ eye
+        return V
+
+    def dolly(self, amount: float) -> None:
+        self.distance = float(np.clip(self.distance * (0.95 ** amount),
+                                      1.0, 1000.0))
+
+    def orbit(self, dyaw: float, dpitch: float) -> None:
+        self.yaw = (self.yaw + dyaw) % 360.0
+        self.pitch = float(np.clip(self.pitch + dpitch, -89.0, 89.0))
+
+
+class Cloud:
+    """Point cloud drawable (ref: point_viz.h:1098): either xyz directly or
+    range + LUT like the reference's GPU path."""
+
+    def __init__(self, xyz: np.ndarray, key: Optional[np.ndarray] = None,
+                 palette: str = "viridis", point_size: int = 1,
+                 pose: Optional[np.ndarray] = None):
+        self.xyz = xyz.reshape(-1, 3)
+        self.key = None if key is None else key.reshape(-1)
+        self.palette = palette
+        self.point_size = point_size
+        self.pose = np.eye(4) if pose is None else pose
+
+
+class PointViz:
+    """Offscreen renderer (API shape follows point_viz.h:207)."""
+
+    def __init__(self, name: str = "ouster-viz", width: int = 1024,
+                 height: int = 768):
+        self.name = name
+        self.width = width
+        self.height = height
+        self.camera = Camera()
+        self._clouds: List[Cloud] = []
+        self._images: List[Tuple[np.ndarray, float, float]] = []
+
+    def add(self, drawable) -> None:
+        if isinstance(drawable, Cloud):
+            self._clouds.append(drawable)
+
+    def clear(self) -> None:
+        self._clouds.clear()
+        self._images.clear()
+
+    def add_image_panel(self, rgb: np.ndarray) -> None:
+        self._images.append((rgb, 0.0, 0.0))
+
+    def render(self) -> np.ndarray:
+        """Rasterize to (H, W, 3) u8."""
+        H, W = self.height, self.width
+        frame = np.zeros((H, W, 3), dtype=np.uint8)
+        zbuf = np.full((H, W), np.inf, dtype=np.float32)
+
+        V = self.camera.view_matrix()
+        f = 0.5 * H / math.tan(math.radians(self.camera.fov) / 2)
+
+        for cloud in self._clouds:
+            pts = cloud.xyz @ cloud.pose[:3, :3].T + cloud.pose[:3, 3]
+            cam = pts @ V[:3, :3].T + V[:3, 3]
+            z = -cam[:, 2]
+            vis = z > 0.1
+            x = (cam[:, 0] / z) * f + W / 2
+            y = H / 2 - (cam[:, 1] / z) * f
+            vis &= (x >= 0) & (x < W - 1) & (y >= 0) & (y < H - 1)
+            xi = x[vis].astype(np.int32)
+            yi = y[vis].astype(np.int32)
+            zi = z[vis].astype(np.float32)
+
+            if cloud.key is not None:
+                colors = colorize(np.clip(cloud.key[vis], 0, 1),
+                                  cloud.palette)
+            else:
+                colors = np.full((vis.sum(), 3), 200, dtype=np.uint8)
+
+            # z-buffered splat: sort far-to-near so near wins on overwrite
+            order = np.argsort(-zi)
+            xi, yi, zi, colors = xi[order], yi[order], zi[order], \
+                colors[order]
+            for dy in range(cloud.point_size):
+                for dx in range(cloud.point_size):
+                    yy = np.clip(yi + dy, 0, H - 1)
+                    xx = np.clip(xi + dx, 0, W - 1)
+                    closer = zi < zbuf[yy, xx]
+                    frame[yy[closer], xx[closer]] = colors[closer]
+                    zbuf[yy[closer], xx[closer]] = zi[closer]
+
+        # stack 2D panels at the top
+        y_off = 0
+        for rgb, _, _ in self._images:
+            ph, pw = rgb.shape[:2]
+            scale = W / pw
+            target_h = max(int(ph * scale) // 2, 1)
+            ys = (np.linspace(0, ph - 1, target_h)).astype(int)
+            xs = (np.linspace(0, pw - 1, W)).astype(int)
+            panel = rgb[ys][:, xs]
+            if y_off + target_h <= H:
+                frame[y_off:y_off + target_h] = panel
+                y_off += target_h
+        return frame
+
+    def save_png(self, path: str, frame: Optional[np.ndarray] = None
+                 ) -> None:
+        from ..utils import png as png_codec
+
+        frame = self.render() if frame is None else frame
+        data = png_codec.encode(frame, png_codec.COLOR_RGB, 8)
+        with open(path, "wb") as f:
+            f.write(data)
+
+
+class LidarScanViz:
+    """Per-scan panels + cloud (ref: sdk/viz/core.py:63)."""
+
+    FIELD_ORDER = [ChanField.RANGE, ChanField.SIGNAL, ChanField.REFLECTIVITY,
+                   ChanField.NEAR_IR]
+
+    def __init__(self, infos: Sequence[SensorInfo],
+                 viz: Optional[PointViz] = None):
+        self.infos = list(infos)
+        self.viz = viz or PointViz()
+        self._luts = [make_xyz_lut(i) for i in self.infos]
+        self._ae: Dict[Tuple[int, str], AutoExposure] = {}
+
+    def update(self, scans: Sequence[Optional[LidarScan]]) -> None:
+        self.viz.clear()
+        for idx, scan in enumerate(scans):
+            if scan is None:
+                continue
+            info = self.infos[idx]
+            rng = scan.field(ChanField.RANGE)
+            xyz = self._luts[idx](rng)
+            valid = rng > 0
+
+            key_field = ChanField.REFLECTIVITY \
+                if scan.has_field(ChanField.REFLECTIVITY) else ChanField.RANGE
+            key_raw = scan.field(key_field).astype(np.float64)
+            ae = self._ae.setdefault((idx, "cloud"), AutoExposure())
+            key = key_raw.copy()
+            ae(key)
+            self.viz.add(Cloud(xyz[valid], key[valid], palette="viridis"))
+
+            # 2D panels
+            for name in self.FIELD_ORDER[:2]:
+                if not scan.has_field(name):
+                    continue
+                img = destagger(info,
+                                scan.field(name).astype(np.float64))
+                pae = self._ae.setdefault((idx, name), AutoExposure())
+                pae(img)
+                self.viz.add_image_panel(colorize(img, "grey"))
+
+    def draw(self) -> np.ndarray:
+        return self.viz.render()
+
+
+class SimpleViz:
+    """Playback loop (ref: sdk/viz/core.py:1180). Headless: renders every
+    `snapshot_every` scans to PNG when snapshot_path is set."""
+
+    def __init__(self, infos: Sequence[SensorInfo],
+                 snapshot_path: Optional[str] = None,
+                 snapshot_every: int = 10):
+        self.scan_viz = LidarScanViz(infos)
+        self.snapshot_path = snapshot_path
+        self.snapshot_every = max(snapshot_every, 1)
+
+    def run(self, scan_sets: Iterable) -> int:
+        n = 0
+        for ls_set in scan_sets:
+            scans = list(ls_set)
+            self.scan_viz.update(scans)
+            if self.snapshot_path and n % self.snapshot_every == 0:
+                stem, ext = os.path.splitext(self.snapshot_path)
+                path = f"{stem}_{n:04d}{ext or '.png'}"
+                self.scan_viz.viz.save_png(path)
+            n += 1
+        return n
+
+
+def ls_show(scan_or_scans, info: Optional[SensorInfo] = None,
+            path: str = "scan.png") -> str:
+    """One-liner snapshot of a scan (ref: viz/core.py:1722 ls_show)."""
+    scans = scan_or_scans if isinstance(scan_or_scans, (list, tuple)) \
+        else [scan_or_scans]
+    infos = [info or s.sensor_info for s in scans]
+    lsv = LidarScanViz(infos)
+    lsv.update(scans)
+    lsv.viz.save_png(path)
+    return path

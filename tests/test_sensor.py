@@ -1,0 +1,128 @@
+"""Live sensor backend tests over loopback UDP with synthesized packets —
+the reference's no-hardware strategy (ref: SURVEY.md §4: PacketWriter-
+synthesized streams + SensorInfo overrides so sources run without
+hardware)."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, SensorInfo
+from ouster_sdk_tpu.core.types import UDPProfileLidar
+
+
+def _test_info(lidar_port, imu_port):
+    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+    info.format.udp_profile_lidar = UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
+    info.config.udp_port_lidar = lidar_port
+    info.config.udp_port_imu = imu_port
+    return info
+
+
+def _free_ports(n):
+    socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+             for _ in range(n)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+    return ports
+
+
+def _make_frame_packets(info, frame_id):
+    pw = PacketWriter(info.format)
+    pkts = []
+    w = info.format.columns_per_frame
+    cpp = info.format.columns_per_packet
+    rng = np.random.default_rng(frame_id)
+    for p in range(w // cpp):
+        buf = pw.new_packet()
+        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+        pw.set_frame_id(buf, frame_id)
+        m0 = p * cpp
+        pw.set_col_headers(
+            buf,
+            np.arange(cpp, dtype=np.uint64) + 1000 + m0,
+            np.arange(cpp, dtype=np.uint16) + m0,
+            np.ones(cpp, dtype=np.uint32))
+        pw.set_field(buf, ChanField.RANGE,
+                     rng.integers(0, 1 << 19,
+                                  size=(pw.pixels_per_column, cpp)))
+        pkts.append(buf.tobytes())
+    return pkts
+
+
+def test_sensor_packet_source_loopback():
+    from ouster_sdk_tpu.sensor.scan_source import SensorPacketSource
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        pkts = _make_frame_packets(info, frame_id=5)
+        for p in pkts[:4]:
+            tx.sendto(p, ("127.0.0.1", lidar_port))
+        got = []
+        deadline = time.time() + 5
+        while len(got) < 4 and time.time() < deadline:
+            idx, pkt = src.get_packet(timeout_sec=0.5)
+            if pkt is not None:
+                got.append((idx, pkt))
+        assert len(got) == 4
+        assert all(i == 0 for i, _ in got)
+        assert all(p.type().value == "Lidar" for _, p in got)
+    finally:
+        src.close()
+
+
+def test_sensor_scan_source_loopback():
+    from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorScanSource(["127.0.0.1"], sensor_info=[info],
+                           lidar_port=lidar_port, imu_port=imu_port)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # two full frames; second frame completion flushes the first
+        for fid in (7, 8):
+            for p in _make_frame_packets(info, frame_id=fid):
+                tx.sendto(p, ("127.0.0.1", lidar_port))
+                time.sleep(0.0005)
+        idx, scan = src.get_scan(timeout_sec=10.0)
+        assert scan is not None, "no scan produced"
+        assert idx == 0
+        assert scan.frame_id in (7, 8)
+        assert scan.complete()
+        assert scan.field(ChanField.RANGE).any()
+    finally:
+        src.close()
+
+
+def test_packet_id_validation_loopback():
+    """Packets with a wrong serial are dropped unless soft_id_check."""
+    from ouster_sdk_tpu.sensor.scan_source import SensorPacketSource
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    info.sn = 999111
+    info.init_id = 1234
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port)
+    try:
+        pw = PacketWriter(info.format)
+        buf = pw.new_packet()
+        pw.set_packet_header(buf, init_id=4321, prod_sn=42)  # mismatched
+        pw.set_frame_id(buf, 1)
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        tx.sendto(buf.tobytes(), ("127.0.0.1", lidar_port))
+        idx, pkt = src.get_packet(timeout_sec=1.0)
+        assert pkt is None
+        assert src.id_error_count == 1
+    finally:
+        src.close()
