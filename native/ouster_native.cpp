@@ -1,0 +1,303 @@
+// Native host-side hot paths for ouster_sdk_tpu.
+//
+// The reference implements its ingest/codec layer in C++
+// (ref: ouster_pcap/src/pcap.cpp, ip_reassembler.h, png_tools.cpp,
+// parsing.cpp:1243-1289). This library provides the same host-bound fast
+// paths behind a C ABI consumed via ctypes (no pybind11 in this image):
+//   - pcap scan: link-layer + IPv4/UDP parse with fragment reassembly,
+//     emitting packed payloads + per-datagram metadata in one pass
+//   - PNG scanline unfilter (all five filters) for the OSF decoder
+//   - CRC64 (ECMA-182, reflected) for lidar packet footers, batch CRC32
+//   - frame staging: scatter packet payloads into the (n_pkts, words)
+//     device upload buffer keyed by measurement id
+//
+// Build: g++ -O3 -march=native -shared -fPIC (see native/build.py).
+
+#include <cstdint>
+#include <cstring>
+#include <map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CRC
+// ---------------------------------------------------------------------------
+
+static uint64_t crc64_table[256];
+static bool crc64_init_done = false;
+
+static void crc64_init() {
+    const uint64_t poly = 0xC96C5795D7870F42ULL;  // ECMA-182 reflected
+    for (uint32_t i = 0; i < 256; i++) {
+        uint64_t crc = i;
+        for (int k = 0; k < 8; k++) {
+            crc = (crc & 1) ? (crc >> 1) ^ poly : crc >> 1;
+        }
+        crc64_table[i] = crc;
+    }
+    crc64_init_done = true;
+}
+
+uint64_t onat_crc64(const uint8_t* data, uint64_t len) {
+    if (!crc64_init_done) crc64_init();
+    uint64_t crc = ~0ULL;
+    for (uint64_t i = 0; i < len; i++) {
+        crc = crc64_table[(crc ^ data[i]) & 0xFF] ^ (crc >> 8);
+    }
+    return ~crc;
+}
+
+// Validate the trailing-8-byte CRC64 of `count` packets, each `stride`
+// bytes, stored contiguously. Returns number of failures; failure indices
+// are written to `bad` (caller-sized).
+int64_t onat_crc64_check_batch(const uint8_t* packets, int64_t count,
+                               int64_t stride, int64_t* bad) {
+    int64_t n_bad = 0;
+    for (int64_t i = 0; i < count; i++) {
+        const uint8_t* p = packets + i * stride;
+        uint64_t want;
+        std::memcpy(&want, p + stride - 8, 8);
+        if (onat_crc64(p, stride - 8) != want) {
+            bad[n_bad++] = i;
+        }
+    }
+    return n_bad;
+}
+
+// ---------------------------------------------------------------------------
+// PNG unfilter (ref: png_tools decode path; filters per the PNG spec)
+// ---------------------------------------------------------------------------
+
+int onat_png_unfilter(uint8_t* out, const uint8_t* rows, int64_t h,
+                      int64_t stride, int64_t bpp) {
+    std::vector<uint8_t> zero(stride, 0);
+    const uint8_t* prev = zero.data();
+    for (int64_t y = 0; y < h; y++) {
+        const uint8_t* src = rows + y * (stride + 1);
+        uint8_t filter = src[0];
+        const uint8_t* cur = src + 1;
+        uint8_t* dst = out + y * stride;
+        switch (filter) {
+            case 0:
+                std::memcpy(dst, cur, stride);
+                break;
+            case 1:  // Sub
+                for (int64_t i = 0; i < bpp; i++) dst[i] = cur[i];
+                for (int64_t i = bpp; i < stride; i++)
+                    dst[i] = cur[i] + dst[i - bpp];
+                break;
+            case 2:  // Up
+                for (int64_t i = 0; i < stride; i++)
+                    dst[i] = cur[i] + prev[i];
+                break;
+            case 3:  // Average
+                for (int64_t i = 0; i < bpp; i++)
+                    dst[i] = cur[i] + (prev[i] >> 1);
+                for (int64_t i = bpp; i < stride; i++)
+                    dst[i] = cur[i] + ((dst[i - bpp] + prev[i]) >> 1);
+                break;
+            case 4: {  // Paeth
+                for (int64_t i = 0; i < bpp; i++)
+                    dst[i] = cur[i] + prev[i];
+                for (int64_t i = bpp; i < stride; i++) {
+                    int a = dst[i - bpp], b = prev[i], c = prev[i - bpp];
+                    int p = a + b - c;
+                    int pa = p > a ? p - a : a - p;
+                    int pb = p > b ? p - b : b - p;
+                    int pc = p > c ? p - c : c - p;
+                    int pred = (pa <= pb && pa <= pc) ? a
+                               : (pb <= pc) ? b : c;
+                    dst[i] = cur[i] + pred;
+                }
+                break;
+            }
+            default:
+                return -1;
+        }
+        prev = dst;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// pcap scan (classic format) with IPv4 reassembly
+// ---------------------------------------------------------------------------
+
+struct FragKey {
+    uint32_t src, dst;
+    uint16_t id;
+    uint8_t proto;
+    bool operator<(const FragKey& o) const {
+        if (src != o.src) return src < o.src;
+        if (dst != o.dst) return dst < o.dst;
+        if (id != o.id) return id < o.id;
+        return proto < o.proto;
+    }
+};
+
+struct FragState {
+    std::vector<uint8_t> buf;
+    int64_t total = -1;
+    int64_t received = 0;
+};
+
+static inline uint16_t be16(const uint8_t* p) {
+    return (uint16_t)((p[0] << 8) | p[1]);
+}
+static inline uint32_t rd32le(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+// Single-pass scan: writes concatenated UDP payloads into `payloads`
+// (capacity `payload_cap`), per-datagram metadata into parallel arrays of
+// capacity `max_out`. Returns datagram count (negative on error).
+// meta layout per datagram: offsets[i], sizes[i], ts_ns[i], ports[i]
+// (src<<16|dst packed into u32), dst_ip[i].
+int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
+                       int ts_nano, int linktype, uint8_t* payloads,
+                       int64_t payload_cap, int64_t* offsets, int64_t* sizes,
+                       uint64_t* ts_ns, uint32_t* ports, uint32_t* dst_ips,
+                       int64_t max_out) {
+    std::map<FragKey, FragState> frags;
+    int64_t pos = 24, n_out = 0, payload_pos = 0;
+
+    auto rd32 = [&](int64_t off) -> uint32_t {
+        uint32_t v = rd32le(data + off);
+        if (swap_endian) v = __builtin_bswap32(v);
+        return v;
+    };
+
+    while (pos + 16 <= len && n_out < max_out) {
+        uint32_t ts_sec = rd32(pos), ts_frac = rd32(pos + 4);
+        uint32_t incl = rd32(pos + 8);
+        int64_t frame_off = pos + 16;
+        pos = frame_off + incl;
+        if (pos > len) break;
+
+        const uint8_t* frame = data + frame_off;
+        int64_t flen = incl;
+
+        // link layer -> ip
+        const uint8_t* ip = nullptr;
+        int64_t iplen = 0;
+        if (linktype == 1) {  // ethernet (+ vlan tags)
+            if (flen < 14) continue;
+            int64_t off = 12;
+            uint16_t ethertype = be16(frame + off);
+            off += 2;
+            while (ethertype == 0x8100 || ethertype == 0x88A8) {
+                if (flen < off + 4) { ethertype = 0; break; }
+                ethertype = be16(frame + off + 2);
+                off += 4;
+            }
+            if (ethertype != 0x0800) continue;
+            ip = frame + off;
+            iplen = flen - off;
+        } else if (linktype == 101 || linktype == 228) {
+            ip = frame;
+            iplen = flen;
+        } else if (linktype == 113) {  // linux SLL
+            if (flen < 16 || be16(frame + 14) != 0x0800) continue;
+            ip = frame + 16;
+            iplen = flen - 16;
+        } else if (linktype == 276) {  // SLL2
+            if (flen < 20 || be16(frame) != 0x0800) continue;
+            ip = frame + 20;
+            iplen = flen - 20;
+        } else {
+            continue;
+        }
+
+        if (iplen < 20 || (ip[0] >> 4) != 4) continue;
+        int64_t ihl = (ip[0] & 0x0F) * 4;
+        int64_t total_len = be16(ip + 2);
+        if (total_len > iplen) total_len = iplen;
+        uint16_t ip_id = be16(ip + 4);
+        uint16_t ff = be16(ip + 6);
+        bool more = (ff & 0x2000) != 0;
+        int64_t frag_off = (int64_t)(ff & 0x1FFF) * 8;
+        uint8_t proto = ip[9];
+        if (proto != 17) continue;
+        uint32_t src_ip = rd32le(ip + 12);
+        uint32_t dst_ip = rd32le(ip + 16);
+
+        const uint8_t* pl = ip + ihl;
+        int64_t pllen = total_len - ihl;
+        if (pllen <= 0) continue;
+
+        const uint8_t* dgram = nullptr;
+        int64_t dlen = 0;
+        std::vector<uint8_t> assembled;
+
+        if (frag_off == 0 && !more) {
+            dgram = pl;
+            dlen = pllen;
+        } else {
+            FragKey key{src_ip, dst_ip, ip_id, proto};
+            FragState& st = frags[key];
+            if ((int64_t)st.buf.size() < frag_off + pllen)
+                st.buf.resize(frag_off + pllen);
+            std::memcpy(st.buf.data() + frag_off, pl, pllen);
+            st.received += pllen;
+            if (!more) st.total = frag_off + pllen;
+            if (st.total >= 0 && st.received >= st.total) {
+                assembled.swap(st.buf);
+                dlen = st.total;
+                dgram = assembled.data();
+                frags.erase(key);
+            } else {
+                continue;
+            }
+        }
+
+        if (dlen < 8) continue;
+        uint16_t sport = be16(dgram), dport = be16(dgram + 2);
+        uint16_t udp_len = be16(dgram + 4);
+        int64_t udplen = udp_len >= 8 ? udp_len - 8 : dlen - 8;
+        if (udplen > dlen - 8) udplen = dlen - 8;
+        if (payload_pos + udplen > payload_cap) break;
+
+        std::memcpy(payloads + payload_pos, dgram + 8, udplen);
+        offsets[n_out] = payload_pos;
+        sizes[n_out] = udplen;
+        ts_ns[n_out] = (uint64_t)ts_sec * 1000000000ULL
+                       + (uint64_t)ts_frac * (ts_nano ? 1ULL : 1000ULL);
+        ports[n_out] = ((uint32_t)sport << 16) | dport;
+        dst_ips[n_out] = dst_ip;
+        payload_pos += udplen;
+        n_out++;
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// frame staging: scatter packets into the (n_pkts, pkt_words) upload buffer
+// ---------------------------------------------------------------------------
+
+// packets: concatenated payload buffer + offsets/sizes from onat_pcap_scan
+// (or any source). For each packet of size pkt_bytes, read the first
+// column's measurement id at byte offset mid_off and place the packet at
+// slot m_id / cols_per_packet. Returns number placed.
+int64_t onat_stage_frame(const uint8_t* payloads, const int64_t* offsets,
+                         const int64_t* sizes, int64_t count,
+                         int64_t pkt_bytes, int64_t mid_off,
+                         int64_t cols_per_packet, uint8_t* frame,
+                         int64_t n_slots) {
+    int64_t placed = 0;
+    for (int64_t i = 0; i < count; i++) {
+        if (sizes[i] != pkt_bytes) continue;
+        const uint8_t* p = payloads + offsets[i];
+        uint16_t mid;
+        std::memcpy(&mid, p + mid_off, 2);
+        int64_t slot = mid / cols_per_packet;
+        if (slot < 0 || slot >= n_slots) continue;
+        std::memcpy(frame + slot * pkt_bytes, p, pkt_bytes);
+        placed++;
+    }
+    return placed;
+}
+
+}  // extern "C"

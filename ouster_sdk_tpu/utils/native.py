@@ -1,0 +1,140 @@
+"""ctypes bindings to the native host library (native/ouster_native.cpp).
+
+Builds the shared library on first use (g++ -O3) and caches it next to the
+source; every caller gracefully falls back to the pure-Python path when the
+toolchain is unavailable, so the package stays importable anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native",
+    "ouster_native.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "libouster_native.so")
+
+
+def _build() -> Optional[str]:
+    if os.path.exists(_SO) and \
+            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+             "-fPIC", _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=120)
+        return _SO
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, or None when unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        c = ctypes
+        lib.onat_crc64.restype = c.c_uint64
+        lib.onat_crc64.argtypes = [c.c_void_p, c.c_uint64]
+        lib.onat_crc64_check_batch.restype = c.c_int64
+        lib.onat_crc64_check_batch.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int64, c.c_void_p]
+        lib.onat_png_unfilter.restype = c.c_int
+        lib.onat_png_unfilter.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_int64, c.c_int64, c.c_int64]
+        lib.onat_pcap_scan.restype = c.c_int64
+        lib.onat_pcap_scan.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int, c.c_int, c.c_int,
+            c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_void_p, c.c_void_p, c.c_int64]
+        lib.onat_stage_frame.restype = c.c_int64
+        lib.onat_stage_frame.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int64, c.c_void_p, c.c_int64]
+        _lib = lib
+        return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def crc64(data: bytes) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    return int(lib.onat_crc64(_ptr(buf), buf.size))
+
+
+def png_unfilter(rows: np.ndarray, h: int, stride: int,
+                 bpp: int) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    out = np.empty((h, stride), dtype=np.uint8)
+    rc = lib.onat_png_unfilter(_ptr(out), _ptr(rows), h, stride, bpp)
+    if rc != 0:
+        raise ValueError("bad PNG filter byte")
+    return out
+
+
+def pcap_scan(data: bytes, swap_endian: bool, ts_nano: bool,
+              linktype: int):
+    """Returns (payloads u8, offsets i64, sizes i64, ts u64,
+    src_dst_ports u32, dst_ips u32) or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    cap = buf.size
+    max_out = max(cap // 64, 64)
+    payloads = np.empty(cap, dtype=np.uint8)
+    offsets = np.empty(max_out, dtype=np.int64)
+    sizes = np.empty(max_out, dtype=np.int64)
+    ts = np.empty(max_out, dtype=np.uint64)
+    ports = np.empty(max_out, dtype=np.uint32)
+    dst_ips = np.empty(max_out, dtype=np.uint32)
+    n = lib.onat_pcap_scan(
+        _ptr(buf), buf.size, int(swap_endian), int(ts_nano), linktype,
+        _ptr(payloads), payloads.size, _ptr(offsets), _ptr(sizes),
+        _ptr(ts), _ptr(ports), _ptr(dst_ips), max_out)
+    if n < 0:
+        return None
+    return (payloads, offsets[:n], sizes[:n], ts[:n], ports[:n],
+            dst_ips[:n])
+
+
+def stage_frame(payloads: np.ndarray, offsets: np.ndarray,
+                sizes: np.ndarray, pkt_bytes: int, mid_off: int,
+                cols_per_packet: int, n_slots: int
+                ) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    frame = np.zeros((n_slots, pkt_bytes), dtype=np.uint8)
+    lib.onat_stage_frame(
+        _ptr(payloads), _ptr(np.ascontiguousarray(offsets, np.int64)),
+        _ptr(np.ascontiguousarray(sizes, np.int64)), len(offsets),
+        pkt_bytes, mid_off, cols_per_packet, _ptr(frame), n_slots)
+    return frame

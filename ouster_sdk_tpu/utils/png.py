@@ -52,7 +52,22 @@ def encode(img: np.ndarray, color_type: int, sample_depth: int,
 
 
 def _unfilter(data: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
-    """Undo per-scanline filtering. data: (h, 1+stride) uint8."""
+    """Undo per-scanline filtering. data: (h, 1+stride) uint8.
+
+    Uses the native C++ path when available (Paeth/Average filters have
+    sequential dependencies that defeat numpy); falls back to vectorized/
+    scalar Python."""
+    from . import native
+
+    nat = native.png_unfilter(data, h, stride, bpp)
+    if nat is not None:
+        return nat
+    return _unfilter_py(data, h, stride, bpp)
+
+
+def _unfilter_py(data: np.ndarray, h: int, stride: int,
+                 bpp: int) -> np.ndarray:
+    """Pure-Python unfilter fallback."""
     filters = data[:, 0]
     rows = data[:, 1:].astype(np.int32)
     out = np.zeros((h, stride), dtype=np.uint8)

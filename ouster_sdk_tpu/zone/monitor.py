@@ -1,0 +1,135 @@
+"""Zone monitoring: mesh -> range-image bounds LUT + on-device occupancy.
+
+Rebuild of the reference zone pipeline (ref: ouster_client/src/
+zone_monitor.cpp:527, zone_lut.h:22, zone_render_mini.cpp): each zone mesh
+is rendered into per-pixel [near, far] range bounds along the beam
+directions (ray casting once per config change); live occupancy is then a
+pure elementwise check of the range image against the bounds — exactly the
+shape of work the TPU eats: `(near <= r) & (r <= far)` summed per zone in
+one fused pass (zone_occupancy_jax).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.constants import RANGE_UNIT
+from ..core.types import SensorInfo
+from ..ops.xyzlut import make_xyz_lut
+from .zone import Zone, ZoneSet
+from .zrb import Zrb
+
+
+def ray_triangle_intersect(origins: np.ndarray, dirs: np.ndarray,
+                           tris: np.ndarray) -> np.ndarray:
+    """Batched Möller-Trumbore (ref: ouster_client ray.h/triangle.cpp).
+
+    origins/dirs: (N, 3); tris: (M, 3, 3). Returns (N, M) ray parameters t
+    (inf where no hit).
+    """
+    v0 = tris[:, 0]
+    e1 = tris[:, 1] - v0
+    e2 = tris[:, 2] - v0
+    out = np.full((origins.shape[0], tris.shape[0]), np.inf)
+
+    # chunk over triangles to bound memory
+    chunk = max(1, int(4e6 // max(origins.shape[0], 1)))
+    for s in range(0, tris.shape[0], chunk):
+        e1c, e2c, v0c = e1[s:s + chunk], e2[s:s + chunk], v0[s:s + chunk]
+        p = np.cross(dirs[:, None, :], e2c[None])          # (N, M, 3)
+        det = np.einsum("mc,nmc->nm", e1c, p)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = origins[:, None, :] - v0c[None]
+        u = np.einsum("nmc,nmc->nm", tvec, p) * inv
+        q = np.cross(tvec, e1c[None])
+        v = np.einsum("nc,nmc->nm", dirs, q) * inv
+        t = np.einsum("mc,nmc->nm", e2c, q) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
+        out[:, s:s + chunk] = np.where(hit, t, np.inf)
+    return out
+
+
+def render_zone_bounds(zone: Zone, info: SensorInfo,
+                       m_per_zmbin: float = 0.004) -> Zrb:
+    """Render a zone mesh to per-pixel near/far bounds
+    (ref: zone_render_mini.cpp): cast each beam, take min/max hit."""
+    h = info.format.pixels_per_column
+    w = info.format.columns_per_frame
+    lut = make_xyz_lut(info)
+    # unit directions + per-pixel origins in meters (sensor frame)
+    dirs = lut.direction.reshape(-1, 3)
+    mags = np.linalg.norm(dirs, axis=1, keepdims=True)
+    unit = dirs / np.maximum(mags, 1e-30)
+    origins = lut.offset.reshape(-1, 3)
+
+    t = ray_triangle_intersect(origins, unit, zone.triangles)  # meters
+    near = np.min(t, axis=1)
+    far = np.where(np.isfinite(near),
+                   np.max(np.where(np.isfinite(t), t, -np.inf), axis=1),
+                   np.inf)
+
+    zrb = Zrb(h, w, m_per_zmbin,
+              serial_number=info.sn or 1,
+              beam_to_lidar=info.beam_to_lidar_transform,
+              lidar_to_sensor=info.lidar_to_sensor_transform,
+              sensor_to_body=np.eye(4))
+    near_mm = np.where(np.isfinite(near), near * 1000.0, 0.0)
+    far_mm = np.where(np.isfinite(far), far * 1000.0, 0.0)
+    max_mm = 0xFFFF * m_per_zmbin * 1000.0
+    zrb.near_range_mm = np.clip(near_mm, 0, max_mm).astype(
+        np.uint32).reshape(h, w)
+    zrb.far_range_mm = np.clip(far_mm, 0, max_mm).astype(
+        np.uint32).reshape(h, w)
+    return zrb
+
+
+def zone_occupancy(range_img: np.ndarray, zrb: Zrb,
+                   min_range_mm: int = 0) -> Tuple[int, np.ndarray]:
+    """Host check: points inside the zone bounds
+    (ref: zone_monitor.cpp occupancy counting). Returns (count, mask)."""
+    r = range_img.astype(np.uint32)
+    inside = (r > 0) & (r >= np.maximum(zrb.near_range_mm, min_range_mm)) \
+        & (r <= zrb.far_range_mm) & (zrb.far_range_mm > 0)
+    return int(inside.sum()), inside
+
+
+def zone_occupancy_jax(range_img, near_mm, far_mm):
+    """Device check: fused elementwise bounds test + per-zone reduction.
+
+    range_img: (H, W) u32; near/far: (Z, H, W) u32 stacked per zone.
+    Returns (Z,) i32 occupancy counts; jit/vmap-friendly.
+    """
+    import jax.numpy as jnp
+
+    r = range_img[None].astype(jnp.uint32)
+    inside = (r > 0) & (r >= near_mm) & (r <= far_mm) & (far_mm > 0)
+    return inside.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+class ZoneMonitor:
+    """Evaluate a ZoneSet against incoming scans
+    (ref: zone_monitor.cpp:527)."""
+
+    def __init__(self, zone_set: ZoneSet, info: SensorInfo,
+                 m_per_zmbin: float = 0.004):
+        self.zone_set = zone_set
+        self.info = info
+        self.zrbs: Dict[int, Zrb] = {
+            z.id: render_zone_bounds(z, info, m_per_zmbin)
+            for z in zone_set.zones}
+
+    def check_scan(self, scan) -> Dict[int, int]:
+        """Per-zone occupancy counts for a LidarScan."""
+        from ..core.constants import ChanField
+
+        rng = scan.field(ChanField.RANGE)
+        out: Dict[int, int] = {}
+        for z in self.zone_set.zones:
+            zrb = self.zrbs[z.id]
+            count, _ = zone_occupancy(
+                rng, zrb, min_range_mm=int(z.min_range_m * 1000))
+            out[z.id] = count
+        return out

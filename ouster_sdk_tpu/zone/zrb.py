@@ -1,0 +1,152 @@
+"""ZRB (Zone Rendered Binary) format: near/far range images per zone.
+
+Rebuild of the reference Zrb (ref: ouster_client/include/ouster/zrb.h:22-168,
+src/zrb.cpp:95-275, src/zone_header.h). Byte-compatible layout:
+
+  CacheHeaderInfo (39 B):  char[7] version "ZONE03\\0", sha256[32]
+  CacheRenderMetadata (540 B): char[16] serial, u32 n_cols, u32 n_rows,
+    f32 m_per_zmbin, sha256 stl_hash, sha256 bounds_hash,
+    f32[16] beam_to_lidar, f32[16] lidar_to_sensor, f32[16] sensor_to_body,
+    2048-bit valid-column mask
+  data: n_cols * n_rows u32, column-major, (far_bins << 16) | near_bins
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Optional, Union
+
+import numpy as np
+
+ZONE_CACHE_VERSION = b"ZONE03\x00"
+_INFO_SIZE = 39
+_META_SIZE = 540
+_META_HASHED_PREFIX = 16 + 4 + 4 + 4 + 32 + 32  # up to beam_to_lidar
+
+
+class Zrb:
+    """Near/far range images (mm) + render metadata."""
+
+    def __init__(self, n_rows: int = 0, n_cols: int = 0,
+                 m_per_zmbin: float = 0.004,
+                 serial_number: int = 0,
+                 stl_hash: bytes = b"\x00" * 32,
+                 beam_to_lidar: Optional[np.ndarray] = None,
+                 lidar_to_sensor: Optional[np.ndarray] = None,
+                 sensor_to_body: Optional[np.ndarray] = None):
+        self.near_range_mm = np.zeros((n_rows, n_cols), dtype=np.uint32)
+        self.far_range_mm = np.zeros((n_rows, n_cols), dtype=np.uint32)
+        self.m_per_zmbin = float(m_per_zmbin)
+        self.serial_number = serial_number
+        self.stl_hash = stl_hash
+        self.beam_to_lidar_transform = (
+            np.eye(4) if beam_to_lidar is None else beam_to_lidar)
+        self.lidar_to_sensor_transform = (
+            np.eye(4) if lidar_to_sensor is None else lidar_to_sensor)
+        self.sensor_to_body_transform = (
+            np.eye(4) if sensor_to_body is None else sensor_to_body)
+
+    @classmethod
+    def from_blob(cls, blob: Union[bytes, bytearray]) -> "Zrb":
+        z = cls()
+        z._load(bytes(blob))
+        return z
+
+    @classmethod
+    def from_file(cls, path: str) -> "Zrb":
+        with open(path, "rb") as f:
+            return cls.from_blob(f.read())
+
+    # ------------------------------------------------------------------
+    def blob(self) -> bytes:
+        n_rows, n_cols = self.near_range_mm.shape
+        if self.serial_number == 0:
+            raise ValueError("Zrb: serial number not set")
+        if self.near_range_mm.size == 0 or self.far_range_mm.size == 0:
+            raise ValueError("Zrb: image data missing")
+
+        mm_per_bin = self.m_per_zmbin * 1000.0
+        near_bins = np.round(self.near_range_mm / mm_per_bin)
+        far_bins = np.round(self.far_range_mm / mm_per_bin)
+        if near_bins.max(initial=0) > 0xFFFF or \
+                far_bins.max(initial=0) > 0xFFFF:
+            raise ValueError("Zrb: range value exceeds maximum encodable "
+                             "distance")
+        packed = ((far_bins.astype(np.uint32) << 16)
+                  | near_bins.astype(np.uint32))
+        # column-major data layout (ref: zrb.cpp:116)
+        data = np.ascontiguousarray(packed.T).tobytes()
+
+        valid_cols = np.zeros(2048, dtype=bool)
+        valid_cols[:n_cols] = (far_bins > 0).any(axis=0)
+        mask_bytes = np.packbits(valid_cols, bitorder="little").tobytes()
+
+        serial = str(self.serial_number).encode()[:16].ljust(16, b"\x00")
+        bounds_hash = hashlib.sha256(data).digest()
+
+        meta = bytearray(_META_SIZE)
+        meta[0:16] = serial
+        struct.pack_into("<IIf", meta, 16, n_cols, n_rows, self.m_per_zmbin)
+        meta[28:60] = self.stl_hash
+        meta[60:92] = bounds_hash
+        struct.pack_into("<16f", meta, 92,
+                         *np.asarray(self.beam_to_lidar_transform,
+                                     dtype=np.float32).reshape(-1))
+        struct.pack_into("<16f", meta, 156,
+                         *np.asarray(self.lidar_to_sensor_transform,
+                                     dtype=np.float32).reshape(-1))
+        struct.pack_into("<16f", meta, 220,
+                         *np.asarray(self.sensor_to_body_transform,
+                                     dtype=np.float32).reshape(-1))
+        meta[284:284 + 256] = mask_bytes
+
+        total_hash = hashlib.sha256(bytes(meta[:_META_HASHED_PREFIX])) \
+            .digest()
+        info = ZONE_CACHE_VERSION + total_hash
+        assert len(info) == _INFO_SIZE
+        return bytes(info) + bytes(meta) + data
+
+    def save(self, path: str) -> None:
+        with open(path, "wb") as f:
+            f.write(self.blob())
+
+    # ------------------------------------------------------------------
+    def _load(self, blob: bytes) -> None:
+        if len(blob) < _INFO_SIZE + _META_SIZE:
+            raise ValueError("Zrb: blob too short")
+        if blob[:7] != ZONE_CACHE_VERSION:
+            raise ValueError("Zrb: bad cache version")
+        stored_hash = blob[7:39]
+        meta = blob[_INFO_SIZE:_INFO_SIZE + _META_SIZE]
+        if hashlib.sha256(meta[:_META_HASHED_PREFIX]).digest() != stored_hash:
+            raise ValueError("Zrb: metadata hash mismatch")
+
+        serial = meta[0:16].split(b"\x00", 1)[0].decode(errors="replace")
+        n_cols, n_rows, m_per_zmbin = struct.unpack_from("<IIf", meta, 16)
+        self.serial_number = int(serial) if serial.isdigit() else 0
+        self.m_per_zmbin = m_per_zmbin
+        self.stl_hash = bytes(meta[28:60])
+        bounds_hash = meta[60:92]
+        self.beam_to_lidar_transform = np.array(
+            struct.unpack_from("<16f", meta, 92), dtype=np.float64
+        ).reshape(4, 4)
+        self.lidar_to_sensor_transform = np.array(
+            struct.unpack_from("<16f", meta, 156), dtype=np.float64
+        ).reshape(4, 4)
+        self.sensor_to_body_transform = np.array(
+            struct.unpack_from("<16f", meta, 220), dtype=np.float64
+        ).reshape(4, 4)
+
+        data = blob[_INFO_SIZE + _META_SIZE:
+                    _INFO_SIZE + _META_SIZE + 4 * n_rows * n_cols]
+        if len(data) < 4 * n_rows * n_cols:
+            raise ValueError("Zrb: truncated bounds data")
+        if hashlib.sha256(data).digest() != bytes(bounds_hash):
+            raise ValueError("Zrb: bounds hash mismatch")
+        packed = np.frombuffer(data, dtype="<u4").reshape(n_cols, n_rows).T
+        mm_per_bin = self.m_per_zmbin * 1000.0
+        self.near_range_mm = np.round(
+            (packed & 0xFFFF) * mm_per_bin).astype(np.uint32)
+        self.far_range_mm = np.round(
+            (packed >> 16) * mm_per_bin).astype(np.uint32)

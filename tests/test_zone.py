@@ -1,0 +1,121 @@
+"""Zone monitor tests: ZRB roundtrip, mesh rendering, occupancy
+(ref: tests/zone_monitor*.cpp, zrb_test.cpp)."""
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import LidarMode, SensorInfo
+from ouster_sdk_tpu.zone import Zone, ZoneSet, Zrb
+from ouster_sdk_tpu.zone.monitor import (
+    ZoneMonitor,
+    ray_triangle_intersect,
+    render_zone_bounds,
+    zone_occupancy,
+    zone_occupancy_jax,
+)
+from ouster_sdk_tpu.zone.zone import load_stl, save_stl
+
+
+def test_zrb_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    z = Zrb(32, 64, 0.004, serial_number=992210000957)
+    bin_mm = 4.0
+    z.near_range_mm = (rng.integers(0, 1000, (32, 64))
+                       * 4).astype(np.uint32)
+    z.far_range_mm = z.near_range_mm + 4000
+    path = str(tmp_path / "zone.zrb")
+    z.save(path)
+    back = Zrb.from_file(path)
+    assert back.serial_number == z.serial_number
+    assert back.m_per_zmbin == np.float32(0.004)
+    # 16-bit binning is lossy by at most one bin
+    assert np.abs(back.near_range_mm.astype(int)
+                  - z.near_range_mm.astype(int)).max() <= bin_mm
+    assert np.abs(back.far_range_mm.astype(int)
+                  - z.far_range_mm.astype(int)).max() <= bin_mm
+
+
+def test_zrb_rejects_corruption(tmp_path):
+    z = Zrb(4, 8, 0.004, serial_number=1)
+    z.far_range_mm[:] = 1000
+    blob = bytearray(z.blob())
+    blob[100] ^= 0xFF  # corrupt metadata
+    with pytest.raises(ValueError):
+        Zrb.from_blob(bytes(blob))
+
+
+def test_stl_roundtrip(tmp_path):
+    tris = np.random.default_rng(1).normal(size=(10, 3, 3))
+    p = str(tmp_path / "mesh.stl")
+    save_stl(p, tris)
+    back = load_stl(p)
+    np.testing.assert_allclose(back, tris, atol=1e-5)
+
+
+def test_ray_triangle():
+    tri = np.array([[[0, -1, -1], [0, 1, -1], [0, 0, 1.0]]])
+    origins = np.array([[-5, 0, 0.0], [-5, 0, 5.0]])
+    dirs = np.array([[1, 0, 0.0], [1, 0, 0.0]])
+    t = ray_triangle_intersect(origins, dirs, tri)
+    assert abs(t[0, 0] - 5.0) < 1e-9
+    assert np.isinf(t[1, 0])
+
+
+def _box_info():
+    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+    return info
+
+
+def test_zone_render_and_occupancy():
+    info = _box_info()
+    # a 2x2x2 m box centred 5 m in front of the sensor (+x)
+    zone = Zone.box(1, center=[5, 0, 0], size=[2, 2, 2])
+    zrb = render_zone_bounds(zone, info)
+    hit = zrb.far_range_mm > 0
+    assert hit.any(), "no beams intersect the zone"
+    # bounds should be around 4-6 m
+    near = zrb.near_range_mm[hit]
+    assert near.min() >= 3500 and near.max() <= 6500
+
+    # a synthetic range image: wall at 5 m everywhere
+    rng_img = np.full((info.h, info.w), 5000, dtype=np.uint32)
+    count, mask = zone_occupancy(rng_img, zrb)
+    assert count > 0
+    assert mask.sum() == count
+    # wall at 20 m: nothing inside the zone
+    count2, _ = zone_occupancy(
+        np.full((info.h, info.w), 20000, dtype=np.uint32), zrb)
+    assert count2 == 0
+
+    # device path agrees with host
+    import jax.numpy as jnp
+
+    near_s = jnp.asarray(zrb.near_range_mm[None])
+    far_s = jnp.asarray(zrb.far_range_mm[None])
+    dev_counts = np.asarray(zone_occupancy_jax(
+        jnp.asarray(rng_img), near_s, far_s))
+    assert dev_counts[0] == count
+
+
+def test_zoneset_zip_roundtrip():
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2]),
+                  Zone.box(2, [0, 5, 0], [1, 1, 3])])
+    blob = zs.to_zip()
+    back = ZoneSet.from_zip(blob)
+    assert [z.id for z in back.zones] == [1, 2]
+    np.testing.assert_allclose(back.zones[0].triangles,
+                               zs.zones[0].triangles, atol=1e-5)
+    assert back.hash() == zs.hash()
+
+
+def test_zone_monitor_end_to_end():
+    info = _box_info()
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2])])
+    mon = ZoneMonitor(zs, info)
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+    from ouster_sdk_tpu.core.constants import ChanField
+
+    scan = LidarScan(info)
+    scan.field(ChanField.RANGE)[:] = 5000
+    counts = mon.check_scan(scan)
+    assert counts[1] > 0
