@@ -37,3 +37,32 @@ from .core.metadata import (  # noqa: F401
     sensor_info_from_metadata,
 )
 from .ops.packet_format import PacketFormat, PacketWriter  # noqa: F401
+from .io.sources import (  # noqa: F401
+    IoType,
+    LidarScanSet,
+    ScanSource,
+    collate_scans,
+    io_type,
+    open_packet_source,
+    open_source,
+)
+from .ops.destagger import destagger, stagger  # noqa: F401
+from .ops.xyzlut import XYZLut, make_xyz_lut  # noqa: F401
+
+
+def XYZLutFactory(info, use_extrinsics: bool = False):
+    """Reference-compatible LUT constructor returning a callable that maps a
+    scan or range image to (H, W, 3) points (ref: sdk/core/data.py:129
+    XYZLut)."""
+    lut = make_xyz_lut(info, use_extrinsics)
+
+    def project(scan_or_range):
+        import numpy as _np
+
+        if hasattr(scan_or_range, "field"):
+            rng = scan_or_range.field(ChanField.RANGE)
+        else:
+            rng = _np.asarray(scan_or_range)
+        return lut(rng)
+
+    return project

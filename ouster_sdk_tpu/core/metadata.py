@@ -494,7 +494,14 @@ def _parse_data_format(p: _Parser, info: SensorInfo) -> None:
     fmt.udp_profile_imu = prof_imu if prof_imu is not None \
         else UDPProfileIMU.LEGACY
     ht = p.enum(ldf + ("header_type",), HeaderType)
-    fmt.header_type = ht if ht is not None else HeaderType.STANDARD
+    if ht is not None:
+        fmt.header_type = ht
+    elif fmt.udp_profile_lidar == UDPProfileLidar.FUSA_RNG15_RFL8_NIR8_DUAL:
+        # header_type was introduced in fw 3.2; the FUSA profile implies the
+        # FUSA header when absent (ref: metadata.cpp:614-624)
+        fmt.header_type = HeaderType.FUSA
+    else:
+        fmt.header_type = HeaderType.STANDARD
 
     fmt.imu_packets_per_frame = p.item(
         ("imu_data_format", "imu_packets_per_frame"), int, 0) or \

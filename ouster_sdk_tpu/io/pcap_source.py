@@ -44,15 +44,18 @@ def resolve_metadata_paths(pcap_path: str) -> List[str]:
     if exact:
         return [os.path.join(d, f) for f in exact]
 
-    # longest prefix match: metadata recorded under a shortened name
+    # longest prefix match in either direction: metadata recorded under a
+    # shortened or extended name (ref: sdk/util/metadata.py conventions)
     best: List[str] = []
     best_len = 0
     for f in json_files:
         s = stem_of(f)
-        if base.startswith(s) and len(s) > best_len:
-            best, best_len = [f], len(s)
-        elif base.startswith(s) and len(s) == best_len:
-            best.append(f)
+        if base.startswith(s) or s.startswith(base):
+            n = min(len(s), len(base))
+            if n > best_len:
+                best, best_len = [f], n
+            elif n == best_len:
+                best.append(f)
     return [os.path.join(d, f) for f in best]
 
 
