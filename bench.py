@@ -4,10 +4,13 @@ Target (BASELINE.md): >= 1 Gpt/s/chip first-return points, XYZ within the
 f32-representable tolerance of the reference f64 math. Prints ONE JSON line:
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-Runs on whatever jax.devices() provides (real TPU under the driver; CPU
-locally). Measures the steady-state jitted pipeline on device-resident
-frames (host->HBM staging is double-buffered in deployment and overlaps
-compute; its bandwidth is reported separately on stderr).
+Measures the fused Pallas decode+projection kernel
+(ops/pallas_kernels.py) over B-frame batches with a value dependency
+chained between dispatches so the runtime cannot elide repeated work; both
+returns are projected, first-return points are counted (the reference's
+dual-return convention). Host->HBM staging bandwidth is reported on stderr
+(in this sandbox the TPU sits behind a tunnel, so dispatch latency ~9 ms
+dominates; batching amortizes it).
 """
 
 import json
@@ -21,11 +24,11 @@ import numpy as np
 def main():
     import jax
 
-    # persistent compilation cache: the fused program is large and the
-    # remote-compile path is slow; cache across bench runs where supported
+    # persistent compilation cache across bench runs
     try:
         os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -34,49 +37,57 @@ def main():
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _make_info, _synth_frame
-    from ouster_sdk_tpu.ops.fused import ScanPipeline
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut,
+        unpack_project_pallas_batched,
+    )
+    from ouster_sdk_tpu.ops.unpack import make_decode_plan
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
 
     W, H = 2048, 128
     info = _make_info(w=W, h=H, dual=True)
-    pipe = ScanPipeline(info)
+    plan = make_decode_plan(info)
     frame = _synth_frame(info)
+    lut = PlanarLut(make_xyz_lut(info))
 
-    # B frames per dispatch amortize the per-call tunnel latency (~4 ms);
-    # the device-side incremental cost is ~0.12 ms/frame at 128x2048 dual
     B = 64
-    dev_frame = jnp.asarray(np.broadcast_to(frame, (B,) + frame.shape).copy())
-    dev_poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, W, 4, 4))
+    frames_np = np.broadcast_to(frame, (B,) + frame.shape).copy()
+    frames = jnp.asarray(frames_np)
 
-    def step(fr, po):
-        out = pipe._batch_native(fr, pipe.lut, po)
-        return out["XYZ"], out["XYZ2"]
+    @jax.jit
+    def step(fr, salt):
+        # salt one packet word so each dispatch is a distinct computation
+        # the runtime cannot cache/elide
+        fr = fr.at[0, 0, 0].set(salt)
+        xyz, xyz2 = unpack_project_pallas_batched(
+            fr, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
+            dual=True)
+        return jnp.sum(xyz) + jnp.sum(xyz2)
 
-    step_c = jax.jit(step)
     # warmup/compile
-    r = step_c(dev_frame, dev_poses)
-    jax.block_until_ready(r)
+    s = step(frames, jnp.uint32(1))
+    jax.block_until_ready(s)
 
-    # steady-state timing
     iters = 30
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = step_c(dev_frame, dev_poses)
-    jax.block_until_ready(r)
+    for i in range(iters):
+        acc = acc + step(frames, jnp.uint32(i))
+    jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
 
     pts = B * H * W * iters  # first-return points
     mpts = pts / dt / 1e6
 
     # host->device staging bandwidth (side info)
-    frame_np = np.asarray(frame)
     t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(jax.device_put(frame_np))
-    h2d = frame_np.nbytes * 5 / (time.perf_counter() - t0) / 1e9
+    jax.block_until_ready(jax.device_put(frames_np))
+    h2d = frames_np.nbytes / (time.perf_counter() - t0) / 1e9
 
-    print(f"device={jax.devices()[0].device_kind} "
-          f"B={B} iters={iters} dt={dt:.3f}s h2d={h2d:.2f} GB/s "
-          f"dual-return (2x XYZ computed)", file=sys.stderr)
+    print(f"device={jax.devices()[0].device_kind} B={B} iters={iters} "
+          f"dt={dt:.3f}s ({dt / iters * 1e3:.2f} ms/dispatch) "
+          f"h2d={h2d:.2f} GB/s dual-return (both returns projected) "
+          f"acc={float(acc):.3e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "packet_to_xyz_throughput_128x2048_dual",
