@@ -50,29 +50,31 @@ def main():
     frame = _synth_frame(info)
     lut = PlanarLut(make_xyz_lut(info))
 
-    B = 64
+    B = 128
     frames_np = np.broadcast_to(frame, (B,) + frame.shape).copy()
-    frames = jnp.asarray(frames_np)
+    # two pre-salted input variants so alternating dispatches are distinct
+    # computations the runtime cannot cache/elide (a large in-graph
+    # dynamic-update-slice compiles very slowly through the remote tunnel)
+    frames2_np = frames_np.copy()
+    frames2_np[0, 0, plan.hw] ^= 2  # flip a column-timestamp bit
+    variants = [jnp.asarray(frames_np), jnp.asarray(frames2_np)]
 
     @jax.jit
-    def step(fr, salt):
-        # salt one packet word so each dispatch is a distinct computation
-        # the runtime cannot cache/elide
-        fr = fr.at[0, 0, 0].set(salt)
+    def step(fr):
         xyz, xyz2 = unpack_project_pallas_batched(
             fr, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
             dual=True)
         return jnp.sum(xyz) + jnp.sum(xyz2)
 
     # warmup/compile
-    s = step(frames, jnp.uint32(1))
-    jax.block_until_ready(s)
+    for v in variants:
+        jax.block_until_ready(step(v))
 
     iters = 30
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(iters):
-        acc = acc + step(frames, jnp.uint32(i))
+        acc = acc + step(variants[i % 2])
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
 
@@ -81,8 +83,8 @@ def main():
 
     # host->device staging bandwidth (side info)
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(frames_np))
-    h2d = frames_np.nbytes / (time.perf_counter() - t0) / 1e9
+    jax.block_until_ready(jax.device_put(frames_np[:4]))
+    h2d = frames_np[:4].nbytes / (time.perf_counter() - t0) / 1e9
 
     print(f"device={jax.devices()[0].device_kind} B={B} iters={iters} "
           f"dt={dt:.3f}s ({dt / iters * 1e3:.2f} ms/dispatch) "

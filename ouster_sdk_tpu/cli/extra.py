@@ -165,3 +165,60 @@ def sensor_metadata(hostname):
     from ..sensor.http import SensorHttp
 
     click.echo(SensorHttp.create(hostname).metadata())
+
+
+def _register_benchmark_sensor():
+    from .core import cli as _cli
+
+    util_grp = _cli.commands.get("util")
+    if util_grp is None:
+        return
+
+    @util_grp.command("benchmark-sensor")
+    @click.argument("hostname")
+    @click.option("--frames", type=int, default=30)
+    @click.option("--scan-batch/--no-scan-batch", default=True)
+    @click.option("--xyz/--no-xyz", default=True)
+    def benchmark_sensor(hostname, frames, scan_batch, xyz):
+        """Live pipeline stage timing (ref: cli/core/util.py:368
+        benchmark-sensor)."""
+        import time as _time
+
+        import numpy as _np
+
+        from ..ops.xyzlut import make_xyz_lut
+        from ..sensor.scan_source import SensorScanSource
+
+        src = SensorScanSource([hostname])
+        info = src.sensor_info[0]
+        lut = make_xyz_lut(info) if xyz else None
+        t_recv = t_xyz = 0.0
+        n = 0
+        t0 = _time.perf_counter()
+        try:
+            for idx, scan in iter(lambda: src.get_scan(timeout_sec=5.0),
+                                  (None, None)):
+                if scan is None:
+                    break
+                t_recv += _time.perf_counter() - t0
+                if lut is not None:
+                    t1 = _time.perf_counter()
+                    from ..core.constants import ChanField
+
+                    lut(scan.field(ChanField.RANGE))
+                    t_xyz += _time.perf_counter() - t1
+                n += 1
+                if n >= frames:
+                    break
+                t0 = _time.perf_counter()
+        finally:
+            src.close()
+        click.echo(json.dumps({
+            "frames": n,
+            "recv_ms_per_frame": round(t_recv / max(n, 1) * 1e3, 3),
+            "xyz_ms_per_frame": round(t_xyz / max(n, 1) * 1e3, 3),
+        }, indent=2))
+
+
+_register_benchmark_sensor()
+del _register_benchmark_sensor
