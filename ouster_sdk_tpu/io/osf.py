@@ -157,7 +157,8 @@ def _uint_view(arr: np.ndarray) -> np.ndarray:
 
 def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
                           field_types: Optional[List[FieldType]] = None,
-                          compression_level: int = 1) -> bytes:
+                          compression_level: int = 1,
+                          encoder: str = "png") -> bytes:
     """LidarScan -> LidarScanMsg flatbuffer
     (ref: stream_lidar_scan.cpp create_lidar_scan_msg)."""
     px_offset = info.format.pixel_shift_by_row
@@ -178,13 +179,18 @@ def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
             custom.append(name)
     standard.sort()
 
-    # channels: PNG-encoded destaggered standard fields
+    def encode_img(img):
+        if encoder == "zpng":
+            return zpng_codec.encode(img, compression_level)
+        return png_codec.encode_field_png(img, compression_level)
+
+    # channels: PNG/zPNG-encoded destaggered standard fields
     channel_offs = []
     chan_field_structs = bytearray()
     for enum_val, name in standard:
         arr = _uint_view(ls.field(name))
         img = _destagger(px_offset, arr)
-        data = png_codec.encode_field_png(img, compression_level)
+        data = encode_img(img)
         vec = b.vector_bytes(data)
         b.start_table()
         b.slot_offset(0, vec)
@@ -208,7 +214,7 @@ def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
             view = _uint_view(arr)
             if view.ndim > 2:
                 view = view.reshape(view.shape[0], -1)
-            payload = png_codec.encode_field_png(view, compression_level)
+            payload = encode_img(view)
         else:
             payload = np.ascontiguousarray(arr).tobytes()
         name_off = b.string(name)
@@ -471,10 +477,13 @@ class Writer:
     (ref: writer.h:90, layout_streaming.cpp)."""
 
     def __init__(self, path: str, chunk_size: int = 2 * 1024 * 1024,
-                 compression_level: int = 1):
+                 compression_level: int = 1, encoder: str = "png"):
+        if encoder not in ("png", "zpng"):
+            raise ValueError("encoder must be 'png' or 'zpng'")
         self._path = path
         self._chunk_size = chunk_size
         self._compression_level = compression_level
+        self._encoder = encoder
         self._f = open(path, "wb")
         self._sensors: List[SensorInfo] = []
         self._sensor_field_types: List[Optional[List[FieldType]]] = []
@@ -580,7 +589,7 @@ class Writer:
         info = self._sensors[sensor_idx]
         msg = encode_lidar_scan_msg(
             scan, info, self._sensor_field_types[sensor_idx],
-            self._compression_level)
+            self._compression_level, encoder=self._encoder)
         if ts is None:
             ts = scan.first_valid_packet_timestamp() or \
                 scan.first_valid_column_timestamp()

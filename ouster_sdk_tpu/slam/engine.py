@@ -21,6 +21,7 @@ from ..core.types import SensorInfo
 from ..io.sources import LidarScanSet
 from ..ops.xyzlut import XYZLut, make_xyz_lut
 from .kiss_icp import KissConfig, KissICP
+from .time_correction import ActiveTimeCorrection
 
 
 @dataclass
@@ -81,6 +82,7 @@ class SlamEngine:
                            else np.eye(4))
         self._prev_pose: Optional[np.ndarray] = None
         self._voxel_size = self.config.voxel_size
+        self._time_correction = ActiveTimeCorrection(infos)
 
     def _ensure_kiss(self, scans: Sequence[Optional[LidarScan]]) -> KissICP:
         if self._kiss is None:
@@ -142,6 +144,10 @@ class SlamEngine:
             else [scan_set]
         kiss = self._ensure_kiss(scans)
 
+        # reconcile sensor clocks (ref: kiss_slam.cpp:84
+        # active_time_correction_.update)
+        self._time_correction.update(scans)
+
         self._predict_poses(scans)
 
         # mid-scan column pose = registration anchor
@@ -169,6 +175,7 @@ class SlamEngine:
             if s is not None:
                 s.pose[:] = np.einsum("ij,wjk->wik", fix, s.pose)
 
+        self._time_correction.reset(scans)
         self._prev_pose = self._last_pose
         self._last_pose = new_pose
 

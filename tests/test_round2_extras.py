@@ -1,0 +1,100 @@
+"""Tests for RAW_HEADERS capture, zPNG OSF writing, time correction,
+digest generation for undigested fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import ChanField, LidarScan, PacketFormat, ScanBatcher
+from ouster_sdk_tpu.core.field import FieldClass, FieldType
+from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+
+PCAP = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+
+
+def test_raw_headers_capture():
+    """RAW_HEADERS packs col header + footer + packet header/footer per
+    column (ref: lidar_scan.cpp:1121-1161 PackRawHeadersCol)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    src = PcapPacketSource(PCAP)
+    info = src.sensor_info[0]
+    pf = PacketFormat.from_info(info)
+
+    rh_rows = (pf.col_header_size + pf.col_footer_size
+               + pf.packet_header_size + pf.packet_footer_size)
+    scan = LidarScan(info)
+    scan.add_field(FieldType(ChanField.RAW_HEADERS, np.uint8,
+                             (), FieldClass.PIXEL_FIELD))
+    # RAW_HEADERS is (h, w) u8 in our model; rows used = header bytes
+    assert scan.field(ChanField.RAW_HEADERS).shape[0] >= rh_rows
+
+    batcher = ScanBatcher(info)
+    packets = [p for _, p in src if p.type().value == "Lidar"]
+    for p in packets:
+        if batcher(p, scan):
+            break
+    rh = scan.field(ChanField.RAW_HEADERS)
+    assert rh.any(), "raw headers not captured"
+    # the first 8 bytes of each column are the column timestamp (LE)
+    col = scan.first_valid_column()
+    ts_bytes = rh[:8, col].copy().view("<u8")[0]
+    assert ts_bytes == scan.timestamp[col]
+
+
+def test_osf_zpng_writer_roundtrip(tmp_path):
+    from ouster_sdk_tpu.io.osf import Reader, Writer
+
+    src_path = "/root/reference/tests/osfs/single_scan_016.osf"
+    if not os.path.exists(src_path):
+        pytest.skip("fixture missing")
+    r = Reader(src_path)
+    info = r.sensor_info[0]
+    scans = [m.decode() for m in r.messages() if m.is_lidar_scan()]
+
+    out = str(tmp_path / "z.osf")
+    with Writer(out, encoder="zpng") as w:
+        i = w.add_sensor(info, scans[0].field_types)
+        for s in scans:
+            w.save(i, s, ts=1)
+    back = [m.decode() for m in Reader(out).messages()
+            if m.is_lidar_scan()]
+    for a, b in zip(scans, back):
+        for name in a.fields:
+            np.testing.assert_array_equal(a.field(name), b.field(name),
+                                          err_msg=name)
+
+
+def test_time_correction():
+    from ouster_sdk_tpu import LidarMode, SensorInfo
+    from ouster_sdk_tpu.slam.time_correction import (
+        ActiveTimeCorrection,
+        is_monotonically_increasing,
+    )
+
+    assert is_monotonically_increasing(np.array([0, 1, 2, 0, 3]))
+    assert not is_monotonically_increasing(np.array([1, 3, 2]))
+    assert not is_monotonically_increasing(np.array([1, 1]))
+
+    infos = [SensorInfo.from_default(LidarMode.from_string("512x10"))
+             for _ in range(2)]
+    atc = ActiveTimeCorrection(infos)
+
+    scans = [LidarScan(i) for i in infos]
+    base = 1_000_000_000_000
+    for k, s in enumerate(scans):
+        s.status[:] = 1
+        # sensor 1's clock is 10 s ahead -> unsynchronized
+        s.timestamp[:] = np.arange(s.w, dtype=np.uint64) * 100_000 \
+            + base + k * 10_000_000_000
+        s.packet_timestamp[:] = base + 500  # shared host clock
+
+    offsets = atc.update(scans)
+    assert atc._use_packet_offset
+    # after correction both sensors' first timestamps agree (host timeline)
+    t0 = [s.first_valid_column_timestamp() for s in scans]
+    assert abs(t0[0] - t0[1]) < 1_000_000
+    atc.reset(scans)
+    # offsets removed
+    assert scans[1].timestamp[0] == base + 10_000_000_000
