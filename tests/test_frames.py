@@ -1,0 +1,88 @@
+"""FrameReader (native ingest path) vs ScanBatcher across every readable
+pcap fixture — validates frame staging + device decode on every profile
+shipped in the reference corpus."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ouster_sdk_tpu import ChanField, LidarScan, ScanBatcher
+from ouster_sdk_tpu.io.frames import FrameReader
+from ouster_sdk_tpu.io.pcap_source import PcapPacketSource, \
+    resolve_metadata_paths
+from ouster_sdk_tpu.ops.unpack import decode_frame
+
+PCAP_DIR = "/root/reference/tests/pcaps"
+
+_SKIP = {
+    "VLI-16-one-packet.pcap",   # non-ouster
+    "empty_pcap.pcap",
+    "imu_zm_no_lidar.pcap",     # no lidar packets
+    "same_ports.pcap", "same_ports_legacy.pcap",
+    "same_ports_nonlegacy.pcap",  # multi-sensor: FrameReader is per-sensor
+}
+
+
+def _cases():
+    if not os.path.isdir(PCAP_DIR):
+        return []
+    out = []
+    for p in sorted(glob.glob(os.path.join(PCAP_DIR, "*.pcap"))):
+        if os.path.basename(p) in _SKIP or os.path.getsize(p) < 24:
+            continue
+        if resolve_metadata_paths(p):
+            out.append(p)
+    return out
+
+
+CASES = _cases()
+
+
+@pytest.mark.parametrize("pcap", CASES,
+                         ids=[os.path.basename(p) for p in CASES])
+def test_frame_reader_matches_batcher(pcap):
+    try:
+        src = PcapPacketSource(pcap)
+    except Exception as e:  # unreadable metadata combos
+        pytest.skip(str(e))
+    info = src.sensor_info[0]
+
+    batcher = ScanBatcher(info)
+    scan = LidarScan(info)
+    got_scan = False
+    for idx, p in src:
+        if idx != 0 or p.type().value != "Lidar":
+            continue
+        if batcher(p, scan):
+            got_scan = True
+            break
+    if not got_scan:
+        pytest.skip("no complete frame in fixture")
+
+    fr = FrameReader(pcap, info=info)
+    frames = {fid: words for fid, words, ts in fr}
+    assert scan.frame_id in frames, \
+        f"frame {scan.frame_id} not staged (got {list(frames)[:5]})"
+    out = decode_frame(jnp.asarray(frames[scan.frame_id]), fr.plan)
+
+    for name in out:
+        if not scan.has_field(name) or "#" in name:
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(out[name]), scan.field(name), err_msg=name)
+    np.testing.assert_array_equal(np.asarray(out["status"]), scan.status)
+
+
+def test_read_all_batch():
+    pcap = os.path.join(PCAP_DIR, "OS-0-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+    fr = FrameReader(pcap)
+    batch, fids = fr.read_all()
+    assert batch.ndim == 3 and batch.shape[1:] == (fr.plan.n_pkts,
+                                                   fr.plan.pkt_words)
+    assert len(fids) == batch.shape[0] >= 1
