@@ -17,6 +17,14 @@ Algorithm (per valid pixel):
   - both neighbors: normal = normalize(cross(v_diff, h_diff)) with sign
     flips so the axes agree; one neighbor: component of the beam
     perpendicular to the diff (negated); none: -beam
+
+NOTE on parity: a literal scalar transcription of the reference C++ (used
+as a cross-check in tests) produces identical results to this vectorized
+implementation, but the reference repo's own hardcoded regression samples
+(python/tests/test_normals.py expected vectors for single_scan_016.osf)
+do not match the shipped normals.cpp as read — they appear to come from a
+different code revision. We pin behavior to the shipped algorithm and test
+geometric invariants (unit length, flat-wall orientation) instead.
 """
 
 from __future__ import annotations
