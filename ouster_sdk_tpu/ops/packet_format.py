@@ -14,12 +14,11 @@ every block boundary in an Ouster packet is 4-byte aligned makes this exact).
 from __future__ import annotations
 
 import threading
-from typing import Dict, Iterator, List, Optional, Tuple, Union
+from typing import Dict, Iterator, Optional, Tuple, Union
 
 import numpy as np
 
-from ..core.constants import ChanField
-from ..core.types import DataFormat, SensorInfo, UDPProfileIMU, UDPProfileLidar
+from ..core.types import DataFormat, SensorInfo
 from .profiles import (
     FieldInfo,
     PacketGeometry,

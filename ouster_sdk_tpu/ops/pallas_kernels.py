@@ -14,7 +14,6 @@ lane-dimension reshapes (hence the outside-the-kernel word select).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

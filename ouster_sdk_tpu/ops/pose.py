@@ -11,7 +11,7 @@ matrices; `dewarp` applies pose[w] to point (i, w) of an (..., W, 3) cloud.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.types import DataFormat, SensorInfo, UDPProfileLidar
+from ..core.types import DataFormat, SensorInfo
 from .profiles import lookup_profile_entry, lookup_scan_fields, \
     make_packet_geometry
 

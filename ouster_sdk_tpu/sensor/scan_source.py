@@ -14,14 +14,11 @@ import threading
 import time
 from typing import Iterator, List, Optional, Tuple
 
-import numpy as np
-
 from ..core.batcher import ScanBatcher
 from ..core.lidar_scan import LidarScan
 from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
 from ..core.types import SensorConfig, SensorInfo
 from ..io.sources import (
-    LidarScanSet,
     ScanSource,
     collate_scans,
     populate_extrinsics,

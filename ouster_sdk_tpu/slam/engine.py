@@ -10,15 +10,14 @@ slam/kiss_icp.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..core.constants import ChanField
 from ..core.lidar_scan import LidarScan
 from ..core.types import SensorInfo
-from ..io.sources import LidarScanSet
 from ..ops.xyzlut import XYZLut, make_xyz_lut
 from .kiss_icp import KissConfig, KissICP
 from .time_correction import ActiveTimeCorrection

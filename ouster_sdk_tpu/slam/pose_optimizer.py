@@ -11,14 +11,12 @@ and semantics match: AbsolutePose, PoseToPose, PointToPoint, AbsolutePoint.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 from scipy.optimize import least_squares
 from scipy.sparse import lil_matrix
-
-from .kiss_icp import se3_exp
 
 
 def _rotvec_to_R(w: np.ndarray) -> np.ndarray:
