@@ -79,6 +79,23 @@ def source_normals(ctx):
     ctx.obj.add_stage(stage)
 
 
+@source.command("convert")
+@click.argument("path")
+@click.pass_context
+def source_convert(ctx, path):
+    """Convert the source to another container (alias of save;
+    ref: plugins/source_mapping.py convert)."""
+    from ..io.save import save_scans
+
+    pipeline = ctx.obj
+
+    def consumer(it):
+        n = save_scans(path, pipeline.infos, it)
+        click.echo(f"converted {n} scans to {path}")
+
+    pipeline.consumers.append(consumer)
+
+
 @cli.group()
 def osf() -> None:
     """OSF file operations."""

@@ -134,6 +134,32 @@ class FrameReader:
                        self.plan),
                    first_ts)
 
+    def stream_from_packets(self, packets) -> Iterator[
+            Tuple[int, np.ndarray, int]]:
+        """Stage frames from any (idx, packet) iterable (e.g. a live
+        SensorPacketSource): the TPU ingest path for streaming sources."""
+        current: List[np.ndarray] = []
+        current_fid: Optional[int] = None
+        first_ts = 0
+        pkt_size = self.pf.lidar_packet_size
+        from ..ops.unpack import frame_words_from_packets
+
+        for _, p in packets:
+            if p.type().value != "Lidar" or p.buf.size != pkt_size:
+                continue
+            fid = self.pf.frame_id(p.buf)
+            if current_fid is None:
+                current_fid, first_ts = fid, p.host_timestamp
+            if fid != current_fid:
+                yield (current_fid,
+                       frame_words_from_packets(current, self.plan),
+                       first_ts)
+                current, current_fid, first_ts = [], fid, p.host_timestamp
+            current.append(p.buf)
+        if current:
+            yield (current_fid,
+                   frame_words_from_packets(current, self.plan), first_ts)
+
     def read_all(self, max_frames: int = 0) -> Tuple[np.ndarray, np.ndarray]:
         """Stack all frames into a (B, n_pkts, pkt_words) batch ready for
         the batched device kernels; returns (batch, frame_ids)."""
