@@ -846,5 +846,18 @@ class OsfScanSource(ScanSource):
             counts[idx] += 1
         return counts
 
+    def full_index(self) -> List[List[Tuple[int, int]]]:
+        """Per-sensor (timestamp, scan_index) pairs
+        (ref: scan_source.h full_index)."""
+        out: List[List[Tuple[int, int]]] = [[] for _ in self.sensor_info]
+        counters = [0] * len(self.sensor_info)
+        for idx, msg in self._msg_index:
+            out[idx].append((msg.ts, counters[idx]))
+            counters[idx] += 1
+        return out
+
+    def time_range(self) -> Tuple[int, int]:
+        return self._reader.start_ts, self._reader.end_ts
+
     def close(self) -> None:
         self._reader.close()

@@ -117,6 +117,16 @@ class PcapScanSource(ScanSource):
             raise TypeError("source is not indexed")
         return [len(c) for c in self._scan_cache]
 
+    def full_index(self) -> List[List[Tuple[int, int]]]:
+        """Per-sensor (timestamp, scan_index) pairs
+        (ref: indexed_pcap_reader.h:28-101 frame index)."""
+        if self._scan_cache is None:
+            raise TypeError("source is not indexed")
+        return [[(int(s.first_valid_packet_timestamp()
+                      or s.first_valid_column_timestamp()), i)
+                 for i, s in enumerate(lst)]
+                for lst in self._scan_cache]
+
     def close(self) -> None:
         self._packets.close()
 
