@@ -301,3 +301,46 @@ int64_t onat_stage_frame(const uint8_t* payloads, const int64_t* offsets,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// UDP batch receive (live ingest fast path)
+// ---------------------------------------------------------------------------
+
+#include <sys/socket.h>
+#include <sys/time.h>
+#include <time.h>
+
+extern "C" {
+
+// Drain up to max_msgs datagrams from a non-blocking UDP socket with
+// recvmmsg (ref: the reference's socket recv loop,
+// sensor_packet_source.cpp:343-548; batching amortizes syscall cost at
+// high packet rates). Returns the number received; payloads are packed
+// back-to-back at `stride` bytes with per-message sizes and a single
+// host timestamp (ns) for the batch written to *ts_ns.
+int64_t onat_udp_recv_batch(int fd, uint8_t* payloads, int64_t stride,
+                            int64_t max_msgs, int64_t* sizes,
+                            uint64_t* ts_ns) {
+    if (max_msgs > 1024) max_msgs = 1024;
+    static thread_local std::vector<mmsghdr> hdrs;
+    static thread_local std::vector<iovec> iovs;
+    hdrs.resize(max_msgs);
+    iovs.resize(max_msgs);
+    for (int64_t i = 0; i < max_msgs; i++) {
+        iovs[i].iov_base = payloads + i * stride;
+        iovs[i].iov_len = stride;
+        std::memset(&hdrs[i], 0, sizeof(mmsghdr));
+        hdrs[i].msg_hdr.msg_iov = &iovs[i];
+        hdrs[i].msg_hdr.msg_iovlen = 1;
+    }
+    int n = recvmmsg(fd, hdrs.data(), (unsigned)max_msgs, MSG_DONTWAIT,
+                     nullptr);
+    if (n <= 0) return 0;
+    timespec t;
+    clock_gettime(CLOCK_REALTIME, &t);
+    *ts_ns = (uint64_t)t.tv_sec * 1000000000ULL + (uint64_t)t.tv_nsec;
+    for (int i = 0; i < n; i++) sizes[i] = hdrs[i].msg_len;
+    return n;
+}
+
+}  // extern "C"

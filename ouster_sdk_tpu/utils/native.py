@@ -70,6 +70,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.onat_stage_frame.argtypes = [
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_int64, c.c_int64, c.c_void_p, c.c_int64]
+        lib.onat_udp_recv_batch.restype = c.c_int64
+        lib.onat_udp_recv_batch.argtypes = [
+            c.c_int, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
+            c.c_void_p]
         _lib = lib
         return _lib
 
@@ -138,3 +142,20 @@ def stage_frame(payloads: np.ndarray, offsets: np.ndarray,
         _ptr(np.ascontiguousarray(sizes, np.int64)), len(offsets),
         pkt_bytes, mid_off, cols_per_packet, _ptr(frame), n_slots)
     return frame
+
+
+def udp_recv_batch(sock, stride: int, max_msgs: int = 256):
+    """Batched recvmmsg drain of a non-blocking UDP socket; returns
+    (payload_buffer (max_msgs, stride) u8, sizes i64 (n,), ts_ns) or None
+    when native is unavailable or nothing pending."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.empty((max_msgs, stride), dtype=np.uint8)
+    sizes = np.empty(max_msgs, dtype=np.int64)
+    ts = np.zeros(1, dtype=np.uint64)
+    n = lib.onat_udp_recv_batch(sock.fileno(), _ptr(buf), stride, max_msgs,
+                                _ptr(sizes), _ptr(ts))
+    if n <= 0:
+        return None
+    return buf[:n], sizes[:n], int(ts[0])
