@@ -81,6 +81,7 @@ class SensorPacketSource:
             self._infos.append(info)
 
         self._formats = [PacketFormat.from_info(i) for i in self._infos]
+        self._drained: list = []
         self._buffer: Optional[queue.deque] = None
         self._buffer_time = buffer_time_sec
         self._stop = threading.Event()
@@ -129,6 +130,9 @@ class SensorPacketSource:
                    ) -> Tuple[Optional[int], Optional[Packet]]:
         import select as _select
 
+        if self._drained:
+            return self._drained.pop(0)
+
         socks = {}
         for i, c in enumerate(self._clients):
             socks[c.lidar_sock] = i
@@ -138,6 +142,22 @@ class SensorPacketSource:
         readable, _, _ = _select.select(list(socks), [], [], timeout_sec)
         for s in readable:
             idx = socks[s]
+            # high-rate path: drain the socket in one recvmmsg syscall
+            # (ref: sensor_packet_source.cpp recv loop; native batching
+            # amortizes syscall cost at multi-kHz packet rates)
+            from ..utils import native
+
+            batch = native.udp_recv_batch(s, stride=65536, max_msgs=64)
+            if batch is not None:
+                bufs, sizes, ts = batch
+                for k in range(len(sizes)):
+                    pkt = self._classify(
+                        idx, bufs[k, :sizes[k]].tobytes(), ts)
+                    if pkt is not None:
+                        self._drained.append((idx, pkt))
+                if self._drained:
+                    return self._drained.pop(0)
+                continue
             try:
                 data = s.recv(65536)
             except BlockingIOError:
