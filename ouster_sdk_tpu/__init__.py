@@ -33,7 +33,9 @@ from .core.packets import (  # noqa: F401
 )
 from .core.metadata import (  # noqa: F401
     ValidatorIssues,
+    parse_and_validate_config,
     parse_and_validate_metadata,
+    parse_config,
     sensor_info_from_metadata,
 )
 from .ops.packet_format import PacketFormat, PacketWriter  # noqa: F401

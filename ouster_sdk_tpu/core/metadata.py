@@ -684,3 +684,31 @@ def sensor_info_from_metadata(json_data: Union[str, Dict[str, Any]]
             "Errors parsing metadata: "
             + "; ".join(e.to_string() for e in issues.critical))
     return info
+
+
+def parse_and_validate_config(json_data: Union[str, Dict[str, Any]]
+                              ) -> Tuple[SensorConfig, ValidatorIssues]:
+    """Parse a bare config_params json into a SensorConfig
+    (ref: metadata.cpp:1062-1080 parse_and_validate_config)."""
+    issues = ValidatorIssues()
+    if isinstance(json_data, str):
+        try:
+            cfg_root = json.loads(json_data)
+        except json.JSONDecodeError as e:
+            issues.critical.append(ValidatorEntry("$", f"Invalid JSON: {e}"))
+            return SensorConfig(), issues
+    else:
+        cfg_root = json_data
+    config = SensorConfig()
+    p = _Parser({"config_params": cfg_root}, issues)
+    _parse_config_params(p, config)
+    for k, v in (cfg_root or {}).items():
+        if k not in _KNOWN_CONFIG_KEYS:
+            config.extra_options[k] = v
+    return config, issues
+
+
+def parse_config(json_data: Union[str, Dict[str, Any]]) -> SensorConfig:
+    """(ref: metadata.cpp parse_config)"""
+    config, _ = parse_and_validate_config(json_data)
+    return config
