@@ -27,6 +27,16 @@ from ..ops.packet_format import PacketFormat, read_bits
 from ..ops.profiles import FieldInfo
 
 
+def _to_scan_dtype(vals: np.ndarray, dtype: np.dtype) -> np.ndarray:
+    """Packet value -> scan field dtype. Float targets take the raw bit
+    pattern (the reference reinterprets RGB u16 as float16,
+    ref: lidar_scan.cpp:1084-1097), integer targets cast."""
+    if np.issubdtype(dtype, np.floating):
+        src = {2: np.uint16, 4: np.uint32, 8: np.uint64}[dtype.itemsize]
+        return np.ascontiguousarray(vals.astype(src, copy=False)).view(dtype)
+    return vals.astype(dtype, copy=False)
+
+
 def _frame_status(thermal_shutdown: int, shot_limiting: int) -> int:
     """(ref: lidar_scan.cpp:1101-1116)"""
     res = (thermal_shutdown & 0x0F) << FRAME_STATUS_THERMAL_SHUTDOWN_SHIFT
@@ -211,11 +221,10 @@ class ScanBatcher:
                     [read_bits(px, info, element=e)
                      for e in range(info.num_elements)], axis=-1)
                 # (cols, pixels, n) -> (pixels, cols, n)
-                out[name] = np.swapaxes(vals, 0, 1).astype(
-                    tgt.dtype, copy=False)
+                vals = np.swapaxes(vals, 0, 1)
+                out[name] = _to_scan_dtype(vals, tgt.dtype)
             else:
-                out[name] = read_bits(px, info).T.astype(tgt.dtype,
-                                                         copy=False)
+                out[name] = _to_scan_dtype(read_bits(px, info).T, tgt.dtype)
         return out
 
     def _parse_by_block(self, ls: LidarScan, m_ids, timestamps, statuses,

@@ -478,7 +478,7 @@ class PacketWriter(PacketFormat):
             self.columns_per_packet, cw)
         px = cols[:, chw:chw + self.pixels_per_column * pw].reshape(
             self.columns_per_packet, self.pixels_per_column, pw)
-        vals = np.asarray(values).T  # -> (cols, pixels)
+        vals = np.swapaxes(np.asarray(values), 0, 1)  # -> (cols, pixels, ...)
         if info.num_elements > 1:
             for e in range(info.num_elements):
                 write_bits(px, info, vals[..., e], element=e)
