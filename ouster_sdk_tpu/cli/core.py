@@ -356,6 +356,10 @@ def discover(timeout):
 
 
 def main() -> None:
+    # register the extra command set (osf/sensor groups, convert, mask,
+    # replay, ...) regardless of which entry point was used
+    from . import extra  # noqa: F401
+
     cli()
 
 
