@@ -86,6 +86,17 @@ _METADATA_ENTRY_LIDAR_SENSOR = "ouster/v1/os_sensor/LidarSensor"
 _METADATA_ENTRY_LIDAR_SCAN_STREAM = "ouster/v1/os_sensor/LidarScanStream"
 _METADATA_ENTRY_EXTRINSICS = "ouster/v1/os_sensor/Extrinsics"
 _METADATA_ENTRY_STREAMING_INFO = "ouster/v1/streaming/StreamingInfo"
+_METADATA_ENTRY_COLLATION_STREAM = "ouster/v1/os_sensor/CollationStream"
+
+#: marks "no scan from this sensor" in a collation
+#: (ref: collation_stream.h:97 INVALID_SCAN_ID)
+INVALID_SCAN_ID: Tuple[int, int] = (0xFFFF, 0)
+
+# ScanID struct: u32 sensor_id @0, u64 scan_idx @8 (size 16, align 8)
+# (ref: fb/os_sensor/collation_stream.fbs:5-8)
+_SCAN_ID_NP = np.dtype({"names": ["sensor_id", "scan_idx"],
+                        "formats": [np.uint32, np.uint64],
+                        "offsets": [0, 8], "itemsize": 16})
 
 
 def _block_crc_ok(block: memoryview) -> bool:
@@ -360,6 +371,68 @@ def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
 
 
 # ---------------------------------------------------------------------------
+# CollationMsg codec (ref: ouster_osf/src/collation_stream.cpp,
+# fb/os_sensor/collation_stream.fbs)
+# ---------------------------------------------------------------------------
+
+def encode_collation_msg(scan_ids: List[Tuple[int, int]],
+                         set_fields: Optional[Dict[str, np.ndarray]] = None
+                         ) -> bytes:
+    """(sensor_id, scan_idx) list + set-level fields -> CollationMsg
+    flatbuffer (ref: collation_stream.cpp create_collation_msg)."""
+    b = fb.Builder()
+    packed = b"".join(struct.pack("<I4xQ", sid, idx)
+                      for sid, idx in scan_ids)
+    ids_vec = b.vector_structs(packed, len(scan_ids), align=8)
+
+    field_offs = []
+    for name in sorted(set_fields or {}):
+        arr = np.asarray(set_fields[name])
+        name_off = b.string(name)
+        shape_off = b.vector_scalar(list(arr.shape), np.uint64)
+        data_off = b.vector_bytes(np.ascontiguousarray(arr).tobytes())
+        b.start_table()
+        b.slot_offset(0, name_off)
+        tag = 30 if arr.dtype.names is not None else \
+            _DTYPE_TO_TYPE.get(arr.dtype, 1)
+        b.slot_scalar(1, "B", tag)
+        b.slot_offset(2, shape_off)
+        b.slot_scalar(3, "q", 4)  # SCAN_FIELD
+        b.slot_offset(4, data_off)
+        b.slot_scalar(5, "Q", arr.nbytes)
+        field_offs.append(b.end_table())
+    fields_vec = b.vector_offsets(field_offs) if field_offs else None
+
+    b.start_table()
+    b.slot_offset(0, ids_vec)
+    if fields_vec:
+        b.slot_offset(1, fields_vec)
+    root = b.end_table()
+    return b.finish(root, size_prefix=True)
+
+
+def decode_collation_msg(buf: bytes) -> Tuple[List[Tuple[int, int]],
+                                              Dict[str, np.ndarray]]:
+    """CollationMsg flatbuffer -> ((sensor_id, scan_idx) list, set fields)
+    (ref: collation_stream.cpp decode_msg)."""
+    t = fb.root_auto(buf)
+    ids = t.vector_np(0, _SCAN_ID_NP)
+    scan_ids = [(int(r["sensor_id"]), int(r["scan_idx"])) for r in ids]
+    set_fields: Dict[str, np.ndarray] = {}
+    for ft_tbl in t.vector_tables(1):
+        name = ft_tbl.string(0)
+        tag = ft_tbl.scalar(1, "B")
+        shape = tuple(int(x) for x in ft_tbl.vector_np(2, np.uint64))
+        payload = ft_tbl.vector_bytes(4)
+        dtype = _TYPE_TO_DTYPE.get(tag, np.dtype(np.uint8))
+        arr = np.frombuffer(payload, dtype=dtype)
+        if shape:
+            arr = arr.reshape(shape)
+        set_fields[name] = arr
+    return scan_ids, set_fields
+
+
+# ---------------------------------------------------------------------------
 # Reader
 # ---------------------------------------------------------------------------
 
@@ -414,6 +487,7 @@ class Reader:
         self._sensor_meta_ids: List[int] = []
         self.scan_streams: Dict[int, int] = {}  # stream id -> sensor meta id
         self.stream_sensor_idx: Dict[int, int] = {}
+        self.collation_stream_id: Optional[int] = None
         for ent in sorted(self.entries.values(), key=lambda e: e.id):
             if ent.type == _METADATA_ENTRY_LIDAR_SENSOR:
                 tbl = fb.root_auto(ent.buffer)
@@ -428,6 +502,8 @@ class Reader:
                 if sensor_meta_id in self._sensor_meta_ids:
                     self.stream_sensor_idx[ent.id] = \
                         self._sensor_meta_ids.index(sensor_meta_id)
+            elif ent.type == _METADATA_ENTRY_COLLATION_STREAM:
+                self.collation_stream_id = ent.id
             elif ent.type == _METADATA_ENTRY_EXTRINSICS:
                 tbl = fb.root_auto(ent.buffer)
                 ext = tbl.vector_np(0, np.float64)
@@ -498,6 +574,7 @@ class Writer:
         self._chunk_info: List[Tuple[int, int, int]] = []  # off,stream,count
         self._stream_stats: Dict[int, Dict[str, Any]] = {}
         self._chunks_written = 0
+        self._collation_stream_id: Optional[int] = None
         self._start_ts: Optional[int] = None
         self._end_ts: int = 0
         self._closed = False
@@ -596,6 +673,56 @@ class Writer:
         ts_sensor = scan.first_valid_column_timestamp()
         self.save_message(self._stream_ids[sensor_idx], int(ts),
                           int(ts_sensor), msg)
+
+    def save_set(self, ls_set: LidarScanSet) -> None:
+        """Save a collated LidarScanSet: each scan goes to its sensor's
+        stream, then a CollationMsg recording (sensor_id, scan_idx) pairs +
+        the set-level fields goes to the collation stream
+        (ref: writer.cpp:284-335 Writer::save(LidarScanSet)).
+
+        Readers with collation support reconstruct the exact same grouping;
+        older readers just see the per-sensor scan streams.
+        """
+        if self._closed:
+            raise RuntimeError("writer is closed")
+        if len(ls_set) != len(self._sensors):
+            raise ValueError(
+                "scan set size does not match number of sensor infos")
+        if self._collation_stream_id is None:
+            # lazily register the collation stream metadata entry; the
+            # CollationStream table itself carries no data
+            b = fb.Builder()
+            b.start_table()
+            root = b.end_table()
+            self._collation_stream_id = self._next_meta_id
+            self._next_meta_id += 1
+            self._meta_entries.append(MetadataEntry(
+                self._collation_stream_id, _METADATA_ENTRY_COLLATION_STREAM,
+                b.finish(root, b"oCSt", size_prefix=True)))
+
+        scan_ids: List[Tuple[int, int]] = []
+        min_packet_ts = None
+        for i, scan in enumerate(ls_set):
+            if scan is None:
+                scan_ids.append(INVALID_SCAN_ID)
+                continue
+            packet_ts = scan.first_valid_packet_timestamp()
+            if packet_ts == 0:
+                # collation replay keys messages on receive timestamps
+                raise RuntimeError(
+                    "Tried saving collation with scans having no valid "
+                    "packet timestamps")
+            min_packet_ts = packet_ts if min_packet_ts is None \
+                else min(min_packet_ts, packet_ts)
+            self.save(i, scan, ts=packet_ts)
+            # scan_idx = message index within this sensor's stream
+            count = self._stream_stats[self._stream_ids[i]]["count"]
+            scan_ids.append((i, count - 1))
+
+        msg = encode_collation_msg(
+            scan_ids, {n: ls_set.field(n) for n in ls_set.fields})
+        self.save_message(self._collation_stream_id, int(min_packet_ts or 0),
+                          0, msg)
 
     def save_message(self, stream_id: int, ts: int, ts_sensor: int,
                      buffer: bytes) -> None:
@@ -760,14 +887,22 @@ class AsyncWriter:
             raise RuntimeError("async writer failed") from self._exc
         self._q.put(("save", sensor_idx, scan, ts))
 
+    def save_set(self, ls_set: LidarScanSet) -> None:
+        if self._exc:
+            raise RuntimeError("async writer failed") from self._exc
+        self._q.put(("save_set", ls_set, None, None))
+
     def _run(self) -> None:
         while True:
             item = self._q.get()
             if item is None:
                 return
             try:
-                _, idx, scan, ts = item
-                self._writer.save(idx, scan, ts)
+                op, a, scan, ts = item
+                if op == "save_set":
+                    self._writer.save_set(a)
+                else:
+                    self._writer.save(a, scan, ts)
             except BaseException as e:  # noqa: BLE001
                 self._exc = e
                 return
@@ -794,16 +929,49 @@ class OsfScanSource(ScanSource):
     """Indexed ScanSource over an OSF file (ref: osf_scan_source.cpp)."""
 
     def __init__(self, path: str, *, field_names: Optional[List[str]] = None,
-                 extrinsics=None, extrinsics_file=None, index: bool = True):
+                 extrinsics=None, extrinsics_file=None, index: bool = True,
+                 read_collations: bool = True):
         self._reader = Reader(path)
         infos = self._reader.sensor_info
         populate_extrinsics(infos, extrinsics, extrinsics_file)
         super().__init__(infos)
         self._field_names = field_names
         self._msg_index: List[Tuple[int, MessageRef]] = []
+        self._collation_index: List[MessageRef] = []
+        coll_id = self._reader.collation_stream_id if read_collations else None
         for msg in self._reader.messages():
             if msg.is_lidar_scan():
                 self._msg_index.append((msg.sensor_idx, msg))
+            elif coll_id is not None and msg.id == coll_id:
+                self._collation_index.append(msg)
+        # per-sensor message lists in stream order, for scan_idx resolution
+        # (ref: osf_scan_source.cpp:178-201 resolve_scan_)
+        self._per_sensor: List[List[MessageRef]] = \
+            [[] for _ in self.sensor_info]
+        for idx, msg in self._msg_index:
+            self._per_sensor[idx].append(msg)
+
+    def is_collated(self) -> bool:
+        """True when the file records explicit scan groupings
+        (ref: osf_scan_source.cpp:564)."""
+        return len(self._collation_index) > 0
+
+    def _resolve_collation(self, msg: MessageRef) -> LidarScanSet:
+        scan_ids, set_fields = decode_collation_msg(msg.buffer)
+        scans: List[Optional[LidarScan]] = []
+        for sid, scan_idx in scan_ids:
+            if (sid, scan_idx) == INVALID_SCAN_ID or \
+                    sid >= len(self._per_sensor):
+                scans.append(None)
+                continue
+            lst = self._per_sensor[sid]
+            if scan_idx >= len(lst):
+                raise IndexError("Tried accessing scan beyond index range")
+            scans.append(lst[scan_idx].decode(self._field_names))
+        out = LidarScanSet(scans)
+        for name, arr in set_fields.items():
+            out.add_field(name, arr)
+        return out
 
     @property
     def is_indexed(self) -> bool:
@@ -816,29 +984,33 @@ class OsfScanSource(ScanSource):
                 yield idx, scan
 
     def _iter_sets(self):
+        if self.is_collated():
+            # replay the writer's recorded groupings exactly
+            return (self._resolve_collation(m)
+                    for m in self._collation_index)
         return collate_scans(self._iter_scans(), len(self.sensor_info))
 
     def __len__(self) -> int:
+        if self.is_collated():
+            return len(self._collation_index)
         counts: Dict[int, int] = {}
         for idx, _ in self._msg_index:
             counts[idx] = counts.get(idx, 0) + 1
         return max(counts.values(), default=0)
 
     def __getitem__(self, i) -> LidarScanSet:
-        per_sensor: List[List[MessageRef]] = \
-            [[] for _ in self.sensor_info]
-        for idx, msg in self._msg_index:
-            per_sensor[idx].append(msg)
-        n = max((len(x) for x in per_sensor), default=0)
+        n = len(self)
         if isinstance(i, slice):
             return [self[j] for j in range(*i.indices(n))]
         if i < 0:
             i += n
         if not 0 <= i < n:
             raise IndexError(i)
+        if self.is_collated():
+            return self._resolve_collation(self._collation_index[i])
         return LidarScanSet([
             lst[i].decode(self._field_names) if i < len(lst) else None
-            for lst in per_sensor])
+            for lst in self._per_sensor])
 
     def scans_num(self) -> List[int]:
         counts = [0] * len(self.sensor_info)

@@ -74,10 +74,19 @@ def _save_osf(path, infos, scan_sets, fields) -> int:
                 fts = [ft for ft in fts if ft.name in fields]
             ids.append(w.add_sensor(info, fts))
         for ls_set in scan_sets:
-            for idx, scan in enumerate(ls_set):
-                if scan is not None:
-                    w.save(ids[idx], scan)
-                    n += 1
+            valid = [s for s in ls_set if s is not None]
+            # record the grouping as a collation when packet timestamps
+            # allow it (ref: writer.cpp:284 Writer::save(LidarScanSet));
+            # otherwise fall back to plain per-sensor saves
+            if len(ls_set) == len(infos) and valid and all(
+                    s.first_valid_packet_timestamp() for s in valid):
+                w.save_set(ls_set)
+                n += len(valid)
+            else:
+                for idx, scan in enumerate(ls_set):
+                    if scan is not None:
+                        w.save(ids[idx], scan)
+                        n += 1
     return n
 
 

@@ -61,6 +61,26 @@ class LidarScanSet:
 
     def __init__(self, scans: Sequence[Optional[LidarScan]]):
         self._scans: List[Optional[LidarScan]] = list(scans)
+        # set-level fields (ref: lidar_scan_set.h add_field/field) — extra
+        # arrays attached to the collation itself, not to any one scan
+        self._fields: Dict[str, np.ndarray] = {}
+
+    @property
+    def fields(self) -> List[str]:
+        return sorted(self._fields)
+
+    def field(self, name: str) -> np.ndarray:
+        return self._fields[name]
+
+    def add_field(self, name: str, arr) -> np.ndarray:
+        self._fields[name] = np.asarray(arr)
+        return self._fields[name]
+
+    def del_field(self, name: str) -> None:
+        del self._fields[name]
+
+    def has_field(self, name: str) -> bool:
+        return name in self._fields
 
     def __len__(self) -> int:
         return len(self._scans)
