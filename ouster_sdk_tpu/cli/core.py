@@ -68,8 +68,12 @@ def cli() -> None:
 @click.option("--meta", "-m", multiple=True, help="metadata json path(s)")
 @click.option("--soft-id-check", is_flag=True, default=False)
 @click.option("--extrinsics-file", default=None)
+@click.option("--allow-major-version-mismatch", is_flag=True, default=False,
+              help="read files from newer SDK major versions best-effort "
+                   "instead of refusing")
 @click.pass_context
-def source(ctx, url, meta, soft_id_check, extrinsics_file):
+def source(ctx, url, meta, soft_id_check, extrinsics_file,
+           allow_major_version_mismatch):
     """Operate on a sensor / pcap / osf / bag source with chained
     commands."""
     opts = {}
@@ -79,6 +83,13 @@ def source(ctx, url, meta, soft_id_check, extrinsics_file):
         opts["soft_id_check"] = True
     if extrinsics_file:
         opts["extrinsics_file"] = extrinsics_file
+    if allow_major_version_mismatch:
+        # downgrade fatal version errors to printed warnings
+        # (ref: plugins/source.py:1588 allow_major_version_mismatch)
+        def error_handler(severity, msg):
+            click.echo(f"{severity.value}: {msg}", err=True)
+
+        opts["error_handler"] = error_handler
     ctx.obj = SourcePipeline(url, **opts)
 
 

@@ -24,6 +24,11 @@ from typing import Any, Dict, Iterator, List, Optional, Tuple, Union
 import numpy as np
 
 from ..core.constants import ChanField
+from ..core.error_handler import (
+    ErrorHandler,
+    Severity,
+    default_error_handler,
+)
 from ..core.field import FieldClass, FieldType
 from ..core.lidar_scan import LidarScan, get_field_types
 from ..core.metadata import sensor_info_from_metadata
@@ -141,7 +146,8 @@ class MessageRef:
         if not self.is_lidar_scan():
             return None
         info = self.reader.sensor_info[self.sensor_idx]
-        return decode_lidar_scan_msg(self.buffer, info, fields)
+        return decode_lidar_scan_msg(self.buffer, info, fields,
+                                     self.reader.error_handler)
 
 
 # ---------------------------------------------------------------------------
@@ -279,9 +285,14 @@ def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
 
 
 def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
-                          fields: Optional[List[str]] = None) -> LidarScan:
+                          fields: Optional[List[str]] = None,
+                          error_handler: Optional[ErrorHandler] = None
+                          ) -> LidarScan:
     """LidarScanMsg flatbuffer -> LidarScan
-    (ref: stream_lidar_scan.cpp restore_lidar_scan)."""
+    (ref: stream_lidar_scan.cpp restore_lidar_scan). Undecodable or
+    unsupported fields are skipped through ``error_handler`` as WARNINGs
+    (ref: fb_common.cpp:249-331 fb_restore_fields)."""
+    handler = error_handler or default_error_handler
     t = fb.root_auto(buf)
     h = info.format.pixels_per_column
     w = info.format.columns_per_frame
@@ -297,11 +308,19 @@ def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
         name = _CHAN_FIELD_TO_NAME.get(int(spec["f"]))
         dtype = _TYPE_TO_DTYPE.get(int(spec["t"]))
         if name is None or dtype is None:
+            handler(Severity.WARNING,
+                    f"Skipping channel with unsupported spec "
+                    f"(field={int(spec['f'])} tag={int(spec['t'])})")
             continue
         if fields is not None and name not in fields:
             continue
         data = channels[i].vector_bytes(0)
-        img = _decode_channel(data)
+        try:
+            img = _decode_channel(data)
+        except (ValueError, RuntimeError, zlib.error, struct.error) as e:
+            handler(Severity.WARNING,
+                    f"Skipping field '{name}': {e}")
+            continue
         arr = _stagger(px_offset, img).view(dtype).astype(dtype, copy=False)
         field_types.append(FieldType(name, dtype, (), FieldClass.PIXEL_FIELD))
         arrays[name] = arr
@@ -323,11 +342,23 @@ def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
                                 count=shape[0] if shape else -1)
             dtype = ZONE_STATE_DTYPE
         else:
-            dtype = _TYPE_TO_DTYPE.get(tag, np.dtype(np.uint8))
+            dtype = _TYPE_TO_DTYPE.get(tag)
+            if dtype is None:
+                # field from a newer SDK version (ref: fb_common.cpp:290)
+                handler(Severity.WARNING,
+                        f"Skipping field '{name}' with unsupported type "
+                        f"(tag={tag})")
+                continue
             if len(shape) >= 2 and (
                     payload[:8] == b"\x89PNG\r\n\x1a\n"
                     or zpng_codec.is_zpng(payload)):
-                img = _decode_channel(payload)
+                try:
+                    img = _decode_channel(payload)
+                except (ValueError, RuntimeError, zlib.error,
+                        struct.error) as e:
+                    handler(Severity.WARNING,
+                            f"Skipping field '{name}': {e}")
+                    continue
                 arr = img.reshape(shape[0], -1).view(dtype).reshape(shape)
             else:
                 arr = np.frombuffer(payload, dtype=dtype)
@@ -437,10 +468,18 @@ def decode_collation_msg(buf: bytes) -> Tuple[List[Tuple[int, int]],
 # ---------------------------------------------------------------------------
 
 class Reader:
-    """OSF file reader (ref: reader.h:246)."""
+    """OSF file reader (ref: reader.h:246, reader_base.cpp:34-66).
 
-    def __init__(self, path: str):
+    ``error_handler(severity, message)`` receives recoverable problems
+    (schema version skew, corrupt chunks, undecodable fields); the default
+    logs WARNINGs and raises on ERROR, matching the reference default
+    (ref: error_handler.cpp:12)."""
+
+    def __init__(self, path: str,
+                 error_handler: Optional[ErrorHandler] = None):
         self._path = path
+        self.error_handler: ErrorHandler = \
+            error_handler or default_error_handler
         with open(path, "rb") as f:
             self._data = memoryview(f.read())
 
@@ -454,6 +493,21 @@ class Reader:
             raise ValueError("invalid OSF file: header CRC mismatch")
         hdr = fb.root_size_prefixed(self._data, HEADER_IDENT)
         self.version = hdr.scalar(0, "Q")
+        # schema version gate (ref: reader_base.cpp:39-66): a newer MAJOR
+        # is fatal (structural changes), a newer minor is best-effort
+        major = self.version // 10 if self.version >= 10 else 1
+        if major > OSF_VERSION // 10:
+            self.error_handler(Severity.ERROR, (
+                f"The OSF file was created with schema version "
+                f"{major}.{self.version % 10} but this reader supports up "
+                f"to major version {OSF_VERSION // 10}. The file will not "
+                f"be read to prevent possible misinterpretation."))
+        elif self.version > OSF_VERSION:
+            self.error_handler(Severity.WARNING, (
+                f"The OSF file was created with schema version "
+                f"{major}.{self.version % 10}, newer than this reader's "
+                f"{OSF_VERSION // 10}.{OSF_VERSION % 10}. Continuing in "
+                f"best-effort compatibility mode."))
         self.status = hdr.scalar(1, "B")
         self.metadata_offset = hdr.scalar(2, "Q", 1)
         self.file_length = hdr.scalar(3, "Q", 1)
@@ -530,7 +584,11 @@ class Reader:
         size = _U32.unpack_from(self._data, pos)[0]
         block = self._data[pos: pos + 4 + size + 4]
         if not _block_crc_ok(block):
-            raise ValueError(f"chunk CRC mismatch at offset {rel_offset}")
+            # a non-raising handler means "skip the corrupt chunk and keep
+            # going" (ref: reader.cpp:391-395)
+            self.error_handler(
+                Severity.ERROR, f"chunk CRC mismatch at offset {rel_offset}")
+            return []
         chunk = fb.root_size_prefixed(block, CHUNK_IDENT)
         out = []
         for m in chunk.vector_tables(0):
@@ -930,8 +988,9 @@ class OsfScanSource(ScanSource):
 
     def __init__(self, path: str, *, field_names: Optional[List[str]] = None,
                  extrinsics=None, extrinsics_file=None, index: bool = True,
-                 read_collations: bool = True):
-        self._reader = Reader(path)
+                 read_collations: bool = True,
+                 error_handler: Optional[ErrorHandler] = None):
+        self._reader = Reader(path, error_handler)
         infos = self._reader.sensor_info
         populate_extrinsics(infos, extrinsics, extrinsics_file)
         super().__init__(infos)

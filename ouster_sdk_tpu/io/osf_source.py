@@ -13,4 +13,5 @@ def _build_osf_scan_source(source: str, opts: ScanSourceOptions):
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
         index=opts.take("index"),
+        error_handler=opts.take("error_handler"),
     )

@@ -38,11 +38,12 @@ class PcapScanSource(ScanSource):
                  soft_id_check: bool = False,
                  index: bool = False,
                  extrinsics=None, extrinsics_file=None,
-                 field_names: Optional[List[str]] = None):
+                 field_names: Optional[List[str]] = None,
+                 error_handler=None):
         self._path = path
         self._packets = PcapPacketSource(
             path, metadata_paths=meta, sensor_infos=sensor_infos,
-            soft_id_check=soft_id_check)
+            soft_id_check=soft_id_check, error_handler=error_handler)
         infos = self._packets.sensor_info
         populate_extrinsics(infos, extrinsics, extrinsics_file)
         super().__init__(infos)
@@ -142,6 +143,7 @@ def _build_pcap_scan_source(source: str, opts: ScanSourceOptions):
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
         field_names=opts.take("field_names"),
+        error_handler=opts.take("error_handler"),
     )
 
 
@@ -152,4 +154,5 @@ def _build_pcap_packet_source(source: str, opts: ScanSourceOptions):
         metadata_paths=opts.take("meta"),
         sensor_infos=opts.take("sensor_info"),
         soft_id_check=bool(opts.take("soft_id_check")),
+        error_handler=opts.take("error_handler"),
     )

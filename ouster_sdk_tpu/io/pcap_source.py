@@ -70,8 +70,12 @@ class PcapPacketSource:
         metadata_paths: Optional[List[str]] = None,
         sensor_infos: Optional[List[SensorInfo]] = None,
         soft_id_check: bool = False,
+        error_handler=None,
     ):
+        from ..core.error_handler import logging_error_handler
+
         self._path = pcap_path
+        self._error_handler = error_handler or logging_error_handler
         if sensor_infos is not None:
             self._infos = list(sensor_infos)
         else:
@@ -151,6 +155,17 @@ class PcapPacketSource:
                     self.size_error_count += 1
                     continue
             yield idx, packet
+        # one summary report per pass, not one per bad packet
+        # (ref: pcap_scan_source.cpp end-of-stream id error warning)
+        if self.id_error_count:
+            from ..core.error_handler import Severity
+
+            self._error_handler(
+                Severity.WARNING,
+                f"{self._path}: {self.id_error_count} lidar packets with "
+                f"mismatched init_id/serial"
+                + (" (passed through: soft_id_check)"
+                   if self._soft_id_check else " (dropped)"))
 
     def close(self) -> None:
         pass

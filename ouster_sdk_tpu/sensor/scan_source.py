@@ -55,8 +55,12 @@ class SensorPacketSource:
         timeout: float = 60.0,
         buffer_time_sec: float = 0.0,
         soft_id_check: bool = False,
+        error_handler=None,
     ):
+        from ..core.error_handler import logging_error_handler
+
         self._soft_id_check = soft_id_check
+        self._error_handler = error_handler or logging_error_handler
         self._clients: List[Client] = []
         self._infos: List[SensorInfo] = []
         self.id_error_count = 0
@@ -106,6 +110,16 @@ class SensorPacketSource:
             res = p.validate(self._infos[idx], pf)
             if res == PacketValidationFailure.ID:
                 self.id_error_count += 1
+                # throttled: first mismatch, then every 100th, to avoid a
+                # per-packet log storm at 10 Gbit line rate
+                if self.id_error_count == 1 or \
+                        self.id_error_count % 100 == 0:
+                    from ..core.error_handler import Severity
+
+                    self._error_handler(
+                        Severity.WARNING,
+                        f"sensor {idx}: lidar packet init_id/serial "
+                        f"mismatch (count={self.id_error_count})")
                 if not self._soft_id_check:
                     return None
             return p

@@ -7,17 +7,20 @@ from ..io.sources import IoType, ScanSourceOptions, register_scan_source
 def _build_sensor_scan_source(source: str, opts: ScanSourceOptions):
     from .scan_source import SensorScanSource
 
+    cfg = opts.take("sensor_config")
+    timeout = opts.take("timeout")
     return SensorScanSource(
         [source],
         lidar_port=opts.take("lidar_port"),
         imu_port=opts.take("imu_port"),
         do_not_reinitialize=bool(opts.take("do_not_reinitialize")),
         no_auto_udp_dest=bool(opts.take("no_auto_udp_dest")),
-        timeout=opts.take("timeout"),
+        timeout=timeout if timeout is not None else 60.0,
         queue_size=opts.take("queue_size") or 2,
-        sensor_config=opts.take("sensor_config"),
+        configs=[cfg] if cfg is not None else None,
         sensor_info=opts.take("sensor_info"),
         soft_id_check=bool(opts.take("soft_id_check")),
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
+        error_handler=opts.take("error_handler"),
     )

@@ -52,9 +52,10 @@ def test_reject_bad_crc():
     path = os.path.join(OSF_DIR, "bad_crc32.osf")
     if not os.path.exists(path):
         pytest.skip("fixture missing")
-    with pytest.raises(ValueError):
+    with pytest.raises((ValueError, RuntimeError)):
         r = Reader(path)
-        # CRC errors may surface lazily during chunk iteration
+        # CRC errors may surface lazily during chunk iteration; the
+        # default error handler raises on ERROR severity
         for m in r.messages():
             m.decode()
 
@@ -72,9 +73,23 @@ def test_bad_encoding_rejected():
     path = os.path.join(OSF_DIR, "bad_encoding.osf")
     if not os.path.exists(path):
         pytest.skip("fixture missing")
-    r = Reader(path)
+    # default handler: undecodable channels are skipped with WARNINGs
+    # (ref: fb_common.cpp:305-331); a strict handler can escalate
+    from ouster_sdk_tpu.core.error_handler import Severity
+
+    seen = []
+    r = Reader(path, lambda sev, msg: seen.append((sev, msg)))
+    for m in r.messages():
+        m.decode()
+    assert seen and all(s == Severity.WARNING for s, _ in seen)
+    assert any("bad_encoding" in m for _, m in seen)
+
+    def strict(sev, msg):
+        raise ValueError(msg)
+
+    r2 = Reader(path, strict)
     with pytest.raises(ValueError):
-        for m in r.messages():
+        for m in r2.messages():
             m.decode()
 
 
