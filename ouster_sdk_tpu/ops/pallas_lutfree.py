@@ -16,9 +16,12 @@ Total table bytes: 6*3*h + 2*w floats ~ 16 KB at 128x2048 — VMEM-resident,
 so the kernel's HBM traffic is just range words in (4 B/px) + XYZ out
 (12 B/px): a ~3x lower bound than the LUT kernel.
 
-Precision: f32 evaluation (~r * 2.5e-7 error, i.e. ~2.5e-5 m at 100 m).
-The LUT-based dd kernel remains the "highest" precision path; DF sensors
-(per-pixel angle tables) don't factorize and also use the LUT path.
+Precision: unpack_project_lutfree evaluates in f32 (~r * 2.5e-7 error,
+i.e. ~2.5e-5 m at 100 m); unpack_project_lutfree_dd carries every table as
+an (hi, lo) double-single pair and runs the whole chain in error-free
+transforms, landing within 1 f32 ulp of the reference's f64 projection at
+the same 16 B/px HBM profile. DF sensors (per-pixel angle tables) don't
+factorize and use the LUT path.
 """
 
 from __future__ import annotations
@@ -95,27 +98,40 @@ class FactorTables:
 
         u = RANGE_UNIT
         # r (mm) multiplies dir: fold the unit into the dir tables; offsets
-        # are in mm as well -> scale both (ref: xyzlut.cpp:91-93)
-        self.P = jnp.asarray((u * P)[:, :, None], jnp.float32)  # (3, h, 1)
-        self.Q = jnp.asarray((u * Q)[:, :, None], jnp.float32)
-        self.S = jnp.asarray((u * S)[:, :, None], jnp.float32)
-        self.E = jnp.asarray((u * E)[:, :, None], jnp.float32)
-        self.F = jnp.asarray((u * F)[:, :, None], jnp.float32)
-        self.G = jnp.asarray((u * G)[:, :, None], jnp.float32)
+        # are in mm as well -> scale both (ref: xyzlut.cpp:91-93). Each
+        # table is carried as an (hi, lo) f32 pair: the f32 kernel reads
+        # only hi (hi == round(f64)), the dd kernel reads both.
+        from .precision import split_f64_array
+
+        def pair(x):
+            hi, lo = split_f64_array(x[:, :, None])
+            return jnp.asarray(hi), jnp.asarray(lo)
+
+        self.P, self.P_lo = pair(u * P)                         # (3, h, 1)
+        self.Q, self.Q_lo = pair(u * Q)
+        self.S, self.S_lo = pair(u * S)
+        self.E, self.E_lo = pair(u * E)
+        self.F, self.F_lo = pair(u * F)
+        self.G, self.G_lo = pair(u * G)
 
         col = np.arange(w, dtype=np.float64)
         theta_e = 2.0 * math.pi - col * (2.0 * math.pi / w)
-        self.ce = jnp.asarray(np.cos(theta_e)[None, :], jnp.float32)  # (1,w)
-        self.se = jnp.asarray(np.sin(theta_e)[None, :], jnp.float32)
+        ce_hi, ce_lo = split_f64_array(np.cos(theta_e)[None, :])
+        se_hi, se_lo = split_f64_array(np.sin(theta_e)[None, :])
+        self.ce, self.ce_lo = jnp.asarray(ce_hi), jnp.asarray(ce_lo)  # (1,w)
+        self.se, self.se_lo = jnp.asarray(se_hi), jnp.asarray(se_lo)
+
+    _LEAVES = ("P", "P_lo", "Q", "Q_lo", "S", "S_lo", "E", "E_lo",
+               "F", "F_lo", "G", "G_lo", "ce", "ce_lo", "se", "se_lo")
 
     def tree_flatten(self):
-        return ((self.P, self.Q, self.S, self.E, self.F, self.G,
-                 self.ce, self.se), None)
+        return (tuple(getattr(self, n) for n in self._LEAVES), None)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
-        (obj.P, obj.Q, obj.S, obj.E, obj.F, obj.G, obj.ce, obj.se) = children
+        for n, v in zip(cls._LEAVES, children):
+            setattr(obj, n, v)
         return obj
 
 
@@ -123,32 +139,9 @@ register_pytree_node(FactorTables, FactorTables.tree_flatten,
                      FactorTables.tree_unflatten)
 
 
-def _lutfree_kernel(rw_ref, ce_ref, se_ref, P_ref, Q_ref, S_ref, E_ref,
-                    F_ref, G_ref, xyz_ref, *, bit: int, size: int,
-                    upshift: int):
-    w0 = rw_ref[:]                                # (h, TW) u32
-    lo = w0 >> np.uint32(bit) if bit else w0
-    if size < 32:
-        lo = lo & np.uint32((1 << size) - 1)
-    if upshift:
-        lo = lo << np.uint32(upshift)
-    r = lo.astype(jnp.int32).astype(jnp.float32)[None]      # (1, h, TW)
-
-    ce = ce_ref[:][None]                          # (1, 1, TW)
-    se = se_ref[:][None]
-    dirs = ce * P_ref[:] + se * Q_ref[:] + S_ref[:]     # (3, h, TW)
-    off = ce * E_ref[:] + se * F_ref[:] + G_ref[:]
-    xyz = r * dirs + off
-    xyz_ref[:] = jnp.where(r != 0, xyz, jnp.float32(0))
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("plan", "tile_w", "interpret"))
-def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
-                           plan: DecodePlan, tile_w: int = 512,
-                           interpret: bool = False) -> jnp.ndarray:
-    """(B, n_pkts, pkt_words) u32 -> (B, 3, h, w) f32 with in-kernel
-    direction synthesis; single frames pass B=1."""
+def _prep_range_words(frames_words, plan):
+    """Shared preamble: strided RANGE word select + status masking done in
+    XLA (Mosaic can't reshape the lane dim), yielding (h, B*W) u32."""
     rng_plan = next(f for f in plan.fields if f.name == "RANGE")
     if rng_plan.bit + rng_plan.size > 32:
         raise NotImplementedError("word-spanning RANGE profile")
@@ -168,6 +161,41 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
     rng_words = jax.lax.slice_in_dim(cols, start, limit, stride=plan.pw,
                                      axis=1)
     rng_words = jnp.where(valid[:, None], rng_words, 0).T  # (h, B*W)
+    return rng_plan, rng_words, B, squeeze
+
+
+def _range_f32(rw_ref, bit: int, size: int, upshift: int):
+    w0 = rw_ref[:]                                # (h, TW) u32
+    lo = w0 >> np.uint32(bit) if bit else w0
+    if size < 32:
+        lo = lo & np.uint32((1 << size) - 1)
+    if upshift:
+        lo = lo << np.uint32(upshift)
+    # mm < 2^24: exactly representable in f32 (route via i32 for Mosaic)
+    return lo.astype(jnp.int32).astype(jnp.float32)[None]   # (1, h, TW)
+
+
+def _lutfree_kernel(rw_ref, ce_ref, se_ref, P_ref, Q_ref, S_ref, E_ref,
+                    F_ref, G_ref, xyz_ref, *, bit: int, size: int,
+                    upshift: int):
+    r = _range_f32(rw_ref, bit, size, upshift)    # (1, h, TW)
+
+    ce = ce_ref[:][None]                          # (1, 1, TW)
+    se = se_ref[:][None]
+    dirs = ce * P_ref[:] + se * Q_ref[:] + S_ref[:]     # (3, h, TW)
+    off = ce * E_ref[:] + se * F_ref[:] + G_ref[:]
+    xyz = r * dirs + off
+    xyz_ref[:] = jnp.where(r != 0, xyz, jnp.float32(0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "tile_w", "interpret"))
+def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
+                           plan: DecodePlan, tile_w: int = 512,
+                           interpret: bool = False) -> jnp.ndarray:
+    """(B, n_pkts, pkt_words) u32 -> (B, 3, h, w) f32 with in-kernel
+    direction synthesis; single frames pass B=1."""
+    rng_plan, rng_words, B, squeeze = _prep_range_words(frames_words, plan)
 
     # per-column factors tile with the batch like the LUT kernels
     ce = jnp.tile(tables.ce, (1, B))
@@ -202,5 +230,86 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
         interpret=interpret,
     )(rng_words, ce, se, tables.P, tables.Q, tables.S, tables.E,
       tables.F, tables.G)
+    out = jnp.moveaxis(out.reshape(3, plan.h, B, plan.w), 2, 0)
+    return out[0] if squeeze else out
+
+
+def _lutfree_dd_kernel(rw_ref, ce_ref, cel_ref, se_ref, sel_ref,
+                       P_ref, Pl_ref, Q_ref, Ql_ref, S_ref, Sl_ref,
+                       E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref,
+                       xyz_ref, *, bit: int, size: int, upshift: int):
+    """Double-single direction synthesis: every table is an (hi, lo) f32
+    pair and the whole r*dir + off chain runs in error-free-transform
+    arithmetic, so the output equals the f64 evaluation correctly rounded
+    to f32 (same contract as the LUT dd path, ops/xyzlut.py cartesian_dd;
+    ref: cartesian.h:36-69 cartesianT<double>)."""
+    from .precision import dd_add, dd_mul, dd_mul_f
+
+    r = _range_f32(rw_ref, bit, size, upshift)    # (1, h, TW) exact
+
+    ce, cel = ce_ref[:][None], cel_ref[:][None]   # (1, 1, TW)
+    se, sel = se_ref[:][None], sel_ref[:][None]
+
+    # dir = ce*P + se*Q + S, off = ce*E + se*F + G   (all dd)
+    dh, dl = dd_mul(ce, cel, P_ref[:], Pl_ref[:])
+    th, tl = dd_mul(se, sel, Q_ref[:], Ql_ref[:])
+    dh, dl = dd_add(dh, dl, th, tl)
+    dh, dl = dd_add(dh, dl, S_ref[:], Sl_ref[:])
+
+    oh, ol = dd_mul(ce, cel, E_ref[:], El_ref[:])
+    th, tl = dd_mul(se, sel, F_ref[:], Fl_ref[:])
+    oh, ol = dd_add(oh, ol, th, tl)
+    oh, ol = dd_add(oh, ol, G_ref[:], Gl_ref[:])
+
+    xh, xl = dd_mul_f(dh, dl, r)
+    xh, xl = dd_add(xh, xl, oh, ol)
+    xyz = xh + xl
+    xyz_ref[:] = jnp.where(r != 0, xyz, jnp.float32(0))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "tile_w", "interpret"))
+def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
+                              tables: FactorTables, plan: DecodePlan,
+                              tile_w: int = 512,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Precision variant of unpack_project_lutfree: same tiny-table HBM
+    profile (16 B/px in+out), output within 1 f32 ulp of the reference's
+    f64 projection instead of ~r*2.5e-7."""
+    rng_plan, rng_words, B, squeeze = _prep_range_words(frames_words, plan)
+
+    ce = jnp.tile(tables.ce, (1, B))
+    cel = jnp.tile(tables.ce_lo, (1, B))
+    se = jnp.tile(tables.se, (1, B))
+    sel = jnp.tile(tables.se_lo, (1, B))
+
+    tiles_per_frame = plan.w // tile_w
+    grid = (B * tiles_per_frame,)
+    kernel = functools.partial(_lutfree_dd_kernel, bit=rng_plan.bit,
+                               size=rng_plan.size,
+                               upshift=rng_plan.upshift)
+
+    mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
+
+    def spec(block, index_map):
+        if mem is not None:
+            return pl.BlockSpec(block, index_map, memory_space=mem)
+        return pl.BlockSpec(block, index_map)
+
+    col_spec = spec((1, tile_w), lambda j: (0, j))
+    row_spec = spec((3, plan.h, 1), lambda j: (0, 0, 0))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec((plan.h, tile_w), lambda j: (0, j)),
+                  col_spec, col_spec, col_spec, col_spec] + [row_spec] * 12,
+        out_specs=spec((3, plan.h, tile_w), lambda j: (0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((3, plan.h, B * plan.w),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rng_words, ce, cel, se, sel,
+      tables.P, tables.P_lo, tables.Q, tables.Q_lo,
+      tables.S, tables.S_lo, tables.E, tables.E_lo,
+      tables.F, tables.F_lo, tables.G, tables.G_lo)
     out = jnp.moveaxis(out.reshape(3, plan.h, B, plan.w), 2, 0)
     return out[0] if squeeze else out

@@ -59,6 +59,14 @@ def dd_mul_f(x_hi, x_lo, f):
     return fast_two_sum(p, e)
 
 
+def dd_mul(a_hi, a_lo, b_hi, b_lo):
+    """Full double-single product (the a_lo*b_lo term is below the result's
+    precision and dropped, per the standard Dekker recipe)."""
+    p, e = two_prod(a_hi, b_hi)
+    e = e + (a_hi * b_lo + a_lo * b_hi)
+    return fast_two_sum(p, e)
+
+
 def dd_add(x_hi, x_lo, y_hi, y_lo):
     s, e = two_sum(x_hi, y_hi)
     e = e + x_lo + y_lo

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from ouster_sdk_tpu import ChanField
 from ouster_sdk_tpu.io.frames import FrameReader
 from ouster_sdk_tpu.ops.pallas_lutfree import FactorTables, \
-    unpack_project_lutfree
+    unpack_project_lutfree, unpack_project_lutfree_dd
 from ouster_sdk_tpu.ops.unpack import decode_frame
 from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
 
@@ -37,6 +37,32 @@ def test_lutfree_matches_f64_lut():
     bound = np.maximum(3e-7 * np.maximum(r_m, 1.0) * 2, 2e-6)
     assert (err <= bound).all(), \
         f"max {err.max()}, worst rel {(err / np.maximum(r_m, 1e-9)).max()}"
+
+
+def test_lutfree_dd_within_one_ulp_of_f64():
+    """The dd variant must land within 1 f32 ulp of the f64 projection —
+    the same contract as the LUT dd path (ref: cartesian.h:36-69)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    fr = FrameReader(PCAP)
+    fid, words, ts = next(iter(fr))
+    tables = FactorTables(fr.info)
+    xyz = np.asarray(unpack_project_lutfree_dd(
+        jnp.asarray(words), tables, fr.plan, tile_w=128, interpret=True))
+    xyz = np.moveaxis(xyz, 0, -1)
+
+    rng = np.asarray(decode_frame(jnp.asarray(words),
+                                  fr.plan)[ChanField.RANGE])
+    ref = make_xyz_lut(fr.info)(rng)                        # f64 host path
+    ulp = np.spacing(np.abs(ref).astype(np.float32)).astype(np.float64)
+    err = np.abs(xyz.astype(np.float64) - ref)
+    assert (err <= ulp + 1e-12).all(), \
+        f"max ulp excess {(err / np.maximum(ulp, 1e-12)).max()}"
+    # and it must be strictly tighter than the f32 variant on this frame
+    xyz_f32 = np.asarray(unpack_project_lutfree(
+        jnp.asarray(words), tables, fr.plan, tile_w=128, interpret=True))
+    xyz_f32 = np.moveaxis(xyz_f32, 0, -1)
+    assert err.max() < np.abs(xyz_f32.astype(np.float64) - ref).max()
 
 
 def test_lutfree_rejects_df_sensors():
