@@ -139,12 +139,14 @@ register_pytree_node(FactorTables, FactorTables.tree_flatten,
                      FactorTables.tree_unflatten)
 
 
-def _prep_range_words(frames_words, plan):
-    """Shared preamble: strided RANGE word select + status masking done in
-    XLA (Mosaic can't reshape the lane dim), yielding (h, B*W) u32."""
-    rng_plan = next(f for f in plan.fields if f.name == "RANGE")
-    if rng_plan.bit + rng_plan.size > 32:
-        raise NotImplementedError("word-spanning RANGE profile")
+def _prep_pixel_words(frames_words, plan):
+    """Shared preamble: slice out the CONTIGUOUS per-column pixel-word
+    region -> (B*W, h*pw) u32 plus a (1, B*W) validity row. The per-pixel
+    word select (a stride-pw gather that XLA lowers to a slow lane
+    relayout over 100+ MB) and the (column, row) transpose both happen
+    INSIDE the kernel: transpose the VMEM tile with the xpose unit, then
+    split the sublane dim (h*pw, TW) -> (h, pw, TW) — a free reshape since
+    the lane dim is untouched — and index the word plane."""
     squeeze = frames_words.ndim == 2
     if squeeze:
         frames_words = frames_words[None]
@@ -155,30 +157,43 @@ def _prep_range_words(frames_words, plan):
     status = cols[:, plan.status_word] >> np.uint32(plan.status_bit)
     if plan.status_size < 32:
         status = status & np.uint32((1 << plan.status_size) - 1)
-    valid = (status & 1).astype(jnp.bool_)
-    start = plan.chw + rng_plan.word
-    limit = start + (plan.h - 1) * plan.pw + 1
-    rng_words = jax.lax.slice_in_dim(cols, start, limit, stride=plan.pw,
-                                     axis=1)
-    rng_words = jnp.where(valid[:, None], rng_words, 0).T  # (h, B*W)
-    return rng_plan, rng_words, B, squeeze
+    valid_row = (status & np.uint32(1))[None, :]            # (1, B*W)
+    pix = cols[:, plan.chw:plan.chw + plan.h * plan.pw]     # (B*W, h*pw)
+    return pix, valid_row, B, squeeze
 
 
-def _range_f32(rw_ref, bit: int, size: int, upshift: int):
-    w0 = rw_ref[:]                                # (h, TW) u32
-    lo = w0 >> np.uint32(bit) if bit else w0
+def _field_plan(plan, field):
+    fp = next(f for f in plan.fields if f.name == field)
+    if fp.bit + fp.size > 32:
+        raise NotImplementedError("word-spanning RANGE profile")
+    return fp
+
+
+def _range_f32(t3, v_ref, word: int, bit: int, size: int, upshift: int):
+    """(h, pw, TW) u32 word planes + (1, TW) validity -> (1, h, TW) f32
+    range in mm."""
+    lo = t3[:, word, :]                           # (h, TW) u32
+    if bit:
+        lo = lo >> np.uint32(bit)
     if size < 32:
         lo = lo & np.uint32((1 << size) - 1)
     if upshift:
         lo = lo << np.uint32(upshift)
+    lo = jnp.where(v_ref[:] != 0, lo, np.uint32(0))
     # mm < 2^24: exactly representable in f32 (route via i32 for Mosaic)
     return lo.astype(jnp.int32).astype(jnp.float32)[None]   # (1, h, TW)
 
 
-def _lutfree_kernel(rw_ref, ce_ref, se_ref, P_ref, Q_ref, S_ref, E_ref,
-                    F_ref, G_ref, xyz_ref, *, bit: int, size: int,
-                    upshift: int):
-    r = _range_f32(rw_ref, bit, size, upshift)    # (1, h, TW)
+def _pix_t3(pix_ref, h: int, pw: int):
+    """VMEM tile transpose + sublane split: (TW, h*pw) -> (h, pw, TW)."""
+    return pix_ref[:].T.reshape(h, pw, pix_ref.shape[0])
+
+
+def _lutfree_kernel(pix_ref, v_ref, ce_ref, se_ref, P_ref, Q_ref, S_ref,
+                    E_ref, F_ref, G_ref, xyz_ref, *, h: int, pw: int,
+                    word: int, bit: int, size: int, upshift: int):
+    t3 = _pix_t3(pix_ref, h, pw)
+    r = _range_f32(t3, v_ref, word, bit, size, upshift)   # (1, h, TW)
 
     ce = ce_ref[:][None]                          # (1, 1, TW)
     se = se_ref[:][None]
@@ -195,7 +210,8 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
                            interpret: bool = False) -> jnp.ndarray:
     """(B, n_pkts, pkt_words) u32 -> (B, 3, h, w) f32 with in-kernel
     direction synthesis; single frames pass B=1."""
-    rng_plan, rng_words, B, squeeze = _prep_range_words(frames_words, plan)
+    rng_plan = _field_plan(plan, "RANGE")
+    pix, valid_row, B, squeeze = _prep_pixel_words(frames_words, plan)
 
     # per-column factors tile with the batch like the LUT kernels
     ce = jnp.tile(tables.ce, (1, B))
@@ -203,7 +219,8 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
 
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
-    kernel = functools.partial(_lutfree_kernel, bit=rng_plan.bit,
+    kernel = functools.partial(_lutfree_kernel, h=plan.h, pw=plan.pw,
+                               word=rng_plan.word, bit=rng_plan.bit,
                                size=rng_plan.size,
                                upshift=rng_plan.upshift)
 
@@ -219,38 +236,33 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
         kernel,
         grid=grid,
         in_specs=[
-            spec((plan.h, tile_w), lambda j: (0, j)),
+            spec((tile_w, plan.h * plan.pw), lambda j: (j, 0)),
+            spec((1, tile_w), lambda j: (0, j)),
             spec((1, tile_w), lambda j: (0, j)),
             spec((1, tile_w), lambda j: (0, j)),
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
         ],
-        out_specs=spec((3, plan.h, tile_w), lambda j: (0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((3, plan.h, B * plan.w),
+        out_specs=spec(
+            (3, plan.h, tile_w),
+            lambda j: (j // tiles_per_frame, 0, j % tiles_per_frame)),
+        out_shape=jax.ShapeDtypeStruct((B * 3, plan.h, plan.w),
                                        jnp.float32),
         interpret=interpret,
-    )(rng_words, ce, se, tables.P, tables.Q, tables.S, tables.E,
-      tables.F, tables.G)
-    out = jnp.moveaxis(out.reshape(3, plan.h, B, plan.w), 2, 0)
+    )(pix, valid_row, ce, se, tables.P, tables.Q, tables.S,
+      tables.E, tables.F, tables.G)
+    out = out.reshape(B, 3, plan.h, plan.w)  # contiguous: free
     return out[0] if squeeze else out
 
 
-def _lutfree_dd_kernel(rw_ref, ce_ref, cel_ref, se_ref, sel_ref,
-                       P_ref, Pl_ref, Q_ref, Ql_ref, S_ref, Sl_ref,
-                       E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref,
-                       xyz_ref, *, bit: int, size: int, upshift: int):
-    """Double-single direction synthesis: every table is an (hi, lo) f32
-    pair and the whole r*dir + off chain runs in error-free-transform
-    arithmetic, so the output equals the f64 evaluation correctly rounded
-    to f32 (same contract as the LUT dd path, ops/xyzlut.py cartesian_dd;
-    ref: cartesian.h:36-69 cartesianT<double>)."""
-    from .precision import dd_add, dd_mul, dd_mul_f
-
-    r = _range_f32(rw_ref, bit, size, upshift)    # (1, h, TW) exact
+def _dd_dirs_offs(ce_ref, cel_ref, se_ref, sel_ref, P_ref, Pl_ref, Q_ref,
+                  Ql_ref, S_ref, Sl_ref, E_ref, El_ref, F_ref, Fl_ref,
+                  G_ref, Gl_ref):
+    """dir = ce*P + se*Q + S, off = ce*E + se*F + G in double-single."""
+    from .precision import dd_add, dd_mul
 
     ce, cel = ce_ref[:][None], cel_ref[:][None]   # (1, 1, TW)
     se, sel = se_ref[:][None], sel_ref[:][None]
 
-    # dir = ce*P + se*Q + S, off = ce*E + se*F + G   (all dd)
     dh, dl = dd_mul(ce, cel, P_ref[:], Pl_ref[:])
     th, tl = dd_mul(se, sel, Q_ref[:], Ql_ref[:])
     dh, dl = dd_add(dh, dl, th, tl)
@@ -260,23 +272,67 @@ def _lutfree_dd_kernel(rw_ref, ce_ref, cel_ref, se_ref, sel_ref,
     th, tl = dd_mul(se, sel, F_ref[:], Fl_ref[:])
     oh, ol = dd_add(oh, ol, th, tl)
     oh, ol = dd_add(oh, ol, G_ref[:], Gl_ref[:])
+    return dh, dl, oh, ol
+
+
+def _dd_project(r, dh, dl, oh, ol):
+    from .precision import dd_add, dd_mul_f
 
     xh, xl = dd_mul_f(dh, dl, r)
     xh, xl = dd_add(xh, xl, oh, ol)
-    xyz = xh + xl
-    xyz_ref[:] = jnp.where(r != 0, xyz, jnp.float32(0))
+    return jnp.where(r != 0, xh + xl, jnp.float32(0))
+
+
+def _lutfree_dd_kernel(pix_ref, v_ref, ce_ref, cel_ref, se_ref, sel_ref,
+                       P_ref, Pl_ref, Q_ref, Ql_ref, S_ref, Sl_ref,
+                       E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref,
+                       xyz_ref, *, h: int, pw: int, word: int, bit: int,
+                       size: int, upshift: int):
+    """Double-single direction synthesis: every table is an (hi, lo) f32
+    pair and the whole r*dir + off chain runs in error-free-transform
+    arithmetic, so the output equals the f64 evaluation correctly rounded
+    to f32 (same contract as the LUT dd path, ops/xyzlut.py cartesian_dd;
+    ref: cartesian.h:36-69 cartesianT<double>)."""
+    t3 = _pix_t3(pix_ref, h, pw)
+    r = _range_f32(t3, v_ref, word, bit, size, upshift)   # exact
+    dh, dl, oh, ol = _dd_dirs_offs(
+        ce_ref, cel_ref, se_ref, sel_ref, P_ref, Pl_ref, Q_ref, Ql_ref,
+        S_ref, Sl_ref, E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref)
+    xyz_ref[:] = _dd_project(r, dh, dl, oh, ol)
+
+
+def _lutfree_dd_dual_kernel(pix_ref, v_ref, ce_ref, cel_ref, se_ref,
+                            sel_ref, P_ref, Pl_ref, Q_ref, Ql_ref, S_ref,
+                            Sl_ref, E_ref, El_ref, F_ref, Fl_ref, G_ref,
+                            Gl_ref, xyz_ref, xyz2_ref, *, h: int, pw: int,
+                            word: int, bit: int, size: int, upshift: int,
+                            word2: int, bit2: int, size2: int,
+                            upshift2: int):
+    """Dual-return: ONE pixel-region fetch and ONE dir/off synthesis feed
+    both returns — the HBM read and the dd cost amortize across returns."""
+    t3 = _pix_t3(pix_ref, h, pw)
+    dh, dl, oh, ol = _dd_dirs_offs(
+        ce_ref, cel_ref, se_ref, sel_ref, P_ref, Pl_ref, Q_ref, Ql_ref,
+        S_ref, Sl_ref, E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref)
+    r = _range_f32(t3, v_ref, word, bit, size, upshift)
+    xyz_ref[:] = _dd_project(r, dh, dl, oh, ol)
+    r2 = _range_f32(t3, v_ref, word2, bit2, size2, upshift2)
+    xyz2_ref[:] = _dd_project(r2, dh, dl, oh, ol)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("plan", "tile_w", "interpret"))
+                   static_argnames=("plan", "tile_w", "interpret", "dual"))
 def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
                               tables: FactorTables, plan: DecodePlan,
                               tile_w: int = 512,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              dual: bool = False):
     """Precision variant of unpack_project_lutfree: same tiny-table HBM
     profile (16 B/px in+out), output within 1 f32 ulp of the reference's
-    f64 projection instead of ~r*2.5e-7."""
-    rng_plan, rng_words, B, squeeze = _prep_range_words(frames_words, plan)
+    f64 projection instead of ~r*2.5e-7. With dual=True returns
+    (xyz, xyz2), synthesizing directions once for both returns."""
+    rng_plan = _field_plan(plan, "RANGE")
+    pix, valid_row, B, squeeze = _prep_pixel_words(frames_words, plan)
 
     ce = jnp.tile(tables.ce, (1, B))
     cel = jnp.tile(tables.ce_lo, (1, B))
@@ -285,9 +341,6 @@ def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
 
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
-    kernel = functools.partial(_lutfree_dd_kernel, bit=rng_plan.bit,
-                               size=rng_plan.size,
-                               upshift=rng_plan.upshift)
 
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
 
@@ -296,20 +349,57 @@ def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
             return pl.BlockSpec(block, index_map, memory_space=mem)
         return pl.BlockSpec(block, index_map)
 
+    word_spec = spec((tile_w, plan.h * plan.pw), lambda j: (j, 0))
     col_spec = spec((1, tile_w), lambda j: (0, j))
     row_spec = spec((3, plan.h, 1), lambda j: (0, 0, 0))
+    # the kernel writes straight into (B*3, h, w) — bit-identical memory
+    # to the final (B, 3, h, w), so the trailing reshape is free. A
+    # post-hoc XLA transpose of the 400 MB output costs more than the
+    # whole projection
+    out_spec = spec(
+        (3, plan.h, tile_w),
+        lambda j: (j // tiles_per_frame, 0, j % tiles_per_frame))
+    out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
+    table_args = (tables.P, tables.P_lo, tables.Q, tables.Q_lo,
+                  tables.S, tables.S_lo, tables.E, tables.E_lo,
+                  tables.F, tables.F_lo, tables.G, tables.G_lo)
+
+    if dual:
+        rng2_plan = _field_plan(plan, "RANGE2")
+        kernel = functools.partial(
+            _lutfree_dd_dual_kernel, h=plan.h, pw=plan.pw,
+            word=rng_plan.word, bit=rng_plan.bit, size=rng_plan.size,
+            upshift=rng_plan.upshift, word2=rng2_plan.word,
+            bit2=rng2_plan.bit, size2=rng2_plan.size,
+            upshift2=rng2_plan.upshift)
+        out, out2 = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[word_spec, col_spec,
+                      col_spec, col_spec, col_spec, col_spec]
+            + [row_spec] * 12,
+            out_specs=[out_spec, out_spec],
+            out_shape=[out_shape, out_shape],
+            interpret=interpret,
+        )(pix, valid_row, ce, cel, se, sel, *table_args)
+        out = out.reshape(B, 3, plan.h, plan.w)
+        out2 = out2.reshape(B, 3, plan.h, plan.w)
+        if squeeze:
+            return out[0], out2[0]
+        return out, out2
+
+    kernel = functools.partial(_lutfree_dd_kernel, h=plan.h, pw=plan.pw,
+                               word=rng_plan.word, bit=rng_plan.bit,
+                               size=rng_plan.size,
+                               upshift=rng_plan.upshift)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec((plan.h, tile_w), lambda j: (0, j)),
-                  col_spec, col_spec, col_spec, col_spec] + [row_spec] * 12,
-        out_specs=spec((3, plan.h, tile_w), lambda j: (0, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((3, plan.h, B * plan.w),
-                                       jnp.float32),
+        in_specs=[word_spec, col_spec, col_spec, col_spec, col_spec,
+                  col_spec] + [row_spec] * 12,
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(rng_words, ce, cel, se, sel,
-      tables.P, tables.P_lo, tables.Q, tables.Q_lo,
-      tables.S, tables.S_lo, tables.E, tables.E_lo,
-      tables.F, tables.F_lo, tables.G, tables.G_lo)
-    out = jnp.moveaxis(out.reshape(3, plan.h, B, plan.w), 2, 0)
+    )(pix, valid_row, ce, cel, se, sel, *table_args)
+    out = out.reshape(B, 3, plan.h, plan.w)
     return out[0] if squeeze else out

@@ -65,6 +65,33 @@ def test_lutfree_dd_within_one_ulp_of_f64():
     assert err.max() < np.abs(xyz_f32.astype(np.float64) - ref).max()
 
 
+def test_lutfree_dd_dual_both_returns_exact():
+    """dual=True: one pixel-region fetch projects both returns; each must
+    meet the 1-ulp contract against the f64 path."""
+    from __graft_entry__ import _make_info, _synth_frame
+    from ouster_sdk_tpu.ops.unpack import decode_frame as _decode, \
+        make_decode_plan
+    from ouster_sdk_tpu.ops.pallas_lutfree import unpack_project_lutfree_dd
+
+    info = _make_info(w=512, h=128, dual=True)
+    plan = make_decode_plan(info)
+    frame = _synth_frame(info)
+    tables = FactorTables(info)
+    xyz, xyz2 = unpack_project_lutfree_dd(
+        jnp.asarray(frame), tables, plan, tile_w=128, interpret=True,
+        dual=True)
+    dec = _decode(jnp.asarray(frame), plan)
+    lut = make_xyz_lut(info)
+    for name, got in (("RANGE", xyz), ("RANGE2", xyz2)):
+        rng = np.asarray(dec[name])
+        ref = lut(rng)
+        got_np = np.moveaxis(np.asarray(got), 0, -1)
+        ulp = np.spacing(np.abs(ref).astype(np.float32)).astype(np.float64)
+        err = np.abs(got_np.astype(np.float64) - ref)
+        assert (err <= ulp + 1e-12).all(), \
+            f"{name}: max ulp excess {(err / np.maximum(ulp, 1e-12)).max()}"
+
+
 def test_lutfree_rejects_df_sensors():
     from ouster_sdk_tpu import LidarMode, SensorInfo
 
