@@ -257,6 +257,48 @@ def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
         ctx.obj.consumers.append(consumer)
 
 
+@source.command("localize")
+@click.option("--map", "map_path", required=True,
+              help="prior map point cloud (.ply/.pcd/.csv/.las)")
+@click.option("--min-range", type=float, default=5.0)
+@click.option("--max-range", type=float, default=100.0)
+@click.option("--voxel-size", type=float, default=-1.0)
+@click.option("--trajectory", default=None,
+              help="write KITTI poses to this file")
+@click.pass_context
+def source_localize(ctx, map_path, min_range, max_range, voxel_size,
+                    trajectory):
+    """Localize against a prior map — registration without map updates
+    (ref: plugins/source_mapping.py localize, kiss_localization.cpp)."""
+    from ..io.cloud_io import read_pointcloud
+    from ..slam.engine import LocalizationEngine, SlamConfig
+
+    points, _ = read_pointcloud(map_path)
+    engine = LocalizationEngine(ctx.obj.infos, points, SlamConfig(
+        min_range=min_range, max_range=max_range, voxel_size=voxel_size))
+    poses: List[np.ndarray] = []
+
+    def stage(it):
+        for ls_set in it:
+            engine.update(ls_set)
+            poses.append(engine.last_pose.copy())
+            yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+    if trajectory:
+        def consumer(it):
+            for _ in it:
+                pass
+            with open(trajectory, "w") as f:
+                for p in poses:
+                    f.write(" ".join(f"{v:.18e}"
+                                     for v in p[:3, :].reshape(-1)) + "\n")
+            click.echo(f"wrote {len(poses)} poses to {trajectory}")
+
+        ctx.obj.consumers.append(consumer)
+
+
 @source.command("viz")
 @click.option("--out", default=None,
               help="render PNG snapshot(s) to this path instead of a window")

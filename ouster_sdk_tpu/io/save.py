@@ -49,6 +49,8 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
         return _save_osf(path, infos, scan_sets, fields)
     if ext == ".pcap":
         return _save_pcap(path, infos, scan_sets)
+    if ext == ".bag":
+        return _save_bag(path, infos, scan_sets)
     if ext == ".csv":
         return _save_points(path, infos, scan_sets, "csv")
     if ext == ".ply":
@@ -108,6 +110,36 @@ def _save_pcap(path, infos, scan_sets) -> int:
                             info.config.udp_dest or "127.0.0.1",
                             7502, port, base_ts + i)
                 n += 1
+    return n
+
+
+def _save_bag(path, infos, scan_sets) -> int:
+    """Re-packetize scans onto ouster ROS1 topics
+    (ref: plugins/source_save.py bag save: /osN/metadata string +
+    /osN/lidar_packets PacketMsg)."""
+    from .bag import Ros1BagWriter
+
+    n = 0
+    w = Ros1BagWriter(path)
+    try:
+        first_ts = [None] * len(infos)
+        for ls_set in scan_sets:
+            for idx, scan in enumerate(ls_set):
+                if scan is None:
+                    continue
+                info = infos[idx]
+                base_ts = int(scan.first_valid_packet_timestamp()
+                              or scan.first_valid_column_timestamp() or 0)
+                if first_ts[idx] is None:
+                    first_ts[idx] = base_ts
+                    w.write_string(f"/os{idx}/metadata",
+                                   info.to_json_string(), base_ts)
+                for i, pkt in enumerate(scan_to_packets(scan, info)):
+                    w.write_packet(f"/os{idx}/lidar_packets",
+                                   pkt.tobytes(), base_ts + i)
+                n += 1
+    finally:
+        w.close()
     return n
 
 

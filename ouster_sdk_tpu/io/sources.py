@@ -130,6 +130,27 @@ class ScanSource:
     def _iter_sets(self) -> Iterator[LidarScanSet]:
         raise NotImplementedError
 
+    def size_hint(self) -> int:
+        """Best-effort scan-set count without requiring an index
+        (ref: scan_source.h size_hint); 0 when unknown/live."""
+        try:
+            return len(self)  # type: ignore[arg-type]
+        except TypeError:
+            return 0
+
+    def individual_index(self) -> List[List[int]]:
+        """Per-sensor global positions: for each sensor, the scan-set
+        indices at which that sensor has a scan
+        (ref: scan_source.h individual_index). Requires an index."""
+        if not self.is_indexed:
+            raise TypeError("source is not indexed")
+        out: List[List[int]] = [[] for _ in self.sensor_info]
+        for i in range(len(self)):  # type: ignore[arg-type]
+            for s_idx, scan in enumerate(self[i]):  # type: ignore[index]
+                if scan is not None:
+                    out[s_idx].append(i)
+        return out
+
     def single(self, sensor_idx: int = 0) -> "SingleScanSource":
         """Iterate one sensor's scans (ref: Singler,
         scan_source_utils.h:90)."""

@@ -1,0 +1,63 @@
+"""ROS1 bag backend: reference fixture read, save->read roundtrip, and
+ScanSource index helpers (ref: python/src/ouster/sdk/bag/, fixture
+tests/bags/512x10_raw.bag, plugins/source_save.py bag save)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import ChanField
+from ouster_sdk_tpu.io.sources import open_source
+
+BAG = "/root/reference/tests/bags/512x10_raw.bag"
+PCAP = "/root/reference/tests/pcaps/OS-0-128-U1_v2.3.0_1024x10.pcap"
+
+
+def test_read_reference_bag():
+    if not os.path.exists(BAG):
+        pytest.skip("fixture missing")
+    src = open_source(BAG)
+    sets = list(src)
+    assert sets
+    scan = sets[0].valid()[0]
+    assert (scan.field(ChanField.RANGE) > 0).any()
+
+
+def test_bag_save_read_roundtrip(tmp_path):
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu.io.save import save_scans
+
+    src = open_source(PCAP)
+    sets = list(src)
+    out = str(tmp_path / "rt.bag")
+    n = save_scans(out, src.sensor_info, sets)
+    assert n >= 1
+
+    back = open_source(out)
+    back_sets = list(back)
+    assert len(back_sets) == len(sets)
+    a = sets[0].valid()[0]
+    b = back_sets[0].valid()[0]
+    assert b.frame_id == a.frame_id
+    np.testing.assert_array_equal(b.field(ChanField.RANGE),
+                                  a.field(ChanField.RANGE))
+    # metadata travels on the /osN/metadata topic
+    assert back.sensor_info[0].sn == src.sensor_info[0].sn
+
+
+def test_size_hint_and_individual_index():
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    src = open_source(PCAP, index=True)
+    assert src.size_hint() == len(src)
+    idx = src.individual_index()
+    assert len(idx) == len(src.sensor_info)
+    assert idx[0] == [i for i in range(len(src))
+                      if src[i][0] is not None]
+
+    live_like = open_source(PCAP)  # non-indexed pcap source
+    if not live_like.is_indexed:
+        with pytest.raises(TypeError):
+            live_like.individual_index()
