@@ -205,7 +205,7 @@ def source_stats(ctx):
 @click.option("--fields", default=None, help="subset of fields to write")
 @click.pass_context
 def source_save(ctx, path, fields):
-    """Save the stream to .osf/.pcap/.csv/.ply/.pcd
+    """Save the stream to .osf/.pcap/.bag/.csv/.ply/.pcd/.las
     (ref: plugins/source_save.py)."""
     ext = os.path.splitext(path)[1].lower()
     pipeline = ctx.obj
