@@ -480,8 +480,18 @@ class Reader:
         self._path = path
         self.error_handler: ErrorHandler = \
             error_handler or default_error_handler
-        with open(path, "rb") as f:
-            self._data = memoryview(f.read())
+        # mmap the file (ref: memory_mapped_osf_file.cpp): chunk bytes are
+        # paged in on demand, so opening a multi-GB OSF costs no RSS
+        import mmap
+
+        self._f = open(path, "rb")
+        try:
+            self._mm = mmap.mmap(self._f.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+            self._data = memoryview(self._mm)
+        except (ValueError, OSError):  # empty file or fs without mmap
+            self._mm = None
+            self._data = memoryview(self._f.read())
 
         if len(self._data) < 12:
             raise ValueError("invalid OSF file: too short")
@@ -527,9 +537,11 @@ class Reader:
         self.metadata_id = meta.string(0)
         self.start_ts = meta.scalar(1, "Q")
         self.end_ts = meta.scalar(2, "Q")
+        # .copy(): vector_np is zero-copy over the mmap; this array must
+        # survive close()
         self.chunk_offsets = meta.vector_np(
             3, np.dtype([("start_ts", np.uint64), ("end_ts", np.uint64),
-                         ("offset", np.uint64)]))
+                         ("offset", np.uint64)])).copy()
         self.entries: Dict[int, MetadataEntry] = {}
         for e in meta.vector_tables(4):
             ent = MetadataEntry(e.scalar(0, "I"), e.string(1),
@@ -600,6 +612,12 @@ class Reader:
 
     def close(self) -> None:
         self._data = memoryview(b"")
+        if getattr(self, "_mm", None) is not None:
+            self._mm.close()
+            self._mm = None
+        if getattr(self, "_f", None) is not None:
+            self._f.close()
+            self._f = None
 
 
 # ---------------------------------------------------------------------------

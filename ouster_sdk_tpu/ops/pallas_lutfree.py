@@ -163,7 +163,11 @@ def _prep_pixel_words(frames_words, plan):
 
 
 def _field_plan(plan, field):
-    fp = next(f for f in plan.fields if f.name == field)
+    fp = next((f for f in plan.fields if f.name == field), None)
+    if fp is None:
+        raise ValueError(
+            f"profile has no {field} plane in its scan field set "
+            f"(e.g. FIVE_WORD_PIXEL decodes raw words only)")
     if fp.bit + fp.size > 32:
         raise NotImplementedError("word-spanning RANGE profile")
     return fp

@@ -92,6 +92,92 @@ def test_lutfree_dd_dual_both_returns_exact():
             f"{name}: max ulp excess {(err / np.maximum(ulp, 1e-12)).max()}"
 
 
+def _all_single_word_profiles():
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.profiles import lookup_profile_entry
+
+    from ouster_sdk_tpu.ops.profiles import DEFAULT_SCAN_FIELDS
+
+    out = []
+    for p in UDPProfileLidar:
+        if p in (UDPProfileLidar.UNKNOWN, UDPProfileLidar.OFF):
+            continue
+        # needs a RANGE plane in the default scan-field set (FIVE_WORD
+        # decodes raw words only) that fits one u32 word
+        names = {n for n, _ in DEFAULT_SCAN_FIELDS.get(p, [])}
+        if "RANGE" not in names:
+            continue
+        fi = lookup_profile_entry(p).fields.get("RANGE")
+        if fi is not None and (fi.bit_start % 32) + fi.bit_size <= 32:
+            out.append(p)
+    return out
+
+
+@pytest.mark.parametrize("profile", _all_single_word_profiles(),
+                         ids=lambda p: p.value)
+def test_lutfree_dd_every_profile(profile):
+    """Geometry coverage: every profile whose RANGE fits one u32 word must
+    project within 1 ulp of f64 through the fused pixel-region kernel
+    (exercises pw in 1..5, h*pw lane dims, upshifts)."""
+    import numpy as np
+    from ouster_sdk_tpu import (HeaderType, LidarMode, LidarPacket,
+                                PacketWriter, SensorInfo)
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.pallas_lutfree import unpack_project_lutfree_dd
+    from ouster_sdk_tpu.ops.unpack import frame_words_from_packets, \
+        make_decode_plan
+
+    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+    info.format.pixels_per_column = 32
+    info.format.pixel_shift_by_row = [0] * 32
+    info.beam_azimuth_angles = info.beam_azimuth_angles[:32]
+    info.beam_altitude_angles = info.beam_altitude_angles[:32]
+    info.format.udp_profile_lidar = profile
+    if profile == UDPProfileLidar.FUSA_RNG15_RFL8_NIR8_DUAL:
+        info.format.header_type = HeaderType.FUSA
+
+    pw_ = PacketWriter(info.format)
+    rng = np.random.default_rng(3)
+    cpp = pw_.columns_per_packet
+    pkts = []
+    for p in range(info.format.columns_per_frame // cpp):
+        buf = pw_.new_packet()
+        pw_.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+        pw_.set_frame_id(buf, 1)
+        m0 = p * cpp
+        pw_.set_col_headers(
+            buf, np.arange(cpp, dtype=np.uint64) + 100 + m0,
+            np.arange(cpp, dtype=np.uint16) + m0,
+            np.ones(cpp, dtype=np.uint32)
+            if profile != UDPProfileLidar.LEGACY
+            else np.full(cpp, 0xFFFFFFFF, dtype=np.uint32))
+        vals = rng.integers(
+            0, 1 << lookup_range_bits(profile),
+            size=(pw_.pixels_per_column, cpp))
+        pw_.set_field(buf, "RANGE", vals)
+        pkts.append(LidarPacket(buf.tobytes(), host_timestamp=p + 1))
+
+    plan = make_decode_plan(info)
+    words = jnp.asarray(frame_words_from_packets(pkts, plan))
+    tables = FactorTables(info)
+    xyz = np.asarray(unpack_project_lutfree_dd(
+        words, tables, plan, tile_w=128, interpret=True))
+    xyz = np.moveaxis(xyz, 0, -1)
+
+    rng_img = np.asarray(decode_frame(words, plan)[ChanField.RANGE])
+    ref = make_xyz_lut(info)(rng_img)
+    ulp = np.spacing(np.abs(ref).astype(np.float32)).astype(np.float64)
+    err = np.abs(xyz.astype(np.float64) - ref)
+    assert (err <= ulp + 1e-12).all(), \
+        f"max ulp excess {(err / np.maximum(ulp, 1e-12)).max()}"
+
+
+def lookup_range_bits(profile):
+    from ouster_sdk_tpu.ops.profiles import lookup_profile_entry
+
+    return lookup_profile_entry(profile).fields["RANGE"].bit_size
+
+
 def test_lutfree_rejects_df_sensors():
     from ouster_sdk_tpu import LidarMode, SensorInfo
 
