@@ -37,20 +37,24 @@ def main():
 
     sys.path.insert(0, ".")
     from __graft_entry__ import _make_info, _synth_frame
-    from ouster_sdk_tpu.ops.pallas_lutfree import (
-        FactorTables,
-        unpack_project_lutfree_dd,
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut,
+        unpack_project_pallas_batched,
     )
     from ouster_sdk_tpu.ops.unpack import make_decode_plan
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
 
     W, H = 2048, 128
     info = _make_info(w=W, h=H, dual=True)
     plan = make_decode_plan(info)
     frame = _synth_frame(info)
-    # LUT-free double-single kernel: ~16 KB VMEM factor tables instead of
-    # 48 B/px LUT reads, output within 1 f32 ulp of the f64 reference
-    # (ops/pallas_lutfree.py; both paths validated in tests/test_lutfree.py)
-    tables = FactorTables(info)
+    # fused LUT kernel (ops/pallas_kernels.py): contiguous pixel-region
+    # ingest, in-VMEM xpose + sublane-split word select, both returns from
+    # one fetch, double-single projection (1 f32 ulp of the f64 reference).
+    # The LUT blocks re-read per tile amortize across the batch, measuring
+    # faster than the LUT-free synthesis variant at this batch size
+    # (ops/pallas_lutfree.py: 2.3-2.5 vs 2.9-3.0 Gpt/s here).
+    lut = PlanarLut(make_xyz_lut(info))
 
     B = 128
     frames_np = np.broadcast_to(frame, (B,) + frame.shape).copy()
@@ -63,7 +67,9 @@ def main():
 
     @jax.jit
     def step(fr):
-        xyz, xyz2 = unpack_project_lutfree_dd(fr, tables, plan, dual=True)
+        xyz, xyz2 = unpack_project_pallas_batched(
+            fr, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
+            dual=True)
         return jnp.sum(xyz) + jnp.sum(xyz2)
 
     # warmup/compile, then a chained warm loop to reach steady state (the

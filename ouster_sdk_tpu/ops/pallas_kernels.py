@@ -1,14 +1,23 @@
-"""Pallas TPU kernels for the hot decode/projection path.
+"""Pallas TPU kernels for the hot decode/projection path (LUT-based).
 
 The XLA pipeline (ops/fused.py) materializes every decoded field in HBM;
-this kernel path emits only XYZ: a strided word-select (pure XLA slice)
-pulls each pixel's RANGE word plane out of the packet stream, and the
-Pallas kernel fuses bit extract -> double-single projection -> masking over
-(h, TILE_W) blocks with the LUT stored planar (3, h, w) so the lane
-dimension rides W (ref: pallas guide — tiling constraints; SURVEY.md §3.3).
+this kernel path emits only XYZ. The kernel ingests the CONTIGUOUS
+per-column pixel-word region, transposes the tile with the VMEM xpose
+unit, splits the sublane dim (h*pw, TW) -> (h, pw, TW) — free, the lane
+dim is untouched — and indexes the RANGE word plane in-register: the
+alternative stride-pw XLA slice lowers to a lane relayout that costs more
+than the projection (measured; see ops/pallas_lutfree.py for the same
+scheme with in-kernel direction synthesis). The LUT is stored planar
+(3, h, w) hi/lo so the lane dimension rides W (ref: pallas guide — tiling
+constraints; SURVEY.md §3.3).
 
-Mosaic notes observed on v5e: no u32->f32 casts (route via i32) and no
-lane-dimension reshapes (hence the outside-the-kernel word select).
+This LUT path serves every sensor incl. DF (per-pixel angle tables that
+don't factorize); OS sensors prefer ops/pallas_lutfree.py, which replaces
+the 48 B/px LUT reads with ~16 KB of VMEM factor tables.
+
+Mosaic notes observed on v5e: no u32->f32 casts (route via i32), no
+lane-dimension reshapes or lane-strided slices; 32-bit tile transposes
+and sublane-dim splits are supported.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_TPU_PALLAS = False
 
+from .pallas_lutfree import _field_plan, _pix_t3, _prep_pixel_words
 from .precision import dd_add, dd_mul_f
 from .unpack import DecodePlan
 from .xyzlut import XYZLut, XYZLutDevice
@@ -64,24 +74,35 @@ def _range_to_xyz(w0, dir_hi, dir_lo, off_hi, off_lo, *, bit, size,
     return jnp.where(r != 0, xyz, jnp.float32(0))
 
 
-def _project_kernel(rw_ref, dir_hi_ref, dir_lo_ref, off_hi_ref, off_lo_ref,
-                    xyz_ref, *, bit: int, size: int, upshift: int,
-                    precision: str):
+def _masked_word(t3, v_ref, word: int):
+    w0 = t3[:, word, :]                           # (h, TW) u32
+    return jnp.where(v_ref[:] != 0, w0, np.uint32(0))
+
+
+def _project_kernel(pix_ref, v_ref, dir_hi_ref, dir_lo_ref, off_hi_ref,
+                    off_lo_ref, xyz_ref, *, h: int, pw: int, word: int,
+                    bit: int, size: int, upshift: int, precision: str):
+    t3 = _pix_t3(pix_ref, h, pw)
     xyz_ref[:] = _range_to_xyz(
-        rw_ref[:], dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:],
-        off_lo_ref[:], bit=bit, size=size, upshift=upshift,
+        _masked_word(t3, v_ref, word), dir_hi_ref[:], dir_lo_ref[:],
+        off_hi_ref[:], off_lo_ref[:], bit=bit, size=size, upshift=upshift,
         precision=precision)
 
 
-def _project_dual_kernel(rw_ref, rw2_ref, dir_hi_ref, dir_lo_ref,
+def _project_dual_kernel(pix_ref, v_ref, dir_hi_ref, dir_lo_ref,
                          off_hi_ref, off_lo_ref, xyz_ref, xyz2_ref, *,
-                         bit: int, size: int, upshift: int, bit2: int,
-                         size2: int, upshift2: int, precision: str):
+                         h: int, pw: int, word: int, bit: int, size: int,
+                         upshift: int, word2: int, bit2: int, size2: int,
+                         upshift2: int, precision: str):
+    # one pixel-region fetch serves both returns
+    t3 = _pix_t3(pix_ref, h, pw)
     args = (dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:])
-    xyz_ref[:] = _range_to_xyz(rw_ref[:], *args, bit=bit, size=size,
-                               upshift=upshift, precision=precision)
-    xyz2_ref[:] = _range_to_xyz(rw2_ref[:], *args, bit=bit2, size=size2,
-                                upshift=upshift2, precision=precision)
+    xyz_ref[:] = _range_to_xyz(
+        _masked_word(t3, v_ref, word), *args, bit=bit, size=size,
+        upshift=upshift, precision=precision)
+    xyz2_ref[:] = _range_to_xyz(
+        _masked_word(t3, v_ref, word2), *args, bit=bit2, size=size2,
+        upshift=upshift2, precision=precision)
 
 
 @functools.partial(jax.jit,
@@ -93,29 +114,14 @@ def unpack_project_pallas(frame_words: jnp.ndarray, dir_hi, dir_lo, off_hi,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused packets -> planar XYZ: (n_pkts, pkt_words) u32 ->
     (3, h, w) f32. LUT inputs are (3, h, w) hi/lo planes."""
-    rng_plan = next(f for f in plan.fields if f.name == "RANGE")
-    if rng_plan.bit + rng_plan.size > 32:
-        raise NotImplementedError("word-spanning RANGE profile")
-
-    cols = frame_words[:, plan.hw:plan.hw + plan.cpp * plan.cw]
-    cols = cols.reshape(plan.w, plan.cw)
-
-    # validity fold + strided range-word select (cheap XLA ops, one pass)
-    status = cols[:, plan.status_word] >> np.uint32(plan.status_bit)
-    if plan.status_size < 32:
-        status = status & np.uint32((1 << plan.status_size) - 1)
-    valid = (status & 1).astype(jnp.bool_)
-
-    start = plan.chw + rng_plan.word
-    limit = start + (plan.h - 1) * plan.pw + 1
-    rng_words = jax.lax.slice_in_dim(
-        cols, start, limit, stride=plan.pw, axis=1)
-    rng_words = jnp.where(valid[:, None], rng_words, 0).T  # (h, W)
+    rng_plan = _field_plan(plan, "RANGE")
+    pix, valid_row, _, _ = _prep_pixel_words(frame_words, plan)
 
     grid = (plan.w // tile_w,)
     kernel = functools.partial(
-        _project_kernel, bit=rng_plan.bit, size=rng_plan.size,
-        upshift=rng_plan.upshift, precision=precision)
+        _project_kernel, h=plan.h, pw=plan.pw, word=rng_plan.word,
+        bit=rng_plan.bit, size=rng_plan.size, upshift=rng_plan.upshift,
+        precision=precision)
 
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
 
@@ -129,13 +135,14 @@ def unpack_project_pallas(frame_words: jnp.ndarray, dir_hi, dir_lo, off_hi,
         kernel,
         grid=grid,
         in_specs=[
-            spec((plan.h, tile_w), lambda j: (0, j)),
+            spec((tile_w, plan.h * plan.pw), lambda j: (j, 0)),
+            spec((1, tile_w), lambda j: (0, j)),
             lut_spec, lut_spec, lut_spec, lut_spec,
         ],
         out_specs=spec((3, plan.h, tile_w), lambda j: (0, 0, j)),
         out_shape=jax.ShapeDtypeStruct((3, plan.h, plan.w), jnp.float32),
         interpret=interpret,
-    )(rng_words, dir_hi, dir_lo, off_hi, off_lo)
+    )(pix, valid_row, dir_hi, dir_lo, off_hi, off_lo)
 
 
 @functools.partial(jax.jit,
@@ -149,31 +156,13 @@ def unpack_project_pallas_batched(frames_words: jnp.ndarray, dir_hi, dir_lo,
     """Batched fused decode: (B, n_pkts, pkt_words) -> (B, 3, h, w)
     (or a pair of them when dual=True).
 
-    The batch rides the grid: frames are laid side by side on the W axis
-    and the LUT block index wraps modulo the frame width — no vmap, no
-    batched gathers, same kernel.
+    The batch rides the grid: the LUT block index wraps modulo the frame
+    width — no vmap, no batched gathers, same kernel. Output blocks write
+    straight into (B*3, h, w) (bit-identical memory to (B, 3, h, w), so
+    the trailing reshape is free).
     """
-    rng_plan = next(f for f in plan.fields if f.name == "RANGE")
-    if rng_plan.bit + rng_plan.size > 32:
-        raise NotImplementedError("word-spanning RANGE profile")
-    B = frames_words.shape[0]
-
-    cols = frames_words[:, :, plan.hw:plan.hw + plan.cpp * plan.cw]
-    cols = cols.reshape(B * plan.w, plan.cw)
-
-    status = cols[:, plan.status_word] >> np.uint32(plan.status_bit)
-    if plan.status_size < 32:
-        status = status & np.uint32((1 << plan.status_size) - 1)
-    valid = (status & 1).astype(jnp.bool_)
-
-    def word_plane(field_plan):
-        start = plan.chw + field_plan.word
-        limit = start + (plan.h - 1) * plan.pw + 1
-        wp = jax.lax.slice_in_dim(
-            cols, start, limit, stride=plan.pw, axis=1)
-        return jnp.where(valid[:, None], wp, 0).T  # (h, B*W)
-
-    rng_words = word_plane(rng_plan)
+    rng_plan = _field_plan(plan, "RANGE")
+    pix, valid_row, B, _ = _prep_pixel_words(frames_words, plan)
 
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
@@ -184,39 +173,43 @@ def unpack_project_pallas_batched(frames_words: jnp.ndarray, dir_hi, dir_lo,
             return pl.BlockSpec(block, index_map, memory_space=mem)
         return pl.BlockSpec(block, index_map)
 
-    word_spec = spec((plan.h, tile_w), lambda j: (0, j))
+    word_spec = spec((tile_w, plan.h * plan.pw), lambda j: (j, 0))
+    valid_spec = spec((1, tile_w), lambda j: (0, j))
     lut_spec = spec((3, plan.h, tile_w),
                     lambda j: (0, 0, j % tiles_per_frame))
-    out_spec = spec((3, plan.h, tile_w), lambda j: (0, 0, j))
-    out_shape = jax.ShapeDtypeStruct((3, plan.h, B * plan.w), jnp.float32)
+    out_spec = spec(
+        (3, plan.h, tile_w),
+        lambda j: (j // tiles_per_frame, 0, j % tiles_per_frame))
+    out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
 
     if not dual:
         kernel = functools.partial(
-            _project_kernel, bit=rng_plan.bit, size=rng_plan.size,
+            _project_kernel, h=plan.h, pw=plan.pw, word=rng_plan.word,
+            bit=rng_plan.bit, size=rng_plan.size,
             upshift=rng_plan.upshift, precision=precision)
         out = pl.pallas_call(
             kernel, grid=grid,
-            in_specs=[word_spec, lut_spec, lut_spec, lut_spec, lut_spec],
+            in_specs=[word_spec, valid_spec,
+                      lut_spec, lut_spec, lut_spec, lut_spec],
             out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-        )(rng_words, dir_hi, dir_lo, off_hi, off_lo)
-        return jnp.moveaxis(out.reshape(3, plan.h, B, plan.w), 2, 0)
+        )(pix, valid_row, dir_hi, dir_lo, off_hi, off_lo)
+        return out.reshape(B, 3, plan.h, plan.w)
 
-    rng2_plan = next(f for f in plan.fields if f.name == "RANGE2")
-    rng2_words = word_plane(rng2_plan)
+    rng2_plan = _field_plan(plan, "RANGE2")
     kernel = functools.partial(
-        _project_dual_kernel, bit=rng_plan.bit, size=rng_plan.size,
-        upshift=rng_plan.upshift, bit2=rng2_plan.bit,
-        size2=rng2_plan.size, upshift2=rng2_plan.upshift,
-        precision=precision)
+        _project_dual_kernel, h=plan.h, pw=plan.pw, word=rng_plan.word,
+        bit=rng_plan.bit, size=rng_plan.size, upshift=rng_plan.upshift,
+        word2=rng2_plan.word, bit2=rng2_plan.bit, size2=rng2_plan.size,
+        upshift2=rng2_plan.upshift, precision=precision)
     out1, out2 = pl.pallas_call(
         kernel, grid=grid,
-        in_specs=[word_spec, word_spec, lut_spec, lut_spec, lut_spec,
-                  lut_spec],
+        in_specs=[word_spec, valid_spec,
+                  lut_spec, lut_spec, lut_spec, lut_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(out_shape, out_shape), interpret=interpret,
-    )(rng_words, rng2_words, dir_hi, dir_lo, off_hi, off_lo)
-    return (jnp.moveaxis(out1.reshape(3, plan.h, B, plan.w), 2, 0),
-            jnp.moveaxis(out2.reshape(3, plan.h, B, plan.w), 2, 0))
+    )(pix, valid_row, dir_hi, dir_lo, off_hi, off_lo)
+    return (out1.reshape(B, 3, plan.h, plan.w),
+            out2.reshape(B, 3, plan.h, plan.w))
 
 
 def unpack_project(frame_words, lut, plan: DecodePlan, *,
