@@ -239,3 +239,143 @@ def _register_benchmark_sensor():
 
 _register_benchmark_sensor()
 del _register_benchmark_sensor
+
+
+@cli.group()
+def testing() -> None:
+    """Test/validation utilities (ref: plugins/testing.py)."""
+
+
+@testing.command("digest")
+@click.argument("path")
+@click.option("-m", "--meta", default=None, help="metadata json path")
+@click.option("-s", "--save", is_flag=True, default=False,
+              help="write <path>_digest.json next to the file")
+@click.option("-c", "--check", default=None,
+              help="compare against an existing digest json")
+def testing_digest(path, meta, save, check):
+    """Compute (and optionally check) the md5 stream digest of a pcap —
+    the bit-exactness contract used by the conformance tests
+    (ref: plugins/testing.py digest, sdk/core/_digest.py)."""
+    import os
+
+    from ..io.pcap_source import PcapPacketSource
+    from ..utils.digest import StreamDigest
+
+    src = PcapPacketSource(path, metadata_paths=[meta] if meta else None)
+    digest = StreamDigest.from_packet_source(src)
+    if check:
+        with open(check) as f:
+            digest.check(StreamDigest.from_json(f.read()))
+        click.echo("digest OK")
+        return
+    out = digest.to_json()
+    if save:
+        dst = os.path.splitext(path)[0] + "_digest.json"
+        with open(dst, "w") as f:
+            f.write(out)
+        click.echo(f"wrote {dst}")
+    else:
+        click.echo(out)
+
+
+@testing.command("time")
+@click.argument("path")
+@click.option("-m", "--meta", default=None)
+@click.option("--frames", type=int, default=0, help="0 = whole file")
+def testing_time(path, meta, frames):
+    """Wall-clock timing of common pcap operations (read, batch, project)
+    for quick regression checks (ref: plugins/testing.py time)."""
+    from ..core.batcher import ScanBatcher
+    from ..core.lidar_scan import LidarScan
+    from ..io.pcap_source import PcapPacketSource
+    from ..ops.xyzlut import make_xyz_lut
+
+    src = PcapPacketSource(path, metadata_paths=[meta] if meta else None)
+    info = src.sensor_info[0]
+
+    t0 = time.perf_counter()
+    pkts = list(src)
+    t_read = time.perf_counter() - t0
+    click.echo(f"read {len(pkts)} packets in {t_read:.3f}s")
+
+    batcher = ScanBatcher(info)
+    scan = LidarScan(info)
+    scans = []
+    t0 = time.perf_counter()
+    for idx, p in pkts:
+        if batcher(p, scan):
+            scans.append(scan)
+            scan = LidarScan(info)
+            if frames and len(scans) >= frames:
+                break
+    if scan.frame_id != -1 and not (frames and len(scans) >= frames):
+        scans.append(scan)
+    t_batch = time.perf_counter() - t0
+    click.echo(f"batched {len(scans)} scans in {t_batch:.3f}s")
+
+    lut = make_xyz_lut(info)
+    t0 = time.perf_counter()
+    for s in scans:
+        lut(s.field("RANGE"))
+    t_xyz = time.perf_counter() - t0
+    click.echo(f"projected {len(scans)} scans in {t_xyz:.3f}s")
+    click.echo(f"total {t_read + t_batch + t_xyz:.3f}s")
+
+
+@testing.command("synthesize")
+@click.argument("out_pcap")
+@click.option("--profile", default="RNG19_RFL8_SIG16_NIR16",
+              help="UDP lidar profile name")
+@click.option("--mode", default="1024x10", help="lidar mode WxF")
+@click.option("--frames", type=int, default=1)
+@click.option("--seed", type=int, default=0)
+def testing_synthesize(out_pcap, profile, mode, frames, seed):
+    """Generate a synthetic pcap + metadata json for a profile — test data
+    without hardware (built on PacketWriter, the reference's
+    scan_to_packets round-trip machinery)."""
+    import os
+
+    from ..core.types import LidarMode, SensorInfo, UDPProfileLidar
+    from ..io.pcap import PcapWriter
+    from ..ops.packet_format import PacketWriter
+
+    info = SensorInfo.from_default(LidarMode.from_string(mode))
+    info.format.udp_profile_lidar = UDPProfileLidar(profile)
+    info.config.udp_port_lidar = 7502
+    pw = PacketWriter(info.format)
+    rng = np.random.default_rng(seed)
+    cpp = pw.columns_per_packet
+    n_pkts = info.format.columns_per_frame // cpp
+
+    meta_path = os.path.splitext(out_pcap)[0] + ".json"
+    with open(meta_path, "w") as f:
+        f.write(info.to_json_string())
+
+    n = 0
+    with PcapWriter(out_pcap) as w:
+        for fid in range(1, frames + 1):
+            for p in range(n_pkts):
+                buf = pw.new_packet()
+                pw.set_packet_header(buf, init_id=info.init_id,
+                                     prod_sn=info.sn)
+                pw.set_frame_id(buf, fid)
+                m0 = p * cpp
+                ts = fid * 100_000_000 + m0 * 1000
+                pw.set_col_headers(
+                    buf, np.arange(cpp, dtype=np.uint64) + ts,
+                    np.arange(cpp, dtype=np.uint16) + m0,
+                    np.ones(cpp, dtype=np.uint32))
+                from ..ops.profiles import lookup_profile_entry
+
+                fi = lookup_profile_entry(
+                    info.format.udp_profile_lidar).fields["RANGE"]
+                vals = rng.integers(0, 1 << fi.bit_size,
+                                    size=(pw.pixels_per_column, cpp))
+                pw.set_field(buf, "RANGE", vals << fi.upshift
+                             if fi.upshift else vals)
+                w.write(buf.tobytes(), "127.0.0.1", "127.0.0.1",
+                        7502, 7502, ts)
+                n += 1
+    click.echo(f"wrote {n} packets ({frames} frames) to {out_pcap} "
+               f"+ {meta_path}")
