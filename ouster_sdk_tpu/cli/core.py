@@ -257,6 +257,35 @@ def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
         ctx.obj.consumers.append(consumer)
 
 
+@source.command("pose_optimize")
+@click.argument("output_osf")
+@click.option("--config", "config_path", default=None,
+              help="constraint config json (ref: constraint_config.cpp)")
+@click.option("--key-frame-distance", type=float, default=None)
+@click.pass_context
+def source_pose_optimize(ctx, output_osf, config_path, key_frame_distance):
+    """Refine the recording's SLAM trajectory against constraints and
+    write a new OSF (ref: plugins/source.py:856 pose_optimize)."""
+    from ..slam.pose_optimizer import optimize_osf_trajectory
+
+    url = ctx.obj.url
+    if not url.lower().endswith(".osf"):
+        raise click.ClickException("pose_optimize requires an OSF source")
+    cfg_text = None
+    if config_path:
+        with open(config_path) as f:
+            cfg_text = f.read()
+
+    def consumer(it):
+        for _ in it:
+            pass
+        n = optimize_osf_trajectory(url, output_osf, cfg_text,
+                                    key_frame_distance)
+        click.echo(f"wrote {n} pose-optimized scans to {output_osf}")
+
+    ctx.obj.consumers.append(consumer)
+
+
 @source.command("localize")
 @click.option("--map", "map_path", required=True,
               help="prior map point cloud (.ply/.pcd/.csv/.las)")

@@ -261,3 +261,184 @@ class PoseOptimizer:
                     qx, qy, qz = axis * np.sin(angle / 2)
                 f.write(f"{nd.ts * 1e-9:.9f} {t[0]} {t[1]} {t[2]} "
                         f"{qx} {qy} {qz} {qw}\n")
+
+
+# ---------------------------------------------------------------------------
+# Constraint JSON config + OSF trajectory optimization
+# (ref: constraint_config.cpp, cli pose_optimize in plugins/source.py:856)
+# ---------------------------------------------------------------------------
+
+def _pose_from_json(obj) -> np.ndarray:
+    """Pose as a 16-list (row-major 4x4), nested 4x4, or
+    {x,y,z,rx,ry,rz} with ZYX euler (ref: constraint_config.cpp:255-271:
+    yaw(rz,Z) * pitch(ry,Y) * roll(rx,X))."""
+    if isinstance(obj, dict):
+        x = float(obj.get("x", 0.0))
+        y = float(obj.get("y", 0.0))
+        z = float(obj.get("z", 0.0))
+        rx = float(obj.get("rx", 0.0))
+        ry = float(obj.get("ry", 0.0))
+        rz = float(obj.get("rz", 0.0))
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        T = np.eye(4)
+        T[:3, :3] = Rz @ Ry @ Rx
+        T[:3, 3] = (x, y, z)
+        return T
+    arr = np.asarray(obj, dtype=np.float64)
+    return arr.reshape(4, 4)
+
+
+def load_constraints_json(text: str):
+    """Parse the reference's constraint-config JSON. Returns
+    (SolverConfig, traj_rotation_weight, traj_translation_weight,
+    key_frame_distance, constraint dicts). Point constraints stay as raw
+    dicts because resolving pixel (row, col) to a 3D point needs the scan
+    data (done in optimize_osf_trajectory)."""
+    import json as _json
+
+    doc = _json.loads(text)
+    cfg = SolverConfig()
+    loss = str(doc.get("loss_function", "TrivialLoss")).lower()
+    cfg.loss = {"trivialloss": "linear", "huberloss": "huber",
+                "softloneloss": "soft_l1", "cauchyloss": "cauchy",
+                "arctanloss": "arctan"}.get(loss, "linear")
+    if "loss_function_scale" in doc:
+        cfg.loss_scale = float(doc["loss_function_scale"])
+    if "max_num_iterations" in doc:
+        cfg.max_num_iterations = int(doc["max_num_iterations"])
+    traj_rw = float(doc.get("traj_rotation_weight", 10.0))
+    traj_tw = float(doc.get("traj_translation_weight", 10.0))
+    kfd = float(doc.get("key_frame_distance", 1.0))
+    return cfg, traj_rw, traj_tw, kfd, list(doc.get("constraints", []))
+
+
+def optimize_osf_trajectory(src_osf: str, out_osf: str,
+                            constraints_json: Optional[str] = None,
+                            key_frame_distance: Optional[float] = None
+                            ) -> int:
+    """Refine the per-column poses of an OSF recording against a
+    constraint config and rewrite it (ref: plugins/source.py:856
+    pose_optimize). One trajectory node per scan (mid-column); the solved
+    correction is applied rigidly to that scan's column poses. Returns
+    the number of scans written."""
+    from ..core.constants import ChanField
+    from ..io.osf import OsfScanSource, Writer
+    from ..ops.xyzlut import make_xyz_lut
+
+    cfg = SolverConfig()
+    traj_rw = traj_tw = 10.0
+    raw_constraints = []
+    if constraints_json is not None:
+        cfg, traj_rw, traj_tw, kfd, raw_constraints = \
+            load_constraints_json(constraints_json)
+        if key_frame_distance is None:
+            key_frame_distance = kfd
+
+    src = OsfScanSource(src_osf)
+    infos = src.sensor_info
+    sets = list(src)
+    scans = [s for ls in sets for s in ls.valid()]
+    if not scans:
+        raise ValueError("no scans in source OSF")
+
+    def mid_ts(s):
+        cols = np.flatnonzero(s.status & 1)
+        mid = int(cols[len(cols) // 2]) if cols.size else s.w // 2
+        return int(s.timestamp[mid]), mid
+
+    node_ts, mid_cols = zip(*[mid_ts(s) for s in scans])
+    node_poses = [s.pose[m].copy() for s, m in zip(scans, mid_cols)]
+
+    # absolute constraints pin the gauge themselves; otherwise fix the
+    # first node (ref: pose_optimizer.cpp:1241 gauge handling)
+    has_absolute = any(str(c.get("type", "")).upper()
+                       in ("ABSOLUTE_POSE", "ABSOLUTE_POINT")
+                       for c in raw_constraints)
+    opt = PoseOptimizer.from_trajectory(node_ts, node_poses, cfg,
+                                        fix_first=not has_absolute)
+    # odometry chain carries the configured trajectory weights
+    for c in opt.constraints:
+        c.rotation_weight = traj_rw
+        c.translation_weight = traj_tw
+
+    lut = make_xyz_lut(infos[0])
+
+    def pixel_point(ts, row, col, return_idx):
+        """Sensor-frame 3D point of a pixel in the scan nearest ts."""
+        i = int(np.argmin([abs(t - ts) for t in node_ts]))
+        s = scans[i]
+        name = ChanField.RANGE2 if return_idx == 2 else ChanField.RANGE
+        r = np.zeros((s.h, s.w), dtype=np.uint32)
+        r[row, col] = s.field(name)[row, col]
+        return node_ts[i], lut(r)[row, col]
+
+    for c in raw_constraints:
+        ctype = str(c.get("type", "")).upper()
+        if ctype == "ABSOLUTE_POSE":
+            opt.add_constraint(AbsolutePoseConstraint(
+                int(c["timestamp"]), _pose_from_json(c["pose"]),
+                rotation_weight=float(c.get("rotation_weight", 1.0)),
+                translation_weight=float(np.mean(
+                    c.get("translation_weight", 1.0)))))
+        elif ctype == "POSE_TO_POSE":
+            opt.add_constraint(PoseToPoseConstraint(
+                int(c["timestamp_1"]), int(c["timestamp_2"]),
+                _pose_from_json(c.get("pose", np.eye(4))),
+                rotation_weight=float(c.get("rotation_weight", 1.0)),
+                translation_weight=float(np.mean(
+                    c.get("translation_weight", 1.0)))))
+        elif ctype == "POINT_TO_POINT":
+            p1, p2 = c["point_1"], c["point_2"]
+            ts1, pt1 = pixel_point(int(p1["timestamp"]), int(p1["row"]),
+                                   int(p1["col"]),
+                                   int(p1.get("return_idx", 1)))
+            ts2, pt2 = pixel_point(int(p2["timestamp"]), int(p2["row"]),
+                                   int(p2["col"]),
+                                   int(p2.get("return_idx", 1)))
+            opt.add_constraint(PointToPointConstraint(
+                ts1, pt1, ts2, pt2,
+                translation_weight=float(np.mean(
+                    c.get("translation_weight", 1.0)))))
+        elif ctype == "ABSOLUTE_POINT":
+            ts, pt = pixel_point(int(c["timestamp"]), int(c["row"]),
+                                 int(c["col"]),
+                                 int(c.get("return_idx", 1)))
+            tgt = c["point"]
+            target = np.array([tgt["x"], tgt["y"], tgt["z"]],
+                              dtype=np.float64) if isinstance(tgt, dict) \
+                else np.asarray(tgt, dtype=np.float64)
+            opt.add_constraint(AbsolutePointConstraint(
+                ts, pt, target,
+                translation_weight=float(np.mean(
+                    c.get("translation_weight", 1.0)))))
+        else:
+            raise ValueError(f"unknown constraint type {ctype!r}")
+
+    opt.solve()
+
+    # rigid per-scan correction: T_fix = T_new @ inv(T_old)
+    for s, old, nd in zip(scans, node_poses, opt.nodes):
+        fix = nd.pose @ np.linalg.inv(old)
+        s.pose[:] = np.einsum("ij,wjk->wik", fix, s.pose)
+
+    n = 0
+    with Writer(out_osf) as w:
+        for info in infos:
+            w.add_sensor(info)
+        for ls_set in sets:
+            valid = [s for s in ls_set if s is not None]
+            if len(ls_set) == len(infos) and valid and all(
+                    s.first_valid_packet_timestamp() for s in valid):
+                w.save_set(ls_set)
+            else:
+                for idx, s in enumerate(ls_set):
+                    if s is not None:
+                        w.save(idx, s)
+            n += len(valid)
+    src.close()
+    return n

@@ -93,3 +93,65 @@ def test_trajectory_exports(tmp_path):
     assert t.shape == (3, 8)
     # quaternion normalized
     assert np.allclose(np.linalg.norm(t[:, 4:], axis=1), 1.0, atol=1e-6)
+
+
+def test_optimize_osf_trajectory(tmp_path):
+    """End-to-end: constraint JSON anchors the first scan; the odometry
+    chain carries the rest rigidly (ref: plugins/source.py:856
+    pose_optimize, constraint_config.cpp)."""
+    import json
+    import os
+
+    import pytest
+
+    OSF = "/root/reference/tests/osfs/OS-1-128_v2.3.0_1024x10_lb_n3.osf"
+    if not os.path.exists(OSF):
+        pytest.skip("fixture missing")
+
+    from ouster_sdk_tpu.io.osf import OsfScanSource
+    from ouster_sdk_tpu.slam.engine import SlamConfig, SlamEngine
+    from ouster_sdk_tpu.slam.pose_optimizer import optimize_osf_trajectory
+    from ouster_sdk_tpu.io.osf import Writer
+
+    # build a slammed OSF
+    src = OsfScanSource(OSF)
+    engine = SlamEngine(src.sensor_info, SlamConfig())
+    slammed = str(tmp_path / "slammed.osf")
+    with Writer(slammed) as w:
+        for info in src.sensor_info:
+            w.add_sensor(info)
+        for ls_set in src:
+            engine.update(ls_set)
+            for idx, s in enumerate(ls_set):
+                if s is not None:
+                    w.save(idx, s)
+    src.close()
+
+    back = OsfScanSource(slammed)
+    scans = [s for ls in back for s in ls.valid()]
+    cols = np.flatnonzero(scans[0].status & 1)
+    mid = int(cols[len(cols) // 2])
+    ts0 = int(scans[0].timestamp[mid])
+    rel_before = [np.linalg.solve(scans[i].pose[mid],
+                                  scans[i + 1].pose[mid])
+                  for i in range(len(scans) - 1)]
+    back.close()
+
+    cfg = {"loss_function": "HuberLoss",
+           "constraints": [{"type": "ABSOLUTE_POSE", "timestamp": ts0,
+                            "pose": {"x": 0.5},
+                            "rotation_weight": 100.0,
+                            "translation_weight": 100.0}]}
+    out = str(tmp_path / "optimized.osf")
+    n = optimize_osf_trajectory(slammed, out, json.dumps(cfg))
+    assert n == len(scans)
+
+    opt = OsfScanSource(out)
+    oscans = [s for ls in opt for s in ls.valid()]
+    assert np.allclose(oscans[0].pose[mid][:3, 3], [0.5, 0, 0], atol=1e-2)
+    rel_after = [np.linalg.solve(oscans[i].pose[mid],
+                                 oscans[i + 1].pose[mid])
+                 for i in range(len(oscans) - 1)]
+    for a, b in zip(rel_before, rel_after):
+        np.testing.assert_allclose(a, b, atol=1e-3)
+    opt.close()
