@@ -127,3 +127,45 @@ def test_derived_transforms():
     assert small.sensor_info.format.pixels_per_column == 16
     with pytest.raises(ValueError):
         reduce_scan(scan, 7)
+
+
+@pytest.mark.skipif(not os.path.exists(PCAP), reason="fixture missing")
+def test_cli_testing_group(tmp_path):
+    """testing synthesize -> stats -> digest save/check
+    (ref: plugins/testing.py)."""
+    from ouster_sdk_tpu.cli import extra  # noqa: F401  (registers groups)
+
+    r = _runner()
+    synth = str(tmp_path / "synth.pcap")
+    res = r.invoke(cli, ["testing", "synthesize", synth,
+                         "--profile", "RNG15_RFL8_NIR8",
+                         "--mode", "512x10", "--frames", "1"])
+    assert res.exit_code == 0, res.output
+    assert os.path.exists(synth)
+    assert os.path.exists(str(tmp_path / "synth.json"))
+
+    res = r.invoke(cli, ["source", synth, "stats"])
+    assert res.exit_code == 0, res.output
+    assert "complete=True" in res.output
+
+    res = r.invoke(cli, ["testing", "digest", synth, "-s"])
+    assert res.exit_code == 0, res.output
+    digest = str(tmp_path / "synth_digest.json")
+    assert os.path.exists(digest)
+    res = r.invoke(cli, ["testing", "digest", synth, "-c", digest])
+    assert res.exit_code == 0, res.output
+    assert "digest OK" in res.output
+
+    res = r.invoke(cli, ["testing", "time", PCAP])
+    assert res.exit_code == 0, res.output
+    assert "projected" in res.output
+
+
+@pytest.mark.skipif(not os.path.exists(PCAP), reason="fixture missing")
+def test_cli_pose_optimize_requires_osf():
+    from ouster_sdk_tpu.cli import extra  # noqa: F401
+
+    res = _runner().invoke(cli, ["source", PCAP, "pose_optimize",
+                                 "/tmp/never.osf"])
+    assert res.exit_code != 0
+    assert "requires an OSF source" in res.output
