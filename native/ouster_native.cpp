@@ -11,7 +11,9 @@
 //   - frame staging: scatter packet payloads into the (n_pkts, words)
 //     device upload buffer keyed by measurement id
 //
-// Build: g++ -O3 -march=native -shared -fPIC (see native/build.py).
+// Built on first use by ouster_sdk_tpu/utils/native.py into a per-user
+// cache keyed by a hash of this source (g++ -O3 -march=native -shared
+// -fPIC).
 
 #include <cstdint>
 #include <cstring>
@@ -139,7 +141,44 @@ struct FragKey {
 struct FragState {
     std::vector<uint8_t> buf;
     int64_t total = -1;
-    int64_t received = 0;
+    // covered byte ranges (merged, sorted): duplicate/overlapping fragments
+    // must not count twice toward completion (the reference ip_reassembler
+    // tracks holes explicitly)
+    std::vector<std::pair<int64_t, int64_t>> ranges;
+
+    void add_range(int64_t start, int64_t end) {
+        std::vector<std::pair<int64_t, int64_t>> out;
+        bool placed = false;
+        for (auto& r : ranges) {
+            if (r.second < start || end < r.first) {
+                if (!placed && r.first > end) {
+                    out.emplace_back(start, end);
+                    placed = true;
+                }
+                out.push_back(r);
+            } else {  // overlap/adjacent: merge
+                start = start < r.first ? start : r.first;
+                end = end > r.second ? end : r.second;
+            }
+        }
+        if (!placed) out.emplace_back(start, end);
+        // re-sort-merge in case the merged interval now touches a later one
+        std::vector<std::pair<int64_t, int64_t>> fin;
+        for (auto& r : out) {
+            if (!fin.empty() && r.first <= fin.back().second) {
+                if (r.second > fin.back().second)
+                    fin.back().second = r.second;
+            } else {
+                fin.push_back(r);
+            }
+        }
+        ranges.swap(fin);
+    }
+
+    bool complete() const {
+        return total >= 0 && ranges.size() == 1 && ranges[0].first == 0 &&
+               ranges[0].second >= total;
+    }
 };
 
 static inline uint16_t be16(const uint8_t* p) {
@@ -163,6 +202,7 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
                        int64_t max_out) {
     std::map<FragKey, FragState> frags;
     int64_t pos = 24, n_out = 0, payload_pos = 0;
+    bool truncated = false;
 
     auto rd32 = [&](int64_t off) -> uint32_t {
         uint32_t v = rd32le(data + off);
@@ -180,7 +220,7 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
         const uint8_t* frame = data + frame_off;
         int64_t flen = incl;
 
-        // link layer -> ip
+        // link layer -> ip (IPv4 or IPv6 by ethertype / version nibble)
         const uint8_t* ip = nullptr;
         int64_t iplen = 0;
         if (linktype == 1) {  // ethernet (+ vlan tags)
@@ -193,24 +233,70 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
                 ethertype = be16(frame + off + 2);
                 off += 4;
             }
-            if (ethertype != 0x0800) continue;
+            if (ethertype != 0x0800 && ethertype != 0x86DD) continue;
             ip = frame + off;
             iplen = flen - off;
         } else if (linktype == 101 || linktype == 228) {
             ip = frame;
             iplen = flen;
         } else if (linktype == 113) {  // linux SLL
-            if (flen < 16 || be16(frame + 14) != 0x0800) continue;
+            if (flen < 16) continue;
+            uint16_t proto16 = be16(frame + 14);
+            if (proto16 != 0x0800 && proto16 != 0x86DD) continue;
             ip = frame + 16;
             iplen = flen - 16;
         } else if (linktype == 276) {  // SLL2
-            if (flen < 20 || be16(frame) != 0x0800) continue;
+            if (flen < 20) continue;
+            uint16_t proto16 = be16(frame);
+            if (proto16 != 0x0800 && proto16 != 0x86DD) continue;
             ip = frame + 20;
             iplen = flen - 20;
+        } else if (linktype == 0) {  // null/loopback: u32 family, host order
+            if (flen < 4) continue;
+            uint32_t fam = rd32le(frame);
+            uint32_t fam_be = __builtin_bswap32(fam);
+            bool v4 = fam == 2 || fam_be == 2;
+            bool v6 = fam == 10 || fam == 24 || fam == 28 || fam == 30 ||
+                      fam_be == 10 || fam_be == 24 || fam_be == 28 ||
+                      fam_be == 30;
+            if (!v4 && !v6) continue;
+            ip = frame + 4;
+            iplen = flen - 4;
         } else {
             continue;
         }
 
+        if (iplen < 1) continue;
+        if ((ip[0] >> 4) == 6) {
+            // IPv6: fixed 40 B header, UDP only (no extension headers —
+            // matches the pure-Python reader's scope, io/pcap.py)
+            if (iplen < 48 || ip[6] != 17) continue;
+            int64_t plen6 = be16(ip + 4);
+            if (plen6 > iplen - 40) plen6 = iplen - 40;
+            const uint8_t* dg = ip + 40;
+            if (plen6 < 8) continue;
+            uint16_t sport = be16(dg), dport = be16(dg + 2);
+            uint16_t ulen = be16(dg + 4);
+            int64_t udplen6 = ulen >= 8 ? ulen - 8 : plen6 - 8;
+            if (udplen6 > plen6 - 8) udplen6 = plen6 - 8;
+            if (payload_pos + udplen6 > payload_cap) {
+                truncated = true;
+                break;
+            }
+            std::memcpy(payloads + payload_pos, dg + 8, udplen6);
+            offsets[n_out] = payload_pos;
+            sizes[n_out] = udplen6;
+            ts_ns[n_out] = (uint64_t)ts_sec * 1000000000ULL
+                           + (uint64_t)ts_frac * (ts_nano ? 1ULL : 1000ULL);
+            ports[n_out] = ((uint32_t)sport << 16) | dport;
+            // fold the 128-bit dst address into the u32 stream key
+            uint32_t fold = 0;
+            for (int k = 0; k < 4; k++) fold ^= rd32le(ip + 24 + 4 * k);
+            dst_ips[n_out] = fold;
+            payload_pos += udplen6;
+            n_out++;
+            continue;
+        }
         if (iplen < 20 || (ip[0] >> 4) != 4) continue;
         int64_t ihl = (ip[0] & 0x0F) * 4;
         int64_t total_len = be16(ip + 2);
@@ -241,9 +327,9 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
             if ((int64_t)st.buf.size() < frag_off + pllen)
                 st.buf.resize(frag_off + pllen);
             std::memcpy(st.buf.data() + frag_off, pl, pllen);
-            st.received += pllen;
+            st.add_range(frag_off, frag_off + pllen);
             if (!more) st.total = frag_off + pllen;
-            if (st.total >= 0 && st.received >= st.total) {
+            if (st.complete()) {
                 assembled.swap(st.buf);
                 dlen = st.total;
                 dgram = assembled.data();
@@ -258,7 +344,10 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
         uint16_t udp_len = be16(dgram + 4);
         int64_t udplen = udp_len >= 8 ? udp_len - 8 : dlen - 8;
         if (udplen > dlen - 8) udplen = dlen - 8;
-        if (payload_pos + udplen > payload_cap) break;
+        if (payload_pos + udplen > payload_cap) {
+            truncated = true;
+            break;
+        }
 
         std::memcpy(payloads + payload_pos, dgram + 8, udplen);
         offsets[n_out] = payload_pos;
@@ -270,6 +359,10 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
         payload_pos += udplen;
         n_out++;
     }
+    // early-stop sentinel: records remained but output capacity ran out;
+    // -(n_out + 2) distinguishes truncation from error (-1)
+    if (truncated || (pos + 16 <= len && n_out >= max_out))
+        return -(n_out + 2);
     return n_out;
 }
 

@@ -74,6 +74,10 @@ class FrameReader:
         pkt_size = self.pf.lidar_packet_size
         lidar = sizes == pkt_size
         if not lidar.any():
+            # the native scanner supports a subset of capture variants; if it
+            # saw no lidar-size datagrams, defer to the pure-Python reader
+            # before concluding the capture is empty
+            yield from self._iter_python()
             return
         offs = offsets[lidar]
         tss = ts[lidar]

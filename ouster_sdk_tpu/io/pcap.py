@@ -36,22 +36,40 @@ class PacketInfo:
 
 
 class _Fragments:
-    """Accumulates IPv4 fragments of one datagram."""
+    """Accumulates IPv4 fragments of one datagram.
 
-    __slots__ = ("chunks", "total_len", "received", "first_info")
+    Completion is decided from merged covered-byte ranges, not a byte
+    counter, so duplicated/overlapping (retransmitted) fragments cannot
+    mask a hole (the reference ip_reassembler tracks holes explicitly,
+    ref: ip_reassembler.h:76-100).
+    """
+
+    __slots__ = ("chunks", "total_len", "ranges", "first_info")
 
     def __init__(self) -> None:
         self.chunks: List[Tuple[int, bytes]] = []
         self.total_len = -1
-        self.received = 0
+        self.ranges: List[Tuple[int, int]] = []  # merged, sorted [start,end)
         self.first_info: Optional[PacketInfo] = None
+
+    def _cover(self, start: int, end: int) -> None:
+        merged = []
+        for s, e in self.ranges:
+            if e < start or end < s:
+                merged.append((s, e))
+            else:
+                start, end = min(start, s), max(end, e)
+        merged.append((start, end))
+        self.ranges = sorted(merged)
 
     def add(self, offset: int, data: bytes, more: bool) -> Optional[bytes]:
         self.chunks.append((offset, data))
-        self.received += len(data)
+        self._cover(offset, offset + len(data))
         if not more:
             self.total_len = offset + len(data)
-        if self.total_len >= 0 and self.received >= self.total_len:
+        if self.total_len >= 0 and len(self.ranges) == 1 and \
+                self.ranges[0][0] == 0 and \
+                self.ranges[0][1] >= self.total_len:
             buf = bytearray(self.total_len)
             for off, chunk in self.chunks:
                 buf[off:off + len(chunk)] = chunk

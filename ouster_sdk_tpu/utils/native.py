@@ -1,13 +1,16 @@
 """ctypes bindings to the native host library (native/ouster_native.cpp).
 
-Builds the shared library on first use (g++ -O3) and caches it next to the
-source; every caller gracefully falls back to the pure-Python path when the
-toolchain is unavailable, so the package stays importable anywhere.
+Builds the shared library on first use (g++ -O3) into a per-user cache
+directory keyed by a hash of the source, so a stale or foreign binary can
+never be loaded (the blob is machine-specific: -march=native). Every caller
+gracefully falls back to the pure-Python path when the toolchain is
+unavailable, so the package stays importable anywhere.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -22,19 +25,33 @@ _build_failed = False
 _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "native",
     "ouster_native.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "libouster_native.so")
+
+
+def _cache_dir() -> str:
+    return os.environ.get("OUSTER_NATIVE_CACHE") or os.path.join(
+        os.environ.get("XDG_CACHE_HOME")
+        or os.path.join(os.path.expanduser("~"), ".cache"),
+        "ouster_sdk_tpu")
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_SO) and \
-            os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
     try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    so = os.path.join(_cache_dir(), f"libouster_native-{digest}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        os.makedirs(os.path.dirname(so), exist_ok=True)
+        tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-             "-fPIC", _SRC, "-o", _SO],
+             "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
-        return _SO
+        os.replace(tmp, so)  # atomic vs concurrent builders
+        return so
     except (subprocess.SubprocessError, FileNotFoundError, OSError):
         return None
 
@@ -112,7 +129,10 @@ def pcap_scan(data: bytes, swap_endian: bool, ts_nano: bool,
         return None
     buf = np.frombuffer(data, dtype=np.uint8)
     cap = buf.size
-    max_out = max(cap // 64, 64)
+    # every datagram consumes >= 44 file bytes (16 B record header + IP/UDP
+    # headers), so cap//32 slots can never be exceeded; payloads are a strict
+    # subset of the file bytes so `cap` bounds the payload buffer
+    max_out = cap // 32 + 64
     payloads = np.empty(cap, dtype=np.uint8)
     offsets = np.empty(max_out, dtype=np.int64)
     sizes = np.empty(max_out, dtype=np.int64)
@@ -123,8 +143,16 @@ def pcap_scan(data: bytes, swap_endian: bool, ts_nano: bool,
         _ptr(buf), buf.size, int(swap_endian), int(ts_nano), linktype,
         _ptr(payloads), payloads.size, _ptr(offsets), _ptr(sizes),
         _ptr(ts), _ptr(ports), _ptr(dst_ips), max_out)
-    if n < 0:
+    if n == -1:
         return None
+    if n < -1:  # early-stop sentinel: -(count + 2) datagrams were emitted
+        import warnings
+
+        n = -n - 2
+        warnings.warn(
+            f"native pcap scan stopped early after {n} datagrams "
+            "(output capacity reached); tail of the capture was dropped",
+            RuntimeWarning, stacklevel=2)
     return (payloads, offsets[:n], sizes[:n], ts[:n], ports[:n],
             dst_ips[:n])
 
