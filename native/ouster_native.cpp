@@ -324,8 +324,13 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
         } else {
             FragKey key{src_ip, dst_ip, ip_id, proto};
             FragState& st = frags[key];
-            if ((int64_t)st.buf.size() < frag_off + pllen)
+            if ((int64_t)st.buf.size() < frag_off + pllen) {
+                // reserve the max UDP datagram up front: per-fragment
+                // geometric regrowth would memcpy the partial buffer ~20x
+                // per reassembled lidar packet
+                if (st.buf.capacity() < 65536) st.buf.reserve(65536);
                 st.buf.resize(frag_off + pllen);
+            }
             std::memcpy(st.buf.data() + frag_off, pl, pllen);
             st.add_range(frag_off, frag_off + pllen);
             if (!more) st.total = frag_off + pllen;
@@ -391,6 +396,53 @@ int64_t onat_stage_frame(const uint8_t* payloads, const int64_t* offsets,
         placed++;
     }
     return placed;
+}
+
+// Group consecutive same-frame-id packets into zeroed frame slabs in one
+// native pass (the host replay hot path; this machine is page-fault and
+// Python-overhead bound, so the gather/scatter must not round-trip through
+// numpy). Packets are `count` offsets into `payloads`, each `pkt_bytes`
+// long. frame_id is read as a 64-bit little-endian load at byte `fid_byte`
+// >> fid_shift & fid_mask; the column slot from the u16 measurement id at
+// `mid_byte`. Emits at most max_frames slabs of (n_slots * pkt_bytes)
+// bytes into out_frames (memset-zeroed here), with per-frame id and the
+// first packet's timestamp. Stops BEFORE starting frame max_frames+1 so
+// callers can resume; *out_nframes = frames emitted; returns packets
+// consumed.
+int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
+                          const uint64_t* ts_in, int64_t count,
+                          int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
+                          uint64_t fid_mask, int64_t mid_byte,
+                          int64_t cols_per_packet, int64_t n_slots,
+                          uint8_t* out_frames, int64_t* out_fids,
+                          uint64_t* out_ts, int64_t max_frames,
+                          int64_t* out_nframes) {
+    int64_t frame_bytes = n_slots * pkt_bytes;
+    int64_t nf = 0, i = 0;
+    int64_t cur_fid = -1;
+    uint8_t* slab = nullptr;
+    for (; i < count; i++) {
+        const uint8_t* p = payloads + offsets[i];
+        uint64_t fid64;
+        std::memcpy(&fid64, p + fid_byte, 8);
+        int64_t fid = (int64_t)((fid64 >> fid_shift) & fid_mask);
+        if (fid != cur_fid) {
+            if (nf >= max_frames) break;  // resume from packet i next call
+            slab = out_frames + nf * frame_bytes;
+            std::memset(slab, 0, frame_bytes);
+            out_fids[nf] = fid;
+            out_ts[nf] = ts_in ? ts_in[i] : 0;
+            cur_fid = fid;
+            nf++;
+        }
+        uint16_t mid;
+        std::memcpy(&mid, p + mid_byte, 2);
+        int64_t slot = mid / cols_per_packet;
+        if (slot < 0 || slot >= n_slots) continue;
+        std::memcpy(slab + slot * pkt_bytes, p, pkt_bytes);
+    }
+    *out_nframes = nf;
+    return i;
 }
 
 }  // extern "C"

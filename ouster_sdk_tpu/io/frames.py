@@ -45,68 +45,108 @@ class FrameReader:
         self.pf = PacketFormat.from_info(info)
         self.plan: DecodePlan = make_decode_plan(info)
         self._path = pcap_path
+        # staging pools reused across iter_chunks calls (first-touch page
+        # faults are expensive on virtualized hosts; reuse keeps the steady
+        # state fault-free)
+        self._pools = {}
 
     def _native_scan(self):
+        import os
+
+        size = os.path.getsize(self._path)
+        fbuf = self._pools.get("file")
+        if fbuf is None or fbuf.size < size:
+            fbuf = self._pools["file"] = np.empty(size, np.uint8)
+        data = fbuf[:size]
         with open(self._path, "rb") as f:
-            data = f.read()
-        if len(data) < 24:
+            f.readinto(memoryview(data))
+        if size < 24:
             return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
                     np.zeros(0, np.int64), np.zeros(0, np.uint64),
                     np.zeros(0, np.uint32), np.zeros(0, np.uint32))
-        magic_le = struct.unpack("<I", data[:4])[0]
+        head = data[:24].tobytes()
+        magic_le = struct.unpack("<I", head[:4])[0]
         magic = magic_le if magic_le in _PCAP_MAGICS else \
-            struct.unpack(">I", data[:4])[0]
+            struct.unpack(">I", head[:4])[0]
         if magic not in _PCAP_MAGICS:
             raise ValueError("unknown pcap magic")
         swap = magic_le not in _PCAP_MAGICS
         ts_nano = _PCAP_MAGICS[magic][1] == 1
         linktype = struct.unpack(
-            ("<" if not swap else ">") + "I", data[20:24])[0] & 0x0FFFFFFF
-        return native.pcap_scan(data, swap, ts_nano, linktype)
+            ("<" if not swap else ">") + "I", head[20:24])[0] & 0x0FFFFFFF
+        ws = self._pools.setdefault("scan_ws", {})
+        return native.pcap_scan(data, swap, ts_nano, linktype, workspace=ws)
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
+        for fids, frames, tss in self.iter_chunks():
+            for k in range(fids.size):
+                # copy: the chunk slab is a reused pool (iter_chunks is the
+                # zero-copy hot path; steady-state copies recycle arenas)
+                yield int(fids[k]), frames[k].copy(), int(tss[k])
+
+    def iter_chunks(self, chunk: int = 8) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (frame_ids, frames (m, n_pkts, pkt_words) u32, host_ts)
+        chunks of up to `chunk` frames with NO per-byte Python work: one
+        native pass groups packets into pooled slabs (this host is
+        page-fault bound, so slabs alternate between two reused pools —
+        each yielded view is valid until the next-but-one iteration,
+        matching an upload-immediately consumer).
+        """
         res = self._native_scan() if native.get_lib() is not None else None
+        if res is not None:
+            payloads, offsets, sizes, ts, ports, ips = res
+            pkt_size = self.pf.lidar_packet_size
+            lidar = sizes == pkt_size
+            res = None if not lidar.any() else \
+                (payloads, offsets[lidar], ts[lidar])
         if res is None:
-            yield from self._iter_python()
+            # the native scanner supports a subset of capture variants; if
+            # it saw no lidar-size datagrams, defer to the pure-Python
+            # reader before concluding the capture is empty
+            batch_f, batch_i, batch_t = [], [], []
+            for fid, words, t in self._iter_python():
+                batch_f.append(words)
+                batch_i.append(fid)
+                batch_t.append(t)
+                if len(batch_f) == chunk:
+                    yield (np.asarray(batch_i), np.stack(batch_f),
+                           np.asarray(batch_t, np.uint64))
+                    batch_f, batch_i, batch_t = [], [], []
+            if batch_f:
+                yield (np.asarray(batch_i), np.stack(batch_f),
+                       np.asarray(batch_t, np.uint64))
             return
 
-        payloads, offsets, sizes, ts, ports, ips = res
+        payloads, offs, tss = res
         pkt_size = self.pf.lidar_packet_size
-        lidar = sizes == pkt_size
-        if not lidar.any():
-            # the native scanner supports a subset of capture variants; if it
-            # saw no lidar-size datagrams, defer to the pure-Python reader
-            # before concluding the capture is empty
-            yield from self._iter_python()
-            return
-        offs = offsets[lidar]
-        tss = ts[lidar]
-
-        # frame ids of every packet, vectorized from the staged bytes
-        n = offs.size
-        stride_words = pkt_size // 4
-        # gather packets into one dense (n, words) array (single pass copy)
-        dense = np.empty((n, pkt_size), dtype=np.uint8)
-        for i, o in enumerate(offs):  # memcpy loop; native stage below
-            dense[i] = payloads[o:o + pkt_size]
-        words = dense.reshape(n, -1).view("<u4")
         g = self.pf.geom
-        from ..ops.packet_format import read_bits
+        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
+        fid_mask = (1 << g.frame_id.bit_size) - 1
+        mid_byte = (self.plan.hw + self.plan.mid_word) * 4
 
-        fids = read_bits(words, g.frame_id)
-
-        # group consecutive packets by frame id (arrival order)
-        change = np.concatenate([[True], fids[1:] != fids[:-1]])
-        starts = np.flatnonzero(change)
-        ends = np.concatenate([starts[1:], [n]])
-        for s, e in zip(starts, ends):
-            frame = np.zeros((self.plan.n_pkts, self.plan.pkt_words),
-                             dtype=np.uint32)
-            mid = words[s:e, self.plan.hw + self.plan.mid_word] & 0xFFFF
-            slots = (mid // self.plan.cpp).astype(np.int64)
-            ok = (slots >= 0) & (slots < self.plan.n_pkts)
-            frame[slots[ok]] = words[s:e][ok]
-            yield int(fids[s]), frame, int(tss[s])
+        if chunk not in self._pools:
+            pools = [np.empty((chunk, self.plan.n_pkts,
+                               self.plan.pkt_words), dtype=np.uint32)
+                     for _ in range(2)]
+            for p in pools:
+                p.fill(0)  # pre-fault now, not inside the grouping pass
+            self._pools[chunk] = pools
+        pools = self._pools[chunk]
+        fid_out = np.zeros(chunk, np.int64)
+        ts_out = np.zeros(chunk, np.uint64)
+        pos, flip = 0, 0
+        while pos < offs.size:
+            pool = pools[flip]
+            flip ^= 1
+            consumed, nf = native.group_frames(
+                payloads, offs[pos:], tss[pos:], pkt_size, fid_byte,
+                fid_shift, fid_mask, mid_byte, self.plan.cpp,
+                self.plan.n_pkts, pool, fid_out, ts_out)
+            if nf == 0:
+                break
+            pos += consumed
+            yield fid_out[:nf].copy(), pool[:nf], ts_out[:nf].copy()
 
     def _iter_python(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         from ..ops.unpack import frame_words_from_packets

@@ -14,7 +14,7 @@ import hashlib
 import os
 import subprocess
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -91,6 +91,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.onat_udp_recv_batch.argtypes = [
             c.c_int, c.c_void_p, c.c_int64, c.c_int64, c.c_void_p,
             c.c_void_p]
+        lib.onat_group_frames.restype = c.c_int64
+        lib.onat_group_frames.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+            c.c_void_p]
         _lib = lib
         return _lib
 
@@ -120,25 +126,42 @@ def png_unfilter(rows: np.ndarray, h: int, stride: int,
     return out
 
 
-def pcap_scan(data: bytes, swap_endian: bool, ts_nano: bool,
-              linktype: int):
+def pcap_scan(data, swap_endian: bool, ts_nano: bool,
+              linktype: int, workspace: Optional[dict] = None):
     """Returns (payloads u8, offsets i64, sizes i64, ts u64,
-    src_dst_ports u32, dst_ips u32) or None when native is unavailable."""
+    src_dst_ports u32, dst_ips u32) or None when native is unavailable.
+
+    `workspace` (optional dict, owned by the caller) reuses the large
+    output buffers across calls — big allocations are mmap'd fresh by the
+    allocator every time, and first-touch page faults dominate on
+    virtualized hosts. The returned arrays are views into the workspace
+    and remain valid only until the next call with the same workspace.
+    """
     lib = get_lib()
     if lib is None:
         return None
-    buf = np.frombuffer(data, dtype=np.uint8)
+    buf = data if isinstance(data, np.ndarray) else \
+        np.frombuffer(data, dtype=np.uint8)
     cap = buf.size
     # every datagram consumes >= 44 file bytes (16 B record header + IP/UDP
     # headers), so cap//32 slots can never be exceeded; payloads are a strict
     # subset of the file bytes so `cap` bounds the payload buffer
     max_out = cap // 32 + 64
-    payloads = np.empty(cap, dtype=np.uint8)
-    offsets = np.empty(max_out, dtype=np.int64)
-    sizes = np.empty(max_out, dtype=np.int64)
-    ts = np.empty(max_out, dtype=np.uint64)
-    ports = np.empty(max_out, dtype=np.uint32)
-    dst_ips = np.empty(max_out, dtype=np.uint32)
+
+    def _ws(name, n, dtype):
+        if workspace is None:
+            return np.empty(n, dtype=dtype)
+        a = workspace.get(name)
+        if a is None or a.size < n:
+            a = workspace[name] = np.empty(n, dtype=dtype)
+        return a[:n]
+
+    payloads = _ws("payloads", cap, np.uint8)
+    offsets = _ws("offsets", max_out, np.int64)
+    sizes = _ws("sizes", max_out, np.int64)
+    ts = _ws("ts", max_out, np.uint64)
+    ports = _ws("ports", max_out, np.uint32)
+    dst_ips = _ws("dst_ips", max_out, np.uint32)
     n = lib.onat_pcap_scan(
         _ptr(buf), buf.size, int(swap_endian), int(ts_nano), linktype,
         _ptr(payloads), payloads.size, _ptr(offsets), _ptr(sizes),
@@ -170,6 +193,32 @@ def stage_frame(payloads: np.ndarray, offsets: np.ndarray,
         _ptr(np.ascontiguousarray(sizes, np.int64)), len(offsets),
         pkt_bytes, mid_off, cols_per_packet, _ptr(frame), n_slots)
     return frame
+
+
+def group_frames(payloads: np.ndarray, offsets: np.ndarray,
+                 ts: Optional[np.ndarray], pkt_bytes: int, fid_byte: int,
+                 fid_shift: int, fid_mask: int, mid_byte: int,
+                 cols_per_packet: int, n_slots: int, out_frames: np.ndarray,
+                 out_fids: np.ndarray, out_ts: np.ndarray
+                 ) -> Optional[Tuple[int, int]]:
+    """Group consecutive same-frame-id packets into zeroed frame slabs
+    (one native pass). Returns (packets_consumed, n_frames) or None when
+    the native library is unavailable. out_frames must be a C-contiguous
+    (max_frames, n_slots, pkt_bytes//4) uint32 buffer (reused across
+    calls)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nframes = np.zeros(1, dtype=np.int64)
+    consumed = lib.onat_group_frames(
+        _ptr(payloads), _ptr(offsets),
+        _ptr(np.ascontiguousarray(ts, np.uint64)) if ts is not None
+        else None,
+        offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask, mid_byte,
+        cols_per_packet, n_slots, _ptr(out_frames), _ptr(out_fids),
+        _ptr(out_ts), out_frames.shape[0], _ptr(nframes))
+    return int(consumed), int(nframes[0])
 
 
 def udp_recv_batch(sock, stride: int, max_msgs: int = 256):
