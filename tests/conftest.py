@@ -36,6 +36,10 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "conformance: bit-exactness tests against reference fixtures")
     config.addinivalue_line("markers", "slow: long-running tests")
+    config.addinivalue_line(
+        "markers",
+        "tpu: on-hardware kernel validation (subprocess; auto-skips "
+        "when no TPU is reachable)")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,165 @@
+"""On-hardware kernel validation, run as a clean subprocess (the pytest
+suite forces the CPU platform process-globally, and only one process may
+own the TPU).
+
+Checks, all against the digest-proven numpy host decoder / f64 LUT:
+  1. integer field decode (decode_frame, XLA) for EVERY udp profile —
+     exact equality;
+  2. fused LUT Pallas projection (unpack_project_pallas_batched) for
+     single/dual/low-bandwidth profiles — <= 1 f32 ulp of f64, and
+     <= 1e-5 m wherever f32 can represent it;
+  3. LUT-free Pallas projection — same double-single contract.
+
+Exit codes: 0 ok, 5 = no TPU available (caller skips).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    import jax
+
+    try:
+        os.makedirs(os.path.join(REPO, ".jax_cache"), exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    try:
+        devs = jax.devices()
+    except Exception as e:
+        print(f"no jax backend: {e}", file=sys.stderr)
+        return 5
+    if devs[0].platform == "cpu":
+        print("no TPU available", file=sys.stderr)
+        return 5
+    print(f"device: {devs[0].device_kind}", file=sys.stderr)
+
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu import ChanField, PacketFormat
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.unpack import decode_frame, make_decode_plan
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_pallas_batched)
+    from ouster_sdk_tpu.ops.pallas_lutfree import (
+        FactorTables, unpack_project_lutfree)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_all_profiles import ALL_PROFILES, _info
+
+    from __graft_entry__ import _make_info, _synth_frame
+
+    failures = []
+
+    # ---- 1. integer decode, every profile -------------------------------
+    from ouster_sdk_tpu import PacketWriter
+    from ouster_sdk_tpu.ops.unpack import frame_words_from_packets
+
+    for profile in ALL_PROFILES:
+        info = _info(profile)
+        pw = PacketWriter(info.format)
+        pf = PacketFormat.from_info(info)
+        plan = make_decode_plan(info)
+        rng = np.random.default_rng(7)
+        pkts = []
+        for p in range(plan.n_pkts):
+            buf = pw.new_packet()
+            pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+            pw.set_frame_id(buf, 3)
+            cpp = pw.columns_per_packet
+            m0 = p * cpp
+            pw.set_col_headers(
+                buf, np.arange(cpp, dtype=np.uint64) + m0,
+                np.arange(cpp, dtype=np.uint16) + m0,
+                np.ones(cpp, dtype=np.uint32))
+            for name in dict.fromkeys(pw.fields):
+                mask = pf.field_value_mask(name)
+                ne = pf.field_info(name).num_elements
+                shape = (pw.pixels_per_column, cpp) + \
+                    ((ne,) if ne > 1 else ())
+                vals = rng.integers(0, 1 << 30, size=shape,
+                                    dtype=np.uint64) & mask
+                pw.set_field(buf, name, vals)
+            pkts.append(np.frombuffer(buf.tobytes(), np.uint8))
+        words = frame_words_from_packets(pkts, plan)
+        out = jax.jit(lambda w: decode_frame(w, plan))(jnp.asarray(words))
+        bufs = np.stack(pkts)
+        w_cols = info.format.columns_per_frame
+        for name in dict.fromkeys(pw.fields):
+            if name not in out:  # plan decodes a subset for some profiles
+                continue
+            ref = pf.packet_field_all(name, bufs)  # (n, px, cols)
+            ref = np.concatenate(list(ref), axis=1)[:, :w_cols]
+            got = np.asarray(out[name])
+            if got.shape != ref.shape or not (got == ref).all():
+                failures.append(f"decode {profile.value}/{name}: mismatch")
+        print(f"decode ok: {profile.value}", file=sys.stderr)
+
+    # ---- 2. fused LUT projection ----------------------------------------
+    def check_projection(w, h, dual, tag):
+        info = _make_info(w=w, h=h, dual=dual)
+        plan = make_decode_plan(info)
+        frame = _synth_frame(info)
+        lut64 = make_xyz_lut(info)
+        lut = PlanarLut(lut64)
+        out = jax.jit(lambda f: unpack_project_pallas_batched(
+            f, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
+            dual=dual))(jnp.asarray(frame[None]))
+        xyz = np.moveaxis(np.asarray(out[0][0] if dual else out[0]), 0, -1)
+        pf = PacketFormat.from_info(info)
+        bufs = np.ascontiguousarray(frame).view(np.uint8)
+        rng_img = pf.packet_field_all(ChanField.RANGE, bufs)
+        rng_img = np.concatenate(list(rng_img), axis=1)[:, :w]
+        ref = lut64(rng_img.astype(np.uint32))
+        err = np.abs(xyz - ref)
+        ulp = np.spacing(np.abs(ref).astype(np.float32)).astype(np.float64)
+        near = np.abs(ref) < 128.0
+        if (err / np.maximum(ulp, 1e-30)).max() > 1.0 or \
+                (near.any() and err[near].max() > 1e-5):
+            failures.append(
+                f"projection {tag}: max err {err.max()}, "
+                f"ulp ratio {(err / np.maximum(ulp, 1e-30)).max()}")
+        else:
+            print(f"projection ok: {tag} (max err {err.max():.2e} m)",
+                  file=sys.stderr)
+        return info, plan, frame, ref, rng_img
+
+    check_projection(1024, 128, False, "128x1024 single")
+    info_d, plan_d, frame_d, ref_d, rng_d = check_projection(
+        1024, 128, True, "128x1024 dual")
+
+    # ---- 3. LUT-free projection -----------------------------------------
+    tables = FactorTables(info_d)
+    xyz = np.moveaxis(np.asarray(jax.jit(
+        lambda f: unpack_project_lutfree(f, tables, plan_d))(
+            jnp.asarray(frame_d))), 0, -1)
+    err = np.abs(xyz - ref_d)
+    # f32 budget scales with RANGE (in-kernel trig-free direction
+    # synthesis; same bound as tests/test_lutfree.py)
+    r_m = rng_d.astype(np.float64)[..., None] * 1e-3
+    bound = np.maximum(3e-7 * np.maximum(r_m, 1.0) * 2, 2e-6)
+    if not (err <= bound).all():
+        failures.append(f"lutfree: max err {err.max()}")
+    else:
+        print(f"lutfree ok (max err {err.max():.2e} m)", file=sys.stderr)
+
+    if failures:
+        print("FAILURES:\n" + "\n".join(failures), file=sys.stderr)
+        return 1
+    print("all TPU hardware checks passed", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
