@@ -68,6 +68,7 @@ class Connection:
     msgtype: str
     md5sum: str = ""
     message_definition: str = ""
+    serialization: str = "ros1"  # "ros1" | "cdr" (ROS2)
 
 
 @dataclass
@@ -161,15 +162,213 @@ def _lz4_decompress(data: bytes) -> bytes:
     raise ValueError("lz4-compressed bags are not supported yet")
 
 
-def _unpack_packet_msg(data: bytes) -> bytes:
-    """ouster_ros/PacketMsg: uint8[] buf -> u32 length + bytes."""
-    n = struct.unpack_from("<I", data, 0)[0]
-    return data[4:4 + n]
+# -- ROS2 (rosbag2 sqlite3 storage) ----------------------------------------
+# (ref: bag/bag_packet_source.py:19,27-35 — the reference reads ROS2 db3
+# bags via the `rosbags` package; this is a self-contained stdlib-sqlite3
+# implementation of the same storage schema.)
+
+_SQLITE_MAGIC = b"SQLite format 3\x00"
+_ROS1_MSGTYPE_MAP = {
+    # normalize ROS2 dotted msg types to one namespace set
+    "ouster_ros/msg/PacketMsg": "ouster_ros/msg/PacketMsg",
+}
 
 
-def _unpack_string_msg(data: bytes) -> str:
-    n = struct.unpack_from("<I", data, 0)[0]
-    return data[4:4 + n].decode("utf-8", errors="replace")
+def _resolve_db3_files(path: str) -> List[str]:
+    import glob
+
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.db3")))
+        if not files:
+            raise ValueError(f"{path}: directory contains no .db3 storage")
+        return files
+    return [path]
+
+
+class Ros2BagReader:
+    """Iterates (connection, timestamp, CDR message bytes) from rosbag2
+    sqlite3 storage — a bare .db3 file or a bag directory of them."""
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self.connections: Dict[int, Connection] = {}
+        self._messages: List[BagMessage] = []
+        next_id = 0
+        for f in _resolve_db3_files(path):
+            con = sqlite3.connect(f"file:{f}?mode=ro", uri=True,
+                                  check_same_thread=False)
+            try:
+                cur = con.execute(
+                    "SELECT id, name, type, serialization_format "
+                    "FROM topics")
+                local = {}
+                for tid, name, msgtype, fmt in cur.fetchall():
+                    c = Connection(id=next_id, topic=name, msgtype=msgtype,
+                                   serialization=fmt or "cdr")
+                    local[tid] = c
+                    self.connections[next_id] = c
+                    next_id += 1
+                cur = con.execute(
+                    "SELECT topic_id, timestamp, data FROM messages "
+                    "ORDER BY timestamp")
+                for tid, ts, data in cur:
+                    c = local.get(tid)
+                    if c is not None:
+                        self._messages.append(BagMessage(c, int(ts),
+                                                         bytes(data)))
+            finally:
+                con.close()
+        self._messages.sort(key=lambda m: m.timestamp)
+
+    def messages(self, topics: Optional[List[str]] = None
+                 ) -> Iterator[BagMessage]:
+        for m in self._messages:
+            if topics is None or m.connection.topic in topics:
+                yield m
+
+
+class Ros2BagWriter:
+    """Write a rosbag2 sqlite3 bag: a bare `.db3` file, or a bag directory
+    (path without .db3 suffix) holding `<name>_0.db3` + metadata.yaml."""
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        self._dir = None
+        if not path.endswith(".db3"):
+            os.makedirs(path, exist_ok=True)
+            self._dir = path
+            name = os.path.basename(path.rstrip("/")) or "bag"
+            db_path = os.path.join(path, name + "_0.db3")
+        else:
+            db_path = path
+        if os.path.exists(db_path):
+            os.remove(db_path)
+        self._db_path = db_path
+        self._con = sqlite3.connect(db_path)
+        self._con.executescript(
+            "CREATE TABLE schema(schema_version INTEGER PRIMARY KEY, "
+            "ros_distro TEXT NOT NULL);"
+            "CREATE TABLE metadata(id INTEGER PRIMARY KEY, "
+            "metadata_version INTEGER NOT NULL, metadata TEXT NOT NULL);"
+            "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT NOT "
+            "NULL, type TEXT NOT NULL, serialization_format TEXT NOT "
+            "NULL, offered_qos_profiles TEXT NOT NULL);"
+            "CREATE TABLE messages(id INTEGER PRIMARY KEY, topic_id "
+            "INTEGER NOT NULL, timestamp INTEGER NOT NULL, data BLOB NOT "
+            "NULL);")
+        self._con.execute(
+            "INSERT INTO schema(schema_version, ros_distro) VALUES (3, "
+            "'rolling')")
+        self._topics: Dict[Tuple[str, str], int] = {}
+        self._counts: Dict[str, int] = {}
+        self._ts_range = [None, None]
+
+    def _topic_id(self, topic: str, msgtype: str) -> int:
+        key = (topic, msgtype)
+        if key not in self._topics:
+            tid = len(self._topics) + 1
+            self._con.execute(
+                "INSERT INTO topics(id, name, type, serialization_format, "
+                "offered_qos_profiles) VALUES (?, ?, ?, 'cdr', '')",
+                (tid, topic, msgtype))
+            self._topics[key] = tid
+        return self._topics[key]
+
+    def _write(self, topic: str, msgtype: str, cdr_body: bytes,
+               ts_ns: int) -> None:
+        data = b"\x00\x01\x00\x00" + cdr_body  # CDR_LE encapsulation
+        tid = self._topic_id(topic, msgtype)
+        self._con.execute(
+            "INSERT INTO messages(topic_id, timestamp, data) "
+            "VALUES (?, ?, ?)", (tid, ts_ns, data))
+        self._counts[topic] = self._counts.get(topic, 0) + 1
+        lo, hi = self._ts_range
+        self._ts_range = [ts_ns if lo is None else min(lo, ts_ns),
+                          ts_ns if hi is None else max(hi, ts_ns)]
+
+    def write_packet(self, topic: str, payload: bytes, ts_ns: int) -> None:
+        self._write(topic, "ouster_sensor_msgs/msg/PacketMsg",
+                    struct.pack("<I", len(payload)) + bytes(payload), ts_ns)
+
+    def write_string(self, topic: str, text: str, ts_ns: int) -> None:
+        raw = text.encode() + b"\x00"
+        self._write(topic, "std_msgs/msg/String",
+                    struct.pack("<I", len(raw)) + raw, ts_ns)
+
+    def close(self) -> None:
+        self._con.commit()
+        self._con.close()
+        if self._dir is not None:
+            self._write_metadata_yaml()
+
+    def _write_metadata_yaml(self) -> None:
+        lo, hi = self._ts_range
+        lo = lo or 0
+        hi = hi if hi is not None else lo
+        topics = "\n".join(
+            "    - topic_metadata:\n"
+            f"        name: {t}\n"
+            f"        type: {m}\n"
+            "        serialization_format: cdr\n"
+            "        offered_qos_profiles: \"\"\n"
+            f"      message_count: {self._counts.get(t, 0)}"
+            for (t, m) in self._topics)
+        with open(os.path.join(self._dir, "metadata.yaml"), "w") as f:
+            f.write(
+                "rosbag2_bagfile_information:\n"
+                "  version: 5\n"
+                "  storage_identifier: sqlite3\n"
+                "  relative_file_paths:\n"
+                f"    - {os.path.basename(self._db_path)}\n"
+                "  duration:\n"
+                f"    nanoseconds: {hi - lo}\n"
+                "  starting_time:\n"
+                f"    nanoseconds_since_epoch: {lo}\n"
+                f"  message_count: {sum(self._counts.values())}\n"
+                "  topics_with_message_count:\n"
+                f"{topics}\n"
+                "  compression_format: \"\"\n"
+                "  compression_mode: \"\"\n")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_bag_reader(path: str):
+    """ROS1 or ROS2 reader by storage probe (dir / sqlite magic / V2.0)."""
+    if os.path.isdir(path) or path.endswith(".db3"):
+        return Ros2BagReader(path)
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if head.startswith(_SQLITE_MAGIC):
+        return Ros2BagReader(path)
+    if head.startswith(b"\x89MCAP"):
+        raise NotImplementedError(
+            f"{path}: MCAP bags are not supported yet; convert with "
+            "'ros2 bag convert' or use sqlite3/ROS1 storage")
+    return Ros1BagReader(path)
+
+
+def _unpack_packet_msg(data: bytes, serialization: str = "ros1") -> bytes:
+    """ouster_ros/PacketMsg (uint8[] buf): u32 length + bytes; ROS2 CDR
+    adds a 4-byte encapsulation header."""
+    off = 4 if serialization == "cdr" else 0
+    n = struct.unpack_from("<I", data, off)[0]
+    return data[off + 4:off + 4 + n]
+
+
+def _unpack_string_msg(data: bytes, serialization: str = "ros1") -> str:
+    off = 4 if serialization == "cdr" else 0
+    n = struct.unpack_from("<I", data, off)[0]
+    s = data[off + 4:off + 4 + n]
+    if serialization == "cdr" and s.endswith(b"\x00"):
+        s = s[:-1]  # ROS2 CDR strings are NUL-terminated
+    return s.decode("utf-8", errors="replace")
 
 
 _PACKET_MSG_TYPES = {
@@ -185,7 +384,7 @@ class BagPacketSource:
     def __init__(self, path: str, *,
                  meta: Optional[List[str]] = None,
                  soft_id_check: bool = False):
-        self._reader = Ros1BagReader(path)
+        self._reader = open_bag_reader(path)
         self._soft_id_check = soft_id_check
         self.id_error_count = 0
 
@@ -194,6 +393,8 @@ class BagPacketSource:
                        and "lidar_packets" in c.topic]
         imu_conns = [c for c in conns if c.msgtype in _PACKET_MSG_TYPES
                      and "imu_packets" in c.topic]
+        zone_conns = [c for c in conns if c.msgtype in _PACKET_MSG_TYPES
+                      and "zone_packets" in c.topic]
         meta_conns = [c for c in conns
                       if c.msgtype in ("std_msgs/String", "std_msgs/msg/String")
                       and "metadata" in c.topic]
@@ -208,11 +409,15 @@ class BagPacketSource:
             for ic in imu_conns:
                 if ic.topic.startswith(ns):
                     self._topic_sensor[ic.topic] = (idx, "imu")
+            for zc in zone_conns:
+                if zc.topic.startswith(ns):
+                    self._topic_sensor[zc.topic] = (idx, "zone")
             for mc in meta_conns:
                 if mc.topic.startswith(ns):
                     for m in self._reader.messages([mc.topic]):
                         self._infos[idx] = sensor_info_from_metadata(
-                            _unpack_string_msg(m.data))
+                            _unpack_string_msg(m.data,
+                                               mc.serialization))
                         break
 
         if meta:
@@ -239,7 +444,7 @@ class BagPacketSource:
         topics = list(self._topic_sensor)
         for m in self._reader.messages(topics):
             idx, kind = self._topic_sensor[m.connection.topic]
-            payload = _unpack_packet_msg(m.data)
+            payload = _unpack_packet_msg(m.data, m.connection.serialization)
             pf = self._formats[idx]
             if kind == "lidar" and len(payload) == pf.lidar_packet_size:
                 pkt: Packet = LidarPacket(payload, m.timestamp)
@@ -253,6 +458,9 @@ class BagPacketSource:
                 yield idx, pkt
             elif kind == "imu" and len(payload) == pf.imu_packet_size:
                 yield idx, ImuPacket(payload, m.timestamp)
+            elif kind == "zone" and pf.zone_packet_size and \
+                    len(payload) == pf.zone_packet_size:
+                yield idx, ZonePacket(payload, m.timestamp)
 
     def close(self) -> None:
         pass

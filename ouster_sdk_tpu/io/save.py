@@ -51,6 +51,8 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
         return _save_pcap(path, infos, scan_sets)
     if ext == ".bag":
         return _save_bag(path, infos, scan_sets)
+    if ext == ".db3":
+        return _save_bag(path, infos, scan_sets, ros2=True)
     if ext == ".csv":
         return _save_points(path, infos, scan_sets, "csv")
     if ext == ".ply":
@@ -113,14 +115,15 @@ def _save_pcap(path, infos, scan_sets) -> int:
     return n
 
 
-def _save_bag(path, infos, scan_sets) -> int:
-    """Re-packetize scans onto ouster ROS1 topics
+def _save_bag(path, infos, scan_sets, ros2: bool = False) -> int:
+    """Re-packetize scans onto ouster ROS topics
     (ref: plugins/source_save.py bag save: /osN/metadata string +
-    /osN/lidar_packets PacketMsg)."""
-    from .bag import Ros1BagWriter
+    /osN/lidar_packets PacketMsg). `.db3` targets write rosbag2 sqlite3
+    storage instead of ROS1 v2.0."""
+    from .bag import Ros1BagWriter, Ros2BagWriter
 
     n = 0
-    w = Ros1BagWriter(path)
+    w = Ros2BagWriter(path) if ros2 else Ros1BagWriter(path)
     try:
         first_ts = [None] * len(infos)
         for ls_set in scan_sets:

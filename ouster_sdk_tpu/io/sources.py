@@ -38,6 +38,7 @@ _EXTENSIONS = {
     ".pcap": IoType.PCAP,
     ".bag": IoType.BAG,
     ".mcap": IoType.BAG,
+    ".db3": IoType.BAG,
     ".csv": IoType.CSV,
     ".ply": IoType.PLY,
     ".pcd": IoType.PCD,
@@ -46,8 +47,16 @@ _EXTENSIONS = {
 
 
 def io_type(source: str) -> IoType:
-    """URL/extension -> IoType (ref: io_type.cpp)."""
+    """URL/extension -> IoType (ref: io_type.cpp:80-140). A directory is a
+    ROS2 bag when it carries a .bag suffix or contains .db3 storage."""
     ext = os.path.splitext(source)[1].lower()
+    if os.path.isdir(source):
+        import glob
+
+        if ext == ".bag" or glob.glob(os.path.join(source, "*.db3")):
+            return IoType.BAG
+        raise ValueError(
+            f"'{source}' is a directory and not a ROS bag")
     if ext in _EXTENSIONS:
         return _EXTENSIONS[ext]
     if os.path.exists(source):
