@@ -203,18 +203,45 @@ def source_stats(ctx):
 @source.command("save")
 @click.argument("path")
 @click.option("--fields", default=None, help="subset of fields to write")
+@click.option("-p", "--prefix", default="", help="output filename prefix")
+@click.option("-d", "--dir", "out_dir", default="", help="output directory")
+@click.option("--overwrite", is_flag=True, default=False,
+              help="overwrite an existing output file")
+@click.option("--ts", "ts_mode", default="packet",
+              type=click.Choice(["packet", "lidar"]),
+              help="message timestamp source for OSF indexing")
+@click.option("--compression-level", default=1, type=int,
+              help="OSF field compression level")
+@click.option("--png/--zpng", "use_png", default=True,
+              help="OSF field codec (PNG default; zPNG = zstd)")
+@click.option("--chunk-size", default=2 * 1024 * 1024, type=int,
+              help="OSF chunk size in bytes")
+@click.option("--split", "split_mb", default=None, type=int,
+              help="start a new output file every SPLIT megabytes")
+@click.option("--ros2", is_flag=True, default=False,
+              help="write bags as ROS2 (rosbag2 sqlite3) storage")
 @click.pass_context
-def source_save(ctx, path, fields):
-    """Save the stream to .osf/.pcap/.bag/.csv/.ply/.pcd/.las
-    (ref: plugins/source_save.py)."""
+def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
+                compression_level, use_png, chunk_size, split_mb, ros2):
+    """Save the stream to .osf/.pcap/.bag/.db3/.csv/.ply/.pcd/.las
+    (ref: plugins/source_save.py option surface)."""
+    if prefix or out_dir:
+        path = os.path.join(out_dir or ".", prefix + os.path.basename(path))
     ext = os.path.splitext(path)[1].lower()
+    if os.path.exists(path) and not overwrite:
+        raise click.ClickException(
+            f"{path} already exists; use --overwrite to replace it")
     pipeline = ctx.obj
 
     def consumer(it):
         from ..io.save import save_scans
 
-        n = save_scans(path, pipeline.infos, it, fields=fields and
-                       fields.split(","))
+        n = save_scans(path, pipeline.infos, it,
+                       fields=fields and fields.split(","),
+                       chunk_size=chunk_size,
+                       compression_level=compression_level,
+                       encoder="png" if use_png else "zpng",
+                       ts_mode=ts_mode, ros2=ros2, split_mb=split_mb)
         click.echo(f"wrote {n} scans to {path} ({ext})")
 
     pipeline.consumers.append(consumer)

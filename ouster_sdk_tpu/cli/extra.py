@@ -45,9 +45,56 @@ def source_mask(ctx, mask_path):
 @source.command("replay")
 @click.option("--rate", type=float, default=1.0,
               help="playback rate multiple (0 = as fast as possible)")
+@click.option("--serve", is_flag=True, default=False,
+              help="serve the stream as a live sensor (HTTP control plane "
+              "+ paced UDP packets) instead of pacing the pipeline")
+@click.option("--loop", is_flag=True, default=False,
+              help="with --serve: restart playback when the stream ends")
+@click.option("--udp-dest", default="127.0.0.1", show_default=True,
+              help="with --serve: packet destination address")
+@click.option("--lidar-port", type=int, default=None,
+              help="with --serve: lidar UDP port (default from metadata)")
+@click.option("--imu-port", type=int, default=None,
+              help="with --serve: IMU UDP port (default from metadata)")
+@click.option("--http-port", type=int, default=8080, show_default=True,
+              help="with --serve: sensor HTTP API port (0 = ephemeral)")
 @click.pass_context
-def source_replay(ctx, rate):
-    """Pace the stream at sensor rate (ref: plugins/source_replay.py)."""
+def source_replay(ctx, rate, serve, loop, udp_dest, lidar_port, imu_port,
+                  http_port):
+    """Pace the stream at sensor rate, or with --serve act as a sensor
+    emulator: HTTP metadata/config endpoints + paced UDP republish
+    (ref: plugins/source_replay.py)."""
+    if serve:
+        pipeline = ctx.obj
+
+        def consumer(it):
+            from ..sensor.emulator import SensorEmulator, packets_from_scans
+
+            sets = list(it)  # buffer so --loop can replay
+            info = pipeline.infos[0]
+            emu = SensorEmulator(
+                info, lambda: packets_from_scans(sets, info),
+                udp_dest=udp_dest, lidar_port=lidar_port,
+                imu_port=imu_port, http_port=http_port, rate=rate,
+                loop=loop)
+            emu.start()
+            click.echo(
+                f"serving sensor at http://127.0.0.1:{emu.http_port} "
+                f"(lidar udp {udp_dest}:{emu.lidar_port}, rate {rate}x"
+                f"{', looping' if loop else ''}); ctrl-c to stop")
+            try:
+                while loop or emu._send_thread.is_alive():
+                    emu.join(0.5)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                emu.stop()
+            click.echo(f"sent {emu.packets_sent} packets "
+                       f"({emu.passes_completed} passes)")
+
+        pipeline.consumers.append(consumer)
+        return
+
     def stage(it):
         last_ts = None
         last_wall = None

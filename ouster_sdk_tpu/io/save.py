@@ -41,18 +41,62 @@ def scan_to_packets(scan: LidarScan, info: SensorInfo) -> List[np.ndarray]:
     return out
 
 
+def _split_paths(path: str):
+    """Yield path, then stem_001.ext, stem_002.ext, ... for --split."""
+    stem, ext = os.path.splitext(path)
+    yield path
+    i = 1
+    while True:
+        yield f"{stem}_{i:03d}{ext}"
+        i += 1
+
+
+def _split_sets(scan_sets: Iterable, path: str, split_mb: Optional[int],
+                flush) -> Iterable:
+    """Wrap a scan-set iterable: call flush(next_path) when the current
+    output file exceeds split_mb (ref: source_save.py --split)."""
+    names = _split_paths(path)
+    cur = next(names)
+    for ls_set in scan_sets:
+        if split_mb and os.path.exists(cur) and \
+                os.path.getsize(cur) >= split_mb * 1_000_000:
+            cur = next(names)
+            flush(cur)
+        yield ls_set
+
+
 def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
-               fields: Optional[Sequence[str]] = None) -> int:
-    """Dispatch on extension; returns number of scans written."""
+               fields: Optional[Sequence[str]] = None, *,
+               chunk_size: int = 2 * 1024 * 1024,
+               compression_level: int = 1,
+               encoder: str = "png",
+               ts_mode: str = "packet",
+               ros2: bool = False,
+               split_mb: Optional[int] = None) -> int:
+    """Dispatch on extension; returns number of scans written.
+
+    Option surface mirrors the reference save command
+    (ref: plugins/source_save.py): OSF codec (--png / --compression-level),
+    chunk size, message-timestamp mode (--ts packet|lidar), ROS2 bag
+    output (--ros2), and size-based file splitting (--split MB).
+    """
     ext = os.path.splitext(path)[1].lower()
+    if ts_mode not in ("packet", "lidar"):
+        raise ValueError("ts_mode must be 'packet' or 'lidar'")
     if ext == ".osf":
-        return _save_osf(path, infos, scan_sets, fields)
+        return _save_osf(path, infos, scan_sets, fields,
+                         chunk_size=chunk_size,
+                         compression_level=compression_level,
+                         encoder=encoder, ts_mode=ts_mode,
+                         split_mb=split_mb)
     if ext == ".pcap":
-        return _save_pcap(path, infos, scan_sets)
+        return _save_pcap(path, infos, scan_sets, split_mb=split_mb)
     if ext == ".bag":
-        return _save_bag(path, infos, scan_sets)
+        return _save_bag(path, infos, scan_sets, ros2=ros2,
+                         split_mb=split_mb)
     if ext == ".db3":
-        return _save_bag(path, infos, scan_sets, ros2=True)
+        return _save_bag(path, infos, scan_sets, ros2=True,
+                         split_mb=split_mb)
     if ext == ".csv":
         return _save_points(path, infos, scan_sets, "csv")
     if ext == ".ply":
@@ -64,42 +108,66 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
     raise ValueError(f"unsupported save format {ext}")
 
 
-def _save_osf(path, infos, scan_sets, fields) -> int:
+def _save_osf(path, infos, scan_sets, fields, *, chunk_size=2 * 1024 * 1024,
+              compression_level=1, encoder="png", ts_mode="packet",
+              split_mb=None) -> int:
+    from ..core.lidar_scan import get_field_types
     from .osf import Writer
 
     n = 0
-    with Writer(path) as w:
+    state = {}
+
+    def open_writer(p):
+        if "w" in state:
+            state["w"].close()
+        w = Writer(p, chunk_size=chunk_size,
+                   compression_level=compression_level, encoder=encoder)
         ids = []
         for info in infos:
-            from ..core.lidar_scan import get_field_types
-
             fts = get_field_types(info)
             if fields:
                 fts = [ft for ft in fts if ft.name in fields]
             ids.append(w.add_sensor(info, fts))
-        for ls_set in scan_sets:
+        state["w"], state["ids"] = w, ids
+
+    open_writer(path)
+    try:
+        for ls_set in _split_sets(scan_sets, path, split_mb, open_writer):
+            w, ids = state["w"], state["ids"]
             valid = [s for s in ls_set if s is not None]
             # record the grouping as a collation when packet timestamps
             # allow it (ref: writer.cpp:284 Writer::save(LidarScanSet));
             # otherwise fall back to plain per-sensor saves
-            if len(ls_set) == len(infos) and valid and all(
-                    s.first_valid_packet_timestamp() for s in valid):
+            if ts_mode == "packet" and len(ls_set) == len(infos) and \
+                    valid and all(
+                        s.first_valid_packet_timestamp() for s in valid):
                 w.save_set(ls_set)
                 n += len(valid)
             else:
                 for idx, scan in enumerate(ls_set):
                     if scan is not None:
-                        w.save(ids[idx], scan)
+                        ts = None if ts_mode == "packet" else \
+                            int(scan.first_valid_column_timestamp() or 0)
+                        w.save(ids[idx], scan, ts=ts)
                         n += 1
+    finally:
+        state["w"].close()
     return n
 
 
-def _save_pcap(path, infos, scan_sets) -> int:
+def _save_pcap(path, infos, scan_sets, *, split_mb=None) -> int:
     from .pcap import PcapWriter
 
     n = 0
-    with PcapWriter(path) as w:
-        for ls_set in scan_sets:
+    state = {"w": PcapWriter(path)}
+
+    def roll(p):
+        state["w"].close()
+        state["w"] = PcapWriter(p)
+
+    try:
+        for ls_set in _split_sets(scan_sets, path, split_mb, roll):
+            w = state["w"]
             for idx, scan in enumerate(ls_set):
                 if scan is None:
                     continue
@@ -112,21 +180,35 @@ def _save_pcap(path, infos, scan_sets) -> int:
                             info.config.udp_dest or "127.0.0.1",
                             7502, port, base_ts + i)
                 n += 1
+    finally:
+        state["w"].close()
     return n
 
 
-def _save_bag(path, infos, scan_sets, ros2: bool = False) -> int:
+def _save_bag(path, infos, scan_sets, ros2: bool = False,
+              split_mb=None) -> int:
     """Re-packetize scans onto ouster ROS topics
     (ref: plugins/source_save.py bag save: /osN/metadata string +
-    /osN/lidar_packets PacketMsg). `.db3` targets write rosbag2 sqlite3
-    storage instead of ROS1 v2.0."""
+    /osN/lidar_packets PacketMsg). `.db3` targets (or ros2=True) write
+    rosbag2 sqlite3 storage instead of ROS1 v2.0."""
     from .bag import Ros1BagWriter, Ros2BagWriter
 
+    def make(p):
+        if ros2 and p.endswith(".bag"):
+            p = os.path.splitext(p)[0] + ".db3"
+        return Ros2BagWriter(p) if ros2 else Ros1BagWriter(p)
+
     n = 0
-    w = Ros2BagWriter(path) if ros2 else Ros1BagWriter(path)
+    state = {"w": make(path), "first": [None] * len(infos)}
+
+    def roll(p):
+        state["w"].close()
+        state["w"] = make(p)
+        state["first"] = [None] * len(infos)  # re-announce metadata
+
     try:
-        first_ts = [None] * len(infos)
-        for ls_set in scan_sets:
+        for ls_set in _split_sets(scan_sets, path, split_mb, roll):
+            w, first_ts = state["w"], state["first"]
             for idx, scan in enumerate(ls_set):
                 if scan is None:
                     continue
@@ -142,7 +224,7 @@ def _save_bag(path, infos, scan_sets, ros2: bool = False) -> int:
                                    pkt.tobytes(), base_ts + i)
                 n += 1
     finally:
-        w.close()
+        state["w"].close()
     return n
 
 

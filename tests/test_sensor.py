@@ -126,3 +126,76 @@ def test_packet_id_validation_loopback():
         assert src.id_error_count == 1
     finally:
         src.close()
+
+
+def test_emulator_serves_live_scan_source():
+    """Full no-hardware live-path loop: SensorEmulator (HTTP control plane
+    + paced UDP republish, ref: plugins/source_replay.py) serves packets to
+    our own SensorScanSource, which batches complete scans."""
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+    from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    frames = {fid: _make_frame_packets(info, fid) for fid in (1, 2, 3, 4)}
+
+    def factory():
+        t = 0
+        for fid, pkts in frames.items():
+            for i, p in enumerate(pkts):
+                yield t + i * 10**6, "lidar", p
+            t += 10**8  # 10 fps
+    emu = SensorEmulator(info, factory, lidar_port=lidar_port,
+                         imu_port=imu_port, http_port=0, rate=10.0,
+                         loop=True)
+    emu.start()
+    try:
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               timeout=10.0)
+        try:
+            deadline = time.monotonic() + 15.0
+            got = None
+            while time.monotonic() < deadline:
+                idx, scan = src.get_scan(timeout_sec=1.0)
+                if scan is not None and scan.complete():
+                    got = scan
+                    break
+            assert got is not None, "no complete scan received via emulator"
+            assert got.frame_id in frames
+            # metadata round-tripped through the emulator's HTTP plane
+            assert src.sensor_info[0].sn == info.sn
+        finally:
+            src.close()
+    finally:
+        emu.stop()
+
+
+def test_emulator_http_surface():
+    """The emulator answers the same /api/v1 endpoints our SensorHttp
+    client consumes (metadata sections, config params, user data)."""
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+    from ouster_sdk_tpu.sensor.http import SensorHttp
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    emu = SensorEmulator(info, lambda: iter(()), lidar_port=lidar_port,
+                         imu_port=imu_port, http_port=0)
+    emu.start()
+    try:
+        http = SensorHttp.create(f"127.0.0.1:{emu.http_port}")
+        from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+
+        rt = sensor_info_from_metadata(http.metadata())
+        assert rt.sn == info.sn
+        assert rt.format.columns_per_frame == info.format.columns_per_frame
+        cfg = http.active_config_params()
+        assert cfg["udp_port_lidar"] == lidar_port
+        bi = http.beam_intrinsics()
+        assert "beam_azimuth_angles" in bi
+        http.set_config_param("udp_dest", "1.2.3.4")
+        assert http.staged_config_params()["udp_dest"] == "1.2.3.4"
+        http.set_user_data("hello")
+        assert http.get_user_data() == "hello"
+    finally:
+        emu.stop()
