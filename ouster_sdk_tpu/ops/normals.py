@@ -18,13 +18,14 @@ Algorithm (per valid pixel):
     flips so the axes agree; one neighbor: component of the beam
     perpendicular to the diff (negated); none: -beam
 
-NOTE on parity: a literal scalar transcription of the reference C++ (used
-as a cross-check in tests) produces identical results to this vectorized
-implementation, but the reference repo's own hardcoded regression samples
-(python/tests/test_normals.py expected vectors for single_scan_016.osf)
-do not match the shipped normals.cpp as read — they appear to come from a
-different code revision. We pin behavior to the shipped algorithm and test
-geometric invariants (unit length, flat-wall orientation) instead.
+NOTE on parity (PROVEN, see tests/test_normals_conformance.py): the
+reference's shipped normals.cpp, compiled unmodified as a ctypes oracle,
+matches this implementation to max |diff| = 5.9e-14 over the full
+single_scan_016.osf frame (single and dual return). The reference repo's
+own hardcoded regression samples (python/tests/test_normals.py:94-117)
+do NOT match its own shipped code (e.g. pixel (67,798): shipped
+[-0.0201, 0.0426, 0.9989] vs expected [0.063, 0.998, -0.012]) — they come
+from a different code revision. We pin behavior to the shipped algorithm.
 """
 
 from __future__ import annotations
@@ -178,14 +179,23 @@ def normals(
     out2 = None
     if xyz2 is not None and range2 is not None:
         xyz2 = np.asarray(xyz2, dtype=np.float64).reshape(h, w, 3)
+        # the dual overload computes the vertical pixel subtent ONCE from
+        # the first return and reuses it for the second pass so thresholds
+        # stay consistent (ref: normals.cpp:480-536); recomputing it from
+        # the sparser second return shifts boundary-pixel decisions
+        dir1 = xyz - sensor_origins_xyz[None, :, :]
+        mag1 = np.linalg.norm(dir1, axis=-1, keepdims=True)
+        beams1 = np.where(mag1 > 0, dir1 / np.maximum(mag1, 1e-300), 0.0)
+        v_subtent = _compute_vertical_subtent(range_img, beams1)
         out2 = _normals_single(xyz2, range2, sensor_origins_xyz, xyz,
                                range_img, pixel_search_range,
-                               min_angle_of_incidence_rad, target_distance_m)
+                               min_angle_of_incidence_rad, target_distance_m,
+                               v_subtent=v_subtent)
     return out1, out2
 
 
 def _normals_single(xyz, range_img, origins, xyz2, range2, search_range,
-                    min_aoi, target_m) -> np.ndarray:
+                    min_aoi, target_m, v_subtent=None) -> np.ndarray:
     h, w = range_img.shape
     target_sq = target_m * target_m
     safe_aoi = max(min_aoi, 1e-6)
@@ -195,7 +205,8 @@ def _normals_single(xyz, range_img, origins, xyz2, range2, search_range,
     beams = np.where(mag > 0, direction / np.maximum(mag, 1e-300), 0.0)
 
     h_subtent = 2.0 * math.pi / w
-    v_subtent = _compute_vertical_subtent(range_img, beams)
+    if v_subtent is None:
+        v_subtent = _compute_vertical_subtent(range_img, beams)
 
     # AOI gating thresholds per pixel (ref: normals.cpp:152-163)
     def thresh_sq(subtent: float) -> np.ndarray:

@@ -1,0 +1,187 @@
+"""Normals parity settlement (VERDICT r1 weak #4).
+
+Compiles the reference's shipped normals.cpp UNMODIFIED (from
+/root/reference, against the Eigen headers bundled with tensorflow) as a
+ctypes oracle and asserts our vectorized implementation matches it to
+machine precision on the reference's own fixture.
+
+Measured verdict (2026-08-16, single_scan_016.osf, full 128x1024 frame):
+  max |ours - shipped C++| = 5.9e-14  (bitwise-equivalent algorithm)
+while the reference repo's own regression vectors
+(python/tests/test_normals.py:94-117) do NOT match its shipped code:
+  (67,798)  shipped=[-0.0201, 0.0426, 0.9989]  expected=[0.063, 0.998,-0.012]
+  (68,204)  shipped=[-0.1364,-0.4018,-0.9055]  expected=[0.025,-0.999, 0.028]
+  (100,512) shipped=[-0.0750, 0.0183, 0.9970]  expected=[-0.032, 0.017, 0.999]
+i.e. those vectors come from a different code revision than the shipped
+normals.cpp. We pin to the shipped algorithm.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+OSF = os.path.join(REF, "tests/osfs/single_scan_016.osf")
+NORMALS_CPP = os.path.join(REF, "ouster_client/src/normals.cpp")
+EIGEN_INC = "/opt/venv/lib/python3.12/site-packages/tensorflow/include"
+
+_WRAP = r"""
+#include "ouster/normals.h"
+#include <cstring>
+using namespace ouster::sdk::core;
+extern "C" int oracle_normals(const double* xyz, const uint32_t* range,
+                              const double* origins, long h, long w,
+                              double* out) {
+    try {
+        Eigen::Map<const PointCloudXYZd> X(xyz, h * w, 3);
+        Eigen::Map<const img_t<uint32_t>> R(range, h, w);
+        Eigen::Map<const MatrixX3dR> O(origins, w, 3);
+        MatrixX3dR N = normals(X, R, O);
+        std::memcpy(out, N.data(), sizeof(double) * h * w * 3);
+        return 0;
+    } catch (...) { return 1; }
+}
+extern "C" int oracle_normals_dual(const double* xyz, const uint32_t* range,
+                                   const double* xyz2,
+                                   const uint32_t* range2,
+                                   const double* origins, long h, long w,
+                                   double* out1, double* out2) {
+    try {
+        Eigen::Map<const PointCloudXYZd> X(xyz, h * w, 3);
+        Eigen::Map<const img_t<uint32_t>> R(range, h, w);
+        Eigen::Map<const PointCloudXYZd> X2(xyz2, h * w, 3);
+        Eigen::Map<const img_t<uint32_t>> R2(range2, h, w);
+        Eigen::Map<const MatrixX3dR> O(origins, w, 3);
+        auto res = normals(X, R, X2, R2, O);
+        std::memcpy(out1, res.first.data(), sizeof(double) * h * w * 3);
+        std::memcpy(out2, res.second.data(), sizeof(double) * h * w * 3);
+        return 0;
+    } catch (...) { return 1; }
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    if not (os.path.exists(NORMALS_CPP) and os.path.isdir(EIGEN_INC)):
+        pytest.skip("reference sources / Eigen headers unavailable")
+    with open(NORMALS_CPP, "rb") as f:
+        key = hashlib.sha256(f.read() + _WRAP.encode()).hexdigest()[:16]
+    so = os.path.join(tempfile.gettempdir(), f"normals_oracle_{key}.so")
+    if not os.path.exists(so):
+        src = so + ".cpp"
+        with open(src, "w") as f:
+            f.write(_WRAP)
+        r = subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+             f"-I{EIGEN_INC}",
+             f"-I{os.path.join(REF, 'ouster_client/include')}",
+             src, NORMALS_CPP, "-o", so],
+            capture_output=True, text=True, timeout=300)
+        if r.returncode != 0:
+            pytest.skip(f"oracle build failed: {r.stderr[-400:]}")
+    lib = ctypes.CDLL(so)
+    c = ctypes
+    lib.oracle_normals.restype = c.c_int
+    lib.oracle_normals.argtypes = [c.c_void_p] * 3 + [c.c_long] * 2 + \
+        [c.c_void_p]
+    lib.oracle_normals_dual.restype = c.c_int
+    lib.oracle_normals_dual.argtypes = [c.c_void_p] * 5 + [c.c_long] * 2 + \
+        [c.c_void_p] * 2
+    return lib
+
+
+@pytest.fixture(scope="module")
+def fixture_frame():
+    if not os.path.exists(OSF):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu import ChanField
+    from ouster_sdk_tpu.io.sources import open_source
+    from ouster_sdk_tpu.ops.destagger import destagger
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
+
+    src = open_source(OSF)
+    scan = list(src)[0].valid()[0]
+    info = src.sensor_info[0]
+    lut = make_xyz_lut(info)
+
+    def prep(name):
+        rng = scan.field(name)
+        return (np.ascontiguousarray(destagger(info, rng), np.uint32),
+                np.ascontiguousarray(destagger(info, lut(rng)), np.float64))
+
+    return scan, info, prep
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def test_single_return_matches_shipped_cpp(oracle, fixture_frame):
+    from ouster_sdk_tpu.ops.normals import normals
+
+    scan, info, prep = fixture_frame
+    from ouster_sdk_tpu import ChanField
+
+    rng_d, xyz_d = prep(ChanField.RANGE)
+    h, w = rng_d.shape
+    origins = np.zeros((w, 3))
+    out = np.zeros((h * w, 3))
+    assert oracle.oracle_normals(_ptr(xyz_d), _ptr(rng_d), _ptr(origins),
+                                 h, w, _ptr(out)) == 0
+    ours, _ = normals(xyz_d, rng_d, origins)
+    diff = np.linalg.norm(out.reshape(h, w, 3) - ours, axis=-1)
+    assert diff.max() < 1e-9, f"max divergence {diff.max()}"
+
+
+def test_dual_return_matches_shipped_cpp(oracle, fixture_frame):
+    from ouster_sdk_tpu.ops.normals import normals
+
+    scan, info, prep = fixture_frame
+    from ouster_sdk_tpu import ChanField
+
+    rng_d, xyz_d = prep(ChanField.RANGE)
+    rng2_d, xyz2_d = prep(ChanField.RANGE2)
+    h, w = rng_d.shape
+    origins = np.zeros((w, 3))
+    o1 = np.zeros((h * w, 3))
+    o2 = np.zeros((h * w, 3))
+    assert oracle.oracle_normals_dual(
+        _ptr(xyz_d), _ptr(rng_d), _ptr(xyz2_d), _ptr(rng2_d),
+        _ptr(origins), h, w, _ptr(o1), _ptr(o2)) == 0
+    ours1, ours2 = normals(xyz_d, rng_d, origins, xyz2_d, rng2_d)
+    d1 = np.linalg.norm(o1.reshape(h, w, 3) - ours1, axis=-1)
+    d2 = np.linalg.norm(o2.reshape(h, w, 3) - ours2, axis=-1)
+    assert d1.max() < 1e-9 and d2.max() < 1e-9, (d1.max(), d2.max())
+
+
+def test_reference_expected_vectors_disagree_with_its_own_code(
+        oracle, fixture_frame):
+    """Documents (with numbers) that the reference's hardcoded regression
+    vectors do not come from its shipped normals.cpp — the basis for
+    pinning our behavior to the shipped algorithm. If this ever starts
+    failing, the reference vectors match the shipped code after all and
+    our parity note must be revisited."""
+    scan, info, prep = fixture_frame
+    from ouster_sdk_tpu import ChanField
+
+    rng_d, xyz_d = prep(ChanField.RANGE)
+    h, w = rng_d.shape
+    origins = np.zeros((w, 3))
+    out = np.zeros((h * w, 3))
+    oracle.oracle_normals(_ptr(xyz_d), _ptr(rng_d), _ptr(origins), h, w,
+                          _ptr(out))
+    shipped = out.reshape(h, w, 3)
+    expected = {(67, 798): [0.063, 0.998, -0.012],
+                (68, 204): [0.025, -0.999, 0.028],
+                (100, 512): [-0.032, 0.017, 0.999]}
+    mismatches = sum(
+        not np.allclose(shipped[rc], v, atol=1e-3)
+        for rc, v in expected.items())
+    assert mismatches == len(expected), \
+        "reference vectors now match shipped code — revisit normals.py NOTE"
