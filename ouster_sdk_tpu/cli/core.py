@@ -289,8 +289,13 @@ def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
 @click.option("--config", "config_path", default=None,
               help="constraint config json (ref: constraint_config.cpp)")
 @click.option("--key-frame-distance", type=float, default=None)
+@click.option("--viz-snapshot", default=None,
+              help="write before/after trajectory PNG snapshots (headless "
+              "equivalent of the pose-optimizer viewer, ref: "
+              "plugins/source_po_viz.py)")
 @click.pass_context
-def source_pose_optimize(ctx, output_osf, config_path, key_frame_distance):
+def source_pose_optimize(ctx, output_osf, config_path, key_frame_distance,
+                         viz_snapshot):
     """Refine the recording's SLAM trajectory against constraints and
     write a new OSF (ref: plugins/source.py:856 pose_optimize)."""
     from ..slam.pose_optimizer import optimize_osf_trajectory
@@ -307,7 +312,8 @@ def source_pose_optimize(ctx, output_osf, config_path, key_frame_distance):
         for _ in it:
             pass
         n = optimize_osf_trajectory(url, output_osf, cfg_text,
-                                    key_frame_distance)
+                                    key_frame_distance,
+                                    viz_snapshot=viz_snapshot)
         click.echo(f"wrote {n} pose-optimized scans to {output_osf}")
 
     ctx.obj.consumers.append(consumer)

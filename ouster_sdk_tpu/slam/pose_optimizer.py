@@ -319,7 +319,8 @@ def load_constraints_json(text: str):
 
 def optimize_osf_trajectory(src_osf: str, out_osf: str,
                             constraints_json: Optional[str] = None,
-                            key_frame_distance: Optional[float] = None
+                            key_frame_distance: Optional[float] = None,
+                            viz_snapshot: Optional[str] = None
                             ) -> int:
     """Refine the per-column poses of an OSF recording against a
     constraint config and rewrite it (ref: plugins/source.py:856
@@ -419,7 +420,13 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
         else:
             raise ValueError(f"unknown constraint type {ctype!r}")
 
+    nodes_before = [Node(t, p.copy()) for t, p in zip(node_ts, node_poses)]
     opt.solve()
+    if viz_snapshot:
+        from ..viz.po_viz import save_po_viz_snapshots
+
+        save_po_viz_snapshots(nodes_before, opt.nodes, opt.constraints,
+                              viz_snapshot)
 
     # rigid per-scan correction: T_fix = T_new @ inv(T_old)
     for s, old, nd in zip(scans, node_poses, opt.nodes):

@@ -54,11 +54,63 @@ def _make_turbo() -> np.ndarray:
                     axis=1)
 
 
+def _make_magma() -> np.ndarray:
+    anchors = np.array([
+        [0.001, 0.000, 0.014], [0.113, 0.065, 0.277], [0.317, 0.072, 0.485],
+        [0.513, 0.148, 0.508], [0.716, 0.215, 0.475], [0.904, 0.320, 0.388],
+        [0.988, 0.510, 0.383], [0.997, 0.718, 0.488], [0.987, 0.991, 0.750]])
+    x = np.linspace(0, 1, len(anchors))
+    xi = np.linspace(0, 1, 256)
+    return np.stack([np.interp(xi, x, anchors[:, c]) for c in range(3)],
+                    axis=1)
+
+
+def _make_rainbow() -> np.ndarray:
+    """HSV sweep 0..~325 deg (ref: model.py Palettes rainbow)."""
+    import colorsys
+
+    return np.array([colorsys.hsv_to_rgb(i * (230 / 255) / 256, 1.0, 1.0)
+                     for i in range(256)])
+
+
+def _make_spezia() -> np.ndarray:
+    """'Ouster Colors' style: deep blue -> teal -> sand (analytic stand-in
+    for colormaps.h spezia)."""
+    anchors = np.array([
+        [0.040, 0.050, 0.350], [0.100, 0.280, 0.560], [0.130, 0.480, 0.620],
+        [0.290, 0.650, 0.580], [0.590, 0.750, 0.480], [0.850, 0.800, 0.470],
+        [0.980, 0.870, 0.600]])
+    x = np.linspace(0, 1, len(anchors))
+    xi = np.linspace(0, 1, 256)
+    return np.stack([np.interp(xi, x, anchors[:, c]) for c in range(3)],
+                    axis=1)
+
+
+def _make_calref() -> np.ndarray:
+    """Calibrated-reflectivity palette: diffuse half greyscale, retro half
+    colorful (ref: colormaps.h calref semantics)."""
+    cm = np.zeros((256, 3))
+    cm[:128] = np.repeat(np.linspace(0.0, 0.85, 128)[:, None], 3, axis=1)
+    t = np.linspace(0, 1, 128)
+    cm[128:, 0] = 1.0
+    cm[128:, 1] = 1.0 - 0.8 * t
+    cm[128:, 2] = 0.1
+    return cm
+
+
 COLORMAPS: Dict[str, np.ndarray] = {
     "viridis": _make_viridis(),
     "turbo": _make_turbo(),
     "grey": np.repeat(np.linspace(0, 1, 256)[:, None], 3, axis=1),
+    "magma": _make_magma(),
+    "rainbow": _make_rainbow(),
+    "spezia": _make_spezia(),
+    "calref": _make_calref(),
 }
+
+# cloud palette cycle order (ref: model.py:113 Palettes)
+CLOUD_PALETTE_ORDER = ["calref", "spezia", "grey", "viridis", "magma",
+                       "rainbow"]
 
 
 def colorize(key: np.ndarray, palette: str = "viridis") -> np.ndarray:
@@ -206,20 +258,143 @@ class PointViz:
             f.write(data)
 
 
-class LidarScanViz:
-    """Per-scan panels + cloud (ref: sdk/viz/core.py:63)."""
+class Selection2d:
+    """2D AOI selection on an image panel (ref: model.py:194 Selection2d):
+    a destaggered-image rectangle, its staggered mask, and point stats."""
 
-    FIELD_ORDER = [ChanField.RANGE, ChanField.SIGNAL, ChanField.REFLECTIVITY,
-                   ChanField.NEAR_IR]
+    def __init__(self, p1: Tuple[int, int], p2: Tuple[int, int],
+                 sensor_index: int, image_index: int, info: SensorInfo):
+        self.p1 = (min(p1[0], p2[0]), min(p1[1], p2[1]))
+        self.p2 = (max(p1[0], p2[0]), max(p1[1], p2[1]))
+        self.sensor_index = sensor_index
+        self.image_index = image_index
+        self._info = info
+        self.finalized = False
+
+    def finalize(self) -> None:
+        self.finalized = True
+
+    def mask(self, h: int, w: int) -> np.ndarray:
+        """Staggered-frame boolean mask of the selected rectangle (the
+        rectangle is drawn on the destaggered panel)."""
+        m = np.zeros((h, w), dtype=bool)
+        (r0, c0), (r1, c1) = self.p1, self.p2
+        m[r0:r1 + 1, c0:c1 + 1] = True
+        from ..ops.destagger import stagger
+
+        return stagger(self._info, m)
+
+    def stats(self, scan: LidarScan) -> Dict[str, float]:
+        """Range/field statistics of the selected pixels."""
+        m = self.mask(scan.h, scan.w)
+        rng = scan.field(ChanField.RANGE)
+        sel = rng[m & (rng > 0)]
+        out = {"num_points": int(sel.size),
+               "mean_range_m": float(sel.mean() * 1e-3) if sel.size else 0.0,
+               "min_range_m": float(sel.min() * 1e-3) if sel.size else 0.0,
+               "max_range_m": float(sel.max() * 1e-3) if sel.size else 0.0}
+        return out
+
+
+def _imu_subplot(scan: LidarScan, width: int, height: int = 120
+                 ) -> Optional[np.ndarray]:
+    """Render accel/gyro time series into an RGB strip
+    (ref: viz/core.py IMU subplot)."""
+    if not (scan.has_field(ChanField.IMU_ACC)
+            and scan.has_field(ChanField.IMU_GYRO)):
+        return None
+    acc = np.asarray(scan.field(ChanField.IMU_ACC), np.float64)
+    gyro = np.asarray(scan.field(ChanField.IMU_GYRO), np.float64)
+    if acc.size == 0:
+        return None
+    panel = np.full((height, width, 3), 16, dtype=np.uint8)
+    half = height // 2
+    colors = [(255, 80, 80), (80, 255, 80), (100, 140, 255)]
+
+    def plot(series, y0, h):
+        n = series.shape[0]
+        if n < 2:
+            return
+        lo = series.min()
+        span = max(series.max() - lo, 1e-9)
+        xs = np.linspace(0, width - 1, n).astype(int)
+        for axis in range(3):
+            ys = y0 + h - 1 - ((series[:, axis] - lo) / span *
+                               (h - 1)).astype(int)
+            for i in range(n - 1):
+                x0, x1 = xs[i], xs[i + 1]
+                steps = max(x1 - x0, 1)
+                xi = np.linspace(x0, x1, steps + 1).astype(int)
+                yi = np.linspace(ys[i], ys[i + 1], steps + 1).astype(int)
+                panel[np.clip(yi, y0, y0 + h - 1), np.clip(xi, 0, width - 1)
+                      ] = colors[axis]
+
+    plot(acc, 0, half)
+    plot(gyro, half, height - half)
+    panel[half - 1:half + 1, :] = 60  # divider
+    return panel
+
+
+class LidarScanViz:
+    """Per-scan panels + cloud with view-mode/palette cycling, 2D AOI
+    selection and an IMU subplot (ref: sdk/viz/core.py:63,
+    sdk/viz/model.py:113,194)."""
 
     def __init__(self, infos: Sequence[SensorInfo],
                  viz: Optional[PointViz] = None):
+        from .view_mode import default_cloud_modes, default_image_modes
+
         self.infos = list(infos)
         self.viz = viz or PointViz()
         self._luts = [make_xyz_lut(i) for i in self.infos]
-        self._ae: Dict[Tuple[int, str], AutoExposure] = {}
+        self.cloud_modes = [default_cloud_modes(i) for i in self.infos]
+        self.image_modes = [default_image_modes(i) for i in self.infos]
+        self._cloud_mode_ind = 0
+        self._img_mode_ind = [0, 1]  # two panels, like the reference
+        self._palette_ind = 0
+        self._scans: List[Optional[LidarScan]] = []
+        self.selections: List[Selection2d] = []
+        self.show_imu = True
+
+    # -- mode / palette cycling (ref: model.py cycle_* ) -------------------
+    @property
+    def cloud_mode(self):
+        return self.cloud_modes[0][self._cloud_mode_ind]
+
+    @property
+    def cloud_palette(self) -> str:
+        return CLOUD_PALETTE_ORDER[self._palette_ind]
+
+    def cycle_cloud_mode(self, direction: int = 1) -> str:
+        n = len(self.cloud_modes[0])
+        self._cloud_mode_ind = (self._cloud_mode_ind + direction) % n
+        return self.cloud_mode.name
+
+    def cycle_img_mode(self, panel: int, direction: int = 1) -> str:
+        n = len(self.image_modes[0])
+        self._img_mode_ind[panel] = \
+            (self._img_mode_ind[panel] + direction) % n
+        return self.image_modes[0][self._img_mode_ind[panel]].name
+
+    def cycle_cloud_palette(self, direction: int = 1) -> str:
+        self._palette_ind = (self._palette_ind + direction) % \
+            len(CLOUD_PALETTE_ORDER)
+        return self.cloud_palette
+
+    # -- AOI (ref: model.py:194) -------------------------------------------
+    def select_aoi(self, p1: Tuple[int, int], p2: Tuple[int, int],
+                   sensor_index: int = 0, image_index: int = 0
+                   ) -> Selection2d:
+        sel = Selection2d(p1, p2, sensor_index, image_index,
+                          self.infos[sensor_index])
+        self.selections.append(sel)
+        return sel
+
+    def clear_selections(self) -> None:
+        self.selections.clear()
 
     def update(self, scans: Sequence[Optional[LidarScan]]) -> None:
+        self._scans = list(scans)
         self.viz.clear()
         for idx, scan in enumerate(scans):
             if scan is None:
@@ -229,23 +404,42 @@ class LidarScanViz:
             xyz = self._luts[idx](rng)
             valid = rng > 0
 
-            key_field = ChanField.REFLECTIVITY \
-                if scan.has_field(ChanField.REFLECTIVITY) else ChanField.RANGE
-            key_raw = scan.field(key_field).astype(np.float64)
-            ae = self._ae.setdefault((idx, "cloud"), AutoExposure())
-            key = key_raw.copy()
-            ae(key)
-            self.viz.add(Cloud(xyz[valid], key[valid], palette="viridis"))
+            mode = self.cloud_modes[idx][self._cloud_mode_ind]
+            if not mode.enabled(scan):
+                mode = self.cloud_modes[idx][1]  # RANGE fallback
+            key = mode.prepare(scan)
+            aoi = np.zeros_like(valid)
+            for sel in self.selections:
+                if sel.sensor_index == idx:
+                    aoi |= sel.mask(scan.h, scan.w)
+            cloud = Cloud(xyz[valid], key[valid],
+                          palette=self.cloud_palette)
+            self.viz.add(cloud)
+            if aoi.any():  # highlight selected points on top
+                hl = Cloud(xyz[valid & aoi],
+                           np.ones(int((valid & aoi).sum())),
+                           palette="turbo", point_size=2)
+                self.viz.add(hl)
 
-            # 2D panels
-            for name in self.FIELD_ORDER[:2]:
-                if not scan.has_field(name):
+            # 2D panels with per-panel modes + AOI rectangles
+            for panel, mode_ind in enumerate(self._img_mode_ind):
+                imode = self.image_modes[idx][mode_ind]
+                if not imode.enabled(scan):
                     continue
-                img = destagger(info,
-                                scan.field(name).astype(np.float64))
-                pae = self._ae.setdefault((idx, name), AutoExposure())
-                pae(img)
-                self.viz.add_image_panel(colorize(img, "grey"))
+                img = destagger(info, imode.prepare(scan))
+                rgb = colorize(img, "grey").copy()
+                for sel in self.selections:
+                    if sel.sensor_index == idx and \
+                            sel.image_index == panel:
+                        (r0, c0), (r1, c1) = sel.p1, sel.p2
+                        rgb[r0:r1 + 1, [c0, c1]] = (255, 40, 40)
+                        rgb[[r0, r1], c0:c1 + 1] = (255, 40, 40)
+                self.viz.add_image_panel(rgb)
+
+            if self.show_imu:
+                imu = _imu_subplot(scan, self.viz.width)
+                if imu is not None:
+                    self.viz.add_image_panel(imu)
 
     def draw(self) -> np.ndarray:
         return self.viz.render()
