@@ -104,16 +104,35 @@ class AbsolutePointConstraint:
     translation_weight: float = 1.0
 
 
+# reference LossFunction enum -> scipy least_squares loss (1:1 mapping)
+# (ref: pose_optimizer.cpp:75-90 create_loss_function)
+LOSS_FUNCTIONS = {
+    "HUBER_LOSS": "huber",
+    "CAUCHY_LOSS": "cauchy",
+    "SOFT_L_ONE_LOSS": "soft_l1",
+    "ARCTAN_LOSS": "arctan",
+    "TRIVIAL_LOSS": "linear",
+}
+
+
 @dataclass
 class SolverConfig:
-    """(ref: pose_optimizer_constraint.h:505)"""
+    """(ref: pose_optimizer_constraint.h:505 — defaults match)"""
 
-    max_num_iterations: int = 100
-    function_tolerance: float = 1e-8
-    gradient_tolerance: float = 1e-10
-    parameter_tolerance: float = 1e-10
-    loss: str = "huber"  # scipy loss name or "linear"
+    key_frame_distance: float = 1.0
+    traj_rotation_weight: float = 10.0
+    traj_translation_weight: float = 10.0
+    max_num_iterations: int = 500
+    function_tolerance: float = 1e-18
+    gradient_tolerance: float = 1e-20
+    parameter_tolerance: float = 1e-18
+    process_printout: bool = True
+    fix_first_node: bool = False
+    loss: str = "huber"  # scipy loss name, or a reference *_LOSS enum name
     loss_scale: float = 1.0
+
+    def scipy_loss(self) -> str:
+        return LOSS_FUNCTIONS.get(self.loss.upper(), self.loss)
 
 
 class PoseOptimizer:
@@ -218,16 +237,21 @@ class PoseOptimizer:
         n = len(self.nodes)
         x0 = np.concatenate([_T_to_params(nd.pose) for nd in self.nodes])
         cfg = self.config
+        eps = float(np.finfo(np.float64).eps)
         result = least_squares(
             self._residuals, x0,
             jac_sparsity=self._jac_sparsity(),
             method="trf",
-            loss=cfg.loss if cfg.loss != "linear" else "linear",
+            loss=cfg.scipy_loss(),
             f_scale=cfg.loss_scale,
             max_nfev=cfg.max_num_iterations * 10,
-            ftol=cfg.function_tolerance,
-            gtol=cfg.gradient_tolerance,
-            xtol=cfg.parameter_tolerance,
+            # reference tolerances (1e-18/1e-20) are below f64 eps; scipy
+            # rejects sub-eps tolerances, so clamp like Ceres effectively
+            # does by never triggering them
+            ftol=max(cfg.function_tolerance, eps),
+            gtol=max(cfg.gradient_tolerance, eps),
+            xtol=max(cfg.parameter_tolerance, eps),
+            verbose=1 if cfg.process_printout else 0,
         )
         params = result.x.reshape(n, 6)
         for i, nd in enumerate(self.nodes):
@@ -267,6 +291,28 @@ class PoseOptimizer:
 # Constraint JSON config + OSF trajectory optimization
 # (ref: constraint_config.cpp, cli pose_optimize in plugins/source.py:856)
 # ---------------------------------------------------------------------------
+
+def resample_trajectory_knots(poses: Sequence[np.ndarray],
+                              key_frame_distance: float) -> List[int]:
+    """Indices of spatial key frames: a knot whenever cumulative travel
+    reaches key_frame_distance meters; endpoints always kept
+    (ref: trajectory.cpp resampling)."""
+    n = len(poses)
+    if n == 0:
+        return []
+    if key_frame_distance is None or key_frame_distance <= 0 or n <= 2:
+        return list(range(n))
+    keep = [0]
+    acc = 0.0
+    for i in range(1, n):
+        acc += float(np.linalg.norm(poses[i][:3, 3] - poses[i - 1][:3, 3]))
+        if acc >= key_frame_distance:
+            keep.append(i)
+            acc = 0.0
+    if keep[-1] != n - 1:
+        keep.append(n - 1)
+    return keep
+
 
 def _pose_from_json(obj) -> np.ndarray:
     """Pose as a 16-list (row-major 4x4), nested 4x4, or
@@ -352,16 +398,26 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
         mid = int(cols[len(cols) // 2]) if cols.size else s.w // 2
         return int(s.timestamp[mid]), mid
 
-    node_ts, mid_cols = zip(*[mid_ts(s) for s in scans])
-    node_poses = [s.pose[m].copy() for s, m in zip(scans, mid_cols)]
+    scan_ts, mid_cols = zip(*[mid_ts(s) for s in scans])
+    scan_poses = [s.pose[m].copy() for s, m in zip(scans, mid_cols)]
+
+    # trajectory resampling: one solver node every key_frame_distance
+    # meters of travel, endpoints always kept (ref: trajectory.cpp —
+    # Ceres nodes are spatial key frames, not one per scan)
+    kfd = key_frame_distance if key_frame_distance is not None \
+        else cfg.key_frame_distance
+    knots = resample_trajectory_knots(scan_poses, kfd)
+    node_ts = [scan_ts[i] for i in knots]
+    node_poses = [scan_poses[i] for i in knots]
 
     # absolute constraints pin the gauge themselves; otherwise fix the
     # first node (ref: pose_optimizer.cpp:1241 gauge handling)
     has_absolute = any(str(c.get("type", "")).upper()
                        in ("ABSOLUTE_POSE", "ABSOLUTE_POINT")
                        for c in raw_constraints)
-    opt = PoseOptimizer.from_trajectory(node_ts, node_poses, cfg,
-                                        fix_first=not has_absolute)
+    opt = PoseOptimizer.from_trajectory(
+        node_ts, node_poses, cfg,
+        fix_first=cfg.fix_first_node or not has_absolute)
     # odometry chain carries the configured trajectory weights
     for c in opt.constraints:
         c.rotation_weight = traj_rw
@@ -428,9 +484,24 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
         save_po_viz_snapshots(nodes_before, opt.nodes, opt.constraints,
                               viz_snapshot)
 
-    # rigid per-scan correction: T_fix = T_new @ inv(T_old)
-    for s, old, nd in zip(scans, node_poses, opt.nodes):
-        fix = nd.pose @ np.linalg.inv(old)
+    # per-scan correction T_fix = T_new @ inv(T_old), SE(3)-interpolated
+    # between the surrounding knots at the scan's mid timestamp
+    # (ref: trajectory.cpp resampling + pose writeback)
+    from ..utils.pose_util import pose_interp
+
+    knot_fixes = [nd.pose @ np.linalg.inv(old)
+                  for nd, old in zip(opt.nodes, node_poses)]
+    knot_ts = np.asarray(node_ts, dtype=np.float64)
+    for s, ts in zip(scans, scan_ts):
+        j = int(np.searchsorted(knot_ts, ts))
+        if j <= 0:
+            fix = knot_fixes[0]
+        elif j >= len(knot_fixes):
+            fix = knot_fixes[-1]
+        else:
+            t0, t1 = knot_ts[j - 1], knot_ts[j]
+            frac = 0.0 if t1 == t0 else (ts - t0) / (t1 - t0)
+            fix = pose_interp(frac, knot_fixes[j - 1], knot_fixes[j])
         s.pose[:] = np.einsum("ij,wjk->wik", fix, s.pose)
 
     n = 0
