@@ -70,6 +70,11 @@ class SensorEmulator:
         meta.setdefault("config_params", {})
         meta["config_params"]["udp_port_lidar"] = self.lidar_port
         meta["config_params"]["udp_port_imu"] = self.imu_port
+        # SensorHttp.create() probes image_rev and rejects fw < 2.4;
+        # emulated sensors without one advertise a modern firmware
+        si = meta.setdefault("sensor_info", {})
+        if not si.get("image_rev"):
+            si["image_rev"] = "ousteros-image-prod-aries-v3.2.0"
         emu = self
 
         class Handler(BaseHTTPRequestHandler):

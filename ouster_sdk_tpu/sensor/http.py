@@ -37,9 +37,31 @@ class SensorHttp:
     def create(cls, hostname: str,
                timeout: float = LONG_HTTP_REQUEST_TIMEOUT_SECONDS
                ) -> "SensorHttp":
-        """Probe firmware and return a client (ref: sensor_http.h:475-505).
-        All supported fw (2.x/3.x) share the /api/v1 surface."""
-        return cls(hostname, timeout)
+        """Probe the firmware and return a version-specific client
+        (ref: sensor_http.h:475-505, sensor_http.cpp:45-85): image_rev is
+        read from sensor_info; fw < 2.4 / unparseable raises; fw 2.4 and
+        3.0 get an impl whose user-data API raises; 3.1+ the full
+        surface."""
+        probe = cls(hostname, timeout)
+        try:
+            si = probe.sensor_info()
+        except Exception as e:
+            raise SensorHttpError(
+                f"SensorHttp: could not reach sensor {hostname}: {e}"
+            ) from e
+        fw = Version.from_string(str(si.get("image_rev", "")))
+        if fw.major < 2 or (fw.major == 2 and fw.minor <= 3):
+            raise SensorHttpError(
+                "SensorHttp: firmware version information unavailable or "
+                "version not supported. Please upgrade your sensor to FW "
+                "2.4 or later.")
+        if (fw.major == 2 and fw.minor == 4) or \
+                (fw.major == 3 and fw.minor == 0):
+            inst: SensorHttp = SensorHttp_2_4_or_3(hostname, timeout)
+        else:
+            inst = cls(hostname, timeout)
+        inst.version = fw
+        return inst
 
     # -- plumbing ---------------------------------------------------------
     def _request(self, method: str, path: str,
@@ -164,6 +186,24 @@ class SensorHttp:
 
     def live_zone_ids(self) -> List[int]:
         return self._get_json("/api/v1/zones/live")
+
+
+class SensorHttp_2_4_or_3(SensorHttp):
+    """fw 2.4 / 3.0 surface: no user-data API
+    (ref: sensor_http_imp.cpp:399-419 SensorHttpImp_2_4_or_3)."""
+
+    def get_user_data(self) -> str:
+        raise SensorHttpError(
+            "user data API not supported on this FW version")
+
+    def set_user_data(self, data: str, keep_on_config_delete: bool = True
+                      ) -> None:
+        raise SensorHttpError(
+            "user data API not supported on this FW version")
+
+    def delete_user_data(self) -> None:
+        raise SensorHttpError(
+            "user data API not supported on this FW version")
 
 
 def fetch_metadata(hostname: str, timeout: float = 40.0):

@@ -199,3 +199,46 @@ def test_emulator_http_surface():
         assert http.get_user_data() == "hello"
     finally:
         emu.stop()
+
+
+def test_sensor_http_version_dispatch():
+    """SensorHttp.create probes image_rev and dispatches per firmware
+    (ref: sensor_http.cpp:45-85): <2.4 rejected, 2.4/3.0 get a no-user-data
+    impl, 3.1+ the full surface."""
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+    from ouster_sdk_tpu.sensor.http import (SensorHttp, SensorHttpError,
+                                            SensorHttp_2_4_or_3)
+
+    lidar_port, imu_port = _free_ports(2)
+
+    def serve(image_rev):
+        info = _test_info(lidar_port, imu_port)
+        info.image_rev = image_rev
+        return SensorEmulator(info, lambda: iter(()),
+                              lidar_port=lidar_port, imu_port=imu_port,
+                              http_port=0).start()
+
+    emu = serve("ousteros-image-prod-aries-v3.2.0")
+    try:
+        h = SensorHttp.create(f"127.0.0.1:{emu.http_port}")
+        assert type(h) is SensorHttp
+        assert (h.version.major, h.version.minor) == (3, 2)
+        h.set_user_data("x")  # full surface works
+    finally:
+        emu.stop()
+
+    emu = serve("ousteros-image-prod-aries-v2.4.1")
+    try:
+        h = SensorHttp.create(f"127.0.0.1:{emu.http_port}")
+        assert isinstance(h, SensorHttp_2_4_or_3)
+        with pytest.raises(SensorHttpError, match="not supported"):
+            h.get_user_data()
+    finally:
+        emu.stop()
+
+    emu = serve("ousteros-image-prod-aries-v2.2.0")
+    try:
+        with pytest.raises(SensorHttpError, match="2.4 or later"):
+            SensorHttp.create(f"127.0.0.1:{emu.http_port}")
+    finally:
+        emu.stop()
