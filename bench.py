@@ -93,7 +93,7 @@ def main():
     from __graft_entry__ import _make_info, _synth_frame
     from ouster_sdk_tpu.ops.pallas_kernels import (
         PlanarLut,
-        unpack_project_pallas_batched,
+        unpack_project_planar_batched,
     )
     from ouster_sdk_tpu.ops.unpack import make_decode_plan
     from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
@@ -102,25 +102,41 @@ def main():
     info = _make_info(w=W, h=H, dual=True)
     plan = make_decode_plan(info)
     frame = _synth_frame(info)
-    # fused LUT kernel (ops/pallas_kernels.py): contiguous pixel-region
-    # ingest, in-VMEM xpose + sublane-split word select, both returns from
-    # one fetch, double-single projection (1 f32 ulp of the f64 reference).
+    # planar fused kernel (ops/pallas_kernels.py): the host stages frames
+    # word-planar (native onat_group_frames_planar), so the kernel needs no
+    # in-VMEM transpose and no XLA strided prep — 2x the packet-layout
+    # kernel. Double-single projection stays <= 1 f32 ulp of f64.
     lut = PlanarLut(make_xyz_lut(info))
+    from ouster_sdk_tpu.io.frames import FrameReader
 
-    def project(fr):
-        return unpack_project_pallas_batched(
-            fr, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
-            dual=True)
+    pcap_2048 = f"/tmp/ouster_bench_e2e_128x2048_dual_{E2E_FRAMES}f.pcap"
+    if not os.path.exists(pcap_2048):
+        t0 = time.perf_counter()
+        _synth_pcap(pcap_2048, info, E2E_FRAMES)
+        print(f"synthesized 2048-dual pcap in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+    reader = FrameReader(pcap_2048, info=info)
+
+    def project(planes, hdrs):
+        return unpack_project_planar_batched(
+            planes, hdrs, lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo,
+            plan, dual=True)
 
     # ---- parity gate: device kernel vs numpy-f64 host reference ---------
-    # Two-tier contract (the output array is f32, like the reference's own
-    # XYZLutFloat variant, so representability bounds the error at long
-    # range): strict 1e-5 m wherever f32 can represent it (|coord| < 128 m
-    # -> ulp < 1e-5), and <= 1 f32 ulp of the f64 value everywhere (i.e.
-    # correctly rounded, the strongest claim an f32 output can satisfy).
-    ref_xyz, ref_rng = _host_reference_xyz(info, frame)
+    # The reference path decodes the ORIGINAL packet bytes with the
+    # digest-proven numpy decoder + f64 LUT; the device path goes pcap ->
+    # planar staging -> Pallas kernel, so the gate covers the whole
+    # pipeline. Two-tier contract (the output array is f32, like the
+    # reference's own XYZLutFloat variant, so representability bounds the
+    # error at long range): strict 1e-5 m wherever f32 can represent it
+    # (|coord| < 128 m -> ulp < 1e-5), and <= 1 f32 ulp of the f64 value
+    # everywhere (correctly rounded).
+    fids_w, frames_w, _ = next(reader.iter_chunks(1))
+    ref_xyz, ref_rng = _host_reference_xyz(info, frames_w[0])
+    fids_p, planes0, hdrs0, _ = next(reader.iter_planar_chunks(1))
+    assert list(fids_w) == list(fids_p)
     xyz_dev = np.asarray(jax.jit(project)(
-        jnp.asarray(frame[None]))[0][0])  # first return, (3, H, W)
+        jnp.asarray(planes0.copy()), jnp.asarray(hdrs0.copy()))[0][0])
     xyz_dev = np.moveaxis(xyz_dev, 0, -1)  # -> (H, W, 3)
     err = np.abs(xyz_dev - ref_xyz)
     ulp = np.spacing(np.abs(ref_xyz).astype(np.float32)).astype(np.float64)
@@ -139,28 +155,32 @@ def main():
 
     # ---- kernel throughput ----------------------------------------------
     B = 128
-    frames_np = np.broadcast_to(frame, (B,) + frame.shape).copy()
-    frames2_np = frames_np.copy()
-    frames2_np[0, 0, plan.hw] ^= 2  # flip a column-timestamp bit
-    variants = [jnp.asarray(frames_np), jnp.asarray(frames2_np)]
+    _, planes32, hdrs32, _ = next(reader.iter_planar_chunks(E2E_FRAMES))
+    reps = B // planes32.shape[0]
+    planes_np = np.concatenate([planes32] * reps)
+    hdrs_np = np.concatenate([hdrs32] * reps)
+    p2 = planes_np.copy()
+    p2[0, 0, 0, 0] ^= 1  # distinct variant so the tunnel can't elide
+    variants = [(jnp.asarray(planes_np), jnp.asarray(hdrs_np)),
+                (jnp.asarray(p2), jnp.asarray(hdrs_np))]
 
     @jax.jit
-    def step(fr):
-        xyz, xyz2 = project(fr)
+    def step(pl_, hd_):
+        xyz, xyz2 = project(pl_, hd_)
         return jnp.sum(xyz) + jnp.sum(xyz2)
 
     for v in variants:
-        jax.block_until_ready(step(v))
+        jax.block_until_ready(step(*v))
     warm = jnp.float32(0)
     for i in range(10):
-        warm = warm + step(variants[i % 2])
+        warm = warm + step(*variants[i % 2])
     jax.block_until_ready(warm)
 
     iters = 30
     acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(iters):
-        acc = acc + step(variants[i % 2])
+        acc = acc + step(*variants[i % 2])
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
     mpts = B * H * W * iters / dt / 1e6
@@ -180,12 +200,11 @@ def main():
     def e2e_run(e2e_info, tag, n_frames, dual):
         e2e_plan = make_decode_plan(e2e_info)
         e2e_lut = PlanarLut(make_xyz_lut(e2e_info))
-        w = e2e_info.format.columns_per_frame
 
         @jax.jit
-        def step_e2e(fr):
-            out = unpack_project_pallas_batched(
-                fr, e2e_lut.dir_hi, e2e_lut.dir_lo, e2e_lut.off_hi,
+        def step_e2e(pl_, hd_):
+            out = unpack_project_planar_batched(
+                pl_, hd_, e2e_lut.dir_hi, e2e_lut.dir_lo, e2e_lut.off_hi,
                 e2e_lut.off_lo, e2e_plan, dual=dual)
             if dual:
                 return jnp.sum(out[0]) + jnp.sum(out[1])
@@ -199,31 +218,39 @@ def main():
                   f"({os.path.getsize(pcap_path) / 1e6:.0f} MB)",
                   file=sys.stderr)
 
-        reader = FrameReader(pcap_path, info=e2e_info)
-        # warm pass: compile + fault in staging pools/allocator arenas/page
-        # cache so the timed pass measures sustained replay, not first-touch
-        for fids, frames, _ts in reader.iter_chunks(E2E_BATCH):
-            if fids.size == E2E_BATCH:
-                jax.block_until_ready(step_e2e(jax.device_put(frames)))
+        e2e_reader = FrameReader(pcap_path, info=e2e_info)
+        # two warm passes: compile + fault in staging pools/allocator
+        # arenas/page cache, and reach the tunnel's steady state for a
+        # looped replay, so the timed pass measures sustained throughput
+        for _ in range(2):
+            for fids, pls, hds, _ts in e2e_reader.iter_planar_chunks(
+                    E2E_BATCH):
+                if fids.size == E2E_BATCH:
+                    jax.block_until_ready(step_e2e(jax.device_put(pls),
+                                                   jax.device_put(hds)))
         t0 = time.perf_counter()
         pend = []
         n_scans = 0
-        for fids, frames, _ts in reader.iter_chunks(E2E_BATCH):
+        for fids, pls, hds, _ts in e2e_reader.iter_planar_chunks(E2E_BATCH):
             n_scans += fids.size
             if fids.size < E2E_BATCH:  # pad tail chunk to the jitted shape
-                frames = np.concatenate(
-                    [frames, np.broadcast_to(
-                        frames[-1:],
-                        (E2E_BATCH - fids.size,) + frames.shape[1:])])
-            dev = jax.device_put(frames)  # copies out of the reused pool
-            pend.append(step_e2e(dev))  # async: overlaps next host pass
+                pad = E2E_BATCH - fids.size
+                pls = np.concatenate(
+                    [pls, np.broadcast_to(pls[-1:],
+                                          (pad,) + pls.shape[1:])])
+                hds = np.concatenate(
+                    [hds, np.broadcast_to(hds[-1:],
+                                          (pad,) + hds.shape[1:])])
+            # device_put copies out of the reused pools; async dispatch
+            # overlaps the next host pass
+            pend.append(step_e2e(jax.device_put(pls), jax.device_put(hds)))
         acc = float(sum(jax.block_until_ready(p) for p in pend))
         dt = time.perf_counter() - t0
         assert np.isfinite(acc)
         sps = n_scans / dt
         print(f"e2e replay [{tag}]: {n_scans} scans in {dt:.3f}s = "
-              f"{sps:.1f} scans/s (host scan+reassembly+staging+device "
-              f"decode+projection; target >= 20)", file=sys.stderr)
+              f"{sps:.1f} scans/s (host scan+reassembly+planar staging+"
+              f"device decode+projection; target >= 20)", file=sys.stderr)
         return sps
 
     # reference-canonical sensor config (128x1024, RNG19 single-return,

@@ -445,6 +445,87 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
     return i;
 }
 
+// Word-planar frame staging: the layout the TPU kernel wants, built at
+// host memcpy speed. For each frame, pixel word k of pixel row p at
+// column C lands at planes[k][p][C] (pw, h, W) u32, and column-header
+// word q at colhdr[q][C] (chw, W) u32 — so the device kernel needs no
+// transpose and no lane-strided selects (both measured slower than the
+// projection itself). Loop order (k, p, c-within-packet) keeps writes in
+// 64-byte bursts while the 24-33 kB packet stays cache-resident.
+// Same grouping/resume contract as onat_group_frames.
+int64_t onat_group_frames_planar(
+    const uint8_t* payloads, const int64_t* offsets, const uint64_t* ts_in,
+    int64_t count, int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
+    uint64_t fid_mask, int64_t hw_bytes, int64_t cw_bytes, int64_t chw_bytes,
+    int64_t mid_byte_in_col, int64_t cpp, int64_t h, int64_t pw, int64_t W,
+    uint8_t* out_planes, uint8_t* out_colhdr, int64_t* out_fids,
+    uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes) {
+    const int64_t plane_bytes = (int64_t)pw * h * W * 4;
+    const int64_t colhdr_bytes = (int64_t)(chw_bytes / 4) * W * 4;
+    const int64_t chw = chw_bytes / 4;
+    int64_t nf = 0, i = 0;
+    int64_t cur_fid = -1;
+    uint8_t* planes = nullptr;
+    uint8_t* colhdr = nullptr;
+    for (; i < count; i++) {
+        const uint8_t* p = payloads + offsets[i];
+        uint64_t fid64;
+        std::memcpy(&fid64, p + fid_byte, 8);
+        int64_t fid = (int64_t)((fid64 >> fid_shift) & fid_mask);
+        if (fid != cur_fid) {
+            if (nf >= max_frames) break;
+            planes = out_planes + nf * plane_bytes;
+            colhdr = out_colhdr + nf * colhdr_bytes;
+            std::memset(planes, 0, plane_bytes);
+            std::memset(colhdr, 0, colhdr_bytes);
+            out_fids[nf] = fid;
+            out_ts[nf] = ts_in ? ts_in[i] : 0;
+            cur_fid = fid;
+            nf++;
+        }
+        for (int64_t c = 0; c < cpp; c++) {
+            const uint8_t* col = p + hw_bytes + c * cw_bytes;
+            uint16_t mid;
+            std::memcpy(&mid, col + mid_byte_in_col, 2);
+            if (mid >= W) continue;
+            for (int64_t q = 0; q < chw; q++)
+                std::memcpy(colhdr + (q * W + mid) * 4, col + q * 4, 4);
+        }
+        // pixel planes: (k, p, c) order -> 4 B * cpp contiguous column
+        // runs would need per-column mid; columns in a packet are
+        // consecutive on the wire, so use the first column's mid as the
+        // base and bounds-check the run
+        uint16_t mid0;
+        std::memcpy(&mid0, p + hw_bytes + mid_byte_in_col, 2);
+        if (mid0 + cpp > W || (mid0 % cpp) != 0) {
+            // non-aligned packet: per-column scatter fallback
+            for (int64_t c = 0; c < cpp; c++) {
+                const uint8_t* col = p + hw_bytes + c * cw_bytes;
+                uint16_t mid;
+                std::memcpy(&mid, col + mid_byte_in_col, 2);
+                if (mid >= W) continue;
+                const uint8_t* px = col + chw_bytes;
+                for (int64_t pp = 0; pp < h; pp++)
+                    for (int64_t k = 0; k < pw; k++)
+                        std::memcpy(planes + ((k * h + pp) * W + mid) * 4,
+                                    px + (pp * pw + k) * 4, 4);
+            }
+            continue;
+        }
+        for (int64_t k = 0; k < pw; k++) {
+            for (int64_t pp = 0; pp < h; pp++) {
+                uint8_t* dst = planes + ((k * h + pp) * W + mid0) * 4;
+                const uint8_t* src =
+                    p + hw_bytes + chw_bytes + (pp * pw + k) * 4;
+                for (int64_t c = 0; c < cpp; c++)
+                    std::memcpy(dst + c * 4, src + c * cw_bytes, 4);
+            }
+        }
+    }
+    *out_nframes = nf;
+    return i;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

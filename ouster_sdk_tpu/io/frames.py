@@ -148,6 +148,63 @@ class FrameReader:
             pos += consumed
             yield fid_out[:nf].copy(), pool[:nf], ts_out[:nf].copy()
 
+    def iter_planar_chunks(self, chunk: int = 8) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield (frame_ids, planes (m, pw, h, W) u32, col_hdrs
+        (m, chw, W) u32, host_ts): the word-planar staging the Pallas
+        kernels consume with no in-kernel transpose and no XLA strided
+        prep. Native-only (raises without the toolchain); same pooled
+        double-buffer contract as iter_chunks."""
+        if self.plan.status_word >= self.plan.chw:
+            # LEGACY keeps column status in the footer, outside the
+            # captured header words
+            raise RuntimeError(
+                "planar staging supports eUDP profiles only; use "
+                "iter_chunks")
+        res = self._native_scan() if native.get_lib() is not None else None
+        if res is None:
+            raise RuntimeError(
+                "planar staging needs the native library; use iter_chunks")
+        payloads, offsets, sizes, ts, ports, ips = res
+        pkt_size = self.pf.lidar_packet_size
+        lidar = sizes == pkt_size
+        if not lidar.any():
+            return
+        offs, tss = offsets[lidar], ts[lidar]
+
+        plan = self.plan
+        g = self.pf.geom
+        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
+        fid_mask = (1 << g.frame_id.bit_size) - 1
+        key = ("planar", chunk)
+        if key not in self._pools:
+            pools = [(np.empty((chunk, plan.pw, plan.h, plan.w),
+                               dtype=np.uint32),
+                      np.empty((chunk, plan.chw, plan.w), dtype=np.uint32))
+                     for _ in range(2)]
+            for planes, hdrs in pools:
+                planes.fill(0)
+                hdrs.fill(0)
+            self._pools[key] = pools
+        pools = self._pools[key]
+        fid_out = np.zeros(chunk, np.int64)
+        ts_out = np.zeros(chunk, np.uint64)
+        pos, flip = 0, 0
+        while pos < offs.size:
+            planes, hdrs = pools[flip]
+            flip ^= 1
+            consumed, nf = native.group_frames_planar(
+                payloads, offs[pos:], tss[pos:], pkt_size, fid_byte,
+                fid_shift, fid_mask, self.pf.packet_header_size,
+                self.pf.col_size, self.pf.col_header_size,
+                plan.mid_word * 4, plan.cpp, plan.h, plan.pw, plan.w,
+                planes, hdrs, fid_out, ts_out)
+            if nf == 0:
+                break
+            pos += consumed
+            yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
+                   ts_out[:nf].copy())
+
     def _iter_python(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         from ..ops.unpack import frame_words_from_packets
 

@@ -97,6 +97,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
             c.c_void_p]
+        lib.onat_group_frames_planar.restype = c.c_int64
+        lib.onat_group_frames_planar.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
+            c.c_int64, c.c_void_p]
         _lib = lib
         return _lib
 
@@ -218,6 +225,33 @@ def group_frames(payloads: np.ndarray, offsets: np.ndarray,
         offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask, mid_byte,
         cols_per_packet, n_slots, _ptr(out_frames), _ptr(out_fids),
         _ptr(out_ts), out_frames.shape[0], _ptr(nframes))
+    return int(consumed), int(nframes[0])
+
+
+def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
+                        ts: Optional[np.ndarray], pkt_bytes: int,
+                        fid_byte: int, fid_shift: int, fid_mask: int,
+                        hw_bytes: int, cw_bytes: int, chw_bytes: int,
+                        mid_byte_in_col: int, cpp: int, h: int, pw: int,
+                        w: int, out_planes: np.ndarray,
+                        out_colhdr: np.ndarray, out_fids: np.ndarray,
+                        out_ts: np.ndarray) -> Optional[Tuple[int, int]]:
+    """Word-planar grouping: out_planes (max_frames, pw, h, w) u32 and
+    out_colhdr (max_frames, chw, w) u32, both reused across calls.
+    Returns (packets_consumed, n_frames) or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    nframes = np.zeros(1, dtype=np.int64)
+    consumed = lib.onat_group_frames_planar(
+        _ptr(payloads), _ptr(offsets),
+        _ptr(np.ascontiguousarray(ts, np.uint64)) if ts is not None
+        else None,
+        offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask,
+        hw_bytes, cw_bytes, chw_bytes, mid_byte_in_col, cpp, h, pw, w,
+        _ptr(out_planes), _ptr(out_colhdr), _ptr(out_fids), _ptr(out_ts),
+        out_planes.shape[0], _ptr(nframes))
     return int(consumed), int(nframes[0])
 
 

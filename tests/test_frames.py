@@ -91,3 +91,49 @@ def test_read_all_batch():
     assert batch.ndim == 3 and batch.shape[1:] == (fr.plan.n_pkts,
                                                    fr.plan.pkt_words)
     assert len(fids) == batch.shape[0] >= 1
+
+
+def test_planar_staging_matches_packet_staging():
+    """Word-planar staging (native onat_group_frames_planar) must carry
+    exactly the same pixel words and column headers as the packet-layout
+    path, and the planar kernel must produce bit-identical XYZ."""
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_pallas_batched,
+        unpack_project_planar_batched)
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    pcap = os.path.join(PCAP_DIR, "OS-2-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+    fr = FrameReader(pcap)
+    plan = fr.plan
+    fids_a, frames, _ = next(fr.iter_chunks(2))
+    fids_b, planes, hdrs, _ = next(fr.iter_planar_chunks(2))
+    np.testing.assert_array_equal(fids_a, fids_b)
+
+    # cross-check plane words against the packet layout per frame
+    B = frames.shape[0]
+    for b in range(B):
+        words = frames[b]
+        cols = words[:, plan.hw:plan.hw + plan.cpp * plan.cw].reshape(
+            plan.w, plan.cw)
+        pix = cols[:, plan.chw:plan.chw + plan.h * plan.pw].reshape(
+            plan.w, plan.h, plan.pw)
+        expected = np.transpose(pix, (2, 1, 0))        # (pw, h, w)
+        np.testing.assert_array_equal(planes[b], expected)
+        np.testing.assert_array_equal(hdrs[b],
+                                      cols[:, :plan.chw].T)
+
+    lut = PlanarLut(make_xyz_lut(fr.info))
+    a = unpack_project_pallas_batched(
+        jnp.asarray(frames), lut.dir_hi, lut.dir_lo, lut.off_hi,
+        lut.off_lo, plan, interpret=True)
+    b = unpack_project_planar_batched(
+        jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()), lut.dir_hi,
+        lut.dir_lo, lut.off_hi, lut.off_lo, plan, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

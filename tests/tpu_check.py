@@ -139,6 +139,43 @@ def main():
     info_d, plan_d, frame_d, ref_d, rng_d = check_projection(
         1024, 128, True, "128x1024 dual")
 
+    # ---- 2b. planar-staged projection (the bench headline path) ---------
+    from ouster_sdk_tpu.ops.pallas_kernels import \
+        unpack_project_planar_batched
+
+    info_p = _make_info(w=1024, h=128, dual=True)
+    plan_p = make_decode_plan(info_p)
+    frame_p = _synth_frame(info_p)
+    # re-stage the packet words planar on the host (same layout the
+    # native path produces)
+    cols = frame_p[:, plan_p.hw:plan_p.hw + plan_p.cpp * plan_p.cw]
+    cols = cols.reshape(plan_p.w, plan_p.cw)
+    pix = cols[:, plan_p.chw:plan_p.chw + plan_p.h * plan_p.pw]
+    planes = np.ascontiguousarray(
+        pix.reshape(plan_p.w, plan_p.h, plan_p.pw).transpose(2, 1, 0))
+    hdrs = np.ascontiguousarray(cols[:, :plan_p.chw].T)
+    lut64p = make_xyz_lut(info_p)
+    lutp = PlanarLut(lut64p)
+    import jax.numpy as jnp2
+
+    out = jax.jit(lambda p, h2: unpack_project_planar_batched(
+        p, h2, lutp.dir_hi, lutp.dir_lo, lutp.off_hi, lutp.off_lo,
+        plan_p, dual=True))(jnp2.asarray(planes[None]),
+                            jnp2.asarray(hdrs[None]))
+    xyz_p = np.moveaxis(np.asarray(out[0][0]), 0, -1)
+    pf_p = PacketFormat.from_info(info_p)
+    rng_p = pf_p.packet_field_all(
+        ChanField.RANGE, np.ascontiguousarray(frame_p).view(np.uint8))
+    rng_p = np.concatenate(list(rng_p), axis=1)[:, :plan_p.w]
+    ref_p = lut64p(rng_p.astype(np.uint32))
+    err = np.abs(xyz_p - ref_p)
+    ulp = np.spacing(np.abs(ref_p).astype(np.float32)).astype(np.float64)
+    if (err / np.maximum(ulp, 1e-30)).max() > 1.0:
+        failures.append(f"planar projection: max err {err.max()}")
+    else:
+        print(f"planar projection ok (max err {err.max():.2e} m)",
+              file=sys.stderr)
+
     # ---- 3. LUT-free projection -----------------------------------------
     tables = FactorTables(info_d)
     xyz = np.moveaxis(np.asarray(jax.jit(
