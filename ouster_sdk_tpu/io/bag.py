@@ -339,18 +339,188 @@ class Ros2BagWriter:
         self.close()
 
 
+# -- MCAP storage (ref: bag_packet_source.py:59-130 reads .mcap via the
+# rosbags MCAPFile; this is a self-contained reader/writer of the MCAP
+# spec's record framing) ----------------------------------------------------
+
+_MCAP_MAGIC = b"\x89MCAP0\r\n"
+
+_OP_HEADER = 0x01
+_OP_FOOTER = 0x02
+_OP_SCHEMA = 0x03
+_OP_CHANNEL = 0x04
+_OP_MESSAGE = 0x05
+_OP_CHUNK = 0x06
+_OP_DATA_END = 0x0F
+
+
+def _mcap_str(data: bytes, pos: int) -> Tuple[str, int]:
+    n = struct.unpack_from("<I", data, pos)[0]
+    return data[pos + 4:pos + 4 + n].decode("utf-8", "replace"), pos + 4 + n
+
+
+class McapBagReader:
+    """Iterates (connection, log_time, CDR bytes) from an MCAP file.
+
+    Handles top-level and chunked records ("" / zstd / lz4* compression;
+    *lz4 only when the lz4 package is present)."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        if not data.startswith(_MCAP_MAGIC):
+            raise ValueError(f"{path}: not an MCAP file")
+        self.connections: Dict[int, Connection] = {}
+        self._schemas: Dict[int, str] = {}
+        self._messages: List[BagMessage] = []
+        self._parse_records(memoryview(data), len(_MCAP_MAGIC),
+                            len(data) - len(_MCAP_MAGIC))
+        self._messages.sort(key=lambda m: m.timestamp)
+
+    def _parse_records(self, data: memoryview, pos: int, end: int) -> None:
+        while pos + 9 <= end:
+            op = data[pos]
+            length = struct.unpack_from("<Q", data, pos + 1)[0]
+            body_start = pos + 9
+            pos = body_start + length
+            if pos > end:
+                break
+            if op == _OP_SCHEMA:
+                sid = struct.unpack_from("<H", data, body_start)[0]
+                name, _ = _mcap_str(bytes(data[body_start + 2:pos]), 0)
+                self._schemas[sid] = name
+            elif op == _OP_CHANNEL:
+                body = bytes(data[body_start:pos])
+                cid, sid = struct.unpack_from("<HH", body, 0)
+                topic, p = _mcap_str(body, 4)
+                encoding, p = _mcap_str(body, p)
+                self.connections[cid] = Connection(
+                    id=cid, topic=topic,
+                    msgtype=self._schemas.get(sid, ""),
+                    serialization=encoding or "cdr")
+            elif op == _OP_MESSAGE:
+                body = bytes(data[body_start:pos])
+                cid, _seq, log_time, _pub = struct.unpack_from(
+                    "<HIQQ", body, 0)
+                conn = self.connections.get(cid)
+                if conn is not None:
+                    self._messages.append(
+                        BagMessage(conn, int(log_time), body[22:]))
+            elif op == _OP_CHUNK:
+                body = bytes(data[body_start:pos])
+                # start/end time u64s, uncompressed_size u64, crc u32
+                p = 8 + 8 + 8 + 4
+                compression, p = _mcap_str(body, p)
+                rec_len = struct.unpack_from("<Q", body, p)[0]
+                records = body[p + 8:p + 8 + rec_len]
+                if compression == "zstd":
+                    import zstandard
+
+                    records = zstandard.ZstdDecompressor().decompress(
+                        records, max_output_size=1 << 31)
+                elif compression == "lz4":
+                    try:
+                        import lz4.frame  # type: ignore
+
+                        records = lz4.frame.decompress(records)
+                    except ImportError as e:
+                        raise ValueError(
+                            "lz4-compressed MCAP chunk needs the lz4 "
+                            "package") from e
+                elif compression not in ("", "none"):
+                    raise ValueError(
+                        f"unknown MCAP compression {compression!r}")
+                mv = memoryview(records)
+                self._parse_records(mv, 0, len(mv))
+            elif op in (_OP_DATA_END, _OP_FOOTER):
+                break  # summary section repeats schema/channel records
+
+    def messages(self, topics: Optional[List[str]] = None
+                 ) -> Iterator[BagMessage]:
+        for m in self._messages:
+            if topics is None or m.connection.topic in topics:
+                yield m
+
+
+class McapBagWriter:
+    """Write a chunkless (uncompressed) MCAP file: header, schemas,
+    channels, messages, data-end, footer — readable by any MCAP reader."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+        self._f.write(_MCAP_MAGIC)
+        self._rec(_OP_HEADER, self._s("ros2") + self._s("ouster_sdk_tpu"))
+        self._schemas: Dict[str, int] = {}
+        self._channels: Dict[Tuple[str, str], int] = {}
+
+    @staticmethod
+    def _s(s: str) -> bytes:
+        b = s.encode()
+        return struct.pack("<I", len(b)) + b
+
+    def _rec(self, op: int, body: bytes) -> None:
+        self._f.write(struct.pack("<BQ", op, len(body)) + body)
+
+    def _schema_id(self, msgtype: str) -> int:
+        if msgtype not in self._schemas:
+            sid = len(self._schemas) + 1
+            self._schemas[msgtype] = sid
+            definition = b"uint8[] buf" if "PacketMsg" in msgtype \
+                else b"string data"
+            self._rec(_OP_SCHEMA, struct.pack("<H", sid) +
+                      self._s(msgtype) + self._s("ros2msg") +
+                      struct.pack("<I", len(definition)) + definition)
+        return self._schemas[msgtype]
+
+    def _channel_id(self, topic: str, msgtype: str) -> int:
+        key = (topic, msgtype)
+        if key not in self._channels:
+            cid = len(self._channels) + 1
+            self._channels[key] = cid
+            self._rec(_OP_CHANNEL, struct.pack(
+                "<HH", cid, self._schema_id(msgtype)) + self._s(topic) +
+                self._s("cdr") + struct.pack("<I", 0))
+        return self._channels[key]
+
+    def _write(self, topic: str, msgtype: str, cdr_body: bytes,
+               ts_ns: int) -> None:
+        cid = self._channel_id(topic, msgtype)
+        data = b"\x00\x01\x00\x00" + cdr_body
+        self._rec(_OP_MESSAGE, struct.pack("<HIQQ", cid, 0, ts_ns, ts_ns) +
+                  data)
+
+    def write_packet(self, topic: str, payload: bytes, ts_ns: int) -> None:
+        self._write(topic, "ouster_sensor_msgs/msg/PacketMsg",
+                    struct.pack("<I", len(payload)) + bytes(payload), ts_ns)
+
+    def write_string(self, topic: str, text: str, ts_ns: int) -> None:
+        raw = text.encode() + b"\x00"
+        self._write(topic, "std_msgs/msg/String",
+                    struct.pack("<I", len(raw)) + raw, ts_ns)
+
+    def close(self) -> None:
+        self._rec(_OP_DATA_END, struct.pack("<I", 0))
+        self._rec(_OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+        self._f.write(_MCAP_MAGIC)
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def open_bag_reader(path: str):
-    """ROS1 or ROS2 reader by storage probe (dir / sqlite magic / V2.0)."""
+    """ROS1 / ROS2-sqlite / MCAP reader by storage probe."""
     if os.path.isdir(path) or path.endswith(".db3"):
         return Ros2BagReader(path)
     with open(path, "rb") as f:
         head = f.read(16)
     if head.startswith(_SQLITE_MAGIC):
         return Ros2BagReader(path)
-    if head.startswith(b"\x89MCAP"):
-        raise NotImplementedError(
-            f"{path}: MCAP bags are not supported yet; convert with "
-            "'ros2 bag convert' or use sqlite3/ROS1 storage")
+    if head.startswith(_MCAP_MAGIC):
+        return McapBagReader(path)
     return Ros1BagReader(path)
 
 

@@ -97,6 +97,9 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
     if ext == ".db3":
         return _save_bag(path, infos, scan_sets, ros2=True,
                          split_mb=split_mb)
+    if ext == ".mcap":
+        return _save_bag(path, infos, scan_sets, mcap=True,
+                         split_mb=split_mb)
     if ext == ".csv":
         return _save_points(path, infos, scan_sets, "csv")
     if ext == ".ply":
@@ -186,14 +189,16 @@ def _save_pcap(path, infos, scan_sets, *, split_mb=None) -> int:
 
 
 def _save_bag(path, infos, scan_sets, ros2: bool = False,
-              split_mb=None) -> int:
+              mcap: bool = False, split_mb=None) -> int:
     """Re-packetize scans onto ouster ROS topics
     (ref: plugins/source_save.py bag save: /osN/metadata string +
     /osN/lidar_packets PacketMsg). `.db3` targets (or ros2=True) write
-    rosbag2 sqlite3 storage instead of ROS1 v2.0."""
-    from .bag import Ros1BagWriter, Ros2BagWriter
+    rosbag2 sqlite3 storage; `.mcap` writes MCAP."""
+    from .bag import McapBagWriter, Ros1BagWriter, Ros2BagWriter
 
     def make(p):
+        if mcap:
+            return McapBagWriter(p)
         if ros2 and p.endswith(".bag"):
             p = os.path.splitext(p)[0] + ".db3"
         return Ros2BagWriter(p) if ros2 else Ros1BagWriter(p)

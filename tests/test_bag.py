@@ -138,3 +138,75 @@ def test_ros1_ros2_cross_consistency(tmp_path):
     for f in s1.fields:
         np.testing.assert_array_equal(s1.field(f), s2.field(f))
     np.testing.assert_array_equal(s1.timestamp, s2.timestamp)
+
+
+def test_mcap_save_read_roundtrip(tmp_path):
+    """Self-contained MCAP storage (ref: bag_packet_source.py:59-130 reads
+    .mcap via rosbags): write chunkless MCAP, read it back via
+    open_source."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu.io.save import save_scans
+
+    src = open_source(PCAP)
+    sets = list(src)
+    out = str(tmp_path / "rt.mcap")
+    n = save_scans(out, src.sensor_info, sets)
+    assert n >= 1
+
+    back = open_source(out)
+    a = sets[0].valid()[0]
+    b = list(back)[0].valid()[0]
+    assert b.frame_id == a.frame_id
+    np.testing.assert_array_equal(b.field(ChanField.RANGE),
+                                  a.field(ChanField.RANGE))
+    assert back.sensor_info[0].sn == src.sensor_info[0].sn
+
+
+def test_mcap_zstd_chunked_read(tmp_path):
+    """Chunked+zstd MCAP (what rosbag2 writes by default) also reads."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    import struct
+    import zstandard
+
+    from ouster_sdk_tpu.io.bag import (McapBagReader, McapBagWriter,
+                                       _MCAP_MAGIC, _OP_CHUNK)
+    from ouster_sdk_tpu.io.save import scan_to_packets
+
+    src = open_source(PCAP)
+    info = src.sensor_info[0]
+    scan = list(src)[0].valid()[0]
+
+    plain = str(tmp_path / "plain.mcap")
+    w = McapBagWriter(plain)
+    ts = 1
+    w.write_string("/os0/metadata", info.to_json_string(), ts)
+    pkts = [p.tobytes() for p in scan_to_packets(scan, info)]
+    for i, p in enumerate(pkts):
+        w.write_packet("/os0/lidar_packets", p, ts + 1 + i)
+    w.close()
+
+    # re-wrap all records after the header into one zstd chunk
+    with open(plain, "rb") as f:
+        data = f.read()
+    pos = len(_MCAP_MAGIC)
+    op, ln = data[pos], struct.unpack_from("<Q", data, pos + 1)[0]
+    header_rec = data[pos:pos + 9 + ln]
+    inner = data[pos + 9 + ln:-(len(_MCAP_MAGIC))]
+    comp = zstandard.ZstdCompressor().compress(inner)
+    chunk_body = struct.pack("<QQQI", 0, 0, len(inner), 0) + \
+        struct.pack("<I", 4) + b"zstd" + struct.pack("<Q", len(comp)) + comp
+    chunked = str(tmp_path / "chunked.mcap")
+    with open(chunked, "wb") as f:
+        f.write(_MCAP_MAGIC + header_rec +
+                struct.pack("<BQ", _OP_CHUNK, len(chunk_body)) +
+                chunk_body + _MCAP_MAGIC)
+
+    r = McapBagReader(chunked)
+    msgs = list(r.messages())
+    assert len(msgs) == 1 + len(pkts)
+    back = open_source(chunked)
+    b = list(back)[0].valid()[0]
+    np.testing.assert_array_equal(b.field(ChanField.RANGE),
+                                  scan.field(ChanField.RANGE))
