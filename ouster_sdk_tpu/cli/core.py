@@ -386,49 +386,129 @@ def util() -> None:
 @util.command("benchmark")
 @click.argument("url")
 @click.option("--frames", type=int, default=10)
-def util_benchmark(url, frames):
-    """Time read/batch/destagger/cartesian per frame
+@click.option("--report-dir", default=None,
+              help="write the JSON report here, keyed by data md5 + host "
+              "+ sdk version (ref: cli/core/util.py report files)")
+def util_benchmark(url, frames, report_dir):
+    """Time read/write/batch/destagger/cartesian per frame and gather
+    system info into the reference's report shape
     (ref: cli/core/util.py:180-310)."""
+    import hashlib
     import platform
+    import tempfile
     import time
 
+    from .. import __version__ as sdk_version
+    from ..core.batcher import ScanBatcher
+    from ..core.lidar_scan import LidarScan
+    from ..io.save import save_scans, scan_to_packets
     from ..ops.destagger import destagger
     from ..ops.xyzlut import make_xyz_lut
 
+    report = {"pcap": {}, "sys_info": {}, "times": {}}
+    report["sys_info"] = {
+        "platform": {"platform": platform.platform(),
+                     "python_version": platform.python_version(),
+                     "machine": platform.machine(),
+                     "node": platform.node()},
+        "cpuinfo": {"brand_raw": _cpu_brand()},
+        "packages": {"ouster-sdk-tpu": sdk_version},
+    }
+    click.echo(f"  cpu: {report['sys_info']['cpuinfo']['brand_raw']}")
+    click.echo(f"  platform: {platform.platform()}")
+    click.echo(f"  python: {platform.python_version()}")
+    click.echo(f"  ouster-sdk-tpu: {sdk_version}")
+
+    data_md5 = ""
+    if os.path.isfile(url):
+        h = hashlib.md5()
+        with open(url, "rb") as f:
+            for block in iter(lambda: f.read(1 << 20), b""):
+                h.update(block)
+        data_md5 = h.hexdigest()
+        click.echo(f"  md5: {data_md5}")
+    report["pcap"]["filename"] = os.path.basename(url)
+    report["pcap"]["md5"] = data_md5
+
     src = open_source(url)
     info = src.sensor_info[0]
+    report["pcap"]["metadata"] = json.loads(info.to_json_string())
     lut = make_xyz_lut(info)
 
-    t_read = t_destagger = t_xyz = 0.0
-    n = 0
-    t0 = time.perf_counter()
-    for ls_set in src:
-        t_read += time.perf_counter() - t0
-        for s in ls_set.valid():
-            t1 = time.perf_counter()
-            for name in s.fields:
-                f = s.field(name)
-                if f.ndim >= 2 and f.shape[:2] == (s.h, s.w):
-                    destagger(info, f)
-            t2 = time.perf_counter()
-            lut(s.field(ChanField.RANGE))
-            t3 = time.perf_counter()
-            t_destagger += t2 - t1
-            t_xyz += t3 - t2
-        n += 1
-        if n >= frames:
-            break
-        t0 = time.perf_counter()
+    def report_dur(key, dur, n_frames):
+        report["times"][key] = {"total": dur,
+                                "per_frame": dur / max(n_frames, 1)}
+        click.echo(f"  {key:<12} {dur / max(n_frames, 1) * 1e3:8.2f} "
+                   f"ms/frame ({dur:.3f}s total)")
 
-    report = {
-        "host": platform.node(),
-        "machine": platform.machine(),
-        "frames": n,
-        "read_ms_per_frame": round(t_read / max(n, 1) * 1e3, 3),
-        "destagger_ms_per_frame": round(t_destagger / max(n, 1) * 1e3, 3),
-        "cartesian_ms_per_frame": round(t_xyz / max(n, 1) * 1e3, 3),
-    }
-    click.echo(json.dumps(report, indent=2))
+    # read
+    t0 = time.perf_counter()
+    sets = []
+    for ls_set in src:
+        sets.append(ls_set)
+        if len(sets) >= frames:
+            break
+    report_dur("read", time.perf_counter() - t0, len(sets))
+    scans = [s for ls in sets for s in ls.valid()]
+    n = len(scans)
+    report["pcap"]["n_frames"] = n
+    report["pcap"]["n_packets"] = sum(
+        len(scan_to_packets(s, info)) for s in scans[:1]) * n
+
+    # write (re-record to a scratch pcap)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        save_scans(os.path.join(td, "bench.pcap"), src.sensor_info, sets)
+        report_dur("write", time.perf_counter() - t0, n)
+
+    # batch (re-packetize + rebatch)
+    from ..core.packets import LidarPacket
+
+    pkt_sets = [[LidarPacket(p.tobytes(), 0) for p in
+                 scan_to_packets(s, info)] for s in scans]
+    t0 = time.perf_counter()
+    for pkts in pkt_sets:
+        b = ScanBatcher(info)
+        out = LidarScan(info)
+        for p in pkts:
+            b(p, out)
+    report_dur("batch", time.perf_counter() - t0, n)
+
+    # destagger
+    t0 = time.perf_counter()
+    for s in scans:
+        for name in s.fields:
+            f = s.field(name)
+            if f.ndim >= 2 and f.shape[:2] == (s.h, s.w):
+                destagger(info, f)
+    report_dur("destagger", time.perf_counter() - t0, n)
+
+    # cartesian
+    t0 = time.perf_counter()
+    for s in scans:
+        lut(s.field(ChanField.RANGE))
+    report_dur("cartesian", time.perf_counter() - t0, n)
+
+    click.echo(json.dumps(report["times"], indent=2))
+    if report_dir:
+        os.makedirs(report_dir, exist_ok=True)
+        name = (f"{data_md5 or 'live'}_"
+                f"{platform.node() or 'host'}_{sdk_version}.json")
+        out_path = os.path.join(report_dir, name)
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+        click.echo(f"report written to {out_path}")
+
+
+def _cpu_brand() -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    return "UNKNOWN"
 
 
 @cli.command("discover")
