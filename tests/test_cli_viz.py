@@ -78,7 +78,7 @@ def test_cli_benchmark():
     res = _runner().invoke(cli, ["util", "benchmark", PCAP,
                                  "--frames", "1"])
     assert res.exit_code == 0, res.output
-    assert "cartesian_ms_per_frame" in res.output
+    assert '"cartesian"' in res.output and '"per_frame"' in res.output
 
 
 def test_cloud_io_roundtrips(tmp_path):
