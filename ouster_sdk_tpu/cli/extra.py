@@ -68,12 +68,13 @@ def source_replay(ctx, rate, serve, loop, udp_dest, lidar_port, imu_port,
         pipeline = ctx.obj
 
         def consumer(it):
-            from ..sensor.emulator import SensorEmulator, packets_from_scans
+            from ..sensor.emulator import (SensorEmulator,
+                                           looping_packets_factory)
 
             sets = list(it)  # buffer so --loop can replay
             info = pipeline.infos[0]
             emu = SensorEmulator(
-                info, lambda: packets_from_scans(sets, info),
+                info, looping_packets_factory(sets, info),
                 udp_dest=udp_dest, lidar_port=lidar_port,
                 imu_port=imu_port, http_port=http_port, rate=rate,
                 loop=loop)

@@ -40,7 +40,8 @@ class SensorEmulator:
                  http_port: int = 0,
                  http_addr: str = "127.0.0.1",
                  rate: float = 1.0,
-                 loop: bool = False):
+                 loop: bool = False,
+                 upgrade_firmware: bool = True):
         self.info = info
         self._factory = packets_factory
         self._udp_dest = udp_dest
@@ -51,6 +52,7 @@ class SensorEmulator:
         self._rate = rate
         self._loop = loop
         self._stop = threading.Event()
+        self._upgrade_firmware = upgrade_firmware
         self._staged_config = {}
         self.packets_sent = 0
         self.passes_completed = 0
@@ -70,10 +72,16 @@ class SensorEmulator:
         meta.setdefault("config_params", {})
         meta["config_params"]["udp_port_lidar"] = self.lidar_port
         meta["config_params"]["udp_port_imu"] = self.imu_port
-        # SensorHttp.create() probes image_rev and rejects fw < 2.4;
-        # emulated sensors without one advertise a modern firmware
+        # SensorHttp.create() probes image_rev and rejects fw < 2.4; the
+        # emulator only implements the modern /api/v1 surface, so a missing
+        # or pre-2.4 image_rev (common in old recordings) is upgraded to a
+        # firmware the served API actually matches
+        from ..core.types import Version
+
         si = meta.setdefault("sensor_info", {})
-        if not si.get("image_rev"):
+        fw = Version.from_string(str(si.get("image_rev", "")))
+        if self._upgrade_firmware and (
+                fw.major < 2 or (fw.major == 2 and fw.minor <= 3)):
             si["image_rev"] = "ousteros-image-prod-aries-v3.2.0"
         emu = self
 
@@ -120,9 +128,12 @@ class SensorEmulator:
                 u = urlparse(self.path)
                 p = u.path.rstrip("/")
                 if p == "/api/v1/sensor/cmd/set_config_param":
+                    from urllib.parse import unquote
+
                     args = u.query.split("=", 1)
                     if len(args) == 2 and "+" in args[1]:
                         k, v = args[1].split("+", 1)
+                        k, v = unquote(k), unquote(v)
                         try:
                             v = json.loads(v)
                         except ValueError:
@@ -200,13 +211,20 @@ class SensorEmulator:
 
 def packets_from_scans(scan_sets: Iterable, info: SensorInfo,
                        sensor_idx: int = 0,
-                       frame_period_ns: Optional[int] = None
+                       frame_period_ns: Optional[int] = None,
+                       frame_id_offset: int = 0
                        ) -> Iterable[PacketItem]:
-    """Re-packetize a scan stream for the emulator (one sensor)."""
+    """Re-packetize a scan stream for the emulator (one sensor).
+
+    frame_id_offset shifts every frame id — looped playback must rotate
+    ids each pass or the consumer's batcher (correctly) drops the repeats
+    as duplicates."""
     from ..io.save import scan_to_packets
+    from ..ops.packet_format import PacketWriter
 
     fps = getattr(info.format, "fps", 0) or 10
     period = frame_period_ns or int(1e9 / fps)
+    pw = PacketWriter(info.format) if frame_id_offset else None
     t = 0
     for ls_set in scan_sets:
         scan = ls_set[sensor_idx] if sensor_idx < len(ls_set) else None
@@ -216,6 +234,25 @@ def packets_from_scans(scan_sets: Iterable, info: SensorInfo,
                    or scan.first_valid_column_timestamp() or t)
         pkts = scan_to_packets(scan, info)
         for i, pkt in enumerate(pkts):
+            if pw is not None:
+                fid = (max(scan.frame_id, 0) + frame_id_offset) & 0xFFFF
+                pw.set_frame_id(pkt, fid)
             yield base + i * period // max(len(pkts), 1), "lidar", \
                 pkt.tobytes()
         t = base + period
+
+
+def looping_packets_factory(scan_sets, info: SensorInfo,
+                            sensor_idx: int = 0, id_stride: int = 16):
+    """Factory for SensorEmulator(loop=True): each playback pass shifts
+    frame ids by id_stride so downstream batchers see fresh frames."""
+    sets = list(scan_sets)
+    state = {"pass": 0}
+
+    def factory():
+        off = state["pass"] * id_stride
+        state["pass"] += 1
+        return packets_from_scans(sets, info, sensor_idx,
+                                  frame_id_offset=off)
+
+    return factory

@@ -126,10 +126,14 @@ class SensorHttp:
         return self._get_json("/api/v1/sensor/cmd/get_config_param?args=staged")
 
     def set_config_param(self, key: str, value: Any) -> None:
-        val = json.dumps(value) if not isinstance(value, str) else value
+        from urllib.parse import quote
+
+        val = json.dumps(value, separators=(",", ":")) \
+            if not isinstance(value, str) else value
         self._request(
             "POST",
-            f"/api/v1/sensor/cmd/set_config_param?args={key}+{val}")
+            "/api/v1/sensor/cmd/set_config_param?args="
+            f"{quote(key)}+{quote(val)}")
 
     def set_udp_dest_auto(self) -> None:
         self._request("POST", "/api/v1/sensor/cmd/set_udp_dest_auto")

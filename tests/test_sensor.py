@@ -214,9 +214,11 @@ def test_sensor_http_version_dispatch():
     def serve(image_rev):
         info = _test_info(lidar_port, imu_port)
         info.image_rev = image_rev
+        # upgrade_firmware=False: serve the advertised fw verbatim so the
+        # client's rejection paths can be exercised
         return SensorEmulator(info, lambda: iter(()),
                               lidar_port=lidar_port, imu_port=imu_port,
-                              http_port=0).start()
+                              http_port=0, upgrade_firmware=False).start()
 
     emu = serve("ousteros-image-prod-aries-v3.2.0")
     try:
