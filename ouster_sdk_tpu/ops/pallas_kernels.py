@@ -268,7 +268,11 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
 
     rows = planes.reshape(B * plan.pw, plan.h, plan.w)
     tiles_per_frame = plan.w // tile_w
-    grid = (B * tiles_per_frame,)
+    # 2D grid (tile, batch), batch fastest: the LUT block index depends
+    # only on the tile coordinate, so Mosaic keeps the hi/lo LUT blocks
+    # resident across the whole batch instead of re-fetching ~3 MB per
+    # step (at B=128 that redundant LUT traffic exceeded the data itself)
+    grid = (tiles_per_frame, B)
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
 
     def spec(block, index_map):
@@ -278,16 +282,12 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
 
     def word_spec(word):
         return spec((1, plan.h, tile_w),
-                    lambda j, word=word: (
-                        (j // tiles_per_frame) * plan.pw + word, 0,
-                        j % tiles_per_frame))
+                    lambda i, b, word=word: (b * plan.pw + word, 0, i))
 
-    valid_spec = spec((1, tile_w), lambda j: (0, j))
-    lut_spec = spec((3, plan.h, tile_w),
-                    lambda j: (0, 0, j % tiles_per_frame))
-    out_spec = spec(
-        (3, plan.h, tile_w),
-        lambda j: (j // tiles_per_frame, 0, j % tiles_per_frame))
+    valid_spec = spec((1, tile_w),
+                      lambda i, b: (0, b * tiles_per_frame + i))
+    lut_spec = spec((3, plan.h, tile_w), lambda i, b: (0, 0, i))
+    out_spec = spec((3, plan.h, tile_w), lambda i, b: (b, 0, i))
     out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
 
     if not dual:
