@@ -54,6 +54,57 @@ def sharded_pipeline(pipe, mesh: Mesh, axis_name: str = "batch"):
     )
 
 
+def make_mesh_2d(n_sensors: int, n_frames: int,
+                 axis_names=("sensor", "frame")) -> Mesh:
+    """2D device mesh: sensors on one axis, frame batch on the other —
+    the natural layout for multi-sensor rigs (per-sensor LUTs live on the
+    sensor axis like per-shard weights; frames are pure data parallel)."""
+    devs = np.array(jax.devices()[:n_sensors * n_frames])
+    return Mesh(devs.reshape(n_sensors, n_frames), axis_names)
+
+
+def sharded_multi_sensor_step(pipes: Sequence, mesh: Mesh):
+    """Build a jitted step over a (S, F, n_pkts, pkt_words) frame batch on
+    a ("sensor", "frame") mesh using shard_map + explicit collectives.
+
+    Per-sensor LUTs are stacked on the sensor axis (sharded like weights
+    in tensor parallelism); frames are data parallel; the returned global
+    centroid is psum'd over BOTH mesh axes, exercising ICI collectives.
+
+    Returns (step_fn, stacked_luts): step_fn(frames, luts, poses) ->
+    (xyz (S, F, H, W, 3), centroid (3,) replicated).
+    """
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    pipe0 = pipes[0]
+    luts = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[p.lut for p in pipes])
+
+    def local_step(frames, lut, poses):
+        # frames: (S_loc, F_loc, n_pkts, words); lut: (S_loc, ...) pytree
+        def per_sensor(fr, lt, po):
+            out = pipe0._batch(fr, lt, po)
+            return out["XYZ"], out["RANGE"]
+
+        xyz, rng = jax.vmap(per_sensor)(frames, lut, poses)
+        total = jax.lax.psum(jax.lax.psum(
+            jnp.sum(xyz, axis=(0, 1, 2, 3)), "frame"), "sensor")
+        count = jax.lax.psum(jax.lax.psum(
+            jnp.sum(rng != 0), "frame"), "sensor")
+        centroid = total / jnp.maximum(count, 1)
+        return xyz, centroid
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P("sensor", "frame"), P("sensor"),
+                  P("sensor", "frame")),
+        out_specs=(P("sensor", "frame"), P()),
+    )
+    return jax.jit(sharded), luts
+
+
 def fuse_multi_sensor_clouds(mesh: Mesh, clouds: jnp.ndarray,
                              extrinsics: jnp.ndarray,
                              axis_name: str = "sensor") -> jnp.ndarray:

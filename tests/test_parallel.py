@@ -63,3 +63,55 @@ def test_graft_dryrun():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(8)
+
+
+def test_2d_mesh_multi_sensor_step():
+    """(sensor, frame) mesh: per-sensor LUTs ride the sensor axis like
+    sharded weights; explicit psum collectives produce a replicated
+    global centroid identical to the unsharded computation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _make_info, _synth_frame
+    from ouster_sdk_tpu.ops.fused import ScanPipeline
+    from ouster_sdk_tpu.parallel.sharding import (make_mesh_2d,
+                                                  sharded_multi_sensor_step)
+
+    S, F = 2, 4
+    infos = []
+    for s in range(S):
+        i2 = _make_info(w=64, h=16, dual=False)
+        i2.format.columns_per_packet = 16
+        i2.beam_altitude_angles = list(np.linspace(20.0 - s, -20.0 - s, 16))
+        infos.append(i2)
+    pipes = [ScanPipeline(i) for i in infos]
+    mesh = make_mesh_2d(S, F)
+    step, luts = sharded_multi_sensor_step(pipes, mesh)
+
+    frames = jnp.asarray(np.stack(
+        [np.stack([_synth_frame(infos[s])] * F) for s in range(S)]))
+    poses = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (S, F, 64, 4, 4))
+    with mesh:
+        fr = jax.device_put(frames, NamedSharding(mesh, P("sensor", "frame")))
+        lt = jax.device_put(luts, NamedSharding(mesh, P("sensor")))
+        po = jax.device_put(poses, NamedSharding(mesh, P("sensor", "frame")))
+        xyz, centroid = step(fr, lt, po)
+        xyz.block_until_ready()
+
+    # reference: unsharded per-sensor compute
+    tot = np.zeros(3)
+    cnt = 0
+    for s in range(S):
+        out = pipes[s]._batch(frames[s], pipes[s].lut, poses[s])
+        np.testing.assert_allclose(np.asarray(xyz[s]), np.asarray(out["XYZ"]),
+                                   rtol=0, atol=1e-6)
+        tot += np.asarray(jnp.sum(out["XYZ"], axis=(0, 1, 2)))
+        cnt += int(jnp.sum(out["RANGE"] != 0))
+    # psum tree-reduction order differs from the sequential reference sum
+    np.testing.assert_allclose(np.asarray(centroid), tot / max(cnt, 1),
+                               rtol=1e-4)
