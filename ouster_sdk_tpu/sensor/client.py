@@ -130,10 +130,19 @@ def init_client(
 ) -> Tuple[Client, SensorInfo]:
     """Configure the sensor over HTTP and open data sockets
     (ref: client.h:109-166 init_client overloads + config handshake
-    client.cpp:309-396)."""
-    client = Client(hostname, lidar_port or 7502, imu_port or 7503)
-
+    client.cpp:309-396). When the caller pins no ports and stages no
+    config, the sockets bind to the ports the sensor's active config
+    advertises (the reference's no-config init_client listens on the
+    sensor's current ports)."""
     http_client = SensorHttp.create(hostname)
+    if not lidar_port and config is None:
+        try:
+            active = http_client.active_config_params()
+            lidar_port = int(active.get("udp_port_lidar") or 0)
+            imu_port = imu_port or int(active.get("udp_port_imu") or 0)
+        except Exception:
+            pass
+    client = Client(hostname, lidar_port or 7502, imu_port or 7503)
     if config is not None and not do_not_reinitialize:
         cfg = config
         if cfg.udp_port_lidar is None:
