@@ -23,6 +23,7 @@ and sublane-dim splits are supported.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -212,6 +213,18 @@ def unpack_project_pallas_batched(frames_words: jnp.ndarray, dir_hi, dir_lo,
             out2.reshape(B, 3, plan.h, plan.w))
 
 
+def _dewarp_tile(xyz, pose_ref):
+    """Per-column SE(3): pose planes (12, TW) = row-major R (9) + t (3);
+    xyz (3, h, TW) -> world (3, h, TW) (ref: pose_util.h:44 dewarp)."""
+    rows = []
+    for i in range(3):
+        acc = pose_ref[9 + i][None] + pose_ref[3 * i][None] * xyz[0]
+        for k in range(1, 3):
+            acc = acc + pose_ref[3 * i + k][None] * xyz[k]
+        rows.append(acc)                             # (h, TW) each
+    return jnp.stack(rows, axis=0)                   # (3, h, TW)
+
+
 def _planar_kernel(rng_ref, v_ref, dir_hi_ref, dir_lo_ref, off_hi_ref,
                    off_lo_ref, xyz_ref, *, bit: int, size: int,
                    upshift: int, precision: str):
@@ -219,6 +232,22 @@ def _planar_kernel(rng_ref, v_ref, dir_hi_ref, dir_lo_ref, off_hi_ref,
     xyz_ref[:] = _range_to_xyz(
         w0, dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:],
         bit=bit, size=size, upshift=upshift, precision=precision)
+
+
+def _planar_dewarp_kernel(rng_ref, v_ref, pose_ref, dir_hi_ref, dir_lo_ref,
+                          off_hi_ref, off_lo_ref, xyz_ref, *, bit: int,
+                          size: int, upshift: int, precision: str):
+    w0 = jnp.where(v_ref[:] != 0, rng_ref[0], np.uint32(0))
+    xyz = _range_to_xyz(
+        w0, dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:],
+        bit=bit, size=size, upshift=upshift, precision=precision)
+    world = _dewarp_tile(xyz, pose_ref[:])
+    # keep no-return pixels at zero (dewarp would move them to the pose
+    # translation otherwise)
+    r = w0 >> np.uint32(bit) if bit else w0
+    if size < 32:
+        r = r & np.uint32((1 << size) - 1)
+    xyz_ref[:] = jnp.where((r != 0)[None], world, jnp.float32(0))
 
 
 def _planar_dual_kernel(rng_ref, rng2_ref, v_ref, dir_hi_ref, dir_lo_ref,
@@ -242,9 +271,14 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
                                   dir_hi, dir_lo, off_hi, off_lo,
                                   plan: DecodePlan, tile_w: int = 512,
                                   precision: str = "dd", dual: bool = False,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  poses: Optional[jnp.ndarray] = None):
     """Fused decode over word-planar frames: planes (B, pw, h, w) u32 +
     col_hdrs (B, chw, w) u32 -> (B, 3, h, w) f32 (pair when dual=True).
+
+    With poses (B, w, 4, 4) f32, the per-column SE(3) dewarp fuses into
+    the same kernel (the north-star unpack -> xyz -> dewarp chain,
+    ref: SURVEY §3.3) and the output is world-frame (single-return only).
 
     The host stages frames word-planar (io/frames.py iter_planar_chunks /
     native onat_group_frames_planar), so this kernel does NO transpose and
@@ -289,6 +323,29 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     lut_spec = spec((3, plan.h, tile_w), lambda i, b: (0, 0, i))
     out_spec = spec((3, plan.h, tile_w), lambda i, b: (b, 0, i))
     out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
+
+    if poses is not None:
+        if dual:
+            raise NotImplementedError("fused dewarp is single-return")
+        # pose planes: (B, w, 4, 4) -> (B*12, w): rows 0-8 = R row-major,
+        # 9-11 = t, matching _dewarp_tile
+        if poses.ndim == 3:
+            poses = poses[None]
+        R = poses[..., :3, :3].reshape(B, plan.w, 9)
+        t = poses[..., :3, 3]
+        pose_rows = jnp.concatenate([R, t], axis=-1).astype(jnp.float32)
+        pose_rows = jnp.moveaxis(pose_rows, -1, 1).reshape(B * 12, plan.w)
+        pose_spec = spec((12, tile_w), lambda i, b: (b, i))
+        kernel = functools.partial(
+            _planar_dewarp_kernel, bit=rng_plan.bit, size=rng_plan.size,
+            upshift=rng_plan.upshift, precision=precision)
+        out = pl.pallas_call(
+            kernel, grid=grid,
+            in_specs=[word_spec(rng_plan.word), valid_spec, pose_spec,
+                      lut_spec, lut_spec, lut_spec, lut_spec],
+            out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+        )(rows, valid, pose_rows, dir_hi, dir_lo, off_hi, off_lo)
+        return out.reshape(B, 3, plan.h, plan.w)
 
     if not dual:
         kernel = functools.partial(

@@ -51,3 +51,48 @@ def test_pallas_unpack_project_matches_reference():
     assert (err <= np.maximum(ulp, 1e-7)).all(), \
         f"max err {err.max()}, worst ulp ratio " \
         f"{(err / np.maximum(ulp, 1e-30)).max()}"
+
+
+def test_planar_fused_dewarp_matches_host():
+    """unpack -> xyz -> per-column SE(3) dewarp fused in one Pallas kernel
+    (the SURVEY §3.3 north-star chain) matches the f64 host path within
+    f32 representability."""
+    from ouster_sdk_tpu.io.frames import FrameReader
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_planar_batched)
+    from ouster_sdk_tpu.utils import native
+    from ouster_sdk_tpu.utils.pose_util import exp_pose6
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    import os
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    fr = FrameReader(PCAP)
+    info, plan = fr.info, fr.plan
+    fids, planes, hdrs, _ = next(fr.iter_planar_chunks(1))
+    lut64 = make_xyz_lut(info)
+    lut = PlanarLut(lut64)
+    rng = np.random.default_rng(0)
+    poses = np.stack([
+        exp_pose6(np.concatenate([rng.normal(0, 1, 3),
+                                  rng.normal(0, 0.1, 3)]))
+        for _ in range(plan.w)]).astype(np.float32)
+    out = unpack_project_planar_batched(
+        jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()),
+        lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
+        interpret=True, poses=jnp.asarray(poses[None]))
+    xyz_k = np.moveaxis(np.asarray(out[0]), 0, -1)
+
+    fp = [f for f in plan.fields if f.name == "RANGE"][0]
+    r = ((planes[0][0] >> fp.bit) & ((1 << fp.size) - 1)).astype(np.uint32)
+    world = np.einsum("wij,hwj->hwi", poses[:, :3, :3].astype(np.float64),
+                      lut64(r)) + poses[None, :, :3, 3]
+    world[r == 0] = 0
+    err = np.abs(xyz_k - world)
+    # dot-product rounding scales with the point NORM, not the component
+    norm = np.linalg.norm(world, axis=-1)[..., None]
+    ulp = np.spacing(norm.astype(np.float32)).astype(np.float64)
+    assert (err <= np.maximum(4 * ulp, 1e-6)).all(), err.max()
+    # no-return pixels stay at the origin, not at the pose translation
+    assert (xyz_k[r == 0] == 0).all()
