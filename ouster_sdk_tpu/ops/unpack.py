@@ -224,6 +224,57 @@ decode_frame_batch = jax.vmap(decode_frame, in_axes=(0, None, None, None))
 """Batched decode over (B, n_pkts, pkt_words) frames -> (B, ...) fields."""
 
 
+@functools.partial(jax.jit, static_argnames=("plan", "zero_invalid"))
+def decode_frame_planar(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
+                        plan: DecodePlan, zero_invalid: bool = True
+                        ) -> Dict[str, jnp.ndarray]:
+    """Decode every channel field from word-planar staging.
+
+    planes (pw, h, w) u32 + col_hdrs (chw, w) u32 (from FrameReader
+    iter_planar_chunks / native onat_group_frames_planar). Each field is a
+    contiguous plane index + shift/mask — XLA fuses the whole decode with
+    no strided selects or transposes, unlike the packet-layout
+    decode_frame. Output dict matches decode_frame's dense path.
+    """
+    status = _extract(col_hdrs.T, plan.status_word, plan.status_bit,
+                      plan.status_size)
+    m_id = _extract(col_hdrs.T, plan.mid_word, plan.mid_bit, 16)
+    ts_lo = col_hdrs[0]
+    ts_hi = col_hdrs[1]
+    valid = (status & 1).astype(jnp.bool_)
+
+    out: Dict[str, jnp.ndarray] = {}
+    for f in plan.fields:
+        lo = planes[f.word]
+        if f.bit:
+            lo = lo >> np.uint32(f.bit)
+        if f.bit + f.size > 32:
+            lo = lo | (planes[f.word + 1] << np.uint32(32 - f.bit))
+        if f.size < 32:
+            lo = lo & np.uint32((1 << f.size) - 1)
+        if f.upshift:
+            lo = lo << np.uint32(f.upshift)
+        if zero_invalid:
+            lo = jnp.where(valid[None, :], lo, 0)
+        dt = jnp.dtype(f.out_dtype)
+        if dt == jnp.float16:
+            lo = lo.astype(jnp.uint16).view(jnp.float16)
+        else:
+            lo = lo.astype(dt)
+        out[f.name] = lo  # already (h, w)
+
+    out["status"] = status.astype(jnp.uint32)
+    out["measurement_id"] = jnp.where(valid, m_id, 0).astype(jnp.uint16)
+    out["timestamp_lo"] = jnp.where(valid, ts_lo, 0)
+    out["timestamp_hi"] = jnp.where(valid, ts_hi, 0)
+    return out
+
+
+decode_frame_planar_batch = jax.vmap(decode_frame_planar,
+                                     in_axes=(0, 0, None, None))
+"""Batched planar decode over (B, pw, h, w) + (B, chw, w)."""
+
+
 def frame_words_from_packets(packets, plan: DecodePlan,
                              m_ids: Optional[np.ndarray] = None
                              ) -> np.ndarray:

@@ -137,3 +137,28 @@ def test_planar_staging_matches_packet_staging():
         jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()), lut.dir_hi,
         lut.dir_lo, lut.off_hi, lut.off_lo, plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_frame_planar_matches_packet_decode():
+    """Full-field planar decode == packet-layout decode_frame on a real
+    fixture (all channel fields + headers)."""
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu.ops.unpack import decode_frame, decode_frame_planar
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    pcap = os.path.join(PCAP_DIR, "OS-2-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+    fr = FrameReader(pcap)
+    fids_a, frames, _ = next(fr.iter_chunks(1))
+    fids_b, planes, hdrs, _ = next(fr.iter_planar_chunks(1))
+    a = decode_frame(jnp.asarray(frames[0]), fr.plan)
+    b = decode_frame_planar(jnp.asarray(planes[0].copy()),
+                            jnp.asarray(hdrs[0].copy()), fr.plan)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
