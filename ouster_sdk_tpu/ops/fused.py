@@ -95,6 +95,40 @@ class ScanPipeline:
                 (b, self.cfg.plan.w, 4, 4))
         return self._batch(frames_words, self.lut, poses)
 
+    # -- planar fast path ---------------------------------------------------
+    @functools.cached_property
+    def _planar_lut(self):
+        from .pallas_kernels import PlanarLut
+
+        return PlanarLut(make_xyz_lut(self.info))
+
+    def project_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray,
+                       poses: Optional[jnp.ndarray] = None):
+        """Fastest packets -> XYZ path: word-planar staged frames
+        (FrameReader.iter_planar_chunks) through the planar Pallas kernel
+        — no in-VMEM transpose, no XLA strided prep (2x the packet-layout
+        kernel; see ops/pallas_kernels.py). Returns (B, 3, h, w) XYZ
+        (sensor frame, or world frame when per-column poses are given;
+        a pair of arrays for dual-return profiles without poses)."""
+        from .pallas_kernels import unpack_project_planar_batched
+
+        lut = self._planar_lut
+        return unpack_project_planar_batched(
+            planes, col_hdrs, lut.dir_hi, lut.dir_lo, lut.off_hi,
+            lut.off_lo, self.cfg.plan, precision=self.cfg.precision,
+            dual=self.cfg.dual and poses is None, poses=poses)
+
+    def decode_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray
+                      ) -> Dict[str, jnp.ndarray]:
+        """Full-field decode from planar staging (fused XLA, no strided
+        selects); batched when inputs carry a leading batch axis."""
+        from .unpack import decode_frame_planar, decode_frame_planar_batch
+
+        if planes.ndim == 4:
+            return decode_frame_planar_batch(planes, col_hdrs,
+                                             self.cfg.plan, True)
+        return decode_frame_planar(planes, col_hdrs, self.cfg.plan)
+
 
 def _project(rng: jnp.ndarray, lut: XYZLutDevice, valid: jnp.ndarray,
              precision: str) -> jnp.ndarray:
