@@ -407,3 +407,83 @@ def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
     )(pix, valid_row, ce, cel, se, sel, *table_args)
     out = out.reshape(B, 3, plan.h, plan.w)
     return out[0] if squeeze else out
+
+
+def _lutfree_dd_planar_kernel(rng_ref, v_ref, ce_ref, cel_ref, se_ref,
+                              sel_ref, P_ref, Pl_ref, Q_ref, Ql_ref, S_ref,
+                              Sl_ref, E_ref, El_ref, F_ref, Fl_ref, G_ref,
+                              Gl_ref, xyz_ref, *, bit: int, size: int,
+                              upshift: int):
+    """Planar-staged LUT-free dd: the range word plane arrives (1, h, TW)
+    — no transpose, no word select (see pallas_kernels planar notes)."""
+    w0 = jnp.where(v_ref[:] != 0, rng_ref[0], np.uint32(0))
+    lo = w0 >> np.uint32(bit) if bit else w0
+    if size < 32:
+        lo = lo & np.uint32((1 << size) - 1)
+    if upshift:
+        lo = lo << np.uint32(upshift)
+    r = lo.astype(jnp.int32).astype(jnp.float32)[None]    # (1, h, TW)
+    dh, dl, oh, ol = _dd_dirs_offs(
+        ce_ref, cel_ref, se_ref, sel_ref, P_ref, Pl_ref, Q_ref, Ql_ref,
+        S_ref, Sl_ref, E_ref, El_ref, F_ref, Fl_ref, G_ref, Gl_ref)
+    xyz_ref[:] = _dd_project(r, dh, dl, oh, ol)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "tile_w", "interpret"))
+def unpack_project_lutfree_planar(planes: jnp.ndarray,
+                                  col_hdrs: jnp.ndarray,
+                                  tables: FactorTables, plan: DecodePlan,
+                                  tile_w: int = 512,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """LUT-free dd projection over word-planar frames (B, pw, h, w) u32
+    + (B, chw, w) u32 -> (B, 3, h, w) f32: the minimal-HBM kernel family
+    on the no-transpose staging (2D (tile, batch) grid keeps the per-row
+    factor tables resident)."""
+    rng_plan = _field_plan(plan, "RANGE")
+    if planes.ndim == 3:
+        planes = planes[None]
+        col_hdrs = col_hdrs[None]
+    B = planes.shape[0]
+
+    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    if plan.status_size < 32:
+        status = status & np.uint32((1 << plan.status_size) - 1)
+    valid = (status & np.uint32(1)).astype(jnp.uint32).reshape(1, -1)
+
+    ce = jnp.tile(tables.ce, (1, B))
+    cel = jnp.tile(tables.ce_lo, (1, B))
+    se = jnp.tile(tables.se, (1, B))
+    sel = jnp.tile(tables.se_lo, (1, B))
+
+    rows = planes.reshape(B * plan.pw, plan.h, plan.w)
+    tiles_per_frame = plan.w // tile_w
+    grid = (tiles_per_frame, B)
+    mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
+
+    def spec(block, index_map):
+        if mem is not None:
+            return pl.BlockSpec(block, index_map, memory_space=mem)
+        return pl.BlockSpec(block, index_map)
+
+    word_spec = spec((1, plan.h, tile_w),
+                     lambda i, b: (b * plan.pw + rng_plan.word, 0, i))
+    col_spec = spec((1, tile_w),
+                    lambda i, b: (0, b * tiles_per_frame + i))
+    row_spec = spec((3, plan.h, 1), lambda i, b: (0, 0, 0))
+    out_spec = spec((3, plan.h, tile_w), lambda i, b: (b, 0, i))
+    out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
+    table_args = (tables.P, tables.P_lo, tables.Q, tables.Q_lo,
+                  tables.S, tables.S_lo, tables.E, tables.E_lo,
+                  tables.F, tables.F_lo, tables.G, tables.G_lo)
+
+    kernel = functools.partial(
+        _lutfree_dd_planar_kernel, bit=rng_plan.bit, size=rng_plan.size,
+        upshift=rng_plan.upshift)
+    out = pl.pallas_call(
+        kernel, grid=grid,
+        in_specs=[word_spec, col_spec, col_spec, col_spec, col_spec,
+                  col_spec] + [row_spec] * 12,
+        out_specs=out_spec, out_shape=out_shape, interpret=interpret,
+    )(rows, valid, ce, cel, se, sel, *table_args)
+    return out.reshape(B, 3, plan.h, plan.w)

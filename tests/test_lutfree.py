@@ -187,3 +187,26 @@ def test_lutfree_rejects_df_sensors():
     info.beam_altitude_angles = [0.0] * (info.h * info.w)
     with pytest.raises(ValueError):
         FactorTables(info)
+
+
+def test_lutfree_planar_matches_packet_layout():
+    """LUT-free dd over word-planar staging is bit-identical to the
+    packet-layout LUT-free dd kernel."""
+    from ouster_sdk_tpu.ops.pallas_lutfree import (
+        unpack_project_lutfree_dd, unpack_project_lutfree_planar)
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    fr = FrameReader(PCAP)
+    fids, frames, _ = next(fr.iter_chunks(1))
+    _, planes, hdrs, _ = next(fr.iter_planar_chunks(1))
+    tables = FactorTables(fr.info)
+    a = np.asarray(unpack_project_lutfree_dd(
+        jnp.asarray(frames), tables, fr.plan, interpret=True))
+    b = np.asarray(unpack_project_lutfree_planar(
+        jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()), tables,
+        fr.plan, interpret=True))
+    np.testing.assert_array_equal(a, b)
