@@ -119,3 +119,32 @@ def test_zone_monitor_end_to_end():
     scan.field(ChanField.RANGE)[:] = 5000
     counts = mon.check_scan(scan)
     assert counts[1] > 0
+
+
+def test_zone_viz_snapshot(tmp_path):
+    """Zone wireframes + triggered highlighting render headlessly
+    (ref: ouster_viz/src/zone_monitor_voxel_mesh.cpp)."""
+    import os
+
+    from ouster_sdk_tpu.viz.zone_viz import (render_zone_scene,
+                                             save_zone_snapshot,
+                                             zone_color)
+    from ouster_sdk_tpu.zone.zone import Zone, ZoneSet
+
+    zs = ZoneSet([Zone.box(1, (5, 0, 0), (2, 2, 2)),
+                  Zone.box(2, (0, 6, 0), (3, 1, 1))])
+    from ouster_sdk_tpu.core.constants import ChanField
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+
+    info = _box_info()
+    scan = LidarScan(info)
+    scan.field(ChanField.RANGE)[:] = 5000
+    frame_idle = render_zone_scene(zs, info, scan, triggered={})
+    frame_hit = render_zone_scene(zs, info, scan, triggered={1: 123})
+    assert frame_idle.shape == frame_hit.shape == (768, 1024, 3)
+    # triggered rendering differs (bright wireframe + count label)
+    assert np.abs(frame_idle.astype(int) - frame_hit.astype(int)).sum() > 0
+    p = save_zone_snapshot(zs, info, scan, {1: 123},
+                           str(tmp_path / "zones.png"))
+    assert os.path.getsize(p) > 500
+    assert zone_color(1) != zone_color(2)
