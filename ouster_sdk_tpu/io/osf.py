@@ -1078,6 +1078,10 @@ class OsfScanSource(ScanSource):
     def __getitem__(self, i) -> LidarScanSet:
         n = len(self)
         if isinstance(i, slice):
+            if i.step is not None and i.step <= 0:
+                # forward-slicing semantics (ref: forward_slicer.py —
+                # sources only slice forward)
+                raise ValueError("scan sources require a positive step")
             return [self[j] for j in range(*i.indices(n))]
         if i < 0:
             i += n

@@ -105,6 +105,8 @@ class PcapScanSource(ScanSource):
             raise TypeError("source is not indexed")
         n = len(self)
         if isinstance(i, slice):
+            if i.step is not None and i.step <= 0:
+                raise ValueError("scan sources require a positive step")
             return [self[j] for j in range(*i.indices(n))]
         if i < 0:
             i += n

@@ -49,6 +49,8 @@ _EXTENSIONS = {
 def io_type(source: str) -> IoType:
     """URL/extension -> IoType (ref: io_type.cpp:80-140). A directory is a
     ROS2 bag when it carries a .bag suffix or contains .db3 storage."""
+    if not source:
+        raise ValueError("source url is empty")
     ext = os.path.splitext(source)[1].lower()
     if os.path.isdir(source):
         import glob

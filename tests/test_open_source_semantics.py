@@ -1,0 +1,102 @@
+"""open_source behavior parity (ref: python/tests/test_open_source.py,
+test_scan_source_slice.py): error cases, option handling, field subsets,
+slicing semantics of indexed sources."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import ChanField
+from ouster_sdk_tpu.io.sources import open_source
+
+PCAP = "/root/reference/tests/pcaps/OS-0-128-U1_v2.3.0_1024x10.pcap"
+OSF = "/root/reference/tests/osfs/OS-1-128_v2.3.0_1024x10_lb_n3.osf"
+
+
+def _need(path):
+    if not os.path.exists(path):
+        pytest.skip("fixture missing")
+
+
+def test_open_source_empty_url():
+    with pytest.raises(ValueError):
+        open_source("")
+
+
+def test_open_source_unsupported_extension(tmp_path):
+    p = tmp_path / "data.txt"
+    p.write_text("hello")
+    with pytest.raises(ValueError):
+        open_source(str(p))
+
+
+def test_open_source_unknown_option():
+    _need(PCAP)
+    with pytest.raises(Exception):  # check-on-unused semantics
+        open_source(PCAP, definitely_not_an_option=1)
+
+
+def test_open_source_meta_override():
+    _need(PCAP)
+    meta = PCAP.replace(".pcap", ".json")
+    src = open_source(PCAP, meta=[meta])
+    assert src.sensor_info[0].sn
+
+
+def test_field_names_subset_osf():
+    _need(OSF)
+    src = open_source(OSF, field_names=[ChanField.RANGE])
+    scan = next(iter(src)).valid()[0]
+    assert scan.has_field(ChanField.RANGE)
+    assert not scan.has_field(ChanField.NEAR_IR)
+
+
+def test_unindexed_len_raises():
+    _need(PCAP)
+    src = open_source(PCAP)  # no index
+    if not src.is_indexed:
+        with pytest.raises(TypeError):
+            len(src)
+
+
+# -- slicing semantics (ref: test_scan_source_slice.py) ---------------------
+
+@pytest.fixture(scope="module")
+def indexed():
+    _need(OSF)
+    return open_source(OSF, index=True)
+
+
+@pytest.mark.parametrize("start,stop,step", [
+    (0, None, None), (1, None, None), (None, 2, None),
+    (0, 3, 2), (1, 3, None), (None, None, 2)])
+def test_slicing_level_1(indexed, start, stop, step):
+    n = len(indexed)
+    got = indexed[start:stop:step]
+    idx = list(range(n))[start:stop:step]
+    assert len(got) == len(idx)
+    for g, i in zip(got, idx):
+        a = g.valid()[0]
+        b = indexed[i].valid()[0]
+        assert a.frame_id == b.frame_id
+
+
+def test_slicing_level_2(indexed):
+    n = len(indexed)
+    if n < 3:
+        pytest.skip("fixture too short")
+    sub = indexed[0:n]
+    sub2 = sub[1:n]
+    assert len(sub2) == n - 1
+    assert sub2[0].valid()[0].frame_id == indexed[1].valid()[0].frame_id
+
+
+def test_slicing_negative_step_raises(indexed):
+    with pytest.raises(Exception):
+        _ = indexed[::-1]
+
+
+def test_index_out_of_range_raises(indexed):
+    with pytest.raises(IndexError):
+        _ = indexed[len(indexed) + 5]
