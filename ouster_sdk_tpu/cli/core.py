@@ -513,40 +513,87 @@ def _cpu_brand() -> str:
 
 @cli.command("discover")
 @click.option("--timeout", type=float, default=3.0)
-def discover(timeout):
-    """Discover sensors via mDNS (ref: plugins/discover.py). Requires
-    zeroconf; falls back to a notice when unavailable."""
-    try:
-        from zeroconf import ServiceBrowser, Zeroconf
-    except ImportError:
-        click.echo("zeroconf not available in this environment; "
-                   "use sensor hostnames/IPs directly", err=True)
-        sys.exit(1)
-
-    import time as _time
-
+@click.option("--output", type=click.Choice(["text", "json"]),
+              default="text", show_default=True)
+@click.option("--probe/--no-probe", default=True, show_default=True,
+              help="query each sensor's HTTP API for prod line / fw / "
+              "mode")
+@click.option("--host", multiple=True,
+              help="probe these host[:port]s directly instead of mDNS")
+def discover(timeout, output, probe, host):
+    """Discover sensors via mDNS and probe their HTTP control plane
+    (ref: plugins/discover.py — text/json output with per-sensor prod
+    line, firmware, serial, mode and udp destination). With --host,
+    skips mDNS and probes the given hosts directly (works without
+    zeroconf, e.g. against the emulator)."""
     found = []
+    if host:
+        found = [(h, [h.rsplit(":", 1)[0]]) for h in host]
+    else:
+        try:
+            from zeroconf import ServiceBrowser, Zeroconf
+        except ImportError:
+            click.echo("zeroconf not available in this environment; "
+                       "use `discover --host <addr>` or hostnames/IPs "
+                       "directly", err=True)
+            sys.exit(1)
 
-    class Listener:
-        def add_service(self, zc, type_, name):
-            info = zc.get_service_info(type_, name)
-            if info:
-                addrs = [a for a in info.parsed_addresses()]
-                found.append((name, addrs))
+        import time as _time
 
-        def update_service(self, *a):
-            pass
+        class Listener:
+            def add_service(self, zc, type_, name):
+                info = zc.get_service_info(type_, name)
+                if info:
+                    addrs = [a for a in info.parsed_addresses()]
+                    found.append((name, addrs))
 
-        def remove_service(self, *a):
-            pass
+            def update_service(self, *a):
+                pass
 
-    zc = Zeroconf()
-    ServiceBrowser(zc, "_roger._tcp.local.", Listener())
-    _time.sleep(timeout)
-    zc.close()
+            def remove_service(self, *a):
+                pass
+
+        zc = Zeroconf()
+        ServiceBrowser(zc, "_roger._tcp.local.", Listener())
+        _time.sleep(timeout)
+        zc.close()
+
+    results = []
     for name, addrs in found:
-        click.echo(f"{name}: {', '.join(addrs)}")
-    if not found:
+        entry = {"name": name, "addresses": addrs}
+        if probe:
+            from ..sensor.http import SensorHttp
+
+            target = name if host else (addrs[0] if addrs else name)
+            try:
+                http = SensorHttp.create(target, timeout=3.0)
+                si = http.sensor_info()
+                cfg = http.active_config_params()
+                entry.update({
+                    "prod_line": si.get("prod_line", ""),
+                    "prod_sn": si.get("prod_sn", ""),
+                    "image_rev": si.get("image_rev", ""),
+                    "lidar_mode": cfg.get("lidar_mode", ""),
+                    "udp_dest": cfg.get("udp_dest", ""),
+                    "udp_port_lidar": cfg.get("udp_port_lidar", ""),
+                })
+            except Exception as e:  # noqa: BLE001
+                entry["error"] = str(e)[:120]
+        results.append(entry)
+
+    if output == "json":
+        click.echo(json.dumps(results, indent=2))
+        return
+    for e in results:
+        line = f"{e['name']}: {', '.join(e['addresses'])}"
+        if "prod_line" in e:
+            line += (f"  {e['prod_line']} sn={e['prod_sn']} "
+                     f"fw={e['image_rev']} mode={e['lidar_mode']} "
+                     f"dest={e['udp_dest']}:{e['udp_port_lidar']}")
+        elif "error" in e:
+            line += f"  (probe failed: {e['error']})"
+        click.echo(line)
+    if not results:
         click.echo("no sensors discovered")
 
 
