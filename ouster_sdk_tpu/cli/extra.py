@@ -427,3 +427,38 @@ def testing_synthesize(out_pcap, profile, mode, frames, seed):
                 n += 1
     click.echo(f"wrote {n} packets ({frames} frames) to {out_pcap} "
                f"+ {meta_path}")
+
+
+@source.command("config")
+@click.argument("keyval", nargs=-1)
+@click.option("--persist", is_flag=True, default=False)
+@click.pass_context
+def source_config(ctx, keyval, persist):
+    """Get or set the source sensor's configuration — the reference
+    registers config as a SENSOR-source chained command
+    (ref: plugins/source_sensor.py:235-266, source.commands[SENSOR])."""
+    from ..io.sources import IoType, io_type
+
+    url = ctx.obj.url
+    if io_type(url) != IoType.SENSOR:
+        raise click.ClickException("config requires a sensor source")
+
+    # control-plane only: run immediately, no scan iteration needed
+    sensor_config.callback(url, keyval, persist)
+    ctx.obj.consumers.append(lambda it: None)
+
+
+@source.command("userdata")
+@click.option("--set", "set_value", default=None)
+@click.option("--delete", is_flag=True, default=False)
+@click.pass_context
+def source_userdata(ctx, set_value, delete):
+    """Retrieve or set the source sensor's userdata
+    (ref: plugins/source_sensor.py:180-185)."""
+    from ..io.sources import IoType, io_type
+
+    url = ctx.obj.url
+    if io_type(url) != IoType.SENSOR:
+        raise click.ClickException("userdata requires a sensor source")
+    sensor_userdata.callback(url, set_value, delete)
+    ctx.obj.consumers.append(lambda it: None)
