@@ -120,20 +120,77 @@ def source_metadata(ctx):
         click.echo(info.to_json_string())
 
 
+def _parse_slice_spec(value: str):
+    """[start]:[stop][:step], optionally with time units on start/stop
+    (h/min/s/ms, decimals allowed) selecting time-based slicing
+    (ref: plugins/source.py:310-353 extract_slice_indices)."""
+    import re
+
+    m = re.findall(r"^(?:(\d+(?:\.\d+)?)(h|min|s|ms)?)?"
+                   r":(?:(\d+(?:\.\d+)?)(h|min|s|ms)?)?(?::(-?\d*))?$",
+                   value)
+    if not m or len(m[0]) != 5:
+        raise click.BadParameter(
+            "slice indices must be of the form [start]:[stop][:step]")
+    g = m[0]
+    mult = {"": 1, "ms": 0.001, "s": 1.0, "min": 60, "h": 3600}
+    has_units = g[1] != "" or g[3] != ""
+    has_decimals = ("." in g[0]) or ("." in g[2])
+    frame_based = not (has_units or has_decimals)
+    start = float(g[0]) * mult[g[1]] if g[0] else 0
+    stop = float(g[2]) * mult[g[3]] if g[2] else None
+    step = int(g[4]) if g[4] else None
+    if stop is not None and not stop > start:
+        raise click.BadParameter(
+            "slice stop index must be greater than start")
+    if step is not None and not step > 0:
+        raise click.BadParameter("slice step index must be greater than 0")
+    cast = int if frame_based else float
+    return (cast(start), cast(stop) if stop is not None else None, step,
+            frame_based)
+
+
 @source.command("slice")
 @click.argument("spec")
 @click.pass_context
 def source_slice(ctx, spec):
-    """Take a [start]:[stop][:step] slice of the scan stream."""
-    parts = (spec.split(":") + ["", ""])[:3]
-    start = int(parts[0]) if parts[0] else 0
-    stop = int(parts[1]) if parts[1] else None
-    step = int(parts[2]) if parts[2] else 1
+    """Take a [start]:[stop][:step] slice of the scan stream. start/stop
+    may carry time units relative to the start of the file — h, min, s or
+    ms, e.g. `10s:20s:2` (ref: plugins/source.py source_slice)."""
+    start, stop, step, frame_based = _parse_slice_spec(spec)
 
-    def stage(it):
-        import itertools
+    if frame_based:
+        def stage(it):
+            import itertools
 
-        return itertools.islice(it, start, stop, step)
+            return itertools.islice(it, start, stop, step)
+    else:
+        def stage(it):
+            # time-based slice (ref: plugins/source.py:356 tslice)
+            start_time = None
+            counter = 0
+            for ls_set in it:
+                t = None
+                for s in ls_set:
+                    if s is not None:
+                        t = s.first_valid_packet_timestamp()
+                        break
+                if not t:
+                    click.secho("WARNING: scan missing packet timestamps; "
+                                "yielding anyway", fg="yellow", err=True)
+                    yield ls_set
+                    continue
+                t = t / 1e9
+                if start_time is None:
+                    start_time = t
+                dt = t - start_time
+                if dt < start:
+                    continue
+                if stop is not None and dt > stop:
+                    return
+                if not step or counter % step == 0:
+                    yield ls_set
+                counter += 1
 
     ctx.obj.add_stage(stage)
 

@@ -169,3 +169,22 @@ def test_cli_pose_optimize_requires_osf():
                                  "/tmp/never.osf"])
     assert res.exit_code != 0
     assert "requires an OSF source" in res.output
+
+
+def test_cli_slice_time_units():
+    """slice accepts time-unit specs (ref: plugins/source.py
+    extract_slice_indices: 10s:20s:2 style)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    res = _runner().invoke(cli, ["source", PCAP, "slice", "0s:100s",
+                                 "stats"])
+    assert res.exit_code == 0, res.output
+    assert "total scan sets: 1" in res.output
+    res = _runner().invoke(cli, ["source", PCAP, "slice", "99s:100s",
+                                 "stats"])
+    assert res.exit_code == 0, res.output
+    assert "total scan sets: 0" in res.output
+    res = _runner().invoke(cli, ["source", PCAP, "slice", "bogus", "stats"])
+    assert res.exit_code != 0
+    res = _runner().invoke(cli, ["source", PCAP, "slice", "5:2", "stats"])
+    assert res.exit_code != 0  # stop must exceed start
