@@ -462,3 +462,92 @@ def source_userdata(ctx, set_value, delete):
         raise click.ClickException("userdata requires a sensor source")
     sensor_userdata.callback(url, set_value, delete)
     ctx.obj.consumers.append(lambda it: None)
+
+
+@source.command("save_raw")
+@click.argument("path")
+@click.option("--overwrite", is_flag=True, default=False)
+@click.option("--duration", "-D", type=float, default=None,
+              help="seconds of packets to record")
+@click.option("--ros2", is_flag=True, default=False,
+              help="write bags as ROS2 (rosbag2 sqlite3) storage")
+@click.pass_context
+def source_save_raw(ctx, path, overwrite, duration, ros2):
+    """Save the source's ORIGINAL packets (lidar + imu, no
+    re-packetization) to .pcap/.bag/.db3/.mcap
+    (ref: plugins/source_save.py source_save_raw). Does not chain."""
+    import os as _os
+
+    from ..io.sources import open_packet_source
+
+    if _os.path.exists(path) and not overwrite:
+        raise click.ClickException(
+            f"{path} already exists; use --overwrite to replace it")
+    ext = _os.path.splitext(path)[1].lower()
+    if ext not in (".pcap", ".bag", ".db3", ".mcap"):
+        raise click.BadParameter(f"cannot save raw file of type {ext}")
+
+    pipeline = ctx.obj
+    url = pipeline.url
+
+    def consumer(_it):
+        packets = open_packet_source(url)
+        infos = packets.sensor_info
+        n = 0
+        t0_ns = None
+        if ext == ".pcap":
+            from ..io.pcap import PcapWriter
+
+            w = PcapWriter(path)
+            # metadata json(s) beside the capture, like the reference's
+            # pcap recorder
+            stem = _os.path.splitext(path)[0]
+            for idx, info in enumerate(infos):
+                suffix = f"_{idx}" if len(infos) > 1 else ""
+                with open(f"{stem}{suffix}.json", "w") as f:
+                    f.write(info.to_json_string())
+
+            def write(idx, pkt, kind):
+                info = infos[idx]
+                port = (info.config.udp_port_lidar if kind == "lidar"
+                        else info.config.udp_port_imu) or 7502
+                w.write(bytes(pkt.buf), "127.0.0.1",
+                        info.config.udp_dest or "127.0.0.1", 7502, port,
+                        pkt.host_timestamp)
+        else:
+            from ..io.bag import (McapBagWriter, Ros1BagWriter,
+                                  Ros2BagWriter)
+
+            if ext == ".mcap":
+                w = McapBagWriter(path)
+            elif ext == ".db3" or ros2:
+                w = Ros2BagWriter(path if ext == ".db3" else
+                                  _os.path.splitext(path)[0] + ".db3")
+            else:
+                w = Ros1BagWriter(path)
+            for idx, info in enumerate(infos):
+                w.write_string(f"/os{idx}/metadata", info.to_json_string(),
+                               1)
+
+            def write(idx, pkt, kind):
+                w.write_packet(f"/os{idx}/{kind}_packets", bytes(pkt.buf),
+                               pkt.host_timestamp)
+
+        try:
+            for idx, pkt in packets:
+                kind = pkt.type().value.lower()
+                if kind not in ("lidar", "imu"):
+                    continue
+                ts = pkt.host_timestamp
+                if duration is not None:
+                    if t0_ns is None:
+                        t0_ns = ts
+                    elif ts - t0_ns > duration * 1e9:
+                        break
+                write(idx, pkt, kind)
+                n += 1
+        finally:
+            w.close()
+        click.echo(f"saved {n} raw packets to {path}")
+
+    pipeline.consumers.append(consumer)

@@ -14,3 +14,17 @@ def _build_bag_scan_source(source: str, opts: ScanSourceOptions):
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
     )
+
+
+from .sources import register_packet_source  # noqa: E402
+
+
+@register_packet_source(IoType.BAG)
+def _build_bag_packet_source(source: str, opts: ScanSourceOptions):
+    from .bag import BagPacketSource
+
+    return BagPacketSource(
+        source,
+        meta=opts.take("meta"),
+        soft_id_check=bool(opts.take("soft_id_check")),
+    )

@@ -188,3 +188,30 @@ def test_cli_slice_time_units():
     assert res.exit_code != 0
     res = _runner().invoke(cli, ["source", PCAP, "slice", "5:2", "stats"])
     assert res.exit_code != 0  # stop must exceed start
+
+
+def test_cli_save_raw_roundtrip(tmp_path):
+    """save_raw preserves original packets (incl. imu) and writes the
+    metadata json beside the pcap (ref: source_save.py source_save_raw)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    out = str(tmp_path / "raw.pcap")
+    res = _runner().invoke(cli, ["source", PCAP, "save_raw", out])
+    assert res.exit_code == 0, res.output
+    assert os.path.exists(out)
+    assert os.path.exists(str(tmp_path / "raw.json"))
+
+    from ouster_sdk_tpu.io.sources import open_packet_source
+
+    orig = [(p.type().value, bytes(p.buf))
+            for _, p in open_packet_source(PCAP)]
+    back = [(p.type().value, bytes(p.buf))
+            for _, p in open_packet_source(out)]
+    assert back == orig  # byte-for-byte, lidar AND imu packets
+
+    out_bag = str(tmp_path / "raw.db3")
+    res = _runner().invoke(cli, ["source", PCAP, "save_raw", out_bag])
+    assert res.exit_code == 0, res.output
+    back2 = [(p.type().value, bytes(p.buf))
+             for _, p in open_packet_source(out_bag)]
+    assert back2 == orig
