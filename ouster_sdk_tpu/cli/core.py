@@ -422,15 +422,60 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
 @click.option("--out", default=None,
               help="render PNG snapshot(s) to this path instead of a window")
 @click.option("--every", type=int, default=10, help="snapshot every N scans")
+@click.option("--cloud-mode", default=None,
+              help="cloud coloring mode name (e.g. RANGE, SIGNAL, "
+              "REFLECTIVITY, NEAR_IR, RING)")
+@click.option("--palette", default=None,
+              type=click.Choice(["calref", "spezia", "grey", "viridis",
+                                 "magma", "rainbow"]),
+              help="cloud color palette")
+@click.option("--aoi", default=None,
+              help="2D selection rectangle r0,c0,r1,c1 on the first image "
+              "panel; prints range stats per scan")
 @click.pass_context
-def source_viz(ctx, out, every):
-    """Visualize scans (offscreen renderer; ref: plugins/source.py viz)."""
+def source_viz(ctx, out, every, cloud_mode, palette, aoi):
+    """Visualize scans (offscreen renderer; ref: plugins/source.py viz,
+    sdk/viz/model.py view modes / palettes / AOI)."""
     from ..viz.core import SimpleViz
 
     def consumer(it):
         viz = SimpleViz(ctx.obj.infos, snapshot_path=out,
                         snapshot_every=every)
-        viz.run(it)
+        lsv = viz.scan_viz
+        if cloud_mode:
+            names = [m.name for m in lsv.cloud_modes[0]]
+            matches = [i for i, n in enumerate(names)
+                       if cloud_mode.upper() in n.upper()]
+            if not matches:
+                raise click.ClickException(
+                    f"unknown cloud mode {cloud_mode!r}; "
+                    f"available: {names}")
+            lsv._cloud_mode_ind = matches[0]
+        if palette:
+            from ..viz.core import CLOUD_PALETTE_ORDER
+
+            lsv._palette_ind = CLOUD_PALETTE_ORDER.index(palette)
+        sel = None
+        if aoi:
+            r0, c0, r1, c1 = (int(x) for x in aoi.split(","))
+            sel = lsv.select_aoi((r0, c0), (r1, c1))
+        if sel is not None:
+            n = 0
+            for ls_set in it:
+                scans = list(ls_set)
+                lsv.update(scans)
+                for s in ls_set.valid():
+                    st = sel.stats(s)
+                    click.echo(
+                        f"aoi scan {n}: {st['num_points']} pts, range "
+                        f"{st['min_range_m']:.2f}-{st['max_range_m']:.2f} m"
+                        f" (mean {st['mean_range_m']:.2f})")
+                if out and n % max(every, 1) == 0:
+                    stem, ext = os.path.splitext(out)
+                    lsv.viz.save_png(f"{stem}_{n:04d}{ext or '.png'}")
+                n += 1
+        else:
+            viz.run(it)
 
     ctx.obj.consumers.append(consumer)
 

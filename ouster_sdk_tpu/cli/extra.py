@@ -551,3 +551,26 @@ def source_save_raw(ctx, path, overwrite, duration, ros2):
         click.echo(f"saved {n} raw packets to {path}")
 
     pipeline.consumers.append(consumer)
+
+
+@osf.command("set-metadata")
+@click.argument("src")
+@click.argument("dst")
+@click.argument("metadata_json")
+@click.option("--sensor-idx", type=int, default=0)
+def osf_set_metadata_cmd(src, dst, metadata_json, sensor_idx):
+    """Rewrite an OSF with replacement sensor metadata
+    (ref: ouster_osf/src/operations.cpp update metadata)."""
+    from ..io.osf_ops import (osf_get_sensor_metadata,
+                              osf_update_sensor_metadata)
+
+    metas = osf_get_sensor_metadata(src)
+    if not 0 <= sensor_idx < len(metas):
+        raise click.ClickException(
+            f"sensor index {sensor_idx} out of range (file has "
+            f"{len(metas)} sensors)")
+    with open(metadata_json) as f:
+        metas[sensor_idx] = f.read()
+    osf_update_sensor_metadata(src, dst, metas)
+    click.echo(f"wrote {dst} with updated metadata for sensor "
+               f"{sensor_idx}")
