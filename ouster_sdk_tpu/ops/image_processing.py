@@ -115,6 +115,38 @@ class AutoExposure:
         return image
 
 
+def _full_piv_lu_solve(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Eigen FullPivLU::solve semantics for an m x n (m >= n) system:
+    full-pivot LU, forward-substitute L^-1 P b, back-substitute the rank-r
+    pivot block — an exact solve of the pivot rows, not least squares."""
+    lu = np.asarray(A, np.float64).copy()
+    y = np.asarray(b, np.float64).copy()
+    m, n = lu.shape
+    col_perm = np.arange(n)
+    r = 0
+    for k in range(min(m, n)):
+        sub = np.abs(lu[k:, k:])
+        i, j = np.unravel_index(int(np.argmax(sub)), sub.shape)
+        if sub[i, j] == 0.0:
+            break
+        i += k
+        j += k
+        lu[[k, i]] = lu[[i, k]]
+        y[[k, i]] = y[[i, k]]
+        lu[:, [k, j]] = lu[:, [j, k]]
+        col_perm[[k, j]] = col_perm[[j, k]]
+        r += 1
+        lu[k + 1:, k] /= lu[k, k]
+        lu[k + 1:, k + 1:] -= np.outer(lu[k + 1:, k], lu[k, k + 1:])
+        y[k + 1:] -= lu[k + 1:, k] * y[k]
+    xp = np.zeros(n)
+    for k in range(r - 1, -1, -1):
+        xp[k] = (y[k] - lu[k, k + 1:r] @ xp[k + 1:r]) / lu[k, k]
+    out = np.zeros(n)
+    out[col_perm[:r]] = xp[:r]
+    return out
+
+
 class BeamUniformityCorrector:
     """Removes per-row bias via median row differences + linear detrend
     (ref: image_processing.cpp BeamUniformityCorrector)."""
@@ -136,10 +168,14 @@ class BeamUniformityCorrector:
         # median per row-difference (nth_element picks n_cols//2)
         med = np.partition(diffs, n_cols // 2, axis=1)[:, n_cols // 2]
         dark[1:] = np.cumsum(med)
-        # linear detrend
+        # "linear fit" detrend — the reference solves the overdetermined
+        # [1, i] system with Eigen FullPivLU::solve, which is NOT a
+        # least-squares fit: it returns the exact solution of the 2 pivot
+        # rows. Replicate that semantics (ref: image_processing.cpp
+        # compute_dark_count fullPivLu().solve)
         x = np.arange(h, dtype=np.float64)
         A = np.stack([np.ones(h), x], axis=1)
-        coef, *_ = np.linalg.lstsq(A, dark, rcond=None)
+        coef = _full_piv_lu_solve(A, dark)
         dark -= A @ coef
         dark -= dark.min()
         return dark
