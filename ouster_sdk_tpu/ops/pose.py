@@ -179,10 +179,13 @@ def interp_pose_np(t, pose0: np.ndarray, pose1: np.ndarray) -> np.ndarray:
 
 
 def interp_trajectory(query_ts: Array, knot_ts: Array,
-                      knot_poses: Array) -> jnp.ndarray:
+                      knot_poses: Array, clamp: bool = False
+                      ) -> jnp.ndarray:
     """Piecewise-geodesic interpolation of a pose trajectory at query
-    timestamps (ref: pose_util.h:262+, trajectory evaluation in
-    sdk/util/pose_util.py). Clamps outside the knot range."""
+    timestamps (ref: pose_util.h:262+). Out-of-range queries EXTRAPOLATE
+    along the first/last interval like the reference (verified against
+    the compiled pose_util oracle); pass clamp=True to pin to the
+    endpoints instead."""
     # NOTE: pass timestamps relative to a frame-local epoch — f32 cannot
     # carry absolute nanosecond epochs.
     query_ts = jnp.asarray(query_ts, dtype=jnp.float32)
@@ -193,6 +196,7 @@ def interp_trajectory(query_ts: Array, knot_ts: Array,
                    0, n - 2)
     t0 = knot_ts[idx]
     t1 = knot_ts[idx + 1]
-    frac = jnp.clip((query_ts - t0) / jnp.where(t1 == t0, 1.0, t1 - t0),
-                    0.0, 1.0)
+    frac = (query_ts - t0) / jnp.where(t1 == t0, 1.0, t1 - t0)
+    if clamp:
+        frac = jnp.clip(frac, 0.0, 1.0)
     return interp_pose(frac, knot_poses[idx], knot_poses[idx + 1])

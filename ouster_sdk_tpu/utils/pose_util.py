@@ -66,7 +66,8 @@ class Trajectory:
             raise ValueError("trajectory needs at least one knot")
 
     def pose_at(self, ts) -> np.ndarray:
-        """Evaluate at ts (scalar or array), clamped to the knot range.
+        """Evaluate at ts (scalar or array); out-of-range queries
+        extrapolate along the first/last interval (reference semantics).
         Times are converted to frame-local seconds before f32 interp."""
         ts = np.atleast_1d(np.asarray(ts, dtype=np.int64))
         if len(self.timestamps) == 1:

@@ -35,11 +35,12 @@ def test_trajectory_eval():
     traj = Trajectory(ts, poses)
     mid = traj.pose_at(500_000_000)
     assert np.abs(mid[0, 3] - 0.5) < 1e-3
-    # clamped outside range
-    lo = traj.pose_at(-10)
+    # extrapolated outside range along first/last interval (matches the
+    # reference's interp_pose, verified vs the compiled pose_util oracle)
+    lo = traj.pose_at(-1_000_000_000)
     hi = traj.pose_at(5_000_000_000)
-    assert np.abs(lo[0, 3] - 0.0) < 1e-3
-    assert np.abs(hi[0, 3] - 2.0) < 1e-3
+    assert np.abs(lo[0, 3] - (-1.0)) < 1e-3
+    assert np.abs(hi[0, 3] - 5.0) < 1e-3
     # vectorized
     out = traj.pose_at(ts)
     assert out.shape == (3, 4, 4)
