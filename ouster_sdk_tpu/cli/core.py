@@ -432,15 +432,29 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
 @click.option("--aoi", default=None,
               help="2D selection rectangle r0,c0,r1,c1 on the first image "
               "panel; prints range stats per scan")
+@click.option("--accum-num", type=int, default=0,
+              help="accumulate key-frame clouds (ref: --accum-num)")
+@click.option("--accum-every", type=int, default=0,
+              help="key frame every N scans")
+@click.option("--accum-every-m", type=float, default=0.0,
+              help="key frame every M meters of travel")
+@click.option("--map", "map_enabled", is_flag=True, default=False,
+              help="accumulate a global map overlay (ref: --map)")
+@click.option("--map-ratio", type=float, default=1.0,
+              help="fraction of points added to the map per scan")
 @click.pass_context
-def source_viz(ctx, out, every, cloud_mode, palette, aoi):
+def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
+               accum_every, accum_every_m, map_enabled, map_ratio):
     """Visualize scans (offscreen renderer; ref: plugins/source.py viz,
     sdk/viz/model.py view modes / palettes / AOI)."""
     from ..viz.core import SimpleViz
 
     def consumer(it):
         viz = SimpleViz(ctx.obj.infos, snapshot_path=out,
-                        snapshot_every=every)
+                        snapshot_every=every, accum_num=accum_num,
+                        accum_every=accum_every,
+                        accum_every_m=accum_every_m,
+                        map_enabled=map_enabled, map_ratio=map_ratio)
         lsv = viz.scan_viz
         if cloud_mode:
             names = [m.name for m in lsv.cloud_modes[0]]

@@ -447,26 +447,74 @@ class LidarScanViz:
 
 class SimpleViz:
     """Playback loop (ref: sdk/viz/core.py:1180). Headless: renders every
-    `snapshot_every` scans to PNG when snapshot_path is set."""
+    `snapshot_every` scans to PNG when snapshot_path is set. Accumulators
+    (key frames / trajectory / global map, ref: viz/accumulators.py and
+    the CLI --accum-*/--map flags) overlay onto the cloud when enabled."""
 
     def __init__(self, infos: Sequence[SensorInfo],
                  snapshot_path: Optional[str] = None,
-                 snapshot_every: int = 10):
+                 snapshot_every: int = 10,
+                 accum_num: int = 0,
+                 accum_every: int = 0,
+                 accum_every_m: float = 0.0,
+                 map_enabled: bool = False,
+                 map_ratio: float = 1.0,
+                 map_size: int = 1_500_000):
+        from .accumulators import (MapAccumulator, ScansAccumulator,
+                                   TracksAccumulator)
+
         self.scan_viz = LidarScanViz(infos)
         self.snapshot_path = snapshot_path
         self.snapshot_every = max(snapshot_every, 1)
+        self._infos = list(infos)
+        self.accum = None
+        self.tracks = None
+        self.map = None
+        if accum_num > 0 or accum_every > 0 or accum_every_m > 0:
+            self.accum = ScansAccumulator(
+                infos,
+                accum_max_num=accum_num if accum_num > 0 else 100,
+                accum_min_dist_meters=accum_every_m,
+                accum_min_dist_num=accum_every)
+            self.tracks = TracksAccumulator()
+        if map_enabled or map_ratio != 1.0:
+            self.map = MapAccumulator(infos, map_ratio=map_ratio,
+                                      map_size=map_size)
 
     def run(self, scan_sets: Iterable) -> int:
         n = 0
         for ls_set in scan_sets:
             scans = list(ls_set)
             self.scan_viz.update(scans)
+            if self.accum is not None:
+                self.accum.accept(scans)
+                self.tracks.accept(scans)
+            if self.map is not None:
+                self.map.accept(scans)
             if self.snapshot_path and n % self.snapshot_every == 0:
+                self._overlay_accumulators()
                 stem, ext = os.path.splitext(self.snapshot_path)
                 path = f"{stem}_{n:04d}{ext or '.png'}"
                 self.scan_viz.viz.save_png(path)
             n += 1
         return n
+
+    def _overlay_accumulators(self) -> None:
+        viz = self.scan_viz.viz
+        if self.map is not None:
+            pts = self.map.points()
+            if pts.shape[0]:
+                viz.add(Cloud(pts, np.full(pts.shape[0], 0.55),
+                              palette="grey"))
+        if self.accum is not None:
+            pts = self.accum.points()
+            if pts.shape[0]:
+                viz.add(Cloud(pts, np.full(pts.shape[0], 0.75),
+                              palette="viridis"))
+            tr = self.tracks.points()
+            if tr.shape[0]:
+                viz.add(Cloud(tr, np.full(tr.shape[0], 1.0),
+                              palette="turbo", point_size=3))
 
 
 def ls_show(scan_or_scans, info: Optional[SensorInfo] = None,
