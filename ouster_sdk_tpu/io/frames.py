@@ -275,3 +275,75 @@ class FrameReader:
             return (np.zeros((0, self.plan.n_pkts, self.plan.pkt_words),
                              np.uint32), np.zeros(0, np.int64))
         return np.stack(frames), np.asarray(fids)
+
+
+class PlanarStreamAssembler:
+    """Live ingest fast path: feed packets as they arrive (e.g. from a
+    SensorPacketSource); completed frames come out word-planar, ready for
+    the planar Pallas kernels — the streaming equivalent of
+    iter_planar_chunks. Frame release follows the batcher's frame-id
+    semantics (new id releases the previous frame); buffers are pooled
+    (a released frame's views stay valid until the next-but-one release).
+    """
+
+    def __init__(self, info: SensorInfo):
+        self.info = info
+        self.pf = PacketFormat.from_info(info)
+        self.plan = make_decode_plan(info)
+        if self.plan.status_word >= self.plan.chw:
+            raise RuntimeError("planar staging supports eUDP profiles only")
+        if native.get_lib() is None:
+            raise RuntimeError("planar staging needs the native library")
+        p = self.plan
+        self._pools = [(np.zeros((1, p.pw, p.h, p.w), np.uint32),
+                        np.zeros((1, p.chw, p.w), np.uint32))
+                       for _ in range(2)]
+        self._flip = 0
+        self._cur_fid: Optional[int] = None
+        self._bufs: List[bytes] = []
+        self._ts = 0
+
+    def _flush(self):
+        p = self.plan
+        payloads = np.frombuffer(b"".join(self._bufs), np.uint8)
+        n = len(self._bufs)
+        offsets = np.arange(n, dtype=np.int64) * self.pf.lidar_packet_size
+        planes, hdrs = self._pools[self._flip]
+        self._flip ^= 1
+        g = self.pf.geom
+        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
+        fid_out = np.zeros(1, np.int64)
+        ts_out = np.zeros(1, np.uint64)
+        native.group_frames_planar(
+            payloads, offsets, None, self.pf.lidar_packet_size, fid_byte,
+            fid_shift, (1 << g.frame_id.bit_size) - 1,
+            self.pf.packet_header_size, self.pf.col_size,
+            self.pf.col_header_size, p.mid_word * 4, p.cpp, p.h, p.pw,
+            p.w, planes, hdrs, fid_out, ts_out)
+        out = (int(fid_out[0]), planes[0], hdrs[0], self._ts)
+        self._bufs = []
+        return out
+
+    def push(self, packet) -> Optional[Tuple[int, np.ndarray, np.ndarray,
+                                             int]]:
+        """Feed one lidar packet; returns (frame_id, planes (pw, h, w),
+        col_hdrs (chw, w), host_ts) when a frame releases, else None."""
+        buf = packet.buf if hasattr(packet, "buf") else packet
+        if len(buf) != self.pf.lidar_packet_size:
+            return None
+        fid = self.pf.frame_id(np.frombuffer(bytes(buf), np.uint8))
+        out = None
+        if self._cur_fid is not None and fid != self._cur_fid and \
+                self._bufs:
+            out = self._flush()
+        if self._cur_fid != fid:
+            self._cur_fid = fid
+            self._ts = getattr(packet, "host_timestamp", 0)
+        self._bufs.append(bytes(buf))
+        return out
+
+    def flush(self) -> Optional[Tuple[int, np.ndarray, np.ndarray, int]]:
+        """Release the partial frame currently buffered."""
+        if not self._bufs:
+            return None
+        return self._flush()

@@ -162,3 +162,37 @@ def test_decode_frame_planar_matches_packet_decode():
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_planar_stream_assembler_matches_offline():
+    """Live-path planar assembly (packet-by-packet) equals the offline
+    planar staging for the same capture."""
+    from ouster_sdk_tpu.io.frames import PlanarStreamAssembler
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    pcap = os.path.join(PCAP_DIR, "OS-2-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+
+    fr = FrameReader(pcap)
+    fids_off, planes_off, hdrs_off, _ = next(fr.iter_planar_chunks(4))
+
+    asm = PlanarStreamAssembler(fr.info)
+    out = []
+    for _, p in PcapPacketSource(pcap):
+        if p.type().value != "Lidar":
+            continue
+        rel = asm.push(p)
+        if rel is not None:
+            out.append((rel[0], rel[1].copy(), rel[2].copy()))
+    tail = asm.flush()
+    if tail is not None:
+        out.append((tail[0], tail[1].copy(), tail[2].copy()))
+
+    assert [o[0] for o in out] == list(fids_off)
+    for (fid, planes, hdrs), k in zip(out, range(len(out))):
+        np.testing.assert_array_equal(planes, planes_off[k])
+        np.testing.assert_array_equal(hdrs, hdrs_off[k])

@@ -244,3 +244,65 @@ def test_sensor_http_version_dispatch():
             SensorHttp.create(f"127.0.0.1:{emu.http_port}")
     finally:
         emu.stop()
+
+
+def test_emulator_to_planar_device_pipeline():
+    """Full live TPU ingest: emulator UDP -> SensorPacketSource ->
+    PlanarStreamAssembler -> planar kernel (interpret) == host reference."""
+    from ouster_sdk_tpu.io.frames import PlanarStreamAssembler
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+    from ouster_sdk_tpu.sensor.scan_source import SensorPacketSource
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    frames = {fid: _make_frame_packets(info, fid) for fid in (1, 2, 3)}
+
+    def factory():
+        t = 0
+        for fid, pkts in frames.items():
+            for i, p in enumerate(pkts):
+                yield t + i * 10**6, "lidar", p
+            t += 10**8
+
+    emu = SensorEmulator(info, factory, lidar_port=lidar_port,
+                         imu_port=imu_port, http_port=0, rate=20.0,
+                         loop=True)
+    emu.start()
+    released = []
+    try:
+        src = SensorPacketSource([f"127.0.0.1:{emu.http_port}"],
+                                 lidar_port=lidar_port, imu_port=imu_port,
+                                 sensor_info=[info])
+        asm = PlanarStreamAssembler(info)
+        deadline = time.monotonic() + 15.0
+        while time.monotonic() < deadline and len(released) < 2:
+            idx, pkt = src.get_packet(timeout_sec=1.0)
+            if pkt is None or pkt.type().value != "Lidar":
+                continue
+            rel = asm.push(pkt)
+            if rel is not None and rel[1][0].any():
+                released.append((rel[0], rel[1].copy(), rel[2].copy()))
+        src.close()
+    finally:
+        emu.stop()
+    assert len(released) >= 1, "no complete planar frame over live path"
+
+    # decode the released planar frame and compare RANGE with the packets
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu.ops.unpack import decode_frame_planar, \
+        make_decode_plan
+    from ouster_sdk_tpu import ChanField, PacketFormat
+
+    plan = make_decode_plan(info)
+    fid, planes, hdrs = released[0]
+    out = decode_frame_planar(jnp.asarray(planes), jnp.asarray(hdrs), plan)
+    pf = PacketFormat.from_info(info)
+    bufs = np.stack([np.frombuffer(p, np.uint8)
+                     for p in frames[((fid - 1) % 16) + 1]])
+    ref = pf.packet_field_all(ChanField.RANGE, bufs)
+    ref = np.concatenate(list(ref), axis=1)[:, :info.format.columns_per_frame]
+    np.testing.assert_array_equal(np.asarray(out[ChanField.RANGE]), ref)
