@@ -4,6 +4,7 @@ from .sources import IoType, ScanSourceOptions, register_scan_source
 
 
 @register_scan_source(IoType.BAG)
+@register_scan_source(IoType.MCAP)
 def _build_bag_scan_source(source: str, opts: ScanSourceOptions):
     from .bag import BagScanSource
 
@@ -20,6 +21,7 @@ from .sources import register_packet_source  # noqa: E402
 
 
 @register_packet_source(IoType.BAG)
+@register_packet_source(IoType.MCAP)
 def _build_bag_packet_source(source: str, opts: ScanSourceOptions):
     from .bag import BagPacketSource
 

@@ -31,14 +31,19 @@ class IoType(Enum):
     PLY = "PLY"
     PCD = "PCD"
     LAS = "LAS"
+    MCAP = "MCAP"
+    PNG = "PNG"
+    STL = "STL"
 
 
 _EXTENSIONS = {
     ".osf": IoType.OSF,
     ".pcap": IoType.PCAP,
     ".bag": IoType.BAG,
-    ".mcap": IoType.BAG,
+    ".mcap": IoType.MCAP,
     ".db3": IoType.BAG,
+    ".png": IoType.PNG,
+    ".stl": IoType.STL,
     ".csv": IoType.CSV,
     ".ply": IoType.PLY,
     ".pcd": IoType.PCD,
