@@ -21,5 +21,13 @@ def test_kernels_on_tpu_hardware():
         env=env, cwd=REPO, capture_output=True, text=True, timeout=1800)
     if r.returncode == 5:
         pytest.skip("no TPU available: " + r.stderr.strip()[-200:])
+    if r.returncode != 0 and any(
+            m in r.stderr for m in ("ABORTED", "already in use",
+                                    "libtpu version mismatch",
+                                    "UNAVAILABLE")):
+        # only one process may own the TPU; a concurrent holder (or a
+        # mid-flight tunnel upgrade) is an environment condition, not a
+        # kernel failure
+        pytest.skip("TPU unavailable/busy: " + r.stderr.strip()[-200:])
     assert r.returncode == 0, \
         f"TPU hardware check failed (rc={r.returncode}):\n{r.stderr[-4000:]}"
