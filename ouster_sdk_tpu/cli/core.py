@@ -505,7 +505,10 @@ def util() -> None:
 @click.option("--report-dir", default=None,
               help="write the JSON report here, keyed by data md5 + host "
               "+ sdk version (ref: cli/core/util.py report files)")
-def util_benchmark(url, frames, report_dir):
+@click.option("--trace-dir", default=None,
+              help="capture a jax profiler trace of the device pipeline "
+              "stage into this directory (view with xprof/tensorboard)")
+def util_benchmark(url, frames, report_dir, trace_dir):
     """Time read/write/batch/destagger/cartesian per frame and gather
     system info into the reference's report shape
     (ref: cli/core/util.py:180-310)."""
@@ -604,6 +607,38 @@ def util_benchmark(url, frames, report_dir):
     for s in scans:
         lut(s.field(ChanField.RANGE))
     report_dur("cartesian", time.perf_counter() - t0, n)
+
+    # device pipeline (+ optional jax profiler trace)
+    if os.path.isfile(url) and url.lower().endswith(".pcap"):
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from ..io.frames import FrameReader
+            from ..ops.fused import ScanPipeline
+
+            reader = FrameReader(url, info=info)
+            pipe = ScanPipeline(info)
+            chunks = list(reader.iter_planar_chunks(4))
+            if chunks:
+                fids, pls, hds, _ = chunks[0]
+                dp, dh = jnp.asarray(pls.copy()), jnp.asarray(hds.copy())
+                jax.block_until_ready(pipe.project_planar(dp, dh))  # warm
+                import contextlib
+
+                trace_cm = jax.profiler.trace(trace_dir) if trace_dir \
+                    else contextlib.nullcontext()
+                t0 = time.perf_counter()
+                with trace_cm:
+                    out = pipe.project_planar(dp, dh)
+                    jax.block_until_ready(out)
+                report_dur("device_xyz", time.perf_counter() - t0,
+                           fids.size)
+                if trace_dir:
+                    click.echo(f"jax profiler trace written to "
+                               f"{trace_dir}")
+        except Exception as e:  # noqa: BLE001
+            click.echo(f"  device pipeline stage skipped: {e}", err=True)
 
     click.echo(json.dumps(report["times"], indent=2))
     if report_dir:
