@@ -22,8 +22,17 @@ def main():
             w.add_sensor(info)
         n = 0
         for ls_set in source:
-            w.save_set(ls_set)      # records the collation grouping too
-            n += len(ls_set.valid())
+            valid = ls_set.valid()
+            if valid and all(s.first_valid_packet_timestamp()
+                             for s in valid):
+                w.save_set(ls_set)  # records the collation grouping too
+            else:
+                # sources without packet timestamps (e.g. some OSFs)
+                # save per-sensor streams only
+                for idx, s in enumerate(ls_set):
+                    if s is not None:
+                        w.save(idx, s)
+            n += len(valid)
     print(f"wrote {n} scans to {out}")
 
     back = OsfScanSource(out)
