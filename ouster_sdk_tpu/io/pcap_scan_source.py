@@ -39,6 +39,8 @@ class PcapScanSource(ScanSource):
                  index: bool = False,
                  extrinsics=None, extrinsics_file=None,
                  field_names: Optional[List[str]] = None,
+                 raw_headers: bool = False,
+                 raw_fields: bool = False,
                  error_handler=None):
         self._path = path
         self._packets = PcapPacketSource(
@@ -48,6 +50,8 @@ class PcapScanSource(ScanSource):
         populate_extrinsics(infos, extrinsics, extrinsics_file)
         super().__init__(infos)
         self._field_names = field_names
+        self._raw_headers = raw_headers
+        self._raw_fields = raw_fields
         self._index: Optional[List[List[int]]] = None
         self._scan_cache: Optional[List[List[LidarScan]]] = None
         if index:
@@ -80,6 +84,30 @@ class PcapScanSource(ScanSource):
         fts = get_field_types(info)
         if self._field_names is not None:
             fts = [ft for ft in fts if ft.name in self._field_names]
+        if self._raw_headers:
+            # packed col/packet header+footer bytes per column
+            # (ref: open_source.h raw_headers, lidar_scan.cpp:1121)
+            import numpy as _np
+
+            from ..core.constants import ChanField as _C
+            from ..core.field import FieldClass as _FC, FieldType as _FT
+
+            if not any(ft.name == _C.RAW_HEADERS for ft in fts):
+                fts = list(fts) + [_FT(_C.RAW_HEADERS, _np.uint8, (),
+                                       _FC.PIXEL_FIELD)]
+        if self._raw_fields:
+            # raw 32-bit words of each pixel block
+            # (ref: open_source.h raw_fields, RAW32_WORD* channels)
+            import numpy as _np
+
+            from ..core.field import FieldClass as _FC, FieldType as _FT
+            from ..ops.unpack import make_decode_plan as _mdp
+
+            pw = _mdp(info).pw
+            have = {ft.name for ft in fts}
+            fts = list(fts) + [
+                _FT(f"RAW32_WORD{k + 1}", _np.uint32, (), _FC.PIXEL_FIELD)
+                for k in range(pw) if f"RAW32_WORD{k + 1}" not in have]
         return fts
 
     def _iter_sets(self) -> Iterator[LidarScanSet]:
@@ -145,6 +173,8 @@ def _build_pcap_scan_source(source: str, opts: ScanSourceOptions):
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
         field_names=opts.take("field_names"),
+        raw_headers=bool(opts.take("raw_headers")),
+        raw_fields=bool(opts.take("raw_fields")),
         error_handler=opts.take("error_handler"),
     )
 

@@ -100,3 +100,22 @@ def test_slicing_negative_step_raises(indexed):
 def test_index_out_of_range_raises(indexed):
     with pytest.raises(IndexError):
         _ = indexed[len(indexed) + 5]
+
+
+def test_raw_headers_and_raw_fields_options():
+    """open_source(raw_headers=True / raw_fields=True) adds the RAW
+    channels like the reference options (ref: open_source.h:80
+    raw_headers/raw_fields)."""
+    P = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    _need(P)
+    src = open_source(P, raw_headers=True)
+    scan = next(iter(src)).valid()[0]
+    rh = scan.field("RAW_HEADERS")
+    col = scan.first_valid_column()
+    assert rh[:8, col].copy().view("<u8")[0] == scan.timestamp[col]
+
+    src2 = open_source(P, raw_fields=True)
+    scan2 = next(iter(src2)).valid()[0]
+    raw1 = scan2.field("RAW32_WORD1")
+    np.testing.assert_array_equal(raw1 & 0x7FFFF,
+                                  scan2.field(ChanField.RANGE))
