@@ -77,6 +77,20 @@ class FrameReader:
         ws = self._pools.setdefault("scan_ws", {})
         return native.pcap_scan(data, swap, ts_nano, linktype, workspace=ws)
 
+
+    def _lidar_mask(self, sizes: np.ndarray, ports: np.ndarray) -> np.ndarray:
+        """Datagrams belonging to THIS sensor's lidar stream: packet size
+        plus, when the capture actually carries it, the metadata's
+        udp_port_lidar (multi-sensor captures share packet sizes; ports
+        pack src<<16 | dst)."""
+        lidar = sizes == self.pf.lidar_packet_size
+        port = self.info.config.udp_port_lidar or 0
+        if port:
+            pm = (ports & np.uint32(0xFFFF)) == np.uint32(port)
+            if (lidar & pm).any():
+                lidar = lidar & pm
+        return lidar
+
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         for fids, frames, tss in self.iter_chunks():
             for k in range(fids.size):
@@ -96,8 +110,7 @@ class FrameReader:
         res = self._native_scan() if native.get_lib() is not None else None
         if res is not None:
             payloads, offsets, sizes, ts, ports, ips = res
-            pkt_size = self.pf.lidar_packet_size
-            lidar = sizes == pkt_size
+            lidar = self._lidar_mask(sizes, ports)
             res = None if not lidar.any() else \
                 (payloads, offsets[lidar], ts[lidar])
         if res is None:
@@ -166,11 +179,11 @@ class FrameReader:
             raise RuntimeError(
                 "planar staging needs the native library; use iter_chunks")
         payloads, offsets, sizes, ts, ports, ips = res
-        pkt_size = self.pf.lidar_packet_size
-        lidar = sizes == pkt_size
+        lidar = self._lidar_mask(sizes, ports)
         if not lidar.any():
             return
         offs, tss = offsets[lidar], ts[lidar]
+        pkt_size = self.pf.lidar_packet_size
 
         plan = self.plan
         g = self.pf.geom

@@ -86,3 +86,65 @@ def test_accumulators_with_slam_poses():
     assert scans_acc.points().shape[0] > 1000
     assert tracks.points().shape[0] >= 1
     assert gmap.points().shape[0] > 100
+
+
+def test_frame_reader_per_sensor_port_filter(tmp_path):
+    """A two-sensor capture (same profile, different dst ports) stages per
+    sensor: each FrameReader only sees its own stream (planar + packet
+    layouts)."""
+    from ouster_sdk_tpu.core.types import (
+        LidarMode,
+        SensorInfo,
+        UDPProfileLidar,
+    )
+    from ouster_sdk_tpu.io.frames import FrameReader
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+    from ouster_sdk_tpu.ops.packet_format import PacketWriter
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+
+    def make_info(port, sn):
+        info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+        info.format.udp_profile_lidar = \
+            UDPProfileLidar("RNG19_RFL8_SIG16_NIR16")
+        info.config.udp_port_lidar = port
+        info.sn = sn
+        return info
+
+    def _frame_packets(info, fid):
+        pw = PacketWriter(info.format)
+        cpp = pw.columns_per_packet
+        for p in range(info.format.columns_per_frame // cpp):
+            buf = pw.new_packet()
+            pw.set_packet_header(buf, init_id=info.init_id,
+                                 prod_sn=info.sn)
+            pw.set_frame_id(buf, fid)
+            m0 = p * cpp
+            pw.set_col_headers(
+                buf,
+                np.arange(cpp, dtype=np.uint64) + fid * 10**8 + m0,
+                np.arange(cpp, dtype=np.uint16) + m0,
+                np.ones(cpp, dtype=np.uint32))
+            yield buf.tobytes()
+
+    info_a, info_b = make_info(7502, "101"), make_info(7602, "202")
+    path = str(tmp_path / "two.pcap")
+    with PcapWriter(path) as w:
+        ts = 10**9
+        for fid in (1, 2):
+            for info, port in ((info_a, 7502), (info_b, 7602)):
+                for pkt in _frame_packets(info, fid if info is info_a
+                                          else fid + 100):
+                    w.write(pkt, "10.0.0.1", "10.0.0.2", 7000, port, ts)
+                    ts += 10**5
+
+    fr_a = FrameReader(path, info=info_a)
+    fr_b = FrameReader(path, info=info_b)
+    fids_a = [f for f, _, _ in fr_a]
+    fids_b = [f for f, _, _ in fr_b]
+    assert fids_a == [1, 2]
+    assert fids_b == [101, 102]
+    pf_a, pl_a, hd_a, _ = next(fr_a.iter_planar_chunks(4))
+    assert list(pf_a) == [1, 2]
