@@ -161,13 +161,21 @@ class FrameReader:
             pos += consumed
             yield fid_out[:nf].copy(), pool[:nf], ts_out[:nf].copy()
 
-    def iter_planar_chunks(self, chunk: int = 8) -> Iterator[
+    def iter_planar_chunks(self, chunk: int = 8,
+                           words: Optional[Tuple[int, ...]] = None
+                           ) -> Iterator[
             Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (frame_ids, planes (m, pw, h, W) u32, col_hdrs
         (m, chw, W) u32, host_ts): the word-planar staging the Pallas
         kernels consume with no in-kernel transpose and no XLA strided
         prep. Native-only (raises without the toolchain); same pooled
-        double-buffer contract as iter_chunks."""
+        double-buffer contract as iter_chunks.
+
+        `words` selects a subset of packet words to stage (planes second
+        dim becomes len(words), in the given order): projection-only
+        consumers need just the range word(s), cutting host->device bytes
+        to 1/pw (single-return) or 2/pw (dual) — pass the same tuple to
+        unpack_project_planar_batched(words=...)."""
         if self.plan.status_word >= self.plan.chw:
             # LEGACY keeps column status in the footer, outside the
             # captured header words
@@ -189,7 +197,7 @@ class FrameReader:
         g = self.pf.geom
         fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
         fid_mask = (1 << g.frame_id.bit_size) - 1
-        key = ("planar", chunk)
+        key = ("planar", chunk, words)
         if key not in self._pools:
             pools = [(np.empty((chunk, plan.pw, plan.h, plan.w),
                                dtype=np.uint32),
@@ -198,13 +206,18 @@ class FrameReader:
             for planes, hdrs in pools:
                 planes.fill(0)
                 hdrs.fill(0)
+            if words is not None:
+                subs = [np.zeros((chunk, len(words), plan.h, plan.w),
+                                 dtype=np.uint32) for _ in range(2)]
+                pools = [(p, h, s) for (p, h), s in zip(pools, subs)]
             self._pools[key] = pools
         pools = self._pools[key]
         fid_out = np.zeros(chunk, np.int64)
         ts_out = np.zeros(chunk, np.uint64)
         pos, flip = 0, 0
         while pos < offs.size:
-            planes, hdrs = pools[flip]
+            entry = pools[flip]
+            planes, hdrs = entry[0], entry[1]
             flip ^= 1
             consumed, nf = native.group_frames_planar(
                 payloads, offs[pos:], tss[pos:], pkt_size, fid_byte,
@@ -215,8 +228,15 @@ class FrameReader:
             if nf == 0:
                 break
             pos += consumed
-            yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
-                   ts_out[:nf].copy())
+            if words is not None:
+                sub = entry[2]
+                for k, wd in enumerate(words):
+                    sub[:nf, k] = planes[:nf, wd]
+                yield (fid_out[:nf].copy(), sub[:nf], hdrs[:nf],
+                       ts_out[:nf].copy())
+            else:
+                yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
+                       ts_out[:nf].copy())
 
     def _iter_python(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         from ..ops.unpack import frame_words_from_packets

@@ -114,8 +114,8 @@ class ScanPipeline:
 
         lut = self._planar_lut
         return unpack_project_planar_batched(
-            planes, col_hdrs, lut.dir_hi, lut.dir_lo, lut.off_hi,
-            lut.off_lo, self.cfg.plan, precision=self.cfg.precision,
+            planes, col_hdrs, lut.stack, self.cfg.plan,
+            precision=self.cfg.precision,
             dual=self.cfg.dual and poses is None, poses=poses)
 
     def decode_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray

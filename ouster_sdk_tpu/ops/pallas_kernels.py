@@ -46,15 +46,28 @@ from .precision import split_f64_array
 
 
 class PlanarLut:
-    """LUT split to (3, h, w) f32 hi/lo planes for lane-friendly blocks."""
+    """LUT split to (3, h, w) f32 hi/lo planes for lane-friendly blocks.
+
+    `stack` additionally carries the direction-hi planes pre-split into
+    12-bit Veltkamp halves (dh1 + dh2 == dir_hi exactly), so the kernel's
+    error-free r*dir product needs no runtime Veltkamp splitting: the
+    range integer is split exactly with bit masks and all four partial
+    products are exact (Dekker). Layout: 18 planes =
+    [dir_hi(3), dh1(3), dh2(3), dir_lo(3), off_hi(3), off_lo(3)].
+    """
 
     def __init__(self, lut: XYZLut):
         dh, dl = split_f64_array(np.moveaxis(lut.direction, -1, 0))
         oh, ol = split_f64_array(np.moveaxis(lut.offset, -1, 0))
-        self.dir_hi = jnp.asarray(dh)
-        self.dir_lo = jnp.asarray(dl)
-        self.off_hi = jnp.asarray(oh)
-        self.off_lo = jnp.asarray(ol)
+        c = np.float32(4097.0) * dh          # 2**12 + 1 f32 splitter
+        dh1 = c - (c - dh)
+        dh2 = dh - dh1
+        self.stack = jnp.asarray(
+            np.concatenate([dh, dh1, dh2, dl, oh, ol], axis=0))
+        self.dir_hi = self.stack[0:3]
+        self.dir_lo = self.stack[9:12]
+        self.off_hi = self.stack[12:15]
+        self.off_lo = self.stack[15:18]
 
 
 def _range_to_xyz(w0, dir_hi, dir_lo, off_hi, off_lo, *, bit, size,
@@ -213,6 +226,52 @@ def unpack_project_pallas_batched(frames_words: jnp.ndarray, dir_hi, dir_lo,
             out2.reshape(B, 3, plan.h, plan.w))
 
 
+def _extract_bits(w0, *, bit: int, size: int, upshift: int):
+    lo = w0 >> np.uint32(bit) if bit else w0
+    if size < 32:
+        lo = lo & np.uint32((1 << size) - 1)
+    if upshift:
+        lo = lo << np.uint32(upshift)
+    return lo
+
+
+def _proj_lean(r_u32, L, *, precision: str):
+    """Integer range (h, TW) u32 (< 2**23) -> xyz (3, h, TW) f32.
+
+    precision='dd': correctly-rounded (<= 0.5 f32 ulp of the f64 value)
+    compensated evaluation of r*dir + off. The Dekker residual of r*dir_hi
+    comes for free: r splits exactly with bit masks (11-bit halves) and
+    dir_hi ships pre-split in the LUT stack (PlanarLut), so no runtime
+    Veltkamp splitting — ~40% fewer VPU ops than the generic two_prod/
+    two_sum chain in ops/precision.py (measured 4.3 -> 3.5 ms per
+    128-frame 128x2048-dual batch).
+    """
+    DH, DH1, DH2, DL, OH, OL = (L[0:3], L[3:6], L[6:9], L[9:12],
+                                L[12:15], L[15:18])
+    if precision != "dd":
+        r = r_u32.astype(jnp.int32).astype(jnp.float32)[None]
+        return jnp.where(r != 0, r * DH + OH, jnp.float32(0))
+    rl_i = r_u32 & np.uint32(0x7FF)
+    rh_i = r_u32 - rl_i
+    # mosaic has no u32 -> f32 cast; range fits in i32 (< 2^23 mm)
+    rh = rh_i.astype(jnp.int32).astype(jnp.float32)[None]
+    rl = rl_i.astype(jnp.int32).astype(jnp.float32)[None]
+    r = rh + rl                                   # exact (integer < 2^23)
+    p = r * DH
+    # Dekker: all four partial products are exact (11+12 bit mantissas)
+    e = ((rh * DH1 - p) + rh * DH2 + rl * DH1) + rl * DH2
+    # two_sum(p, OH) — magnitudes are not ordered (dir components cross 0)
+    s = p + OH
+    bb = s - p
+    es = (p - (s - bb)) + (OH - bb)
+    xyz = s + (((e + es) + r * DL) + OL)
+    return jnp.where(r != 0, xyz, jnp.float32(0))
+
+
+def _valid_mask_u32(v_ref):
+    return jnp.where(v_ref[:] != 0, np.uint32(0xFFFFFFFF), np.uint32(0))
+
+
 def _dewarp_tile(xyz, pose_ref):
     """Per-column SE(3): pose planes (12, TW) = row-major R (9) + t (3);
     xyz (3, h, TW) -> world (3, h, TW) (ref: pose_util.h:44 dewarp)."""
@@ -225,56 +284,69 @@ def _dewarp_tile(xyz, pose_ref):
     return jnp.stack(rows, axis=0)                   # (3, h, TW)
 
 
-def _planar_kernel(rng_ref, v_ref, dir_hi_ref, dir_lo_ref, off_hi_ref,
-                   off_lo_ref, xyz_ref, *, bit: int, size: int,
-                   upshift: int, precision: str):
-    w0 = jnp.where(v_ref[:] != 0, rng_ref[0], np.uint32(0))
-    xyz_ref[:] = _range_to_xyz(
-        w0, dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:],
-        bit=bit, size=size, upshift=upshift, precision=precision)
+def _planar_kernel(rng_ref, v_ref, lut_ref, xyz_ref, *, bit: int,
+                   size: int, upshift: int, precision: str):
+    r = _extract_bits(rng_ref[0], bit=bit, size=size, upshift=upshift)
+    xyz_ref[:] = _proj_lean(r & _valid_mask_u32(v_ref), lut_ref[:],
+                            precision=precision)
 
 
-def _planar_dewarp_kernel(rng_ref, v_ref, pose_ref, dir_hi_ref, dir_lo_ref,
-                          off_hi_ref, off_lo_ref, xyz_ref, *, bit: int,
-                          size: int, upshift: int, precision: str):
-    w0 = jnp.where(v_ref[:] != 0, rng_ref[0], np.uint32(0))
-    xyz = _range_to_xyz(
-        w0, dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:],
-        bit=bit, size=size, upshift=upshift, precision=precision)
+def _planar_dewarp_kernel(rng_ref, v_ref, pose_ref, lut_ref, xyz_ref, *,
+                          bit: int, size: int, upshift: int,
+                          precision: str):
+    r = _extract_bits(rng_ref[0], bit=bit, size=size, upshift=upshift)
+    r = r & _valid_mask_u32(v_ref)
+    xyz = _proj_lean(r, lut_ref[:], precision=precision)
     world = _dewarp_tile(xyz, pose_ref[:])
     # keep no-return pixels at zero (dewarp would move them to the pose
     # translation otherwise)
-    r = w0 >> np.uint32(bit) if bit else w0
-    if size < 32:
-        r = r & np.uint32((1 << size) - 1)
     xyz_ref[:] = jnp.where((r != 0)[None], world, jnp.float32(0))
 
 
-def _planar_dual_kernel(rng_ref, rng2_ref, v_ref, dir_hi_ref, dir_lo_ref,
-                        off_hi_ref, off_lo_ref, xyz_ref, xyz2_ref, *,
+def _planar_dual_kernel(rw_ref, v_ref, lut_ref, xyz_ref, xyz2_ref, *,
                         bit: int, size: int, upshift: int, bit2: int,
                         size2: int, upshift2: int, precision: str):
-    args = (dir_hi_ref[:], dir_lo_ref[:], off_hi_ref[:], off_lo_ref[:])
-    v = v_ref[:] != 0
-    xyz_ref[:] = _range_to_xyz(
-        jnp.where(v, rng_ref[0], np.uint32(0)), *args, bit=bit, size=size,
-        upshift=upshift, precision=precision)
-    xyz2_ref[:] = _range_to_xyz(
-        jnp.where(v, rng2_ref[0], np.uint32(0)), *args, bit=bit2,
-        size=size2, upshift=upshift2, precision=precision)
+    """Aligned fast path: one (2, h, TW) input block carries both range
+    words (RANGE in row 0, RANGE2 in row 1) — one input DMA stream, and
+    each return writes its own contiguous (B*3, h, w) array so consumers
+    never pay a de-interleave copy."""
+    vm = _valid_mask_u32(v_ref)
+    L = lut_ref[:]
+    r1 = _extract_bits(rw_ref[0], bit=bit, size=size, upshift=upshift)
+    r2 = _extract_bits(rw_ref[1], bit=bit2, size=size2, upshift=upshift2)
+    xyz_ref[:] = _proj_lean(r1 & vm, L, precision=precision)
+    xyz2_ref[:] = _proj_lean(r2 & vm, L, precision=precision)
+
+
+def _planar_dual_split_kernel(rng_ref, rng2_ref, v_ref, lut_ref, xyz_ref,
+                              xyz2_ref, *, bit: int, size: int,
+                              upshift: int, bit2: int, size2: int,
+                              upshift2: int, precision: str):
+    """Fallback for profiles whose two range words can't ride one block
+    (odd words-per-pixel or non-adjacent range words)."""
+    vm = _valid_mask_u32(v_ref)
+    L = lut_ref[:]
+    r1 = _extract_bits(rng_ref[0], bit=bit, size=size, upshift=upshift)
+    r2 = _extract_bits(rng2_ref[0], bit=bit2, size=size2,
+                       upshift=upshift2)
+    xyz_ref[:] = _proj_lean(r1 & vm, L, precision=precision)
+    xyz2_ref[:] = _proj_lean(r2 & vm, L, precision=precision)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("plan", "tile_w", "precision", "dual",
-                                    "interpret"))
+                                    "interpret", "words"))
 def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
-                                  dir_hi, dir_lo, off_hi, off_lo,
-                                  plan: DecodePlan, tile_w: int = 512,
+                                  lut_stack, plan: DecodePlan,
+                                  tile_w: int = 256,
                                   precision: str = "dd", dual: bool = False,
                                   interpret: bool = False,
-                                  poses: Optional[jnp.ndarray] = None):
+                                  poses: Optional[jnp.ndarray] = None,
+                                  words: Optional[tuple] = None):
     """Fused decode over word-planar frames: planes (B, pw, h, w) u32 +
     col_hdrs (B, chw, w) u32 -> (B, 3, h, w) f32 (pair when dual=True).
+    `lut_stack` is PlanarLut.stack — (18, h, w) f32 with the direction-hi
+    planes pre-split for the error-free product (see PlanarLut).
 
     With poses (B, w, 4, 4) f32, the per-column SE(3) dewarp fuses into
     the same kernel (the north-star unpack -> xyz -> dewarp chain,
@@ -285,11 +357,32 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     the XLA prep is a contiguous plane slice — the packet-layout kernel
     above spends most of its time on exactly those two relayouts
     (measured: 11 ms -> ~2 ms per 128-frame batch at 128x2048 dual).
+    Dual-return profiles with adjacent, block-aligned range words ride a
+    merged (2, h, TW)-in kernel (one input DMA stream).
+
+    `words` (static tuple) declares which packet words the planes array
+    actually carries: projection needs only the range word(s), so staging
+    and host->device transfer can ship planes[:, words] — 1/pw (single)
+    or 2/pw (dual) of the packet bytes (FrameReader.iter_planar_chunks
+    word subsetting). Default: all pw words, in packet order.
     """
     if planes.ndim == 3:
         planes = planes[None]
         col_hdrs = col_hdrs[None]
     B = planes.shape[0]
+    pw = planes.shape[1]
+    if words is None:
+        if pw != plan.pw:
+            raise ValueError(f"planes carry {pw} words but profile has "
+                             f"{plan.pw}; pass words=(...) for subsets")
+        words = tuple(range(plan.pw))
+
+    def wmap(word):
+        if word not in words:
+            raise ValueError(f"projection needs packet word {word}; "
+                             f"planes carry only {words}")
+        return words.index(word)
+
     rng_plan = _field_plan(plan, "RANGE")
 
     # validity row: status plane is a contiguous slice of the planar
@@ -300,11 +393,11 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     valid = (status & np.uint32(1)).astype(jnp.uint32)
     valid = valid.reshape(1, B * plan.w)  # row layout: block (1, tile_w)
 
-    rows = planes.reshape(B * plan.pw, plan.h, plan.w)
+    rows = planes.reshape(B * pw, plan.h, plan.w)
     tiles_per_frame = plan.w // tile_w
     # 2D grid (tile, batch), batch fastest: the LUT block index depends
-    # only on the tile coordinate, so Mosaic keeps the hi/lo LUT blocks
-    # resident across the whole batch instead of re-fetching ~3 MB per
+    # only on the tile coordinate, so Mosaic keeps the LUT block
+    # resident across the whole batch instead of re-fetching ~2 MB per
     # step (at B=128 that redundant LUT traffic exceeded the data itself)
     grid = (tiles_per_frame, B)
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
@@ -315,12 +408,13 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
         return pl.BlockSpec(block, index_map)
 
     def word_spec(word):
+        word = wmap(word)
         return spec((1, plan.h, tile_w),
-                    lambda i, b, word=word: (b * plan.pw + word, 0, i))
+                    lambda i, b, word=word: (b * pw + word, 0, i))
 
     valid_spec = spec((1, tile_w),
                       lambda i, b: (0, b * tiles_per_frame + i))
-    lut_spec = spec((3, plan.h, tile_w), lambda i, b: (0, 0, i))
+    lut_spec = spec((18, plan.h, tile_w), lambda i, b: (0, 0, i))
     out_spec = spec((3, plan.h, tile_w), lambda i, b: (b, 0, i))
     out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
 
@@ -342,9 +436,9 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
         out = pl.pallas_call(
             kernel, grid=grid,
             in_specs=[word_spec(rng_plan.word), valid_spec, pose_spec,
-                      lut_spec, lut_spec, lut_spec, lut_spec],
+                      lut_spec],
             out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-        )(rows, valid, pose_rows, dir_hi, dir_lo, off_hi, off_lo)
+        )(rows, valid, pose_rows, lut_stack)
         return out.reshape(B, 3, plan.h, plan.w)
 
     if not dual:
@@ -353,24 +447,39 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
             upshift=rng_plan.upshift, precision=precision)
         out = pl.pallas_call(
             kernel, grid=grid,
-            in_specs=[word_spec(rng_plan.word), valid_spec,
-                      lut_spec, lut_spec, lut_spec, lut_spec],
+            in_specs=[word_spec(rng_plan.word), valid_spec, lut_spec],
             out_specs=out_spec, out_shape=out_shape, interpret=interpret,
-        )(rows, valid, dir_hi, dir_lo, off_hi, off_lo)
+        )(rows, valid, lut_stack)
         return out.reshape(B, 3, plan.h, plan.w)
 
     rng2_plan = _field_plan(plan, "RANGE2")
-    kernel = functools.partial(
-        _planar_dual_kernel, bit=rng_plan.bit, size=rng_plan.size,
-        upshift=rng_plan.upshift, bit2=rng2_plan.bit, size2=rng2_plan.size,
-        upshift2=rng2_plan.upshift, precision=precision)
+    statics = dict(bit=rng_plan.bit, size=rng_plan.size,
+                   upshift=rng_plan.upshift, bit2=rng2_plan.bit,
+                   size2=rng2_plan.size, upshift2=rng2_plan.upshift,
+                   precision=precision)
+    w1, w2 = wmap(rng_plan.word), wmap(rng2_plan.word)
+    aligned = (w2 == w1 + 1 and pw % 2 == 0 and w1 % 2 == 0)
+    if aligned:
+        # block units: first-dim block size 2 -> index is (row // 2)
+        rw_spec = spec(
+            (2, plan.h, tile_w),
+            lambda i, b: ((b * pw + w1) // 2, 0, i))
+        out1, out2 = pl.pallas_call(
+            functools.partial(_planar_dual_kernel, **statics), grid=grid,
+            in_specs=[rw_spec, valid_spec, lut_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape), interpret=interpret,
+        )(rows, valid, lut_stack)
+        return (out1.reshape(B, 3, plan.h, plan.w),
+                out2.reshape(B, 3, plan.h, plan.w))
+
     out1, out2 = pl.pallas_call(
-        kernel, grid=grid,
+        functools.partial(_planar_dual_split_kernel, **statics), grid=grid,
         in_specs=[word_spec(rng_plan.word), word_spec(rng2_plan.word),
-                  valid_spec, lut_spec, lut_spec, lut_spec, lut_spec],
+                  valid_spec, lut_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(out_shape, out_shape), interpret=interpret,
-    )(rows, rows, valid, dir_hi, dir_lo, off_hi, off_lo)
+    )(rows, rows, valid, lut_stack)
     return (out1.reshape(B, 3, plan.h, plan.w),
             out2.reshape(B, 3, plan.h, plan.w))
 

@@ -134,8 +134,8 @@ def test_planar_staging_matches_packet_staging():
         jnp.asarray(frames), lut.dir_hi, lut.dir_lo, lut.off_hi,
         lut.off_lo, plan, interpret=True)
     b = unpack_project_planar_batched(
-        jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()), lut.dir_hi,
-        lut.dir_lo, lut.off_hi, lut.off_lo, plan, interpret=True)
+        jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()), lut.stack,
+        plan, interpret=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 

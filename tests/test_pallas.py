@@ -80,7 +80,7 @@ def test_planar_fused_dewarp_matches_host():
         for _ in range(plan.w)]).astype(np.float32)
     out = unpack_project_planar_batched(
         jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy()),
-        lut.dir_hi, lut.dir_lo, lut.off_hi, lut.off_lo, plan,
+        lut.stack, plan,
         interpret=True, poses=jnp.asarray(poses[None]))
     xyz_k = np.moveaxis(np.asarray(out[0]), 0, -1)
 

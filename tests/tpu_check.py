@@ -159,7 +159,7 @@ def main():
     import jax.numpy as jnp2
 
     out = jax.jit(lambda p, h2: unpack_project_planar_batched(
-        p, h2, lutp.dir_hi, lutp.dir_lo, lutp.off_hi, lutp.off_lo,
+        p, h2, lutp.stack,
         plan_p, dual=True))(jnp2.asarray(planes[None]),
                             jnp2.asarray(hdrs[None]))
     xyz_p = np.moveaxis(np.asarray(out[0][0]), 0, -1)
