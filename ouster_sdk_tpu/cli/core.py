@@ -26,10 +26,23 @@ class SourcePipeline:
 
     def __init__(self, url: str, **opts):
         self.url = url
-        self.source = open_source(url, **opts)
-        self.infos = self.source.sensor_info
+        self._opts = opts
+        self._source = None  # lazy: model_viz/model_save never open a
+        # scan source (the url may be a bare .stl/.ply model file)
         self._stages: List[Callable[[Iterator], Iterator]] = []
         self.consumers: List[Callable[[Iterator], None]] = []
+        self.standalone = False  # set by commands that already did all
+        # their work on the raw url (model_viz/model_save)
+
+    @property
+    def source(self):
+        if self._source is None:
+            self._source = open_source(self.url, **self._opts)
+        return self._source
+
+    @property
+    def infos(self):
+        return self.source.sensor_info
 
     def add_stage(self, fn: Callable[[Iterator], Iterator]) -> None:
         self._stages.append(fn)
@@ -41,6 +54,8 @@ class SourcePipeline:
         return it
 
     def run(self) -> None:
+        if self.standalone:
+            return
         it = self.scan_iter()
         if not self.consumers:
             for _ in it:
@@ -212,6 +227,212 @@ def source_clip(ctx, min_range, max_range, fields):
             for s in ls_set.valid():
                 clip_scan(s, min_range, max_range, names)
             yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+
+def _parse_filter_bounds(spec: str):
+    """Parse 'lo:hi' where either side is optional and values may carry a
+    unit suffix mm/cm/dm/m (returned as (value, factor_mm) pairs;
+    factor None = unitless) — ref: plugins/source.py extract_clip_indices."""
+    units = (("mm", 1.0), ("cm", 10.0), ("dm", 100.0), ("m", 1000.0))
+    if ":" not in spec:
+        raise click.BadParameter(f"indices {spec!r} must look like lo:hi")
+    lo_s, hi_s = spec.split(":", 1)
+
+    def one(s):
+        s = s.strip()
+        if not s:
+            return None, None
+        for suf, fac in units:  # mm/cm/dm before m: first match wins
+            if s.endswith(suf):
+                return float(s[:-len(suf)]), fac
+        return float(s), None
+
+    return one(lo_s), one(hi_s)
+
+
+@source.command("filter")
+@click.argument("axis_field")
+@click.argument("indices")
+@click.option("--filtered-fields", default=None,
+              help="comma-separated fields to apply the filter to "
+                   "(default: all pixel fields)")
+@click.option("--invalid-value", type=float, default=0,
+              show_default=True,
+              help="value written to pixels that match the filter")
+@click.option("--coord-frame", default="BODY", show_default=True,
+              type=click.Choice(["SENSOR", "BODY", "WORLD"],
+                                case_sensitive=False),
+              help="coordinate frame for X/Y/Z filtering (SENSOR=no "
+                   "extrinsics, BODY=extrinsics, WORLD=dewarped)")
+@click.pass_context
+def source_filter(ctx, axis_field, indices, filtered_fields, invalid_value,
+                  coord_frame):
+    """Invalidate pixels by spatial axis (X/Y/Z), image coordinate (U/V)
+    or any pixel field's value band (ref: plugins/source.py:601
+    source_filter; ops in sdk/core/scan_ops.py:47-190).
+
+    Examples: `filter REFLECTIVITY 0:100`, `filter X -10m:10m`,
+    `filter U :62` (X/Y/Z values without a unit suffix are millimeters;
+    U/V values in [0, 1] are fractions of the image size).
+    """
+    from ..io.derived import filter_field, filter_uv, filter_xyz
+    from ..ops.xyzlut import make_xyz_lut
+
+    (lo, lo_fac), (hi, hi_fac) = _parse_filter_bounds(indices)
+    names = filtered_fields.split(",") if filtered_fields else None
+    ax = axis_field.strip().lower()
+    frame = coord_frame.strip().lower()
+    invalid = int(invalid_value) if invalid_value == int(invalid_value) \
+        else invalid_value
+    if ax not in ("x", "y", "z") and frame != "body":
+        raise click.BadParameter(
+            "--coord-frame only applies when filtering by X, Y, or Z")
+
+    if ax in ("x", "y", "z"):
+        axis_idx = "xyz".index(ax)
+
+        def to_m(v, fac):
+            if v is None:
+                return None
+            return v * (fac if fac is not None else 1.0) / 1000.0
+
+        lo_m = to_m(lo, lo_fac)
+        hi_m = to_m(hi, hi_fac)
+        lo_m = float("-inf") if lo_m is None else lo_m
+        hi_m = float("inf") if hi_m is None else hi_m
+
+        def stage(it):
+            luts = None
+            for ls_set in it:
+                if luts is None:
+                    luts = [make_xyz_lut(
+                        s.sensor_info, use_extrinsics=(frame != "sensor"))
+                        for s in ls_set]
+                for k, s in enumerate(ls_set):
+                    if s is not None:
+                        filter_xyz(s, luts[k], axis_idx, lo_m, hi_m,
+                                   invalid, names,
+                                   dewarp_points=(frame == "world"))
+                yield ls_set
+    elif ax in ("u", "v"):
+        # values strictly inside (0, 1) are fractions of the image size
+        lo_uv = float("-inf") if lo is None else (
+            lo if 0 < lo < 1 else int(lo))
+        hi_uv = float("inf") if hi is None else (
+            hi if 0 < hi < 1 else int(hi))
+
+        def stage(it):
+            for ls_set in it:
+                for s in ls_set.valid():
+                    filter_uv(s, ax, lo_uv, hi_uv, invalid, names)
+                yield ls_set
+    else:
+        lo_f = float("-inf") if lo is None else lo
+        hi_f = float("inf") if hi is None else hi
+
+        def stage(it):
+            for ls_set in it:
+                for s in ls_set.valid():
+                    filter_field(s, axis_field.strip(), lo_f, hi_f,
+                                 invalid, names)
+                yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+
+@source.command("plumb")
+@click.option("--sensor-idx", type=int, default=None,
+              help="compute for one sensor only")
+@click.pass_context
+def source_plumb(ctx, sensor_idx):
+    """Compute the extrinsic matrix aligning each sensor's Z axis with
+    gravity from its IMU data, print it, and apply it to the chained
+    pipeline (ref: plugins/source.py:719-830 source_plumb)."""
+    from ..core.packets import ImuPacket
+    from ..core.types import UDPProfileIMU
+    from ..io.sources import open_packet_source
+    from ..ops.packet_format import PacketFormat
+    from ..utils.pose_util import get_rot_matrix_to_align_to_gravity
+
+    infos = ctx.obj.infos
+    n = len(infos)
+    sums = np.zeros((n, 3))
+    counts = np.zeros(n, dtype=int)
+    pfs = [PacketFormat.from_info(i) for i in infos]
+
+    def legacy(idx):
+        return infos[idx].format.udp_profile_imu == UDPProfileIMU.LEGACY
+
+    try:
+        psrc = open_packet_source(ctx.obj.url)
+    except Exception:
+        psrc = None
+    if psrc is not None:
+        try:
+            for idx, pkt in psrc:
+                if (counts > 100).all():
+                    break
+                if sensor_idx is not None and idx != sensor_idx:
+                    continue
+                if not isinstance(pkt, ImuPacket):
+                    continue
+                pf = pfs[idx]
+                if legacy(idx):
+                    sums[idx] += (pf.imu_la_x(pkt.buf),
+                                  pf.imu_la_y(pkt.buf),
+                                  pf.imu_la_z(pkt.buf))
+                    counts[idx] += 1
+                else:
+                    acc = pf.parse_accel(pkt.buf)
+                    _, _, status = pf.imu_measurement_headers(pkt.buf)
+                    ok = status.astype(bool)
+                    sums[idx] += acc[ok].sum(axis=0)
+                    counts[idx] += int(ok.sum())
+        finally:
+            psrc.close()
+    if not counts.any():
+        # packetless containers (e.g. OSF): average the scans' IMU_ACC
+        # SCAN fields instead
+        from ..io.sources import open_source as _open
+
+        src2 = _open(ctx.obj.url)
+        try:
+            for ls_set in src2:
+                if (counts > 100).all():
+                    break
+                for idx, s in enumerate(ls_set):
+                    if s is None or not s.has_field(ChanField.IMU_ACC):
+                        continue
+                    acc = np.asarray(s.field(ChanField.IMU_ACC))
+                    ok = np.ones(acc.shape[0], bool)
+                    if s.has_field(ChanField.IMU_STATUS):
+                        st = np.asarray(s.field(ChanField.IMU_STATUS))
+                        ok = st.astype(bool)[: acc.shape[0]]
+                    sums[idx] += acc[ok].sum(axis=0)
+                    counts[idx] += int(ok.sum())
+        finally:
+            src2.close()
+    active = range(n) if sensor_idx is None else [sensor_idx]
+    if not all(counts[i] > 0 for i in active):
+        raise click.ClickException(
+            f"no IMU data found in {ctx.obj.url}")
+    for i in active:
+        avg = sums[i] / counts[i]
+        click.echo(f"Average ax: {avg[0]}, ay: {avg[1]}, az: {avg[2]}")
+        T = np.eye(4)
+        T[:3, :3] = get_rot_matrix_to_align_to_gravity(*avg)
+        click.echo("Transformation Matrix to Correct Sensor Orientation:")
+        click.echo(T)
+        click.echo("Flatten Transformation Matrix:")
+        click.echo(" ".join(
+            "0" if v == 0 else ("1" if v == 1 else f"{v:.8f}")
+            for row in T for v in row))
+        infos[i].extrinsic = T
+
+    def stage(it):
+        yield from it
 
     ctx.obj.add_stage(stage)
 

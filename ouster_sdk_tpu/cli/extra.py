@@ -112,6 +112,76 @@ def source_replay(ctx, rate, serve, loop, udp_dest, lidar_port, imu_port,
     ctx.obj.add_stage(stage)
 
 
+@source.command("model_viz")
+@click.option("--axes", is_flag=True, help="draw the coordinate axes")
+@click.option("-o", "--output", default="model_viz.png", show_default=True,
+              help="snapshot path (offscreen renderer)")
+@click.pass_context
+def model_viz(ctx, axes, output):
+    """View a pointcloud (.ply/.pcd/.las) or .stl file — offscreen
+    snapshot (ref: plugins/source.py:1039 model_viz)."""
+    from ..viz.core import Cloud, PointViz
+    from ..viz.drawables import Lines, Mesh, render_with_drawables
+
+    url = ctx.obj.url
+    ext = url.rsplit(".", 1)[-1].lower()
+    viz = PointViz("Model Viewer")
+    drawables = []
+    if ext == "stl":
+        from ..zone.zone import load_stl
+
+        drawables.append(Mesh(load_stl(url)))
+    elif ext in ("ply", "pcd", "las", "csv"):
+        from ..io.cloud_io import read_pointcloud
+
+        pts, attrs = read_pointcloud(url)
+        key = None
+        for name in ("reflectivity", "intensity", "signal"):
+            if name in attrs:
+                key = np.asarray(attrs[name], np.float32)
+                break
+        viz.add(Cloud(np.asarray(pts, np.float32), key=key, point_size=3))
+    else:
+        raise click.ClickException(
+            "unsupported file type: only .stl/.ply/.pcd/.las/.csv")
+    if axes:
+        segs = np.array([[[0, 0, 0], [1, 0, 0]], [[0, 0, 0], [0, 1, 0]],
+                         [[0, 0, 0], [0, 0, 1]]], np.float32)
+        drawables.append(Lines(segs, (255, 64, 64)))
+    if drawables:
+        frame = render_with_drawables(viz, drawables)
+        viz.save_png(output, frame)
+    else:
+        viz.save_png(output)
+    click.echo(f"wrote {output}")
+    ctx.obj.standalone = True
+
+
+@source.command("model_save")
+@click.argument("filename")
+@click.option("-d", "--downsample", type=float, default=None,
+              help="voxel size in meters")
+@click.option("--overwrite", is_flag=True, default=False)
+@click.pass_context
+def model_save(ctx, filename, downsample, overwrite):
+    """Resave a pointcloud file, optionally voxel-downsampled
+    (ref: plugins/source.py:1082 model_save)."""
+    import os as _os
+
+    from ..io.cloud_io import read_pointcloud, write_pointcloud
+    from ..ops.downsample import voxel_downsample
+
+    if not overwrite and _os.path.isfile(filename):
+        raise click.ClickException(
+            f"'{filename}' exists; pass --overwrite to replace it")
+    pts, _attrs = read_pointcloud(ctx.obj.url)
+    if downsample is not None:
+        pts, _ = voxel_downsample(pts, downsample)
+    write_pointcloud(filename, np.asarray(pts, np.float32))
+    click.echo(f"wrote {filename} ({len(pts)} points)")
+    ctx.obj.standalone = True
+
+
 @source.command("normals")
 @click.pass_context
 def source_normals(ctx):

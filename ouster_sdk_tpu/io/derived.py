@@ -50,6 +50,122 @@ def mask_scan(scan: LidarScan, mask: np.ndarray,
     return scan
 
 
+def _resolve_pixel_fields(scan: LidarScan,
+                          fields: Optional[Sequence[str]] = None
+                          ) -> List[str]:
+    """Pixel-field targets: default all (h, w, ...) pixel fields; an
+    explicit list is validated (ref: scan_ops.py:8)."""
+    if fields:
+        out = []
+        for name in fields:
+            if not scan.has_field(name):
+                raise ValueError(f"scan has no field {name!r}")
+            out.append(name)
+        return out
+    return [name for name in scan.fields
+            if scan.field(name).ndim >= 2
+            and scan.field(name).shape[:2] == (scan.h, scan.w)]
+
+
+def filter_field(scan: LidarScan, field: str, lower: float, upper: float,
+                 invalid: int = 0,
+                 filtered_fields: Optional[Sequence[str]] = None
+                 ) -> LidarScan:
+    """Set pixels of the filtered fields to `invalid` wherever `field`'s
+    value falls in [lower, upper], in place (ref: scan_ops.py:47)."""
+    targets = _resolve_pixel_fields(scan, filtered_fields)
+    m = scan.field(field)
+    if m.shape[:2] != (scan.h, scan.w):
+        raise ValueError(
+            f"filter_field needs an (h, w) pixel field; {field!r} has "
+            f"shape {m.shape} for scan ({scan.h}, {scan.w})")
+    hit = (m >= lower) & (m <= upper)
+    for name in targets:
+        scan.field(name)[hit] = invalid
+    return scan
+
+
+def filter_uv(scan: LidarScan, coord_2d: str, lower, upper,
+              invalid: int = 0,
+              filtered_fields: Optional[Sequence[str]] = None) -> LidarScan:
+    """Set pixels inside the image-index band [lower, upper) of axis
+    'u' (rows) or 'v' (destaggered columns) to `invalid`, in place.
+    Float bounds in [0, 1] are fractions of the axis size
+    (ref: scan_ops.py:77 — the 'v' axis filters the DESTAGGERED image)."""
+    from ..ops.destagger import destagger
+
+    if coord_2d not in ("u", "v"):
+        raise ValueError(f"coord_2d == {coord_2d!r} must be 'u' or 'v'")
+    size = scan.h if coord_2d == "u" else scan.w
+
+    def as_index(v) -> int:
+        if v == float("-inf"):
+            return 0
+        if v == float("inf"):
+            return size
+        if isinstance(v, float) and 0 <= v <= 1:
+            return int(size * v)
+        return int(v)
+
+    lo, hi = as_index(lower), as_index(upper)
+    if lo < 0 or hi > size:
+        raise ValueError(f"bounds [{lo}, {hi}] outside [0, {size}]")
+    if lo > hi:
+        raise ValueError(f"lower {lo} must not exceed upper {hi}")
+    targets = _resolve_pixel_fields(scan, filtered_fields)
+    for name in targets:
+        f = scan.field(name)
+        if coord_2d == "u":
+            f[lo:hi] = invalid
+        else:
+            img = destagger(scan.sensor_info, f)
+            img[:, lo:hi] = invalid
+            f[:] = destagger(scan.sensor_info, img, inverse=True)
+    return scan
+
+
+_SECOND_RETURN_FIELDS = frozenset(
+    {ChanField.RANGE2, ChanField.SIGNAL2, ChanField.REFLECTIVITY2,
+     ChanField.FLAGS2})
+
+
+def filter_xyz(scan: LidarScan, xyzlut, axis_idx: int,
+               lower: float = float("-inf"), upper: float = float("inf"),
+               invalid: int = 0,
+               filtered_fields: Optional[Sequence[str]] = None,
+               dewarp_points: bool = False) -> LidarScan:
+    """Set pixels whose Cartesian coordinate (axis_idx: 0=X 1=Y 2=Z,
+    meters) falls in [lower, upper] to `invalid`, in place. Second-return
+    fields use the RANGE2 projection; everything else uses RANGE. With
+    dewarp_points, coordinates are world-frame via scan.pose
+    (ref: scan_ops.py:132)."""
+    from ..ops.pose import dewarp_np
+
+    if not 0 <= axis_idx <= 2:
+        raise ValueError(f"axis_idx == {axis_idx} must be in [0, 2]")
+    targets = _resolve_pixel_fields(scan, filtered_fields)
+
+    def coord_mask(range_field: str):
+        pts = np.asarray(xyzlut(scan.field(range_field)))
+        if dewarp_points:
+            pts = dewarp_np(pts, scan.pose)
+        c = pts[:, :, axis_idx]
+        return (c >= lower) & (c <= upper)
+
+    m1 = coord_mask(ChanField.RANGE) if scan.has_field(ChanField.RANGE) \
+        else None
+    m2 = coord_mask(ChanField.RANGE2) if scan.has_field(ChanField.RANGE2) \
+        else None
+    if m1 is None and m2 is None:
+        return scan
+    for name in targets:
+        hit = (m2 if m2 is not None else m1) \
+            if name in _SECOND_RETURN_FIELDS \
+            else (m1 if m1 is not None else m2)
+        scan.field(name)[hit] = invalid
+    return scan
+
+
 def reduce_scan(scan: LidarScan, beams: int) -> LidarScan:
     """Decimate beams to `beams` rows (ref: scan_ops.py:242 reduce_by_factor;
     beams must divide the current count evenly)."""

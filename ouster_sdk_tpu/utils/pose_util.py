@@ -93,6 +93,30 @@ class Trajectory:
             scan.pose[valid] = self.pose_at(ts[valid])
 
 
+def get_rot_matrix_to_align_to_gravity(accel_x: float, accel_y: float,
+                                       accel_z: float) -> np.ndarray:
+    """Rotation aligning the measured gravity (accelerometer mean) with
+    [0, 0, 1], yaw fixed to zero (ref: sdk/util/pose_util.py:636
+    get_rot_matrix_to_align_to_gravity — Rodrigues + counter-yaw)."""
+    g = np.array([0.0, 0.0, 1.0])
+    a = np.array([accel_x, accel_y, accel_z], dtype=np.float64)
+    a = a / np.linalg.norm(a)
+    axis = np.cross(a, g)
+    n = np.linalg.norm(axis)
+    if n > 0:
+        axis = axis / n
+    angle = np.arccos(np.clip(np.dot(a, g), -1.0, 1.0))
+    K = np.array([[0.0, -axis[2], axis[1]],
+                  [axis[2], 0.0, -axis[0]],
+                  [-axis[1], axis[0], 0.0]])
+    R_align = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    fwd = R_align @ np.array([1.0, 0.0, 0.0])
+    yaw = np.arctan2(fwd[1], fwd[0])
+    c, s = np.cos(-yaw), np.sin(-yaw)
+    R_yaw = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    return R_yaw @ R_align
+
+
 def load_kitti_poses(path: str) -> np.ndarray:
     """(ref: slam_util.cpp KITTI import): (N, 4, 4) from N x 12 rows."""
     rows = np.loadtxt(path).reshape(-1, 3, 4)
