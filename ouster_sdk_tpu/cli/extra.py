@@ -112,6 +112,59 @@ def source_replay(ctx, rate, serve, loop, udp_dest, lidar_port, imu_port,
     ctx.obj.add_stage(stage)
 
 
+@source.command("emulate_zones")
+@click.option("-c", "--config", default=None, type=click.Path(exists=True),
+              help="zone configuration zip (default: zone set embedded in "
+                   "the source metadata)")
+@click.option("-l", "--live", default=None,
+              help="comma-separated zone ids to make live")
+@click.pass_context
+def source_emulate_zones(ctx, config, live):
+    """Emulate zone monitoring off-sensor: writes per-pixel ZONE_MASK bits
+    and (16,) ZONE_STATES records into each scan
+    (ref: plugins/source.py:1158 source_emulate_zones,
+    sdk/zone_monitor/zone_common.py EmulatedZoneMon)."""
+    from ..core.constants import ChanField
+    from ..core.field import ZONE_STATE_DTYPE, FieldClass, FieldType
+    from ..zone.monitor import EmulatedZoneMon
+    from ..zone.zone import ZoneSet
+
+    if config is None:
+        raise click.ClickException(
+            "no zone configuration: pass --config <zones.zip>")
+    zone_set = ZoneSet.from_zip(open(config, "rb").read())
+    live_ids = [int(v) for v in live.split(",")] if live else None
+
+    pipeline = ctx.obj
+
+    def stage(it):
+        mons = None
+        for ls_set in it:
+            if mons is None:
+                mons = [EmulatedZoneMon(zone_set, info)
+                        for info in pipeline.infos]
+                if live_ids is not None:
+                    for m in mons:
+                        m.set_live_zones(live_ids)
+            for k, s in enumerate(ls_set):
+                if s is None:
+                    continue
+                if not s.has_field(ChanField.ZONE_MASK):
+                    s.add_field(FieldType(ChanField.ZONE_MASK, np.uint16,
+                                          (), FieldClass.PIXEL_FIELD))
+                if not s.has_field(ChanField.ZONE_STATES):
+                    s.add_field(FieldType(ChanField.ZONE_STATES,
+                                          ZONE_STATE_DTYPE, (16,),
+                                          FieldClass.SCAN_FIELD))
+                mask = s.field(ChanField.ZONE_MASK)
+                mask[:] = 0
+                mons[k].calc_triggers(s.field(ChanField.RANGE), mask)
+                s.field(ChanField.ZONE_STATES)[:] = mons[k].get_packet()
+            yield ls_set
+
+    ctx.obj.add_stage(stage)
+
+
 @source.command("model_viz")
 @click.option("--axes", is_flag=True, help="draw the coordinate axes")
 @click.option("-o", "--output", default="model_viz.png", show_default=True,

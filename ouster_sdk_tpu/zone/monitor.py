@@ -18,7 +18,7 @@ import numpy as np
 from ..core.constants import RANGE_UNIT
 from ..core.types import SensorInfo
 from ..ops.xyzlut import make_xyz_lut
-from .zone import Zone, ZoneSet
+from .zone import Zone, ZoneMode, ZoneSet
 from .zrb import Zrb
 
 
@@ -107,6 +107,108 @@ def zone_occupancy_jax(range_img, near_mm, far_mm):
     r = range_img[None].astype(jnp.uint32)
     inside = (r > 0) & (r >= near_mm) & (r <= far_mm) & (far_mm > 0)
     return inside.sum(axis=(1, 2), dtype=jnp.int32)
+
+
+MAX_ACTIVE_ZONES = 16
+MAX_AVAILABLE_ZONES = 128
+
+
+class EmulatedZoneMon:
+    """Off-sensor zone-monitor emulation: per-frame occupancy /
+    occlusion / invalid counts, trigger hysteresis (frame_count
+    consecutive frames before alerting), per-pixel ZONE_MASK bits for
+    live zones, and ZoneState records identical to the sensor's zone
+    packets (ref: sdk/zone_monitor/zone_common.py:14 EmulatedZoneMon)."""
+
+    def __init__(self, zone_set: ZoneSet, info: SensorInfo,
+                 zrbs: Optional[Dict[int, Zrb]] = None,
+                 m_per_zmbin: float = 0.004):
+        if not zone_set.zones:
+            raise ValueError("ZoneSet must have at least one zone defined")
+        self.zone_set = zone_set
+        self.zones = {z.id: z for z in zone_set.zones}
+        self.rendered = zrbs if zrbs is not None else {
+            z.id: render_zone_bounds(z, info, m_per_zmbin)
+            for z in zone_set.zones}
+        self.live_zones: List[int] = zone_set.live_ids
+        self.zone_triggers = [0] * MAX_AVAILABLE_ZONES
+        self.zone_alerts = [0] * MAX_AVAILABLE_ZONES
+        self.triggered_zone_ids: List[int] = []
+        self.zone_counts: Dict[int, int] = {}
+        self.occlusion_counts: Dict[int, int] = {}
+        self.invalid_counts: Dict[int, int] = {}
+        self.zone_mins: Dict[int, int] = {}
+        self.zone_maxes: Dict[int, int] = {}
+        self.zone_avgs: Dict[int, int] = {}
+        self.max_counts: Dict[int, int] = {
+            zid: int(np.count_nonzero(zrb.near_range_mm < zrb.far_range_mm))
+            for zid, zrb in self.rendered.items()}
+
+    def set_live_zones(self, live_zones: List[int]) -> None:
+        self.live_zones = list(live_zones)
+
+    def calc_triggers(self, range_field: np.ndarray,
+                      bitmask_field: Optional[np.ndarray] = None) -> None:
+        """One frame update: counts + hysteresis; sets bit (1 << live
+        index) in bitmask_field for pixels inside each live zone."""
+        for zid, zone in self.zones.items():
+            if zid not in self.live_zones:
+                continue
+            zrb = self.rendered[zid]
+            inside = (range_field > 0) & \
+                (zrb.near_range_mm <= range_field) & \
+                (range_field <= zrb.far_range_mm)
+            self.zone_counts[zid] = int(np.count_nonzero(inside))
+            self.invalid_counts[zid] = int(np.count_nonzero(
+                (range_field == 0) & (zrb.near_range_mm > 0)))
+            self.occlusion_counts[zid] = int(np.count_nonzero(
+                (range_field > 0) & (range_field <= zrb.near_range_mm)))
+            pts = range_field[inside]
+            self.zone_avgs[zid] = int(pts.mean()) if pts.size else 0
+            self.zone_mins[zid] = int(pts.min()) if pts.size else 0
+            self.zone_maxes[zid] = int(pts.max()) if pts.size else 0
+            if bitmask_field is not None:
+                bitmask_field[inside] |= np.array(
+                    1 << self.live_zones.index(zid),
+                    dtype=bitmask_field.dtype)
+            occupied = self.zone_counts[zid] >= zone.min_points
+            if (occupied and zone.mode == ZoneMode.OCCUPANCY) or \
+                    (not occupied and zone.mode == ZoneMode.VACANCY):
+                self.zone_triggers[zid] += 1
+            else:
+                self.zone_triggers[zid] = 0
+            if self.zone_triggers[zid] >= zone.frame_count:
+                self.zone_alerts[zid] += 1
+            else:
+                self.zone_alerts[zid] = 0
+        self.triggered_zone_ids = [
+            zid for zid, alerts in enumerate(self.zone_alerts) if alerts > 0]
+
+    def get_packet(self) -> np.recarray:
+        """(16,) ZoneState records, inactive slots id=255
+        (ref: zone_common.py get_packet)."""
+        from ..core.field import ZONE_STATE_DTYPE
+
+        zmu = np.zeros((MAX_ACTIVE_ZONES,), dtype=ZONE_STATE_DTYPE)
+        for k in range(MAX_ACTIVE_ZONES):
+            if k < len(self.live_zones):
+                zid = self.live_zones[k]
+                rec = zmu[k]
+                rec["live"] = 1
+                rec["id"] = zid
+                rec["count"] = self.zone_counts.get(zid, 0)
+                rec["occlusion_count"] = self.occlusion_counts.get(zid, 0)
+                rec["invalid_count"] = self.invalid_counts.get(zid, 0)
+                rec["max_count"] = self.max_counts.get(zid, 0)
+                rec["trigger_status"] = self.zone_alerts[zid] > 0
+                rec["trigger_type"] = self.zones[zid].mode.value
+                rec["triggered_frames"] = self.zone_alerts[zid]
+                rec["min_range"] = self.zone_mins.get(zid, 0)
+                rec["max_range"] = self.zone_maxes.get(zid, 0)
+                rec["mean_range"] = self.zone_avgs.get(zid, 0)
+            else:
+                zmu[k]["id"] = 255
+        return zmu.view(np.recarray)
 
 
 class ZoneMonitor:

@@ -21,11 +21,11 @@ import numpy as np
 
 
 class ZoneMode(Enum):
-    """(ref: zone.h:36)"""
+    """(ref: zone.h:36-42: NONE=0, OCCUPANCY=1, VACANCY=2)"""
 
-    DISABLED = 0
+    NONE = 0
     OCCUPANCY = 1
-    OCCLUSION = 2
+    VACANCY = 2
 
 
 def load_stl(data_or_path) -> np.ndarray:
@@ -92,6 +92,7 @@ class Zone:
     triangles: np.ndarray = dc_field(
         default_factory=lambda: np.zeros((0, 3, 3)))
     min_points: int = 1
+    frame_count: int = 1   # consecutive triggered frames before alerting
     min_range_m: float = 0.0
     max_range_m: float = 200.0
 
@@ -122,6 +123,15 @@ class ZoneSet:
     """(ref: zone_monitor.h:42)"""
 
     zones: List[Zone] = dc_field(default_factory=list)
+    # zones live at power-on (ref: zone_common.py power_on_live_ids);
+    # None = all zones live
+    power_on_live_ids: Optional[List[int]] = None
+
+    @property
+    def live_ids(self) -> List[int]:
+        if self.power_on_live_ids is not None:
+            return list(self.power_on_live_ids)
+        return [z.id for z in self.zones]
 
     def hash(self) -> bytes:
         h = hashlib.sha256()
@@ -138,8 +148,11 @@ class ZoneSet:
             cfg = {"zones": [
                 {"id": z.id, "name": z.name, "mode": z.mode.name.lower(),
                  "mesh": f"zone_{z.id}.stl", "min_points": z.min_points,
+                 "frame_count": z.frame_count,
                  "min_range_m": z.min_range_m, "max_range_m": z.max_range_m}
                 for z in self.zones]}
+            if self.power_on_live_ids is not None:
+                cfg["power_on_live_ids"] = list(self.power_on_live_ids)
             zf.writestr("zones.json", json.dumps(cfg, indent=2))
             for z in self.zones:
                 zf.writestr(f"zone_{z.id}.stl", save_stl(None, z.triangles))
@@ -157,6 +170,7 @@ class ZoneSet:
                     mode=ZoneMode[zc.get("mode", "occupancy").upper()],
                     triangles=tris,
                     min_points=zc.get("min_points", 1),
+                    frame_count=zc.get("frame_count", 1),
                     min_range_m=zc.get("min_range_m", 0.0),
                     max_range_m=zc.get("max_range_m", 200.0)))
-        return cls(zones)
+        return cls(zones, power_on_live_ids=cfg.get("power_on_live_ids"))

@@ -148,3 +148,91 @@ def test_zone_viz_snapshot(tmp_path):
                            str(tmp_path / "zones.png"))
     assert os.path.getsize(p) > 500
     assert zone_color(1) != zone_color(2)
+
+
+def test_emulated_zone_mon_hysteresis():
+    """Trigger hysteresis + ZoneState records
+    (ref: sdk/zone_monitor/zone_common.py EmulatedZoneMon)."""
+    from ouster_sdk_tpu.zone.monitor import EmulatedZoneMon
+    from ouster_sdk_tpu.zone.zone import ZoneMode
+
+    info = _box_info()
+    z = Zone.box(1, [5, 0, 0], [2, 2, 2])
+    z.min_points = 5
+    z.frame_count = 2  # two consecutive triggered frames before alerting
+    mon = EmulatedZoneMon(ZoneSet([z]), info)
+
+    inside = np.full((info.h, info.w), 5000, dtype=np.uint32)
+    outside = np.full((info.h, info.w), 20000, dtype=np.uint32)
+    mask = np.zeros((info.h, info.w), np.uint16)
+
+    mon.calc_triggers(inside, mask)
+    assert mon.zone_counts[1] >= 5
+    assert mon.triggered_zone_ids == []      # 1 frame < frame_count
+    assert (mask[inside <= 0].size == 0) and mask.any()
+    mon.calc_triggers(inside)
+    assert mon.triggered_zone_ids == [1]     # 2 consecutive frames
+    pkt = mon.get_packet()
+    assert pkt[0]["id"] == 1 and pkt[0]["live"] == 1
+    assert pkt[0]["trigger_status"] == 1
+    assert pkt[0]["trigger_type"] == ZoneMode.OCCUPANCY.value
+    assert 4000 <= pkt[0]["mean_range"] <= 6500
+    assert pkt[1]["id"] == 255               # inactive slot sentinel
+    # leaving the zone resets both counters
+    mon.calc_triggers(outside)
+    assert mon.triggered_zone_ids == []
+    assert mon.zone_counts[1] == 0
+    # occlusion: everything closer than the zone's near bound
+    near_wall = np.full((info.h, info.w), 1000, dtype=np.uint32)
+    mon.calc_triggers(near_wall)
+    assert mon.occlusion_counts[1] > 0
+    # invalid: no return where the zone expects one
+    mon.calc_triggers(np.zeros((info.h, info.w), np.uint32))
+    assert mon.invalid_counts[1] > 0
+
+
+def test_emulated_zone_mon_vacancy_mode():
+    from ouster_sdk_tpu.zone.monitor import EmulatedZoneMon
+    from ouster_sdk_tpu.zone.zone import ZoneMode
+
+    info = _box_info()
+    z = Zone.box(1, [5, 0, 0], [2, 2, 2])
+    z.mode = ZoneMode.VACANCY
+    z.min_points = 5
+    mon = EmulatedZoneMon(ZoneSet([z]), info)
+    # empty zone triggers VACANCY immediately (frame_count=1)
+    mon.calc_triggers(np.full((info.h, info.w), 20000, dtype=np.uint32))
+    assert mon.triggered_zone_ids == [1]
+    mon.calc_triggers(np.full((info.h, info.w), 5000, dtype=np.uint32))
+    assert mon.triggered_zone_ids == []
+
+
+def test_zoneset_live_ids_zip_roundtrip():
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2]),
+                  Zone.box(2, [0, 5, 0], [1, 1, 3])],
+                 power_on_live_ids=[2])
+    back = ZoneSet.from_zip(zs.to_zip())
+    assert back.live_ids == [2]
+    zs2 = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2])])
+    assert ZoneSet.from_zip(zs2.to_zip()).live_ids == [1]
+
+
+def test_cli_emulate_zones():
+    import os
+
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    pcap = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(pcap):
+        import pytest
+
+        pytest.skip("fixture missing")
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [6, 6, 6])])
+    zpath = "/tmp/test_zones.zip"
+    open(zpath, "wb").write(zs.to_zip())
+    r = CliRunner().invoke(cli, [
+        "source", pcap, "slice", ":1",
+        "emulate_zones", "-c", zpath, "stats"])
+    assert r.exit_code == 0, r.output
