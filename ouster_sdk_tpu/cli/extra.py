@@ -112,6 +112,76 @@ def source_replay(ctx, rate, serve, loop, udp_dest, lidar_port, imu_port,
     ctx.obj.add_stage(stage)
 
 
+@source.command("pcap_info")
+@click.option("-n", type=int, default=-1, help="read only N packets")
+@click.pass_context
+def pcap_info(ctx, n):
+    """Print pcap stream analysis: encapsulation, capture window, and a
+    per-(src, dst, size) UDP stream table (ref: plugins/source_pcap.py:53
+    pcap_info; os_pcap.h:89-178 StreamInfo)."""
+    import os as _os
+    from collections import Counter
+    from datetime import datetime
+
+    from ..io.pcap import PcapReader
+
+    path = ctx.obj.url
+    size = _os.path.getsize(path)
+    streams: Counter = Counter()
+    ts_min, ts_max = None, None
+    total = 0
+    for pi, payload in PcapReader(path):
+        total += 1
+        t = pi.timestamp / 1e9 if pi.timestamp > 10**14 else \
+            pi.timestamp / 1e6
+        ts_min = t if ts_min is None else min(ts_min, t)
+        ts_max = t if ts_max is None else max(ts_max, t)
+        streams[(pi.src_ip, pi.src_port, pi.dst_ip, pi.dst_port,
+                 len(payload))] += 1
+        if 0 <= n <= total:
+            break
+    click.echo(f"File size:     {size / 2**20:.2f}M")
+    click.echo(f"Packets read:  {total}")
+    if ts_min is not None:
+        start = datetime.fromtimestamp(ts_min)
+        end = datetime.fromtimestamp(ts_max)
+        click.echo(f"Capture start: {start}")
+        click.echo(f"Capture end:   {end}")
+        click.echo(f"Duration:      {end - start}")
+    click.echo("UDP Streams:")
+    click.echo(f"  {'Src':<21} {'Dst':<21} {'Size':>6} {'Count':>8}")
+    for (sip, sp, dip, dp, sz), cnt in sorted(streams.items()):
+        click.echo(f"  {sip}:{sp:<5} {dip}:{dp:<5} {sz:>6} {cnt:>8}")
+    ctx.obj.standalone = True
+
+
+@source.command("bag_info")
+@click.pass_context
+def bag_info(ctx):
+    """Print bag container info: time window, message count, topics
+    (ref: plugins/source_bag.py:19 bag_info)."""
+    from ..io.bag import open_bag_reader
+
+    reader = open_bag_reader(ctx.obj.url)
+    msgs = list(reader.messages())
+    times = [m.timestamp for m in msgs]
+    click.echo(f"Filename: {ctx.obj.url}")
+    if times:
+        t0, t1 = min(times), max(times)
+        click.echo(f"Start: {t0 / 1e9}")
+        click.echo(f"End: {t1 / 1e9}")
+        click.echo(f"Duration: {(t1 - t0) / 1e9}")
+    click.echo(f"Message Count: {len(msgs)}")
+    click.echo("\nTopics:")
+    from collections import Counter
+
+    counts = Counter((m.connection.topic, m.connection.msgtype)
+                     for m in msgs)
+    for (topic, msgtype), cnt in sorted(counts.items()):
+        click.echo(f"  {topic} ({msgtype}): {cnt}")
+    ctx.obj.standalone = True
+
+
 @source.command("emulate_zones")
 @click.option("-c", "--config", default=None, type=click.Path(exists=True),
               help="zone configuration zip (default: zone set embedded in "
@@ -278,6 +348,37 @@ def osf_info_cmd(path):
     from ..io.osf_ops import osf_info
 
     click.echo(json.dumps(osf_info(path), indent=2))
+
+
+@osf.command("dump")
+@click.argument("path")
+@click.option("-s", "--short", is_flag=True, help="omit entry payloads")
+def osf_dump_cmd(path, short):
+    """Dump all metadata entries as JSON (ref: plugins/source_osf.py:20
+    osf_dump / operations.cpp dump_metadata)."""
+    from ..io.osf import Reader
+
+    r = Reader(path)
+    out = {
+        "metadata_id": r.metadata_id,
+        "start_ts": r.start_ts,
+        "end_ts": r.end_ts,
+        "chunk_count": len(r.chunk_offsets),
+        "entries": {},
+    }
+    for eid, ent in sorted(r.entries.items()):
+        item = {"type": ent.type, "size": len(ent.buffer)}
+        if not short and ent.type.endswith("LidarSensor"):
+            # LidarSensor entries hold the sensor_info json verbatim
+            try:
+                from ..utils import flatbuf as fb
+
+                tbl = fb.root_auto(ent.buffer)
+                item["metadata"] = json.loads(tbl.string(0))
+            except Exception:
+                pass
+        out["entries"][eid] = item
+    click.echo(json.dumps(out, indent=2))
 
 
 @osf.command("slice")

@@ -137,3 +137,52 @@ def test_cli_filter_xyz_units(tmp_path):
         "filter", "--coord-frame", "SENSOR", "Z", "-1m:1m",
         "stats"])
     assert r.exit_code == 0, r.output
+
+
+def test_cli_pcap_info():
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    r = CliRunner().invoke(cli, ["source", PCAP, "pcap_info"])
+    assert r.exit_code == 0, r.output
+    assert "UDP Streams:" in r.output
+    assert "24832" in r.output  # the 1024x10 lidar packet size
+
+
+def test_cli_bag_info():
+    bag = "/root/reference/tests/bags/512x10_raw.bag"
+    if not os.path.exists(bag):
+        pytest.skip("fixture missing")
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    r = CliRunner().invoke(cli, ["source", bag, "bag_info"])
+    assert r.exit_code == 0, r.output
+    assert "lidar_packets" in r.output
+    assert "Message Count:" in r.output
+
+
+def test_cli_osf_dump():
+    osf = "/root/reference/tests/osfs/single_scan_016.osf"
+    if not os.path.exists(osf):
+        pytest.skip("fixture missing")
+    import json as _json
+
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    r = CliRunner().invoke(cli, ["osf", "dump", osf])
+    assert r.exit_code == 0, r.output
+    out = _json.loads(r.output)
+    types = [e["type"] for e in out["entries"].values()]
+    assert "ouster/v1/os_sensor/LidarSensor" in types
+    sensor = [e for e in out["entries"].values()
+              if e["type"].endswith("LidarSensor")][0]
+    assert "beam_intrinsics" in sensor["metadata"]
+    r2 = CliRunner().invoke(cli, ["osf", "dump", "-s", osf])
+    assert r2.exit_code == 0 and "beam_intrinsics" not in r2.output
