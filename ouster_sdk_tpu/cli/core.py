@@ -498,10 +498,30 @@ def source_stats(ctx):
               help="start a new output file every SPLIT megabytes")
 @click.option("--ros2", is_flag=True, default=False,
               help="write bags as ROS2 (rosbag2 sqlite3) storage")
+@click.option("--field", "cloud_field", default="REFLECTIVITY",
+              show_default=True,
+              type=click.Choice(["SIGNAL", "NEAR_IR", "REFLECTIVITY",
+                                 "NONE"], case_sensitive=False),
+              help="cloud formats: key attribute column (NONE omits it)")
+@click.option("--decimate/--no-decimate", default=False,
+              help="cloud formats: voxel-downsample the output")
+@click.option("--voxel-size", default=0.1, type=float, show_default=True,
+              help="cloud formats: decimation voxel size (m)")
+@click.option("--min-z", default=None, type=float,
+              help="cloud formats: min z threshold (m)")
+@click.option("--max-z", default=None, type=float,
+              help="cloud formats: max z threshold (m)")
+@click.option("-f", "--pts-per-file", default=100_000_000, type=int,
+              show_default=True,
+              help="cloud formats: points per output file")
+@click.option("--ascii", "ascii_out", is_flag=True, default=False,
+              help="cloud formats: ASCII instead of binary")
 @click.pass_context
 def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
-                compression_level, use_png, chunk_size, split_mb, ros2):
-    """Save the stream to .osf/.pcap/.bag/.db3/.csv/.ply/.pcd/.las
+                compression_level, use_png, chunk_size, split_mb, ros2,
+                cloud_field, decimate, voxel_size, min_z, max_z,
+                pts_per_file, ascii_out):
+    """Save the stream to .osf/.pcap/.bag/.db3/.mcap/.csv/.ply/.pcd/.las
     (ref: plugins/source_save.py option surface)."""
     if prefix or out_dir:
         path = os.path.join(out_dir or ".", prefix + os.path.basename(path))
@@ -519,26 +539,42 @@ def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
                        chunk_size=chunk_size,
                        compression_level=compression_level,
                        encoder="png" if use_png else "zpng",
-                       ts_mode=ts_mode, ros2=ros2, split_mb=split_mb)
+                       ts_mode=ts_mode, ros2=ros2, split_mb=split_mb,
+                       cloud_opts=dict(
+                           field=cloud_field, decimate=decimate,
+                           voxel_size=voxel_size, min_z=min_z,
+                           max_z=max_z, pts_per_file=pts_per_file,
+                           ascii_out=ascii_out)
+                       if ext in (".csv", ".ply", ".pcd", ".las")
+                       else None)
         click.echo(f"wrote {n} scans to {path} ({ext})")
 
     pipeline.consumers.append(consumer)
 
 
 @source.command("slam")
-@click.option("--voxel-size", type=float, default=-1.0)
+@click.option("--voxel-size", "-v", type=float, default=-1.0)
 @click.option("--min-range", type=float, default=5.0)
 @click.option("--max-range", type=float, default=100.0)
+@click.option("--deskew-method", default="auto", show_default=True,
+              type=click.Choice(["auto", "none", "constant_velocity",
+                                 "imu_deskew"]),
+              help="motion compensation (auto = IMU integration when the "
+                   "scans carry IMU fields, else constant velocity)")
+@click.option("--dump-map", "-d", default=None,
+              help="write the final SLAM map points to this .ply file")
 @click.option("--trajectory", default=None,
               help="write KITTI poses to this file")
 @click.pass_context
-def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
+def source_slam(ctx, voxel_size, min_range, max_range, deskew_method,
+                dump_map, trajectory):
     """Run KISS-ICP SLAM over the stream, updating scan poses
-    (ref: plugins/source_mapping.py)."""
+    (ref: plugins/source_mapping.py:298 source_slam)."""
     from ..slam.engine import SlamConfig, SlamEngine
 
     engine = SlamEngine(ctx.obj.infos, SlamConfig(
-        min_range=min_range, max_range=max_range, voxel_size=voxel_size))
+        min_range=min_range, max_range=max_range, voxel_size=voxel_size,
+        deskew=deskew_method))
     poses: List[np.ndarray] = []
 
     def stage(it):
@@ -548,6 +584,19 @@ def source_slam(ctx, voxel_size, min_range, max_range, trajectory):
             yield ls_set
 
     ctx.obj.add_stage(stage)
+
+    if dump_map:
+        def map_consumer(it):
+            for _ in it:
+                pass
+            from ..io.cloud_io import write_pointcloud
+
+            pts = engine.get_point_cloud()
+            write_pointcloud(dump_map, pts)
+            click.echo(f"map was dumped to {dump_map} "
+                       f"({len(pts)} points)")
+
+        ctx.obj.consumers.append(map_consumer)
 
     if trajectory:
         def consumer(it):

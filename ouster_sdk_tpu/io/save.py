@@ -72,7 +72,8 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
                encoder: str = "png",
                ts_mode: str = "packet",
                ros2: bool = False,
-               split_mb: Optional[int] = None) -> int:
+               split_mb: Optional[int] = None,
+               cloud_opts: Optional[dict] = None) -> int:
     """Dispatch on extension; returns number of scans written.
 
     Option surface mirrors the reference save command
@@ -100,14 +101,9 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
     if ext == ".mcap":
         return _save_bag(path, infos, scan_sets, mcap=True,
                          split_mb=split_mb)
-    if ext == ".csv":
-        return _save_points(path, infos, scan_sets, "csv")
-    if ext == ".ply":
-        return _save_points(path, infos, scan_sets, "ply")
-    if ext == ".pcd":
-        return _save_points(path, infos, scan_sets, "pcd")
-    if ext == ".las":
-        return _save_points(path, infos, scan_sets, "las")
+    if ext in (".csv", ".ply", ".pcd", ".las"):
+        return _save_points(path, infos, scan_sets, ext[1:],
+                            **(cloud_opts or {}))
     raise ValueError(f"unsupported save format {ext}")
 
 
@@ -233,15 +229,53 @@ def _save_bag(path, infos, scan_sets, ros2: bool = False,
     return n
 
 
-def _save_points(path, infos, scan_sets, kind: str) -> int:
-    """Accumulate world-frame points from all scans and write one cloud
-    (ref: source_save.py point-cloud consumers write per-scan files; we
-    write `<stem>_NNN.<ext>` per scan like the reference)."""
+def _save_points(path, infos, scan_sets, kind: str, *,
+                 field: Optional[str] = ChanField.REFLECTIVITY,
+                 decimate: bool = False, voxel_size: float = 0.1,
+                 min_z: Optional[float] = None,
+                 max_z: Optional[float] = None,
+                 pts_per_file: int = 100_000_000,
+                 ascii_out: bool = False) -> int:
+    """Accumulate world-frame points from all scans into output files of
+    at most `pts_per_file` points (ref: source_save.py:371-460
+    point-cloud convert: key field choice, voxel decimation, z band,
+    per-file split, ascii)."""
+    from ..ops.downsample import voxel_downsample
     from .cloud_io import write_pointcloud
 
     luts = [make_xyz_lut(i, use_extrinsics=True) for i in infos]
     stem, ext = os.path.splitext(path)
-    n = 0
+    key_name = None if (field is None or str(field).upper() == "NONE") \
+        else str(field).upper()
+    pts_acc: list = []
+    key_acc: list = []
+    n_scans = 0
+    n_files = 0
+    n_buffered = 0
+
+    def flush(last: bool):
+        nonlocal n_files, n_buffered
+        if not n_buffered:
+            return
+        pts = np.concatenate(pts_acc)
+        attrs = {}
+        if key_acc:
+            attrs[key_name.lower()] = np.concatenate(key_acc)
+        if decimate:
+            vals = voxel_downsample(
+                pts, voxel_size, list(attrs.values()) or None)
+            pts = vals[0]
+            for name, a in zip(list(attrs), vals[1]):
+                attrs[name] = a
+        out = path if (last and n_files == 0) \
+            else f"{stem}-{n_files:03d}{ext}"
+        write_pointcloud(out, pts, kind=kind, attributes=attrs,
+                         binary=not ascii_out)
+        n_files += 1
+        pts_acc.clear()
+        key_acc.clear()
+        n_buffered = 0
+
     for ls_set in scan_sets:
         for idx, scan in enumerate(ls_set):
             if scan is None:
@@ -255,12 +289,18 @@ def _save_points(path, infos, scan_sets, kind: str) -> int:
                 scan.pose[None, :, :, :], (scan.h, scan.w, 4, 4))[valid]
             pts = np.einsum("nij,nj->ni", pose_cols[:, :3, :3], pts) \
                 + pose_cols[:, :3, 3]
-            attrs = {}
-            if scan.has_field(ChanField.REFLECTIVITY):
-                attrs["reflectivity"] = \
-                    scan.field(ChanField.REFLECTIVITY)[valid]
-            out_path = f"{stem}_{n:03d}{ext}" \
-                if not isinstance(scan_sets, list) else path
-            write_pointcloud(out_path, pts, kind=kind, attributes=attrs)
-            n += 1
-    return n
+            keep = np.ones(len(pts), bool)
+            if min_z is not None:
+                keep &= pts[:, 2] >= min_z
+            if max_z is not None:
+                keep &= pts[:, 2] <= max_z
+            pts = pts[keep]
+            pts_acc.append(pts)
+            if key_name is not None and scan.has_field(key_name):
+                key_acc.append(scan.field(key_name)[valid][keep])
+            n_buffered += len(pts)
+            n_scans += 1
+            if n_buffered >= pts_per_file:
+                flush(last=False)
+    flush(last=True)
+    return n_scans

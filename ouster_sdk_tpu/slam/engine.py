@@ -31,7 +31,10 @@ class SlamConfig:
     max_range: float = 100.0
     voxel_size: float = -1.0  # <= 0: estimate from data
     initial_pose: Optional[np.ndarray] = None
-    deskew: str = "constant_velocity"  # "none" | "constant_velocity"
+    # "none" | "constant_velocity" | "imu_deskew" | "auto" (auto picks
+    # IMU integration when scans carry IMU fields, else constant
+    # velocity; ref: source_mapping.py --deskew-method)
+    deskew: str = "constant_velocity"
 
 
 def _interp_poses_along(t_frac: np.ndarray, pose0: np.ndarray,
@@ -82,6 +85,7 @@ class SlamEngine:
         self._prev_pose: Optional[np.ndarray] = None
         self._voxel_size = self.config.voxel_size
         self._time_correction = ActiveTimeCorrection(infos)
+        self._imu_deskew = None  # resolved on first update for auto
 
     def _ensure_kiss(self, scans: Sequence[Optional[LidarScan]]) -> KissICP:
         if self._kiss is None:
@@ -147,7 +151,19 @@ class SlamEngine:
         # active_time_correction_.update)
         self._time_correction.update(scans)
 
-        self._predict_poses(scans)
+        mode = (self.config.deskew or "none").lower()
+        if mode in ("imu", "imu_deskew") or (mode == "auto" and any(
+                s is not None and s.has_field(ChanField.IMU_GYRO)
+                for s in scans)):
+            if self._imu_deskew is None:
+                from .deskew import InertialIntegrationImuDeskewMethod
+
+                self._imu_deskew = InertialIntegrationImuDeskewMethod(
+                    self.infos)
+                self._imu_deskew.set_last_pose(0, self._last_pose)
+            self._imu_deskew.update(scans)
+        else:
+            self._predict_poses(scans)
 
         # mid-scan column pose = registration anchor
         anchor = None
@@ -177,6 +193,9 @@ class SlamEngine:
         self._time_correction.reset(scans)
         self._prev_pose = self._last_pose
         self._last_pose = new_pose
+        if self._imu_deskew is not None:
+            anchor_ts = int(anchor.first_valid_column_timestamp() or 0)
+            self._imu_deskew.set_last_pose(anchor_ts, new_pose)
 
     def get_point_cloud(self) -> np.ndarray:
         if self._kiss is None:

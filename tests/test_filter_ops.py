@@ -186,3 +186,66 @@ def test_cli_osf_dump():
     assert "beam_intrinsics" in sensor["metadata"]
     r2 = CliRunner().invoke(cli, ["osf", "dump", "-s", osf])
     assert r2.exit_code == 0 and "beam_intrinsics" not in r2.output
+
+
+def test_cli_save_cloud_options(tmp_path):
+    """save .ply with key field, z band, decimation, pts-per-file split
+    (ref: source_save.py:371-460)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+    from ouster_sdk_tpu.io.cloud_io import read_pointcloud
+
+    out = str(tmp_path / "c.ply")
+    r = CliRunner().invoke(cli, [
+        "source", PCAP, "slice", ":1",
+        "save", "--field", "REFLECTIVITY", "--min-z", "-2", "--max-z", "2",
+        out])
+    assert r.exit_code == 0, r.output
+    pts, attrs = read_pointcloud(out)
+    assert len(pts) > 1000
+    assert (pts[:, 2] >= -2 - 1e-6).all() and (pts[:, 2] <= 2 + 1e-6).all()
+    assert "reflectivity" in attrs
+
+    out2 = str(tmp_path / "d.ply")
+    r = CliRunner().invoke(cli, [
+        "source", PCAP, "slice", ":1",
+        "save", "--decimate", "--voxel-size", "2.0", "--field", "NONE",
+        out2])
+    assert r.exit_code == 0, r.output
+    pts2, attrs2 = read_pointcloud(out2)
+    assert 0 < len(pts2) < len(pts) and not attrs2
+
+    # pts-per-file split rolls files (fixture has one frame; feed it
+    # twice through the API)
+    import glob
+
+    from ouster_sdk_tpu.io.save import save_scans
+    from ouster_sdk_tpu.io.sources import open_source
+
+    src = open_source(PCAP)
+    ls_set = next(iter(src))
+    out3 = str(tmp_path / "e.ply")
+    save_scans(out3, src.sensor_info, [ls_set, ls_set],
+               cloud_opts=dict(pts_per_file=10000))
+    files = sorted(glob.glob(str(tmp_path / "e-*.ply")))
+    assert len(files) >= 2
+
+
+def test_cli_slam_dump_map(tmp_path):
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+    from ouster_sdk_tpu.io.cloud_io import read_pointcloud
+
+    out = str(tmp_path / "map.ply")
+    r = CliRunner().invoke(cli, [
+        "source", PCAP, "slam", "--deskew-method", "none",
+        "--dump-map", out])
+    assert r.exit_code == 0, r.output
+    pts, _ = read_pointcloud(out)
+    assert len(pts) > 100
