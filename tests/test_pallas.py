@@ -96,3 +96,92 @@ def test_planar_fused_dewarp_matches_host():
     assert (err <= np.maximum(4 * ulp, 1e-6)).all(), err.max()
     # no-return pixels stay at the origin, not at the pose translation
     assert (xyz_k[r == 0] == 0).all()
+
+
+def _stage_planar(frame, plan):
+    """Host re-stage packet words to (pw, h, w) planes + (chw, w) headers
+    (the layout native onat_group_frames_planar produces)."""
+    cols = frame[:, plan.hw:plan.hw + plan.cpp * plan.cw]
+    cols = cols.reshape(plan.w, plan.cw)
+    pix = cols[:, plan.chw:plan.chw + plan.h * plan.pw]
+    planes = np.ascontiguousarray(
+        pix.reshape(plan.w, plan.h, plan.pw).transpose(2, 1, 0))
+    hdrs = np.ascontiguousarray(cols[:, :plan.chw].T)
+    return planes, hdrs
+
+
+def _synth_profile_frame(profile, w=256, h=32):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_info, _synth_frame
+    from ouster_sdk_tpu import UDPProfileLidar
+
+    info = _make_info(w=w, h=h, dual=False)
+    info.format.udp_profile_lidar = UDPProfileLidar.from_string(profile)
+    info.beam_azimuth_angles = list(np.tile([3.164, 1.055, -1.055, -3.164],
+                                            h // 4))
+    info.beam_altitude_angles = list(np.linspace(22.5, -22.5, h))
+    return info, _synth_frame(info)
+
+
+@pytest.mark.parametrize("profile", [
+    "RNG19_RFL8_SIG16_NIR16_DUAL",      # aligned: pw=4, words 0,1
+    "RNG19_RFL8_SIG16_NIR16_RGB16_DUAL",  # odd pw=5: split fallback
+])
+def test_planar_dual_kernel_paths(profile):
+    """Both dual kernel layouts (merged 2-word block / split operands)
+    match the numpy-f64 host projection, and the words= subset path is
+    bit-identical to the full-plane path."""
+    from ouster_sdk_tpu import ChanField, PacketFormat
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_planar_batched)
+    from ouster_sdk_tpu.ops.pallas_lutfree import _field_plan
+    from ouster_sdk_tpu.ops.unpack import make_decode_plan
+
+    info, frame = _synth_profile_frame(profile)
+    plan = make_decode_plan(info)
+    planes, hdrs = _stage_planar(frame, plan)
+    lut64 = make_xyz_lut(info)
+    lut = PlanarLut(lut64)
+
+    o1, o2 = unpack_project_planar_batched(
+        jnp.asarray(planes[None].copy()), jnp.asarray(hdrs[None].copy()),
+        lut.stack, plan, dual=True, interpret=True, tile_w=128)
+
+    pf = PacketFormat.from_info(info)
+    bufs = np.ascontiguousarray(frame).view(np.uint8)
+    for out, field in ((o1, ChanField.RANGE), (o2, ChanField.RANGE2)):
+        rng = pf.packet_field_all(field, bufs)
+        rng = np.concatenate(list(rng), axis=1)[:, :plan.w]
+        ref = lut64(rng.astype(np.uint32))
+        xyz = np.moveaxis(np.asarray(out[0]), 0, -1)
+        ulp = np.spacing(np.abs(ref).astype(np.float32)).astype(np.float64)
+        err = np.abs(xyz - ref)
+        assert (err <= np.maximum(ulp, 1e-7)).all(), \
+            f"{profile}/{field}: max err {err.max()}"
+
+    # word-subset transfer path == full-plane path, bit for bit
+    ws = (_field_plan(plan, "RANGE").word, _field_plan(plan, "RANGE2").word)
+    sub = np.ascontiguousarray(planes[None][:, list(ws)])
+    s1, s2 = unpack_project_planar_batched(
+        jnp.asarray(sub), jnp.asarray(hdrs[None].copy()),
+        lut.stack, plan, dual=True, interpret=True, tile_w=128, words=ws)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(o1))
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(o2))
+
+
+def test_planar_words_requires_needed_word():
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_planar_batched)
+    from ouster_sdk_tpu.ops.unpack import make_decode_plan
+
+    info, frame = _synth_profile_frame("RNG19_RFL8_SIG16_NIR16_DUAL")
+    plan = make_decode_plan(info)
+    planes, hdrs = _stage_planar(frame, plan)
+    lut = PlanarLut(make_xyz_lut(info))
+    with pytest.raises(ValueError, match="needs packet word"):
+        unpack_project_planar_batched(
+            jnp.asarray(planes[None][:, 2:3].copy()),
+            jnp.asarray(hdrs[None].copy()), lut.stack, plan,
+            dual=True, interpret=True, tile_w=128, words=(2,))

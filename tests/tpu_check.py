@@ -176,6 +176,62 @@ def main():
         print(f"planar projection ok (max err {err.max():.2e} m)",
               file=sys.stderr)
 
+    # ---- 2c. word-subset planar projection (minimal-transfer path) ------
+    from ouster_sdk_tpu.ops.pallas_lutfree import _field_plan
+
+    ws = (_field_plan(plan_p, "RANGE").word,
+          _field_plan(plan_p, "RANGE2").word)
+    planes_sub = np.ascontiguousarray(planes[None][:, list(ws)])
+    out_s = jax.jit(lambda p, h2: unpack_project_planar_batched(
+        p, h2, lutp.stack, plan_p, dual=True, words=ws))(
+            jnp2.asarray(planes_sub), jnp2.asarray(hdrs[None]))
+    if not (np.asarray(out_s[0]) == np.asarray(out[0])).all() or \
+            not (np.asarray(out_s[1]) == np.asarray(out[1])).all():
+        failures.append("word-subset planar projection != full-plane")
+    else:
+        print("word-subset planar projection ok (bit-identical)",
+              file=sys.stderr)
+
+    # ---- 2d. fused per-column dewarp (single-return) ---------------------
+    info_s1 = _make_info(w=1024, h=128, dual=False)
+    plan_s1 = make_decode_plan(info_s1)
+    frame_s1 = _synth_frame(info_s1)
+    cols1 = frame_s1[:, plan_s1.hw:plan_s1.hw + plan_s1.cpp * plan_s1.cw]
+    cols1 = cols1.reshape(plan_s1.w, plan_s1.cw)
+    pix1 = cols1[:, plan_s1.chw:plan_s1.chw + plan_s1.h * plan_s1.pw]
+    planes1 = np.ascontiguousarray(
+        pix1.reshape(plan_s1.w, plan_s1.h, plan_s1.pw).transpose(2, 1, 0))
+    hdrs1 = np.ascontiguousarray(cols1[:, :plan_s1.chw].T)
+    lut64s = make_xyz_lut(info_s1)
+    luts1 = PlanarLut(lut64s)
+    rng_gen = np.random.default_rng(7)
+    from ouster_sdk_tpu.utils.pose_util import exp_pose6
+
+    poses = np.stack([
+        exp_pose6(np.concatenate([rng_gen.normal(0, 1, 3),
+                                  rng_gen.normal(0, 0.1, 3)]))
+        for _ in range(plan_s1.w)]).astype(np.float32)
+    out_w = jax.jit(lambda p, h2, po: unpack_project_planar_batched(
+        p, h2, luts1.stack, plan_s1, poses=po))(
+            jnp2.asarray(planes1[None]), jnp2.asarray(hdrs1[None]),
+            jnp2.asarray(poses[None]))
+    xyz_w = np.moveaxis(np.asarray(out_w[0]), 0, -1)
+    pf_s1 = PacketFormat.from_info(info_s1)
+    rng_s1 = pf_s1.packet_field_all(
+        ChanField.RANGE, np.ascontiguousarray(frame_s1).view(np.uint8))
+    rng_s1 = np.concatenate(list(rng_s1), axis=1)[:, :plan_s1.w]
+    sensor_xyz = lut64s(rng_s1.astype(np.uint32))
+    world_ref = np.einsum("wij,hwj->hwi",
+                          poses[:, :3, :3].astype(np.float64), sensor_xyz) \
+        + poses[None, :, :3, 3]
+    world_ref[rng_s1 == 0] = 0
+    err_w = np.abs(xyz_w - world_ref)
+    if err_w.max() > 2e-4:  # f32 pose matmul on ~1 m translations
+        failures.append(f"fused dewarp: max err {err_w.max()}")
+    else:
+        print(f"fused dewarp ok (max err {err_w.max():.2e} m)",
+              file=sys.stderr)
+
     # ---- 3. LUT-free projection -----------------------------------------
     tables = FactorTables(info_d)
     xyz = np.moveaxis(np.asarray(jax.jit(
