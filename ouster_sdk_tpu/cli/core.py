@@ -64,12 +64,37 @@ class SourcePipeline:
         if len(self.consumers) == 1:
             self.consumers[0](it)
             return
-        # CoupledTee (ref: source_util.py:85): fan one stream to N consumers
-        import itertools
+        # CoupledTee (ref: source_util.py:85): fan one stream to N
+        # consumers in LOCKSTEP — each consumer runs in its own thread
+        # over a bounded queue, so no consumer can fall arbitrarily
+        # behind and buffer the whole stream in memory
+        import queue
+        import threading
 
-        tees = itertools.tee(it, len(self.consumers))
-        for consumer, t in zip(self.consumers, tees):
-            consumer(t)
+        _END = object()
+        qs = [queue.Queue(maxsize=4) for _ in self.consumers]
+
+        def drain(consumer, q):
+            def gen():
+                while True:
+                    item = q.get()
+                    if item is _END:
+                        return
+                    yield item
+
+            consumer(gen())
+
+        threads = [threading.Thread(target=drain, args=(c, q), daemon=True)
+                   for c, q in zip(self.consumers, qs)]
+        for t in threads:
+            t.start()
+        for item in it:
+            for q in qs:
+                q.put(item)
+        for q in qs:
+            q.put(_END)
+        for t in threads:
+            t.join()
 
 
 @click.group(name="ouster-cli")

@@ -249,3 +249,20 @@ def test_cli_slam_dump_map(tmp_path):
     assert r.exit_code == 0, r.output
     pts, _ = read_pointcloud(out)
     assert len(pts) > 100
+
+
+def test_cli_multi_consumer_lockstep(tmp_path):
+    """Two chained consumers (save + stats) share one stream
+    (CoupledTee semantics, ref: source_util.py:85)."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    out = str(tmp_path / "t.osf")
+    r = CliRunner().invoke(cli, [
+        "source", PCAP, "slice", ":1", "save", out, "stats"])
+    assert r.exit_code == 0, r.output
+    assert "frame_id" in r.output and "wrote" in r.output
+    assert os.path.getsize(out) > 10000
