@@ -17,6 +17,105 @@ import numpy as np
 
 from ..core.metadata import sensor_info_from_metadata
 from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
+
+
+class RecordingPacketSource:
+    """Pass-through packet source that tees every packet to rolling pcap
+    chunks while yielding it (ref: sdk/pcap/packet_iter.py:58
+    RecordingPacketSource): files are `<prefix>-NNN.pcap`, rolled when
+    `chunk_size` MB is exceeded at a frame boundary; recording stops
+    after `n_frames` frames or `n_seconds` wall seconds (iteration
+    continues un-recorded)."""
+
+    def __init__(self, source, prefix_path: str, *, sensor_idx: int = -1,
+                 n_seconds: float = 0.0, n_frames: Optional[int] = None,
+                 chunk_size: int = 0, src_ip: str = "127.0.0.1",
+                 dst_ip: str = "127.0.0.1", lidar_port: int = -1,
+                 imu_port: int = -1, overwrite: bool = True):
+        self.source = source
+        self.prefix_path = prefix_path
+        self.sensor_idx = sensor_idx
+        self.n_seconds = n_seconds
+        self.n_frames = n_frames
+        self.chunk_size = chunk_size
+        self.src_ip, self.dst_ip = src_ip, dst_ip
+        self.lidar_port, self.imu_port = lidar_port, imu_port
+        self.overwrite = overwrite
+
+    @property
+    def sensor_info(self):
+        return self.source.sensor_info
+
+    def close(self):
+        self.source.close()
+
+    def __iter__(self):
+        import time as _time
+
+        from ..ops.packet_format import PacketFormat
+        from .pcap import PcapWriter
+
+        infos = self.source.sensor_info
+        pfs = [PacketFormat.from_info(i) for i in infos]
+        last_fid = [None] * len(infos)
+        ports = []
+        for m in infos:
+            lidar = m.config.udp_port_lidar if self.lidar_port < 0 \
+                else self.lidar_port
+            imu = m.config.udp_port_imu if self.imu_port < 0 \
+                else self.imu_port
+            ports.append((lidar or 7502, imu or 7503))
+
+        chunk = 0
+        path = f"{self.prefix_path}-{chunk:03d}.pcap"
+        if os.path.isfile(path) and not self.overwrite:
+            raise FileExistsError(f"File '{path}' already exists")
+        writer = PcapWriter(path)
+        recording = True
+        start = _time.time()
+        num_frames = 0
+        try:
+            for item in self.source:
+                idx, pkt = item if isinstance(item, tuple) else (0, item)
+                if recording and (self.sensor_idx < 0
+                                  or idx == self.sensor_idx):
+                    if isinstance(pkt, LidarPacket):
+                        port = ports[idx][0]
+                    elif isinstance(pkt, ImuPacket):
+                        port = ports[idx][1]
+                    else:
+                        port = ports[idx][0]
+                    ts = pkt.host_timestamp or int(_time.time() * 1e9)
+                    writer.write(bytes(pkt.buf), self.src_ip, self.dst_ip,
+                                 port, port, ts)
+                    if isinstance(pkt, LidarPacket):
+                        fid = pfs[idx].frame_id(pkt.buf)
+                        if last_fid[idx] is not None and \
+                                fid != last_fid[idx]:
+                            num_frames += 1
+                            if self.chunk_size and os.path.getsize(
+                                    path) > self.chunk_size * 2**20:
+                                writer.close()
+                                chunk += 1
+                                path = (f"{self.prefix_path}"
+                                        f"-{chunk:03d}.pcap")
+                                if os.path.isfile(path) and \
+                                        not self.overwrite:
+                                    raise FileExistsError(
+                                        f"File '{path}' already exists")
+                                writer = PcapWriter(path)
+                            if (self.n_frames
+                                    and num_frames >= self.n_frames) or \
+                                    (self.n_seconds and _time.time()
+                                     - start > self.n_seconds):
+                                recording = False
+                        last_fid[idx] = fid
+                yield item
+        finally:
+            writer.close()
+
+    def __getattr__(self, attr):
+        return getattr(self.source, attr)
 from ..core.types import SensorInfo, UDPProfileLidar
 from ..ops.packet_format import PacketFormat
 from .pcap import PcapReader

@@ -98,3 +98,26 @@ def test_time_correction():
     atc.reset(scans)
     # offsets removed
     assert scans[1].timestamp[0] == base + 10_000_000_000
+
+
+def test_recording_packet_source(tmp_path):
+    """Pass-through pcap tee (ref: sdk/pcap/packet_iter.py:58
+    RecordingPacketSource): yielded packets unchanged, recorded pcap
+    replays to the identical packet stream."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu.io.pcap_source import RecordingPacketSource
+
+    prefix = str(tmp_path / "rec")
+    src = PcapPacketSource(PCAP)
+    rec = RecordingPacketSource(src, prefix)
+    assert rec.sensor_info is src.sensor_info
+    passed = [(idx, bytes(p.buf)) for idx, p in rec]
+    rec.close()
+    assert passed, "no packets passed through"
+
+    back = PcapPacketSource(f"{prefix}-000.pcap",
+                            metadata_paths=[PCAP.replace(".pcap", ".json")])
+    replayed = [bytes(p.buf) for _, p in back]
+    back.close()
+    assert replayed == [b for _, b in passed]
