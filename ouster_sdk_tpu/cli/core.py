@@ -737,12 +737,56 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
               help="accumulate a global map overlay (ref: --map)")
 @click.option("--map-ratio", type=float, default=1.0,
               help="fraction of points added to the map per scan")
+@click.option("--html", "html_out", default=None,
+              help="also export an interactive WebGL viewer (accumulated "
+                   "world-frame points) to this self-contained HTML file")
+@click.option("--html-field", default="REFLECTIVITY", show_default=True,
+              help="point color key field for --html")
 @click.pass_context
 def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
-               accum_every, accum_every_m, map_enabled, map_ratio):
+               accum_every, accum_every_m, map_enabled, map_ratio,
+               html_out, html_field):
     """Visualize scans (offscreen renderer; ref: plugins/source.py viz,
-    sdk/viz/model.py view modes / palettes / AOI)."""
+    sdk/viz/model.py view modes / palettes / AOI). With --html, writes a
+    single-file interactive WebGL orbit viewer of the (pose-dewarped)
+    accumulated cloud — open it in any browser."""
     from ..viz.core import SimpleViz
+
+    if html_out:
+        from ..ops.xyzlut import make_xyz_lut
+
+        pipeline = ctx.obj
+
+        def html_consumer(it):
+            luts = [make_xyz_lut(i, use_extrinsics=True)
+                    for i in pipeline.infos]
+            pts_acc, key_acc = [], []
+            for ls_set in it:
+                for k, s in enumerate(ls_set):
+                    if s is None:
+                        continue
+                    rng = s.field(ChanField.RANGE)
+                    xyz = luts[k](rng)
+                    valid = rng > 0
+                    pose_cols = np.broadcast_to(
+                        s.pose[None], (s.h, s.w, 4, 4))[valid]
+                    p = np.einsum("nij,nj->ni", pose_cols[:, :3, :3],
+                                  xyz[valid]) + pose_cols[:, :3, 3]
+                    pts_acc.append(p.astype(np.float32))
+                    if s.has_field(html_field.upper()):
+                        key_acc.append(
+                            s.field(html_field.upper())[valid])
+            from ..viz.html import export_html
+
+            pts = np.concatenate(pts_acc) if pts_acc else np.zeros((0, 3))
+            key = (np.concatenate(key_acc)
+                   if key_acc and len(key_acc) == len(pts_acc) else None)
+            export_html(html_out, pts, key,
+                        palette=palette or "viridis")
+            click.echo(f"wrote interactive viewer {html_out} "
+                       f"({len(pts)} points)")
+
+        pipeline.consumers.append(html_consumer)
 
     def consumer(it):
         viz = SimpleViz(ctx.obj.infos, snapshot_path=out,

@@ -238,7 +238,8 @@ def source_emulate_zones(ctx, config, live):
 @source.command("model_viz")
 @click.option("--axes", is_flag=True, help="draw the coordinate axes")
 @click.option("-o", "--output", default="model_viz.png", show_default=True,
-              help="snapshot path (offscreen renderer)")
+              help="snapshot path (offscreen renderer; .html writes a "
+                   "self-contained interactive WebGL viewer)")
 @click.pass_context
 def model_viz(ctx, axes, output):
     """View a pointcloud (.ply/.pcd/.las) or .stl file — offscreen
@@ -248,6 +249,19 @@ def model_viz(ctx, axes, output):
 
     url = ctx.obj.url
     ext = url.rsplit(".", 1)[-1].lower()
+    if output.lower().endswith(".html") and ext in ("ply", "pcd", "las",
+                                                    "csv"):
+        from ..io.cloud_io import read_pointcloud
+        from ..viz.html import export_html
+
+        pts, attrs = read_pointcloud(url)
+        key = next((np.asarray(attrs[n], np.float32) for n in
+                    ("reflectivity", "intensity", "signal") if n in attrs),
+                   None)
+        export_html(output, np.asarray(pts, np.float32), key)
+        click.echo(f"wrote {output}")
+        ctx.obj.standalone = True
+        return
     viz = PointViz("Model Viewer")
     drawables = []
     if ext == "stl":

@@ -58,3 +58,37 @@ def test_model_viz_stl(tmp_path):
     r = CliRunner().invoke(cli, ["source", p, "model_viz", "-o", out])
     assert r.exit_code == 0, r.output
     assert os.path.getsize(out) > 500
+
+
+def test_html_export(ply, tmp_path):
+    """Self-contained interactive WebGL viewer (viz/html.py)."""
+    out = str(tmp_path / "v.html")
+    r = CliRunner().invoke(cli, ["source", ply, "model_viz", "-o", out])
+    assert r.exit_code == 0, r.output
+    html = open(out).read()
+    # structural checks: embedded data decodes to the right sizes and the
+    # template left no unfilled placeholders
+    import base64
+    import re
+
+    assert not re.search(r"\{[a-z_]+\}", html.split("<script>")[0])
+    pos_b64 = re.search(r'POS_B64 = "([^"]*)"', html).group(1)
+    col_b64 = re.search(r'COL_B64 = "([^"]*)"', html).group(1)
+    n = int(re.search(r"const N = (\d+)", html).group(1))
+    pos = np.frombuffer(base64.b64decode(pos_b64), np.float32)
+    col = np.frombuffer(base64.b64decode(col_b64), np.uint8)
+    assert pos.size == n * 3 and col.size == n * 3 and n == 2000
+    src, _ = read_pointcloud(ply)
+    np.testing.assert_allclose(pos.reshape(-1, 3), src, atol=1e-6)
+
+
+def test_viz_html_from_pcap(tmp_path):
+    pcap = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(pcap):
+        import pytest
+
+        pytest.skip("fixture missing")
+    out = str(tmp_path / "scan.html")
+    r = CliRunner().invoke(cli, ["source", pcap, "viz", "--html", out])
+    assert r.exit_code == 0, r.output
+    assert os.path.getsize(out) > 100_000
