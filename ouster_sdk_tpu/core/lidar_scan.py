@@ -88,6 +88,36 @@ def get_field_types(
     return out
 
 
+def resolve_field_types(metadata, raw_headers: bool = False,
+                        raw_fields: bool = False,
+                        field_names=None) -> List[List[FieldType]]:
+    """Per-sensor field types for a set of metadata, with optional raw
+    header/word channels (ref: open_source.h:226 /
+    python field.cpp:156 "resolve_field_types")."""
+    if isinstance(metadata, SensorInfo):
+        metadata = [metadata]
+    out: List[List[FieldType]] = []
+    for info in metadata:
+        fts = get_field_types(info)
+        if field_names is not None:
+            fts = [ft for ft in fts if ft.name in field_names]
+        if raw_headers and not any(ft.name == ChanField.RAW_HEADERS
+                                   for ft in fts):
+            fts = list(fts) + [FieldType(ChanField.RAW_HEADERS, np.uint8,
+                                         (), FieldClass.PIXEL_FIELD)]
+        if raw_fields:
+            from ..ops.unpack import make_decode_plan
+
+            pw = make_decode_plan(info).pw
+            have = {ft.name for ft in fts}
+            fts = list(fts) + [
+                FieldType(f"RAW32_WORD{k + 1}", np.uint32, (),
+                          FieldClass.PIXEL_FIELD)
+                for k in range(pw) if f"RAW32_WORD{k + 1}" not in have]
+        out.append(fts)
+    return out
+
+
 class LidarScan:
     """One frame: H x W pixel fields + per-column/packet/scan headers.
 
@@ -237,6 +267,32 @@ class LidarScan:
     def get_first_valid_column_pose(self) -> np.ndarray:
         c = max(self.first_valid_column(), 0)
         return self.pose[c]
+
+    # reference binding method names (ref: python/src/cpp/client/
+    # lidar_scan.cpp "get_first_valid_column" etc.)
+    def get_first_valid_column(self) -> int:
+        return self.first_valid_column()
+
+    def get_last_valid_column(self) -> int:
+        return self.last_valid_column()
+
+    def get_first_valid_column_timestamp(self) -> int:
+        return self.first_valid_column_timestamp()
+
+    def get_last_valid_column_timestamp(self) -> int:
+        return self.last_valid_column_timestamp()
+
+    def get_first_valid_packet_timestamp(self) -> int:
+        return self.first_valid_packet_timestamp()
+
+    def get_last_valid_packet_timestamp(self) -> int:
+        return self.last_valid_packet_timestamp()
+
+    def get_first_valid_lidar_packet_timestamp(self) -> int:
+        return self.first_valid_packet_timestamp()
+
+    def get_last_valid_lidar_packet_timestamp(self) -> int:
+        return self.last_valid_packet_timestamp()
 
     def set_column_pose(self, idx: int, pose: np.ndarray) -> None:
         self.pose[idx] = pose

@@ -712,3 +712,8 @@ def parse_config(json_data: Union[str, Dict[str, Any]]) -> SensorConfig:
     """(ref: metadata.cpp parse_config)"""
     config, _ = parse_and_validate_config(json_data)
     return config
+
+
+#: Reference export name (ref: core/__init__.py
+#: parse_and_validate_sensor_config).
+parse_and_validate_sensor_config = parse_and_validate_config

@@ -488,3 +488,7 @@ def client_version() -> str:
     from ouster_sdk_tpu import __version__
 
     return f"ouster_sdk_tpu {__version__}"
+
+
+#: Sentinel for an unknown firmware version (ref: version.h:79).
+INVALID_VERSION = Version(0, 0, 0)

@@ -624,12 +624,48 @@ class Reader:
 # Writer
 # ---------------------------------------------------------------------------
 
+class LidarScanEncoder:
+    """Field-image codec selector for the Writer
+    (ref: lidarscan_encoder.h LidarScanEncoder)."""
+
+    kind = "png"
+
+    def __init__(self, compression_amount: int = 1):
+        self.compression_amount = compression_amount
+
+
+class PngLidarScanEncoder(LidarScanEncoder):
+    """PNG field encoding (ref: png_lidarscan_encoder.h:39-51)."""
+
+    kind = "png"
+
+
+class ZPngLidarScanEncoder(LidarScanEncoder):
+    """zPNG (filter+deflate, no PNG framing) field encoding
+    (ref: zpng_lidarscan_encoder.h)."""
+
+    kind = "zpng"
+
+
+class Encoder:
+    """Writer encoder wrapper (ref: _osf.cpp:1057 Encoder — holds the
+    scan encoder the Writer uses)."""
+
+    def __init__(self, scan_encoder: LidarScanEncoder):
+        self.scan_encoder = scan_encoder
+
+
 class Writer:
     """OSF file writer with streaming chunk layout
     (ref: writer.h:90, layout_streaming.cpp)."""
 
     def __init__(self, path: str, chunk_size: int = 2 * 1024 * 1024,
-                 compression_level: int = 1, encoder: str = "png"):
+                 compression_level: int = 1, encoder="png"):
+        if isinstance(encoder, Encoder):
+            encoder = encoder.scan_encoder
+        if isinstance(encoder, LidarScanEncoder):
+            compression_level = encoder.compression_amount
+            encoder = encoder.kind
         if encoder not in ("png", "zpng"):
             raise ValueError("encoder must be 'png' or 'zpng'")
         self._path = path

@@ -370,3 +370,49 @@ class PcapWriter:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class PcapDuplicatePortException(RuntimeError):
+    """Multiple sensors with the same UDP port in one capture and no
+    way to disambiguate (ref: indexed_pcap_reader.h:147)."""
+
+
+def record(packets, pcap_path: str, *,
+           src_ip: str = "127.0.0.1", dst_ip: str = "127.0.0.1",
+           lidar_port: int = 7502, imu_port: int = 7503) -> int:
+    """Record a finite sequence of packets to a pcap file
+    (ref: sdk/pcap/pcap.py:77-133 record). Returns the packet count."""
+    import os as _os
+    import time as _time
+
+    from ..core.packets import ImuPacket, LidarPacket
+
+    has_timestamp = None
+    n = 0
+    error = False
+    writer = PcapWriter(pcap_path)
+    try:
+        for packet in packets:
+            if isinstance(packet, LidarPacket):
+                port = lidar_port
+            elif isinstance(packet, ImuPacket):
+                port = imu_port
+            else:
+                raise ValueError("Unexpected packet type")
+            if has_timestamp is None:
+                has_timestamp = packet.host_timestamp != 0
+            elif has_timestamp != (packet.host_timestamp != 0):
+                raise ValueError(
+                    "Mixing timestamped/untimestamped packets")
+            ts = packet.host_timestamp or int(_time.time() * 1e9)
+            writer.write(bytes(packet.buf), src_ip, dst_ip, port, port,
+                         ts)
+            n += 1
+    except Exception:
+        error = True
+        raise
+    finally:
+        writer.close()
+        if error and n == 0 and _os.path.exists(pcap_path):
+            _os.remove(pcap_path)
+    return n

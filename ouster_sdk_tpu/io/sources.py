@@ -71,6 +71,76 @@ def io_type(source: str) -> IoType:
     return IoType.SENSOR  # hostname / IP
 
 
+#: Reference export name for the IoType enum (ref: core/io_types.py:2).
+OusterIoType = IoType
+
+
+def io_type_from_extension(filename: str) -> IoType:
+    """Filename extension -> IoType, no filesystem checks
+    (ref: io_type.cpp:82-110)."""
+    ext = os.path.splitext(filename)[1].lower()
+    if ext in _EXTENSIONS:
+        return _EXTENSIONS[ext]
+    raise ValueError(f"unknown source extension: {filename}")
+
+
+def extension_from_io_type(t: IoType) -> Optional[str]:
+    """IoType -> canonical extension incl. the dot, or None for
+    non-file types (ref: io_type.cpp:18-45)."""
+    for ext, typ in _EXTENSIONS.items():
+        if typ is t and ext != ".db3":
+            return ext
+    return None
+
+
+class SourceURLException(Exception):
+    """Wraps a backend construction failure with the offending URL(s)
+    (ref: sdk/open_source.py:39-57)."""
+
+    def __init__(self, sub_exception, url, packet: bool = False):
+        self._sub_exception = sub_exception
+        self._url = url
+        self._packet = packet
+
+    def __str__(self) -> str:
+        kind = "packet_source" if self._packet else "scan_source"
+        return (f"Failed to create {kind} for url {self._url}\n"
+                f"more details: {self._sub_exception}")
+
+    def get_sub_exception(self):
+        return self._sub_exception
+
+    def get_url(self):
+        return self._url
+
+
+class PacketSource:
+    """Iterable of (sensor_idx, Packet) with metadata — the abstract
+    packet-source surface (ref: _bindings client.pyi PacketSource,
+    core/core.py PacketSource). Concrete backends (pcap / sensor / bag)
+    duck-type this; subclassing is optional."""
+
+    @property
+    def sensor_info(self) -> List[SensorInfo]:
+        raise NotImplementedError
+
+    @property
+    def is_live(self) -> bool:
+        return False
+
+    def __iter__(self):
+        raise NotImplementedError
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self) -> "PacketSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 class LidarScanSet:
     """One collated time slice: at most one scan per sensor
     (ref: lidar_scan_set.h:213)."""
@@ -249,6 +319,105 @@ def collate_scans(
         yield LidarScanSet(pending)
 
 
+class Collator(ScanSource):
+    """ScanSource wrapper that time-collates an uncollated source
+    (ref: scan_source_utils.h Collator; python binding
+    processing/scan_source.cpp "collate")."""
+
+    def __init__(self, source: ScanSource,
+                 dt_ns: int = DEFAULT_COLLATION_DT_NS):
+        super().__init__(source.sensor_info)
+        self._source = source
+        self._dt = dt_ns
+
+    @property
+    def is_live(self) -> bool:
+        return self._source.is_live
+
+    def _iter_sets(self) -> Iterator[LidarScanSet]:
+        def pairs():
+            for ls_set in self._source:
+                for k, s in enumerate(ls_set):
+                    if s is not None:
+                        yield k, s
+
+        return collate_scans(pairs(), len(self.sensor_info), self._dt)
+
+    def close(self) -> None:
+        self._source.close()
+
+
+def collate(source: ScanSource,
+            dt: int = DEFAULT_COLLATION_DT_NS) -> Collator:
+    """Collate scans from a scan source (ref: scan_source.cpp
+    "collate" binding; dt in nanoseconds, default 210 ms)."""
+    return Collator(source, dt)
+
+
+class MultiScanSource(ScanSource):
+    """Merge several non-collated scan sources into one stream ordered
+    by first valid packet timestamp, deduplicating identical sensors
+    (ref: multi_scan_source.cpp:193-233 constructor,
+    :140-170 earliest-timestamp merge)."""
+
+    def __init__(self, sources: Sequence[ScanSource]):
+        infos: List[SensorInfo] = []
+        self._maps: List[List[int]] = []  # per source: local -> global idx
+        for src in sources:
+            m = []
+            for info in src.sensor_info:
+                for gi, existing in enumerate(infos):
+                    if existing == info:
+                        m.append(gi)
+                        break
+                else:
+                    m.append(len(infos))
+                    infos.append(info)
+            self._maps.append(m)
+        super().__init__(infos)
+        self._sources = list(sources)
+
+    def _iter_sets(self) -> Iterator[LidarScanSet]:
+        iters = [iter(s) for s in self._sources]
+        heads: Dict[int, LidarScanSet] = {}
+        for i, it in enumerate(iters):
+            v = next(it, None)
+            if v is not None:
+                heads[i] = v
+        n = len(self.sensor_info)
+
+        def _ts(ls_set: LidarScanSet) -> int:
+            for s in ls_set:
+                if s is not None:
+                    return s.first_valid_packet_timestamp()
+            return 2 ** 64 - 1
+
+        while heads:
+            i = min(heads, key=lambda k: _ts(heads[k]))
+            ls_set = heads[i]
+            if len(ls_set.valid()) > 1:
+                raise RuntimeError(
+                    "MultiScanSource can only be used with non-collated "
+                    "sources.")
+            out: List[Optional[LidarScan]] = [None] * n
+            for k, s in enumerate(ls_set):
+                if s is not None:
+                    out[self._maps[i][k]] = s
+            v = next(iters[i], None)
+            if v is None:
+                del heads[i]
+            else:
+                heads[i] = v
+            yield LidarScanSet(out)
+
+    def size_hint(self) -> int:
+        return sum(s.size_hint() for s in self._sources)
+
+    def close(self) -> None:
+        for s in self._sources:
+            s.close()
+
+
 # ---------------------------------------------------------------------------
 # Options + registry (ref: open_source.h:26-100, impl/open_source_impl.h)
 # ---------------------------------------------------------------------------
@@ -336,7 +505,12 @@ def open_source(source: str, *, sensor_idx: int = -1, collate: bool = True,
     if t not in _SCAN_SOURCE_BUILDERS:
         raise ValueError(f"No scan source backend for {t}")
     opts = ScanSourceOptions(**options)
-    src = _SCAN_SOURCE_BUILDERS[t](source, opts)
+    try:
+        src = _SCAN_SOURCE_BUILDERS[t](source, opts)
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except Exception as ex:
+        raise SourceURLException(ex, [source], False) from ex
     opts.check(f"{t.value} scan source")
     if sensor_idx >= 0:
         return src.single(sensor_idx)
@@ -351,7 +525,12 @@ def open_packet_source(source: str, **options):
     if t not in _PACKET_SOURCE_BUILDERS:
         raise ValueError(f"No packet source backend for {t}")
     opts = ScanSourceOptions(**options)
-    src = _PACKET_SOURCE_BUILDERS[t](source, opts)
+    try:
+        src = _PACKET_SOURCE_BUILDERS[t](source, opts)
+    except (KeyboardInterrupt, SystemExit):
+        raise
+    except Exception as ex:
+        raise SourceURLException(ex, [source], True) from ex
     opts.check(f"{t.value} packet source")
     return src
 

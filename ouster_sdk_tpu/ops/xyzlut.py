@@ -41,6 +41,20 @@ class XYZLut:
 
 
 @dataclass
+class XYZLutFloat:
+    """Single-precision host LUT (ref: processing.cpp:652 XYZLutFloat —
+    the f32 variant of XYZLutT). Same staggered layout as XYZLut."""
+
+    direction: np.ndarray
+    offset: np.ndarray
+
+    def __call__(self, range_img: np.ndarray) -> np.ndarray:
+        r = range_img.astype(np.float32)[..., None]
+        return np.where(r == 0, np.float32(0.0),
+                        r * self.direction + self.offset)
+
+
+@dataclass
 class XYZLutDevice:
     """Device LUT: (hi, lo) float32 splits of direction/offset."""
 
@@ -146,6 +160,15 @@ def make_xyz_lut(
     direction *= range_unit
     offset *= range_unit
     return XYZLut(direction=direction, offset=offset)
+
+
+def make_xyz_lut_float(sensor_or_w, use_extrinsics: bool = False,
+                       **kwargs) -> XYZLutFloat:
+    """Single-precision LUT factory (ref: processing.cpp XYZLutFloat).
+    Built in f64 then rounded once, like the reference's XYZLutT<float>."""
+    lut = make_xyz_lut(sensor_or_w, use_extrinsics, **kwargs)
+    return XYZLutFloat(direction=lut.direction.astype(np.float32),
+                       offset=lut.offset.astype(np.float32))
 
 
 def to_device_lut(lut: XYZLut) -> XYZLutDevice:

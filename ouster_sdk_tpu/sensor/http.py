@@ -70,8 +70,10 @@ class SensorHttp:
                  timeout: Optional[float] = None) -> bytes:
         conn = http.client.HTTPConnection(
             self.hostname, timeout=timeout or self._timeout)
+        if _API_PREFIX:
+            path = f"/{_API_PREFIX}{path}"
         try:
-            headers = {}
+            headers = dict(_API_HEADERS)
             if body is not None:
                 headers["Content-Type"] = content_type
             conn.request(method, path, body=body, headers=headers)
@@ -233,3 +235,55 @@ def build_sensor_config(
     http_client.reinitialize()
     if persist:
         http_client.save_config_params()
+
+
+# minimum supported sensor firmware (ref: client.h:50)
+MIN_VERSION = Version(1, 12, 0)
+
+# module-level HTTP overrides applied to every SensorHttp request
+# (ref: sensor_http.cpp:34-44 set_http_api_headers/set_http_api_prefix)
+_API_HEADERS: Dict[str, str] = {}
+_API_PREFIX: str = ""
+
+
+def set_http_api_headers(headers: Dict[str, str]) -> None:
+    """Extra headers sent with every sensor HTTP request
+    (ref: sensor_http.cpp:34)."""
+    _API_HEADERS.clear()
+    _API_HEADERS.update(headers)
+
+
+def set_http_api_prefix(prefix: str) -> None:
+    """URL prefix prepended to every sensor API path
+    (ref: sensor_http.cpp:40)."""
+    global _API_PREFIX
+    _API_PREFIX = prefix.strip("/")
+
+
+def get_config(hostname: str, active: bool = True) -> SensorConfig:
+    """Fetch the active (or staged) sensor configuration
+    (ref: client.cpp:329-345 get_config binding)."""
+    from ..core.metadata import parse_and_validate_config
+
+    http_client = SensorHttp.create(hostname,
+                                    SHORT_HTTP_REQUEST_TIMEOUT_SECONDS)
+    params = (http_client.active_config_params() if active
+              else http_client.staged_config_params())
+    config, _ = parse_and_validate_config(params)
+    return config
+
+
+def set_config(hostname: str, config: SensorConfig,
+               persist: bool = False, udp_dest_auto: bool = False,
+               force_reinit: bool = False) -> None:
+    """Stage config params on the sensor, optionally auto-deriving the
+    UDP destination and persisting (ref: client.cpp:294-327 set_config
+    binding; CONFIG_PERSIST/CONFIG_UDP_DEST_AUTO flag semantics)."""
+    if udp_dest_auto and config.udp_dest is not None:
+        raise ValueError(
+            "UDP_DEST_AUTO option cannot be set together with a "
+            "configuration with udp_dest")
+    http_client = SensorHttp.create(hostname,
+                                    LONG_HTTP_REQUEST_TIMEOUT_SECONDS)
+    build_sensor_config(http_client, config,
+                        udp_dest_auto=udp_dest_auto, persist=persist)

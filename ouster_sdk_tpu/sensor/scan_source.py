@@ -39,6 +39,37 @@ class ClientOverflow(ClientError):
     pass
 
 
+class Sensor:
+    """Sensor descriptor: hostname + desired configuration
+    (ref: sensor_packet_source.h:137-175)."""
+
+    def __init__(self, hostname: str,
+                 config: Optional[SensorConfig] = None):
+        self._hostname = hostname
+        self._config = config if config is not None else SensorConfig()
+        self._http = None
+
+    @property
+    def hostname(self) -> str:
+        return self._hostname
+
+    def desired_config(self) -> SensorConfig:
+        return self._config
+
+    def http_client(self):
+        from .http import SensorHttp
+
+        if self._http is None:
+            self._http = SensorHttp.create(self._hostname)
+        return self._http
+
+    def fetch_metadata(self, timeout: int = 10) -> SensorInfo:
+        from ..core.metadata import sensor_info_from_metadata
+
+        return sensor_info_from_metadata(
+            self.http_client().metadata(timeout=timeout))
+
+
 class SensorPacketSource:
     """Multi-sensor UDP packet fan-in (ref: sensor_packet_source.cpp)."""
 

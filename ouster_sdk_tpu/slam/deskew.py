@@ -168,3 +168,12 @@ def make_deskew_method(name: str,
     if name in ("imu", "inertial", "inertial_integration"):
         return InertialIntegrationImuDeskewMethod(infos or [])
     raise ValueError(f"unknown deskew method {name!r}")
+
+
+class DeskewMethodFactory:
+    """Named-method factory (ref: deskew_method.h:203
+    DeskewMethodFactory::create)."""
+
+    @staticmethod
+    def create(name: str, **kwargs) -> DeskewMethod:
+        return make_deskew_method(name, **kwargs)

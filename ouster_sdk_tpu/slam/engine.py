@@ -246,3 +246,11 @@ class LocalizationEngine(SlamEngine):
                 s.pose[:] = np.einsum("ij,wjk->wik", fix, s.pose)
         self._prev_pose = self._last_pose
         self._last_pose = new_pose
+
+
+@dataclass
+class LocalizationConfig(SlamConfig):
+    """LocalizationEngine options: SlamConfig plus the prior map source
+    (ref: localization_backend.h:19-48)."""
+
+    map_path: str = ""

@@ -12,6 +12,7 @@ and semantics match: AbsolutePose, PoseToPose, PointToPoint, AbsolutePoint.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from enum import Enum
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -520,3 +521,63 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
             n += len(valid)
     src.close()
     return n
+
+
+class LossFunction(Enum):
+    """Robust-loss selection (ref: _mapping.cpp:90-99 LossFunction)."""
+
+    HUBER_LOSS = "HUBER_LOSS"
+    CAUCHY_LOSS = "CAUCHY_LOSS"
+    SOFT_L_ONE_LOSS = "SOFT_L_ONE_LOSS"
+    ARCTAN_LOSS = "ARCTAN_LOSS"
+    TRIVIAL_LOSS = "TRIVIAL_LOSS"
+
+    @staticmethod
+    def from_string(s: str) -> "LossFunction":
+        return LossFunction(s.upper())
+
+
+class SamplingMode(Enum):
+    """Trajectory query granularity (ref: _mapping.cpp:86-88,
+    pose_optimizer.h:166)."""
+
+    KEY_FRAMES = 0
+    COLUMNS = 1
+
+
+def save_trajectory(filename: str, timestamps, poses,
+                    file_type: str = "csv") -> None:
+    """Write a (timestamps, poses) trajectory as csv or tum
+    (ref: pose_optimizer.cpp:1762-1818 save_trajectory)."""
+    timestamps = np.asarray(timestamps, dtype=np.uint64).reshape(-1)
+    poses = np.asarray(poses, dtype=np.float64).reshape(-1, 4, 4)
+    if len(timestamps) != len(poses):
+        raise RuntimeError("Timestamps and poses size mismatch")
+
+    def _quat(R):
+        qw = np.sqrt(max(0.0, 1 + np.trace(R))) / 2
+        if qw > 1e-8:
+            qx = (R[2, 1] - R[1, 2]) / (4 * qw)
+            qy = (R[0, 2] - R[2, 0]) / (4 * qw)
+            qz = (R[1, 0] - R[0, 1]) / (4 * qw)
+        else:
+            qx, qy, qz = 0.0, 0.0, 0.0
+        return qx, qy, qz, qw
+
+    with open(filename, "w") as f:
+        if file_type == "csv":
+            f.write("timestamp,tx,ty,tz,qx,qy,qz,qw\n")
+            for ts, P in zip(timestamps, poses):
+                qx, qy, qz, qw = _quat(P[:3, :3])
+                t = P[:3, 3]
+                f.write(f"{ts},{t[0]},{t[1]},{t[2]},"
+                        f"{qx},{qy},{qz},{qw}\n")
+        elif file_type == "tum":
+            for ts, P in zip(timestamps, poses):
+                qx, qy, qz, qw = _quat(P[:3, :3])
+                t = P[:3, 3]
+                f.write(f"{ts * 1e-9} {t[0]} {t[1]} {t[2]} "
+                        f"{qx} {qy} {qz} {qw}\n")
+        else:
+            raise RuntimeError(f"Unsupported file type: {file_type}. "
+                               "Currently support 'csv' or 'tum'.")

@@ -83,3 +83,132 @@ def resolve_extrinsics(path: str, infos: List[SensorInfo]
         return [None if m is None else m.copy() for _ in infos]
 
     return out
+
+
+def fov_vertical(info: SensorInfo) -> float:
+    """Vertical FOV in degrees from beam altitude angles
+    (ref: util/extrinsics.py:9-23)."""
+    alt = np.asarray(info.beam_altitude_angles, dtype=np.float64)
+    if np.count_nonzero(alt == 0.0) > 1:
+        alt = alt[np.nonzero(alt)]
+    fov = float(np.max(alt) - np.min(alt)) if alt.size else 0.0
+    return 1.0 if fov < 1e-9 and alt.size > 1 else fov
+
+
+def fov_horizontal(info: SensorInfo) -> float:
+    """Horizontal FOV in degrees (360 for full-rotation sensors;
+    ref: util/extrinsics.py:25-41)."""
+    az = np.asarray(info.beam_azimuth_angles, dtype=np.float64)
+    if az.size == info.format.pixels_per_column:
+        return 360.0
+    if np.count_nonzero(az == 0.0) > 1:
+        az = az[np.nonzero(az)]
+    fov = float(np.max(az) - np.min(az)) if az.size else 0.0
+    return 1.0 if fov < 1e-9 else fov
+
+
+def img_aspect_ratio(info: SensorInfo) -> float:
+    """FOV_vertical / FOV_horizontal (ref: util/extrinsics.py:44-50)."""
+    return fov_vertical(info) / fov_horizontal(info)
+
+
+def quaternion_to_rotation_matrix(q: np.ndarray) -> np.ndarray:
+    """(qx, qy, qz, qw) -> 3x3 rotation (normalized first;
+    ref: util/extrinsics.py:53-64)."""
+    qx, qy, qz, qw = np.asarray(q, np.float64).reshape(4)
+    n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
+    qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+    return np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)]])
+
+
+def rotation_matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation -> (qx, qy, qz, qw) (ref: util/extrinsics.py:67-98)."""
+    R = np.asarray(R, np.float64).reshape(3, 3)
+    tr = np.trace(R)
+    if tr > 0:
+        s = 2.0 * np.sqrt(tr + 1.0)
+        qw = 0.25 * s
+        qx = (R[2, 1] - R[1, 2]) / s
+        qy = (R[0, 2] - R[2, 0]) / s
+        qz = (R[1, 0] - R[0, 1]) / s
+    elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2])
+        qw = (R[2, 1] - R[1, 2]) / s
+        qx = 0.25 * s
+        qy = (R[0, 1] + R[1, 0]) / s
+        qz = (R[0, 2] + R[2, 0]) / s
+    elif R[1, 1] > R[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2])
+        qw = (R[0, 2] - R[2, 0]) / s
+        qx = (R[0, 1] + R[1, 0]) / s
+        qy = 0.25 * s
+        qz = (R[1, 2] + R[2, 1]) / s
+    else:
+        s = 2.0 * np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1])
+        qw = (R[1, 0] - R[0, 1]) / s
+        qx = (R[0, 2] + R[2, 0]) / s
+        qy = (R[1, 2] + R[2, 1]) / s
+        qz = 0.25 * s
+    return np.array([qx, qy, qz, qw])
+
+
+def position_quaternion_to_transform(p: np.ndarray,
+                                     q: np.ndarray) -> np.ndarray:
+    """Translation + (qx, qy, qz, qw) -> 4x4
+    (ref: util/extrinsics.py:101-106)."""
+    out = np.eye(4)
+    out[:3, :3] = quaternion_to_rotation_matrix(q)
+    out[:3, 3] = np.asarray(p, np.float64).reshape(3)
+    return out
+
+
+def euler_to_rotation_matrix(roll: float, pitch: float,
+                             yaw: float) -> np.ndarray:
+    """Rz(yaw) @ Ry(pitch) @ Rx(roll), radians
+    (ref: util/extrinsics.py:107-135, pose_conversion.cpp)."""
+    from .pose_util import euler_pose_to_matrix
+
+    return euler_pose_to_matrix([roll, pitch, yaw, 0, 0, 0])[:3, :3]
+
+
+def xyzrpy_to_matrix(px, py, pz, r, p, y) -> np.ndarray:
+    """Translation + euler angles (rad) -> 4x4
+    (ref: util/extrinsics.py:137-152)."""
+    from .pose_util import euler_pose_to_matrix
+
+    return euler_pose_to_matrix([r, p, y, px, py, pz])
+
+
+def xyzq_to_matrix(px, py, pz, qx, qy, qz, qw) -> np.ndarray:
+    """Translation + quaternion -> 4x4 (ref: util/extrinsics.py:154-169)."""
+    return position_quaternion_to_transform([px, py, pz], [qx, qy, qz, qw])
+
+
+def parse_extrinsics_from_string(extrinsics: str, degrees: bool = True):
+    """Parse CLI extrinsics: 'identity', a filename, 'X Y Z R P Y',
+    'X Y Z QX QY QZ QW', or 16 row-major floats
+    (ref: util/extrinsics.py:171-230). Returns a 4x4 matrix or the
+    filename string."""
+    sep = "," if "," in extrinsics else " "
+    elements = extrinsics.split(sep)
+    if len(elements) == 1:
+        return np.eye(4) if elements[0] == "identity" else elements[0]
+    try:
+        vals = [float(e) for e in elements]
+    except Exception:
+        raise ValueError(
+            f"extrinsics values: {elements} could not be parsed as numbers")
+    if len(vals) == 6:
+        rpy = [np.deg2rad(e) for e in vals[3:]] if degrees else vals[3:]
+        return xyzrpy_to_matrix(*vals[:3], *rpy)
+    if len(vals) == 7:
+        return xyzq_to_matrix(*vals)
+    if len(vals) == 16:
+        return np.array(vals).reshape(4, 4)
+    raise ValueError("Unsupported extrinsics format")

@@ -53,6 +53,115 @@ def transform(points: np.ndarray, pose: np.ndarray) -> np.ndarray:
                              np.asarray(pose, np.float64))
 
 
+def euler_pose_to_matrix(pose: Numeric) -> np.ndarray:
+    """(roll, pitch, yaw, x, y, z) -> 4x4 homogeneous matrix; rotation
+    applied yaw*pitch*roll (ref: pose_conversion.cpp:7-27)."""
+    roll, pitch, yaw, x, y, z = np.asarray(pose, np.float64).reshape(6)
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    rz = np.array([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]])
+    out = np.eye(4)
+    out[:3, :3] = rz @ ry @ rx
+    out[:3, 3] = (x, y, z)
+    return out
+
+
+def quaternion_pose_to_matrix(pose: Numeric) -> np.ndarray:
+    """(qw, qx, qy, qz, x, y, z) -> 4x4 homogeneous matrix; the
+    quaternion is normalized first (ref: pose_conversion.cpp:29-48)."""
+    qw, qx, qy, qz, x, y, z = np.asarray(pose, np.float64).reshape(7)
+    n = np.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
+    out = np.eye(4)
+    out[:3, :3] = np.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
+         2 * (qx * qz + qw * qy)],
+        [2 * (qx * qy + qw * qz), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qw * qx)],
+        [2 * (qx * qz - qw * qy), 2 * (qy * qz + qw * qx),
+         1 - 2 * (qx * qx + qy * qy)]])
+    out[:3, 3] = (x, y, z)
+    return out
+
+
+def _so3_log64(R: np.ndarray) -> np.ndarray:
+    tr = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    th = np.arccos(tr)
+    if th < 1e-10:
+        return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
+                         R[1, 0] - R[0, 1]]) / 2.0
+    return th / (2.0 * np.sin(th)) * np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+
+
+def _se3_exp64(xi: np.ndarray) -> np.ndarray:
+    w, v = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-10:
+        R = np.eye(3) + K + K @ K / 2.0
+        V = np.eye(3) + K / 2.0 + K @ K / 6.0
+    else:
+        R = (np.eye(3) + np.sin(th) / th * K
+             + (1 - np.cos(th)) / th**2 * (K @ K))
+        V = (np.eye(3) + (1 - np.cos(th)) / th**2 * K
+             + (th - np.sin(th)) / th**3 * (K @ K))
+    out = np.eye(4)
+    out[:3, :3] = R
+    out[:3, 3] = V @ v
+    return out
+
+
+def _se3_log64(T: np.ndarray) -> np.ndarray:
+    w = _so3_log64(T[:3, :3])
+    th = np.linalg.norm(w)
+    K = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-10:
+        Vinv = np.eye(3) - K / 2.0 + K @ K / 12.0
+    else:
+        Vinv = (np.eye(3) - K / 2.0
+                + (1.0 - th * np.cos(th / 2.0) / (2.0 * np.sin(th / 2.0)))
+                / th**2 * (K @ K))
+    return np.concatenate([w, Vinv @ T[:3, 3]])
+
+
+def interp_pose(x_interp: Numeric, x_known: Numeric,
+                poses_known: Numeric) -> np.ndarray:
+    """Interpolate 4x4 poses at query x values, double precision
+    (ref: processing.cpp:848-862 "interp_pose" binding over
+    pose_util.h interp_pose<double, double>). Out-of-range queries
+    extrapolate along the first/last interval."""
+    x_interp = np.asarray(x_interp, np.float64).reshape(-1)
+    x_known = np.asarray(x_known, np.float64).reshape(-1)
+    P = np.asarray(poses_known, np.float64).reshape(-1, 4, 4)
+    if len(x_known) != len(P):
+        raise ValueError("x_known and poses_known length mismatch")
+    if len(x_known) == 0:
+        raise ValueError("empty trajectory")
+    if len(x_known) == 1:
+        return np.broadcast_to(P[0], (len(x_interp), 4, 4)).copy()
+    idx = np.clip(np.searchsorted(x_known, x_interp, side="right") - 1,
+                  0, len(x_known) - 2)
+    out = np.empty((len(x_interp), 4, 4))
+    for i, (q, k) in enumerate(zip(x_interp, idx)):
+        t0, t1 = x_known[k], x_known[k + 1]
+        f = (q - t0) / (t1 - t0 if t1 != t0 else 1.0)
+        rel = np.linalg.solve(P[k], P[k + 1])
+        out[i] = P[k] @ _se3_exp64(f * _se3_log64(rel))
+    return out
+
+
+def interp_pose_float(x_interp: Numeric, x_known: Numeric,
+                      poses_known: Numeric) -> np.ndarray:
+    """Float-pose variant of interp_pose (ref: processing.cpp:863-878)."""
+    return interp_pose(x_interp, x_known,
+                       np.asarray(poses_known, np.float64)
+                       ).astype(np.float32)
+
+
 class Trajectory:
     """Pose trajectory with timestamped knots, evaluable at arbitrary
     timestamps (ref: pose_util.py TrajectoryEvaluator)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass, field as dc_field
+from enum import IntEnum
 from typing import Dict, Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -183,14 +184,31 @@ class PointViz:
         self.camera = Camera()
         self._clouds: List[Cloud] = []
         self._images: List[Tuple[np.ndarray, float, float]] = []
+        # generic drawables with a draw(viz, frame) method (Lines,
+        # Cuboid, Label, Image, Mesh, ...; ref: point_viz.h add/remove)
+        self._drawables: List = []
+        self._key_handlers: List = []
+        self._mouse_handlers: List = []
+        self._scroll_handlers: List = []
+        self._fb_handlers: List = []
 
     def add(self, drawable) -> None:
         if isinstance(drawable, Cloud):
             self._clouds.append(drawable)
+        else:
+            self._drawables.append(drawable)
+
+    def remove(self, drawable) -> bool:
+        for coll in (self._clouds, self._drawables):
+            if drawable in coll:
+                coll.remove(drawable)
+                return True
+        return False
 
     def clear(self) -> None:
         self._clouds.clear()
         self._images.clear()
+        self._drawables.clear()
 
     def add_image_panel(self, rgb: np.ndarray) -> None:
         self._images.append((rgb, 0.0, 0.0))
@@ -234,6 +252,10 @@ class PointViz:
                     frame[yy[closer], xx[closer]] = colors[closer]
                     zbuf[yy[closer], xx[closer]] = zi[closer]
 
+        # generic drawables (vector overlays + positioned Image panels)
+        for d in self._drawables:
+            d.draw(self, frame)
+
         # stack 2D panels at the top
         y_off = 0
         for rgb, _, _ in self._images:
@@ -246,6 +268,9 @@ class PointViz:
             if y_off + target_h <= H:
                 frame[y_off:y_off + target_h] = panel
                 y_off += target_h
+
+        for h in self._fb_handlers:
+            h(frame, W, H)
         return frame
 
     def save_png(self, path: str, frame: Optional[np.ndarray] = None
@@ -256,6 +281,52 @@ class PointViz:
         data = png_codec.encode(frame, png_codec.COLOR_RGB, 8)
         with open(path, "wb") as f:
             f.write(data)
+
+    # -- event-handler registry (ref: point_viz.h:~600-745) ---------------
+    # Headless: handlers are invoked by tests / embedding front-ends via
+    # the dispatch_* methods; frame-buffer handlers fire on every render.
+    def push_key_handler(self, handler) -> None:
+        self._key_handlers.append(handler)
+
+    def push_mouse_button_handler(self, handler) -> None:
+        self._mouse_handlers.append(handler)
+
+    def push_scroll_handler(self, handler) -> None:
+        self._scroll_handlers.append(handler)
+
+    def push_frame_buffer_handler(self, handler) -> None:
+        self._fb_handlers.append(handler)
+
+    def pop_frame_buffer_handler(self) -> None:
+        if self._fb_handlers:
+            self._fb_handlers.pop()
+
+    def window_context(self) -> "WindowCtx":
+        return WindowCtx(viewport_width=self.width,
+                         viewport_height=self.height,
+                         window_width=self.width,
+                         window_height=self.height)
+
+    def dispatch_key(self, key: int, mods: int = 0) -> bool:
+        ctx = self.window_context()
+        for h in reversed(self._key_handlers):
+            if not h(ctx, key, mods):
+                return False
+        return True
+
+    def dispatch_mouse_button(self, button, event, mods: int = 0) -> bool:
+        ctx = self.window_context()
+        for h in reversed(self._mouse_handlers):
+            if not h(ctx, button, event, mods):
+                return False
+        return True
+
+    def dispatch_scroll(self, x: float, y: float) -> bool:
+        ctx = self.window_context()
+        for h in reversed(self._scroll_handlers):
+            if not h(ctx, x, y):
+                return False
+        return True
 
 
 class Selection2d:
@@ -527,3 +598,156 @@ def ls_show(scan_or_scans, info: Optional[SensorInfo] = None,
     lsv.update(scans)
     lsv.viz.save_png(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# Reference API compatibility surface (ref: _viz.cpp enums/structs,
+# sdk/viz/util.py helpers, sdk/viz/core.py ImuVisualizationConfig)
+# ---------------------------------------------------------------------------
+
+class PointVizNotRunningError(RuntimeError):
+    """Raised by operations that need a live render loop
+    (ref: _viz.cpp PointVizNotRunningError)."""
+
+
+class MouseButton(IntEnum):
+    """(ref: _viz.cpp:109-122; GLFW button numbering)"""
+
+    MOUSE_BUTTON_1 = 0
+    MOUSE_BUTTON_2 = 1
+    MOUSE_BUTTON_3 = 2
+    MOUSE_BUTTON_4 = 3
+    MOUSE_BUTTON_5 = 4
+    MOUSE_BUTTON_6 = 5
+    MOUSE_BUTTON_7 = 6
+    MOUSE_BUTTON_8 = 7
+    MOUSE_BUTTON_LAST = 7
+    MOUSE_BUTTON_LEFT = 0
+    MOUSE_BUTTON_RIGHT = 1
+    MOUSE_BUTTON_MIDDLE = 2
+
+
+class MouseButtonEvent(IntEnum):
+    """(ref: _viz.cpp:124-128)"""
+
+    MOUSE_BUTTON_RELEASED = 0
+    MOUSE_BUTTON_PRESSED = 1
+
+
+class EventModifierKeys(IntEnum):
+    """(ref: _viz.cpp:130-137; GLFW modifier bits)"""
+
+    MOD_NONE = 0
+    MOD_SHIFT = 1
+    MOD_CONTROL = 2
+    MOD_ALT = 4
+    MOD_SUPER = 8
+
+
+@dataclass
+class WindowCtx:
+    """Window/viewport state passed to event handlers
+    (ref: point_viz.h:757-765 WindowCtx)."""
+
+    lbutton_down: bool = False
+    mbutton_down: bool = False
+    mouse_x: float = 0.0
+    mouse_y: float = 0.0
+    viewport_width: int = 0
+    viewport_height: int = 0
+    window_width: int = 0
+    window_height: int = 0
+
+    def aspect_ratio(self) -> float:
+        return (self.viewport_height / self.viewport_width
+                if self.viewport_width else 1.0)
+
+    def normalized_coordinates(self, x: float, y: float):
+        """Viewport pixels -> 2D NDC, y in (-1, 1)
+        (ref: point_viz.h:776-787)."""
+        h = self.viewport_height or 1
+        w = self.viewport_width or 1
+        a = w / h
+        return (2.0 * x / h - a, 1.0 - 2.0 * y / h)
+
+
+# simple geometry aliases (ref: _viz.cpp Vertex/Vec3f for Mesh input)
+Vec3f = tuple
+Vertex = tuple
+
+
+class ImuVisualizationConfig:
+    """IMU subplot options (ref: sdk/viz/core.py:43-60)."""
+
+    imu_plot_width_pixels = 1000
+    imu_plot_height_pixels = 28
+    downsample_factor = 2
+    field_colors = {
+        "IMU_ACC": (1.0, 0.0, 0.0, 1.0),
+        "IMU_GYRO": (1.0, 1.0, 1.0, 1.0),
+    }
+
+    def __init__(self, options: str = "only_gyro") -> None:
+        if options == "only_gyro":
+            self._fields = ["IMU_GYRO"]
+        elif options == "only_acc":
+            self._fields = ["IMU_ACC"]
+        elif options == "all":
+            self._fields = ["IMU_ACC", "IMU_GYRO"]
+        else:
+            raise ValueError(f"unknown imu viz option: {options}")
+
+    @property
+    def fields(self):
+        return list(self._fields)
+
+
+def push_point_viz_handler(viz: "PointViz", arg, handler) -> None:
+    """Key handler with weakly-referenced extra context — avoids the
+    reference cycle of capturing self (ref: sdk/viz/util.py:28-52)."""
+    import weakref
+
+    weakarg = weakref.ref(arg)
+
+    def handle_keys(ctx, key: int, mods: int) -> bool:
+        obj = weakarg()
+        if obj is not None:
+            return handler(obj, ctx, key, mods)
+        return True
+
+    viz.push_key_handler(handle_keys)
+
+
+def add_default_controls(viz: "PointViz", mx=None) -> None:
+    """Install the reference default camera key bindings
+    (ref: point_viz.cpp:239 add_default_controls): arrows orbit,
+    =/- dolly, 0 resets."""
+
+    def handle(ctx, key: int, mods: int) -> bool:
+        cam = viz.camera
+        if key == ord("="):
+            cam.dolly(1)
+        elif key == ord("-"):
+            cam.dolly(-1)
+        elif key == ord("0"):
+            viz.camera = Camera()
+        elif key == 262:    # right arrow
+            cam.orbit(-5.0, 0.0)
+        elif key == 263:    # left arrow
+            cam.orbit(5.0, 0.0)
+        elif key == 264:    # down arrow
+            cam.orbit(0.0, -5.0)
+        elif key == 265:    # up arrow
+            cam.orbit(0.0, 5.0)
+        return True
+
+    viz.push_key_handler(handle)
+
+
+# palette arrays under the reference export names
+# (ref: _viz.cpp calref_palette/spezia_palette/... bindings)
+calref_palette = COLORMAPS["calref"]
+spezia_palette = COLORMAPS["spezia"]
+grey_palette = COLORMAPS["grey"]
+viridis_palette = COLORMAPS["viridis"]
+magma_palette = COLORMAPS["magma"]

@@ -173,3 +173,136 @@ def render_with_drawables(viz: PointViz, drawables: Sequence) -> np.ndarray:
     for d in drawables:
         d.draw(viz, frame)
     return frame
+
+
+class Image:
+    """2D screen-space image panel (ref: point_viz.h:1330 Image;
+    _viz.cpp:922-1010 set_image/set_position/set_hshift/set_palette).
+
+    Holds a mono ([0,1] keys, palette-colored) or RGB float image and a
+    normalized-device position (x_min..x_max, y_min..y_max in [-1, 1],
+    y up). ``draw`` blits it into the frame; PointViz.add also accepts
+    it directly.
+    """
+
+    def __init__(self):
+        self._img: Optional[np.ndarray] = None
+        self._palette: Optional[str] = None
+        self._pos = (-1.0, 1.0, 0.0, 1.0)
+        self._hshift = 0.0
+
+    def set_image(self, image: np.ndarray) -> None:
+        """Mono (H, W) in [0, 1] or RGB/RGBA (H, W, 3|4) float."""
+        self._img = np.asarray(image, dtype=np.float32)
+
+    def set_position(self, x_min: float, x_max: float, y_min: float,
+                     y_max: float) -> None:
+        self._pos = (float(x_min), float(x_max), float(y_min),
+                     float(y_max))
+
+    def set_hshift(self, hshift: float) -> None:
+        """Extra horizontal shift in NDC applied after aspect scaling
+        (ref: _viz.cpp:999)."""
+        self._hshift = float(hshift)
+
+    def set_palette(self, palette) -> None:
+        """Palette name (or (N, 3) float array registered ad hoc) used
+        for mono images."""
+        self._palette = palette
+
+    def clear_palette(self) -> None:
+        self._palette = None
+
+    def _rgb(self) -> Optional[np.ndarray]:
+        if self._img is None:
+            return None
+        img = self._img
+        if img.ndim == 2:
+            key = np.clip(img, 0.0, 1.0)
+            if isinstance(self._palette, np.ndarray):
+                idx = np.clip((key * (len(self._palette) - 1)).astype(int),
+                              0, len(self._palette) - 1)
+                return (self._palette[idx] * 255).astype(np.uint8)
+            from .core import colorize
+
+            return colorize(key.astype(np.float32),
+                            self._palette or "grey")
+        rgb = img[..., :3]
+        return (np.clip(rgb, 0.0, 1.0) * 255).astype(np.uint8)
+
+    def draw(self, viz: PointViz, frame: np.ndarray) -> None:
+        rgb = self._rgb()
+        if rgb is None:
+            return
+        H, W = frame.shape[:2]
+        x0, x1, y0, y1 = self._pos
+        # NDC (y up) -> pixel rows (y down)
+        px0 = int((x0 + self._hshift + 1.0) / 2.0 * W)
+        px1 = int((x1 + self._hshift + 1.0) / 2.0 * W)
+        py0 = int((1.0 - y1) / 2.0 * H)
+        py1 = int((1.0 - y0) / 2.0 * H)
+        px0, px1 = np.clip([px0, px1], 0, W)
+        py0, py1 = np.clip([py0, py1], 0, H)
+        if px1 <= px0 or py1 <= py0:
+            return
+        ys = np.linspace(0, rgb.shape[0] - 1, py1 - py0).astype(int)
+        xs = np.linspace(0, rgb.shape[1] - 1, px1 - px0).astype(int)
+        frame[py0:py1, px0:px1] = rgb[ys][:, xs]
+
+
+class AxisWithLabel:
+    """Coordinate axes with an optional text label, addable to a viz
+    (ref: sdk/viz/util.py:85 AxisWithLabel)."""
+
+    def __init__(self, point_viz: PointViz, *,
+                 pose: Optional[np.ndarray] = None, label: str = "",
+                 length: float = 1.0, thickness: int = 3,
+                 label_scale: float = 1.0, enabled: bool = True):
+        self._viz = point_viz
+        self._pose = np.eye(4) if pose is None else np.asarray(pose)
+        self._label_text = label
+        o = self._pose[:3, 3]
+        R = self._pose[:3, :3]
+        segs = np.stack([np.stack([o, o + R[:, k] * length])
+                         for k in range(3)])
+        self._axes = [
+            Lines(segs[0:1], (255, 0, 0)),
+            Lines(segs[1:2], (0, 255, 0)),
+            Lines(segs[2:3], (0, 0, 255)),
+        ]
+        self._label = Label(label, tuple(o)) if label else None
+        self._enabled = False
+        if enabled:
+            self.enable()
+
+    @property
+    def enabled(self) -> bool:
+        return self._enabled
+
+    def enable(self) -> None:
+        if not self._enabled:
+            for a in self._axes:
+                self._viz.add(a)
+            if self._label is not None:
+                self._viz.add(self._label)
+            self._enabled = True
+
+    def disable(self) -> None:
+        if self._enabled:
+            for a in self._axes:
+                self._viz.remove(a)
+            if self._label is not None:
+                self._viz.remove(self._label)
+            self._enabled = False
+
+    def toggle(self) -> bool:
+        (self.disable if self._enabled else self.enable)()
+        return self._enabled
+
+    def update(self, pose: np.ndarray, label: Optional[str] = None
+               ) -> None:
+        was = self._enabled
+        self.disable()
+        self.__init__(self._viz, pose=pose,
+                      label=self._label_text if label is None else label,
+                      enabled=was)

@@ -25,7 +25,34 @@ def _second_chan_field(field: str) -> Optional[str]:
     return pairs.get(field)
 
 
-class SimpleMode:
+class FieldViewMode:
+    """Base protocol: a mode exposes name/names, enabled(scan, return_num)
+    and prepare(scan, return_num) -> [0, 1] key
+    (ref: view_mode.py:12-44 FieldViewMode)."""
+
+    name = ""
+    names: List[str] = []
+
+    def enabled(self, scan, return_num: int = 0) -> bool:
+        raise NotImplementedError
+
+    def prepare(self, scan, return_num: int = 0):
+        raise NotImplementedError
+
+
+class ImageMode(FieldViewMode):
+    """Mode usable for 2D image panels (ref: view_mode.py:44)."""
+
+
+class CloudMode(FieldViewMode):
+    """Mode usable for 3D cloud coloring (ref: view_mode.py:56)."""
+
+
+class ImageCloudMode(ImageMode, CloudMode):
+    """Mode usable for both (ref: view_mode.py:68)."""
+
+
+class SimpleMode(ImageCloudMode):
     """AutoExposure(+ optional BeamUniformityCorrector) over one field
     (ref: view_mode.py SimpleMode)."""
 
@@ -58,7 +85,7 @@ class SimpleMode:
         return np.clip(key, 0.0, 1.0)
 
 
-class ReflMode:
+class ReflMode(ImageCloudMode):
     """Calibrated-reflectivity mode (ref: view_mode.py ReflMode): values
     0-255 map linearly (diffuse 0-100 -> [0, 0.5), retro 101-255 ->
     [0.5, 1]); uncalibrated sensors fall back to AutoExposure."""
@@ -91,7 +118,7 @@ class ReflMode:
         return np.clip(key, 0.0, 1.0)
 
 
-class RingMode:
+class RingMode(CloudMode):
     """Color by beam row ring (ref: view_mode.py RingMode)."""
 
     name = "RING"
@@ -134,3 +161,86 @@ def _fw_ge_2_1(info) -> bool:
     if not m:
         return False
     return (int(m.group(1)), int(m.group(2))) >= (2, 1)
+
+
+# -- reference extra modes (ref: view_mode.py:215+, 353+, 457+;
+#    model.py:57 VizExtraMode) -------------------------------------------
+
+class RGBMode(ImageCloudMode):
+    """Direct RGB channel display, normalized by dtype range
+    (ref: view_mode.py:215 RGBMode)."""
+
+    def __init__(self, field: str, *, info=None):
+        self._info = info
+        self._field = field
+        self.name = field
+        self.names = [field]
+
+    def enabled(self, scan, return_num: int = 0) -> bool:
+        return return_num == 0 and scan.has_field(self._field)
+
+    def prepare(self, scan, return_num: int = 0):
+        if not self.enabled(scan, return_num):
+            return None
+        rgb = scan.field(self._field).astype(np.float64)
+        if rgb.max() > 1.0:
+            rgb = rgb / (255.0 if rgb.max() <= 255 else rgb.max())
+        return np.clip(rgb, 0.0, 1.0)
+
+
+class NormalsMode(ImageCloudMode):
+    """Surface-normal display: [-1, 1] components remapped to [0, 1]
+    (ref: view_mode.py:353 NormalsMode)."""
+
+    def __init__(self, field: str, *, info=None):
+        self._info = info
+        self._fields = [field]
+        second = _second_chan_field(field)
+        if second:
+            self._fields.append(second)
+        self.name = field
+        self.names = list(self._fields)
+
+    def enabled(self, scan, return_num: int = 0) -> bool:
+        return return_num < len(self._fields) and \
+            scan.has_field(self._fields[return_num])
+
+    def prepare(self, scan, return_num: int = 0):
+        if not self.enabled(scan, return_num):
+            return None
+        n = scan.field(self._fields[return_num]).astype(np.float64)
+        return np.clip((n + 1.0) / 2.0, 0.0, 1.0)
+
+
+def is_norm_reflectivity_mode(mode) -> bool:
+    """True for calibrated-reflectivity modes
+    (ref: view_mode.py:457-462)."""
+    return isinstance(mode, ReflMode) and mode._calibrated
+
+
+from dataclasses import dataclass as _dataclass  # noqa: E402
+from typing import Callable  # noqa: E402
+
+
+@_dataclass
+class CloudPaletteItem:
+    """Named palette (ref: view_mode.py:470)."""
+
+    name: str
+    palette: np.ndarray
+
+
+@_dataclass
+class VizExtraMode:
+    """Factory for externally-plugged viz modes
+    (ref: model.py:57-71 VizExtraMode)."""
+
+    func: Callable[[], FieldViewMode]
+
+    def create(self, info=None) -> FieldViewMode:
+        extra_mode = self.func()
+        if info is not None and hasattr(extra_mode, "_info") and \
+                getattr(extra_mode, "_info", None) is None:
+            extra_mode._info = info
+        return extra_mode
+

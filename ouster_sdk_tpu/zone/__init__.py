@@ -1,3 +1,22 @@
+"""Zone-monitoring namespace mirroring the reference's
+``ouster.sdk.zone_monitor``
+(ref: python/src/ouster/sdk/zone_monitor/__init__.py)."""
+
 from .zrb import Zrb  # noqa: F401
-from .zone import Zone, ZoneSet, ZoneMode  # noqa: F401
-from .monitor import render_zone_bounds, zone_occupancy  # noqa: F401
+from .zone import (  # noqa: F401
+    CoordinateFrame,
+    Stl,
+    Zone,
+    ZoneMode,
+    ZoneSet,
+    load_stl,
+    save_stl,
+)
+from .monitor import (  # noqa: F401
+    MAX_ACTIVE_ZONES,
+    EmulatedZoneMon,
+    ZoneMonitor,
+    ZoneState,
+    render_zone_bounds,
+    zone_occupancy,
+)

@@ -235,3 +235,46 @@ class ZoneMonitor:
                 rng, zrb, min_range_mm=int(z.min_range_m * 1000))
             out[z.id] = count
         return out
+
+
+class ZoneState:
+    """Per-zone occupancy statistics record view
+    (ref: zone_state.h; python binding zone_monitor.cpp:49-64). Wraps
+    one ZONE_STATE_DTYPE element (the wire record parsed from zone
+    packets) with attribute access."""
+
+    _FIELDS = ("live", "id", "error_flags", "trigger_type",
+               "trigger_status", "triggered_frames", "count",
+               "occlusion_count", "invalid_count", "max_count",
+               "min_range", "max_range", "mean_range")
+
+    def __init__(self, record=None, **kwargs):
+        from ..core.field import ZONE_STATE_DTYPE
+
+        if record is None:
+            record = np.zeros((), dtype=ZONE_STATE_DTYPE)
+        self._rec = np.asarray(record).reshape(())
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    @staticmethod
+    def dtype() -> np.dtype:
+        from ..core.field import ZONE_STATE_DTYPE
+
+        return ZONE_STATE_DTYPE
+
+    def __getattr__(self, name):
+        if name in ZoneState._FIELDS:
+            return self._rec[name][()]
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in ZoneState._FIELDS:
+            self._rec[name] = value
+        else:
+            object.__setattr__(self, name, value)
+
+    def __repr__(self) -> str:
+        vals = ", ".join(f"{k}={getattr(self, k)}"
+                         for k in ZoneState._FIELDS)
+        return f"ZoneState({vals})"

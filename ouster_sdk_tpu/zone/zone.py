@@ -174,3 +174,44 @@ class ZoneSet:
                     min_range_m=zc.get("min_range_m", 0.0),
                     max_range_m=zc.get("max_range_m", 200.0)))
         return cls(zones, power_on_live_ids=cfg.get("power_on_live_ids"))
+
+
+class CoordinateFrame(Enum):
+    """STL vertex frame (ref: zone_monitor.cpp binding
+    Stl::CoordinateFrame BODY/SENSOR)."""
+
+    BODY = 0
+    SENSOR = 1
+
+
+class Stl:
+    """STL mesh handle with identity hash, constructible from a path or
+    raw bytes (ref: zone_monitor.cpp:75-86 Stl binding; stl.h)."""
+
+    def __init__(self, source,
+                 coordinate_frame: CoordinateFrame = CoordinateFrame.BODY):
+        if isinstance(source, str):
+            self.filename = source
+            with open(source, "rb") as f:
+                self._data = f.read()
+        else:
+            self.filename = ""
+            self._data = bytes(source)
+        self.coordinate_frame = coordinate_frame
+        self.triangles = load_stl(self._data)
+
+    def to_mesh(self) -> np.ndarray:
+        """Triangle vertices, (n_tris, 3, 3) float64."""
+        return self.triangles
+
+    @property
+    def hash(self) -> str:
+        """sha256 of the raw STL bytes (ref: Stl::hash)."""
+        import hashlib
+
+        return hashlib.sha256(self._data).hexdigest()
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Stl):
+            return NotImplemented
+        return self._data == other._data

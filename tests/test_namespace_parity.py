@@ -1,0 +1,153 @@
+"""Public-API parity: every symbol the reference exports from its
+Python namespaces must exist in ours (ref: python/src/ouster/sdk/*/
+__init__.py). This is the migration contract — a user's
+`from ouster.sdk.X import Y` maps to `from ouster_sdk_tpu.<ns> import Y`.
+"""
+
+import importlib
+import re
+import warnings
+
+import pytest
+
+REF = "/root/reference/python/src/ouster/sdk"
+
+# reference namespace -> our module(s) that carry its surface
+NAMESPACES = [
+    ("core", ["ouster_sdk_tpu"]),
+    ("pcap", ["ouster_sdk_tpu.io"]),
+    ("osf", ["ouster_sdk_tpu.io"]),
+    ("sensor", ["ouster_sdk_tpu.sensor"]),
+    ("util", ["ouster_sdk_tpu.utils"]),
+    ("viz", ["ouster_sdk_tpu.viz"]),
+    ("mapping", ["ouster_sdk_tpu.slam"]),
+    ("bag", ["ouster_sdk_tpu.io"]),
+    ("zone_monitor", ["ouster_sdk_tpu.zone"]),
+]
+
+
+def _ref_exports(path):
+    txt = open(path).read()
+    out = set()
+    for m in re.finditer(r"^from [\w.]+ import ([^(].*)$", txt, re.M):
+        for s in m.group(1).split(","):
+            s = re.sub(r" as .*", "", s.split("#")[0]).strip()
+            if s and s.isidentifier() and not s.startswith("_"):
+                out.add(s)
+    for m in re.finditer(r"^from [\w.]+ import \(([^)]*)\)", txt,
+                         re.M | re.S):
+        for s in m.group(1).split(","):
+            s = s.split("#")[0].strip()
+            if s and s.isidentifier() and not s.startswith("_"):
+                out.add(s)
+    for m in re.finditer(r'deprecated_alias\("(\w+)"', txt):
+        out.add(m.group(1))
+    return out
+
+
+@pytest.mark.parametrize("ns,ours", NAMESPACES,
+                         ids=[n for n, _ in NAMESPACES])
+def test_namespace_exports(ns, ours):
+    names = _ref_exports(f"{REF}/{ns}/__init__.py")
+    assert names, f"no exports parsed for {ns}"
+    mods = [importlib.import_module(m) for m in ours]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        missing = sorted(n for n in names
+                         if not any(hasattr(m, n) for m in mods))
+    assert not missing, f"{ns}: missing {missing}"
+
+
+def test_deprecated_aliases_warn():
+    import ouster_sdk_tpu as o
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert o.sensor_info is o.SensorInfo
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_reference_compat_smoke():
+    """The helpers behave like the reference, not just exist."""
+    import numpy as np
+
+    import ouster_sdk_tpu as o
+
+    # pose conversions (ref: pose_conversion.cpp)
+    m = o.euler_pose_to_matrix([0, 0, np.pi / 2, 1, 2, 3])
+    np.testing.assert_allclose(m[:3, :3] @ [1, 0, 0], [0, 1, 0],
+                               atol=1e-12)
+    q = o.quaternion_pose_to_matrix([1, 0, 0, 0, 4, 5, 6])
+    np.testing.assert_allclose(q[:3, :3], np.eye(3), atol=1e-15)
+
+    # trajectory interpolation endpoints + extrapolation
+    # (ref: pose_util.h interp_pose)
+    P = np.stack([np.eye(4), m])
+    out = o.interp_pose([0.0, 1.0], [0.0, 1.0], P)
+    np.testing.assert_allclose(out[0], np.eye(4), atol=1e-12)
+    np.testing.assert_allclose(out[1], m, atol=1e-12)
+    outf = o.interp_pose_float([0.5], [0.0, 1.0], P)
+    assert outf.dtype == np.float32
+
+    # io helpers (ref: io_type.cpp)
+    assert o.io_type_from_extension("a.pcap") is o.IoType.PCAP
+    assert o.extension_from_io_type(o.IoType.OSF) == ".osf"
+
+    # scan helpers on a synthetic scan (ref: core/core.py)
+    info = None
+    scan = o.LidarScan(w=32, h=4)
+    scan.status[:] = 1
+    scan.pose[:] = np.eye(4)
+    assert not o.poses_present(scan)
+    scan.pose[5] = m
+    assert o.poses_present(scan)
+    assert o.valid_packet_idxs(scan).size == len(scan.packet_timestamp)
+    np.testing.assert_array_equal(o.first_valid_column_pose(scan),
+                                  scan.pose[0])
+
+
+def test_multi_scan_source_merge():
+    """MultiScanSource orders sets by first valid packet timestamp and
+    dedups identical sensors (ref: multi_scan_source.cpp)."""
+    import numpy as np
+
+    from ouster_sdk_tpu import LidarScan, MultiScanSource
+    from ouster_sdk_tpu.io.sources import LidarScanSet, ScanSource
+
+    class Fake(ScanSource):
+        def __init__(self, info_tag, stamps):
+            super().__init__([info_tag])
+            self._stamps = stamps
+
+        def _iter_sets(self):
+            for ts in self._stamps:
+                s = LidarScan(w=16, h=2)
+                s.packet_timestamp[:] = ts
+                yield LidarScanSet([s])
+
+    a, b = object(), object()
+    ms = MultiScanSource([Fake(a, [10, 30]), Fake(b, [20, 40])])
+    assert len(ms.sensor_info) == 2
+    order = [next(s for s in ls if s is not None)
+             .first_valid_packet_timestamp() for ls in ms]
+    assert order == [10, 20, 30, 40]
+
+
+def test_collate_wrapper():
+    from ouster_sdk_tpu import LidarScan, collate
+    from ouster_sdk_tpu.io.sources import LidarScanSet, ScanSource
+
+    class Fake(ScanSource):
+        def __init__(self):
+            super().__init__([object(), object()])
+
+        def _iter_sets(self):
+            for k in range(4):
+                s = LidarScan(w=16, h=2)
+                s.packet_timestamp[:] = 100 + k
+                out = [None, None]
+                out[k % 2] = s
+                yield LidarScanSet(out)
+
+    sets = list(collate(Fake()))
+    assert all(len(ls.valid()) == 2 for ls in sets[:2])
