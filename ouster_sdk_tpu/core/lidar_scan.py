@@ -268,6 +268,22 @@ class LidarScan:
         c = max(self.first_valid_column(), 0)
         return self.pose[c]
 
+    @property
+    def packet_count(self) -> int:
+        """Packets per full scan given w and columns_per_packet
+        (ref: client.pyi LidarScan.packet_count)."""
+        return len(self.packet_timestamp)
+
+    @property
+    def zones(self) -> np.ndarray:
+        """ZONE_STATES records as a structured array, empty when the
+        scan carries no zone data (ref: client.pyi LidarScan.zones)."""
+        from .field import ZONE_STATE_DTYPE
+
+        if self.has_field(ChanField.ZONE_STATES):
+            return self.field(ChanField.ZONE_STATES)
+        return np.zeros(0, dtype=ZONE_STATE_DTYPE)
+
     # reference binding method names (ref: python/src/cpp/client/
     # lidar_scan.cpp "get_first_valid_column" etc.)
     def get_first_valid_column(self) -> int:

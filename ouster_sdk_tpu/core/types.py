@@ -375,6 +375,9 @@ class SensorInfo:
     user_data: str = ""
     # zone monitoring configuration hash (if present)
     zone_set_hash: str = ""
+    # parsed zone configuration when available
+    # (ref: client.pyi SensorInfo.zone_set: Optional[ZoneSet])
+    zone_set: Optional[object] = None
 
     def get_version(self) -> Version:
         return Version.from_string(self.image_rev or self.fw_rev)

@@ -484,3 +484,93 @@ class PacketWriter(PacketFormat):
                 write_bits(px, info, vals[..., e], element=e)
         else:
             write_bits(px, info, vals)
+
+
+# -- reference binding extras appended to the classes above ---------------
+
+def _pf_field_bitness(self, field: str) -> int:
+    """Bit width of a field's decoded value
+    (ref: client.pyi PacketFormat.field_bitness)."""
+    return self._fields[field].bit_size
+
+
+def _pf_from_data_format(fmt) -> "PacketFormat":
+    """(ref: client.pyi PacketFormat.from_data_format)"""
+    return PacketFormat(fmt)
+
+
+def _pf_from_metadata(info) -> "PacketFormat":
+    """(ref: client.pyi PacketFormat.from_metadata)"""
+    return PacketFormat.from_info(info)
+
+
+PacketFormat.field_bitness = _pf_field_bitness
+PacketFormat.from_data_format = staticmethod(_pf_from_data_format)
+PacketFormat.from_metadata = staticmethod(_pf_from_metadata)
+
+
+def _pw_from_info(info) -> "PacketWriter":
+    return PacketWriter(info)
+
+
+def _pw_from_data_format(fmt) -> "PacketWriter":
+    return PacketWriter(fmt)
+
+
+def _pw_buf(packet_or_buf) -> np.ndarray:
+    buf = getattr(packet_or_buf, "buf", packet_or_buf)
+    arr = (buf if isinstance(buf, np.ndarray)
+           else np.frombuffer(buf, dtype=np.uint8))
+    if not arr.flags.writeable:
+        raise ValueError("packet buffer is not writable")
+    return arr
+
+
+def _pw_col_words(self, packet_or_buf, col_idx: int) -> np.ndarray:
+    hw = self.packet_header_size // 4
+    cw = self.col_size // 4
+    words = _pw_buf(packet_or_buf).view("<u4")
+    return words[hw + col_idx * cw: hw + (col_idx + 1) * cw]
+
+
+def _pw_set_col_timestamp(self, packet, col_idx: int, ts: int) -> None:
+    """(ref: impl/packet_writer.h set_col_timestamp)"""
+    write_bits(self._col_words(packet, col_idx), self.geom.col_timestamp,
+               ts)
+
+
+def _pw_set_col_measurement_id(self, packet, col_idx: int,
+                               m_id: int) -> None:
+    write_bits(self._col_words(packet, col_idx),
+               self.geom.col_measurement_id, m_id)
+
+
+def _pw_set_col_status(self, packet, col_idx: int, status: int) -> None:
+    write_bits(self._col_words(packet, col_idx), self.geom.col_status,
+               status)
+
+
+def _pw_set_alert_flags(self, packet, alert_flags: int) -> None:
+    write_bits(_pw_buf(packet).view("<u4"), self.geom.alert_flags,
+               alert_flags)
+
+
+def _pw_set_shot_limiting_countdown(self, packet, value: int) -> None:
+    write_bits(_pw_buf(packet).view("<u4"),
+               self.geom.countdown_shot_limiting, value)
+
+
+def _pw_set_shutdown_countdown(self, packet, value: int) -> None:
+    write_bits(_pw_buf(packet).view("<u4"),
+               self.geom.countdown_thermal_shutdown, value)
+
+
+PacketWriter.from_info = staticmethod(_pw_from_info)
+PacketWriter.from_data_format = staticmethod(_pw_from_data_format)
+PacketWriter._col_words = _pw_col_words
+PacketWriter.set_col_timestamp = _pw_set_col_timestamp
+PacketWriter.set_col_measurement_id = _pw_set_col_measurement_id
+PacketWriter.set_col_status = _pw_set_col_status
+PacketWriter.set_alert_flags = _pw_set_alert_flags
+PacketWriter.set_shot_limiting_countdown = _pw_set_shot_limiting_countdown
+PacketWriter.set_shutdown_countdown = _pw_set_shutdown_countdown

@@ -97,6 +97,14 @@ class SensorEmulator:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _bytes(self, data: bytes, code=200,
+                       ctype="application/zip"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def do_GET(self):
                 u = urlparse(self.path)
                 p = u.path.rstrip("/")
@@ -122,6 +130,13 @@ class SensorEmulator:
                     return self._json({"ipv4": {"override": None}})
                 if p == "/api/v1/user/data":
                     return self._json(getattr(emu, "_user_data", ""))
+                # zone monitor surface (ref: sensor_http_imp.cpp:273-341)
+                if p == "/api/v1/zone_monitor/active/zip":
+                    return self._bytes(getattr(emu, "_zm_active", b""))
+                if p == "/api/v1/zone_monitor/staged/zip":
+                    return self._bytes(getattr(emu, "_zm_staged", b""))
+                if p == "/api/v1/zone_monitor/live_ids":
+                    return self._json(getattr(emu, "_zm_live_ids", []))
                 return self._json({"error": "not found"}, 404)
 
             def do_POST(self):
@@ -150,14 +165,35 @@ class SensorEmulator:
                     emu._user_data = json.loads(
                         self.rfile.read(ln).decode() or '""')
                     return self._json("ok")
+                # zone monitor: stage zip (applied automatically, like the
+                # current fw; ref: sensor_http_imp.cpp:294-299), apply,
+                # set live ids
+                if p == "/api/v1/zone_monitor/staged/zip":
+                    ln = int(self.headers.get("Content-Length", 0))
+                    emu._zm_staged = self.rfile.read(ln)
+                    emu._zm_active = emu._zm_staged
+                    return self._json("ok")
+                if p == "/api/v1/zone_monitor/apply":
+                    self.rfile.read(
+                        int(self.headers.get("Content-Length", 0)))
+                    emu._zm_active = getattr(emu, "_zm_staged", b"")
+                    return self._json("ok")
+                if p == "/api/v1/zone_monitor/live_ids":
+                    ln = int(self.headers.get("Content-Length", 0))
+                    emu._zm_live_ids = json.loads(
+                        self.rfile.read(ln).decode() or "[]")
+                    return self._json("ok")
                 return self._json({"error": "not found"}, 404)
 
             do_PUT = do_POST
 
             def do_DELETE(self):
-                if urlparse(self.path).path.rstrip("/") == \
-                        "/api/v1/user/data":
+                p = urlparse(self.path).path.rstrip("/")
+                if p == "/api/v1/user/data":
                     emu._user_data = ""
+                    return self._json("ok")
+                if p == "/api/v1/zone_monitor/staged":
+                    emu._zm_staged = b""
                     return self._json("ok")
                 return self._json({"error": "not found"}, 404)
 

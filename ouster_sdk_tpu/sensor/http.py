@@ -180,18 +180,81 @@ class SensorHttp:
                              timeout=LONG_HTTP_REQUEST_TIMEOUT_SECONDS)
 
     # -- zone monitoring (ref: sensor_http.h:401-461) ---------------------
+    # -- zone monitor (fw 3.2+; ref: sensor_http_imp.cpp:273-341) ---------
+    _MINIMUM_ZM_VERSION = (3, 2)
+
+    def _require_zm(self) -> None:
+        fw = getattr(self, "version", None)
+        if fw is not None and (fw.major, fw.minor) < self._MINIMUM_ZM_VERSION:
+            raise SensorHttpError(
+                "zone monitor only available on fw versions 3.2+")
+
+    def get_zone_monitor_config_zip(self, staged: bool = False) -> bytes:
+        self._require_zm()
+        which = "staged" if staged else "active"
+        return self._request("GET", f"/api/v1/zone_monitor/{which}/zip")
+
+    def set_zone_monitor_config_zip(self, zip_bytes: bytes) -> None:
+        self._require_zm()
+        self._request("POST", "/api/v1/zone_monitor/staged/zip",
+                      body=zip_bytes, content_type="application/zip")
+
+    def delete_zone_monitor_staged_config(self) -> None:
+        self._require_zm()
+        self._request("DELETE", "/api/v1/zone_monitor/staged")
+
+    def apply_zone_monitor_staged_config_to_active(self) -> None:
+        self._require_zm()
+        self._request("POST", "/api/v1/zone_monitor/apply", body="")
+
+    def get_zone_monitor_live_ids(self) -> List[int]:
+        self._require_zm()
+        return self._get_json("/api/v1/zone_monitor/live_ids")
+
+    def set_zone_monitor_live_ids(self, zones: List[int]) -> None:
+        self._require_zm()
+        self._request("POST", "/api/v1/zone_monitor/live_ids",
+                      body=json.dumps(list(zones)))
+
+    # legacy method names kept from round 1
     def get_zone_monitoring_config(self) -> bytes:
-        return self._request("GET", "/api/v1/zones/config")
+        return self.get_zone_monitor_config_zip()
 
     def set_zone_monitoring_config(self, zip_bytes: bytes) -> None:
-        self._request("PUT", "/api/v1/zones/config", body=zip_bytes,
-                      content_type="application/zip")
+        self.set_zone_monitor_config_zip(zip_bytes)
 
     def delete_zone_monitoring_config(self) -> None:
-        self._request("DELETE", "/api/v1/zones/config")
+        self.delete_zone_monitor_staged_config()
 
     def live_zone_ids(self) -> List[int]:
-        return self._get_json("/api/v1/zones/live")
+        return self.get_zone_monitor_live_ids()
+
+    # -- reference binding extras (ref: client.pyi SensorHttp) ------------
+    def get_config_params(self, active: bool = True) -> Dict[str, Any]:
+        return (self.active_config_params() if active
+                else self.staged_config_params())
+
+    @staticmethod
+    def get_firmware_version(
+            hostname: str,
+            timeout: float = SHORT_HTTP_REQUEST_TIMEOUT_SECONDS) -> Version:
+        return SensorHttp(hostname, timeout).firmware_version()
+
+    def auto_detected_udp_dest(
+            self, timeout: Optional[float] = None,
+            original_destination: Optional[str] = None) -> str:
+        """The sender IP the sensor would pick for auto udp_dest
+        (ref: sensor_http_imp.cpp auto_detected_udp_dest — probes
+        api/v1/system/network/udp_dest_auto without applying it)."""
+        try:
+            resp = self._get_json("/api/v1/system/network/udp_dest_auto")
+            if isinstance(resp, dict):
+                return str(resp.get("udp_dest", ""))
+            return str(resp)
+        except SensorHttpError:
+            if original_destination is not None:
+                return original_destination
+            raise
 
 
 class SensorHttp_2_4_or_3(SensorHttp):

@@ -151,3 +151,108 @@ def test_collate_wrapper():
 
     sets = list(collate(Fake()))
     assert all(len(ls.valid()) == 2 for ls in sets[:2])
+
+
+CLASS_AUDITS = [
+    "LidarScan", "SensorInfo", "SensorConfig", "PacketFormat",
+    "PacketWriter", "ScanBatcher", "DataFormat", "FieldType", "Version",
+    "SensorHttp",
+]
+
+
+def _pyi_members(name):
+    pyi = open(f"{REF}/_bindings/client.pyi").read()
+    m = re.search(rf"^class {name}\b.*?(?=^class |\Z)", pyi, re.M | re.S)
+    assert m, f"class {name} not found in client.pyi"
+    body = m.group(0)
+    meths = set(re.findall(r"^    def (\w+)", body, re.M))
+    props = set(re.findall(r"^    (\w+): ", body, re.M))
+    props |= set(re.findall(r"^    @property\n    def (\w+)", body, re.M))
+    return {x for x in meths | props
+            if not x.startswith("_") and x != "IMPORTANT"}
+
+
+@pytest.mark.parametrize("cls_name", CLASS_AUDITS)
+def test_class_member_parity(cls_name):
+    """Every public member of the reference binding class exists on our
+    equivalent (ref: python/src/ouster/sdk/_bindings/client.pyi)."""
+    import ouster_sdk_tpu as o
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    si = o.sensor_info_from_metadata(meta)
+    instances = {
+        "LidarScan": lambda: o.LidarScan(si),
+        "SensorInfo": lambda: si,
+        "SensorConfig": lambda: si.config,
+        "PacketFormat": lambda: o.PacketFormat.from_info(si),
+        "PacketWriter": lambda: o.PacketWriter.from_info(si),
+        "ScanBatcher": lambda: o.ScanBatcher(si),
+        "DataFormat": lambda: si.format,
+        "FieldType": lambda: o.get_field_types(si)[0],
+        "Version": lambda: o.Version(),
+        "SensorHttp": lambda: o.SensorHttp("localhost"),
+    }
+    inst = instances[cls_name]()
+    missing = sorted(m for m in _pyi_members(cls_name)
+                     if not hasattr(inst, m))
+    assert not missing, f"{cls_name}: missing {missing}"
+
+
+def test_packet_writer_column_setters():
+    """Reference-named per-column setters roundtrip through the decoder
+    (ref: impl/packet_writer.h)."""
+    import numpy as np  # noqa: F401
+
+    import ouster_sdk_tpu as o
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    si = o.sensor_info_from_metadata(meta)
+    pf = o.PacketFormat.from_info(si)
+    pw = o.PacketWriter.from_info(si)
+    buf = pw.new_packet()
+    pw.set_frame_id(buf, 77)
+    pw.set_col_timestamp(buf, 3, 123456789)
+    pw.set_col_measurement_id(buf, 3, 42)
+    pw.set_col_status(buf, 3, 1)
+    pw.set_alert_flags(buf, 5)
+    pw.set_shot_limiting_countdown(buf, 9)
+    pw.set_shutdown_countdown(buf, 7)
+    assert pf.frame_id(buf) == 77
+    assert pf.col_timestamp(buf)[3] == 123456789
+    assert pf.col_measurement_id(buf)[3] == 42
+    assert pf.col_status(buf)[3] == 1
+    assert pf.alert_flags(buf) == 5
+    assert pf.countdown_shot_limiting(buf) == 9
+    assert pf.countdown_thermal_shutdown(buf) == 7
+    assert pf.field_bitness(o.ChanField.RANGE) == 19
+
+
+def test_emulator_zone_monitor_endpoints():
+    """Zone-monitor HTTP surface round-trips through the emulator
+    (ref: sensor_http_imp.cpp:273-341 endpoint paths)."""
+    import glob
+
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    info = o.sensor_info_from_metadata(meta)
+    emu = SensorEmulator(info, lambda: iter(()), http_port=0)
+    emu._http_thread.start()
+    try:
+        http = o.SensorHttp.create(f"localhost:{emu.http_port}")
+        http.set_zone_monitor_config_zip(b"PK\x05\x06fakezip")
+        assert http.get_zone_monitor_config_zip() == b"PK\x05\x06fakezip"
+        assert http.get_zone_monitor_config_zip(staged=True) == \
+            b"PK\x05\x06fakezip"
+        http.set_zone_monitor_live_ids([1, 3, 5])
+        assert http.get_zone_monitor_live_ids() == [1, 3, 5]
+        http.delete_zone_monitor_staged_config()
+        assert http.get_zone_monitor_config_zip(staged=True) == b""
+        http.apply_zone_monitor_staged_config_to_active()
+        assert http.get_zone_monitor_config_zip() == b""
+    finally:
+        emu._http.shutdown()
