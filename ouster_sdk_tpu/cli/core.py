@@ -742,10 +742,18 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
                    "world-frame points) to this self-contained HTML file")
 @click.option("--html-field", default="REFLECTIVITY", show_default=True,
               help="point color key field for --html")
+@click.option("-r", "--rate", default="max",
+              type=click.Choice(["0.25", "0.5", "0.75", "1", "1.5", "2",
+                                 "3", "max"]),
+              help="playback rate (wall-clock pacing; ref: source.py "
+                   "viz -r). Headless default: max (no pacing)")
+@click.option("--pause-at", type=int, default=-1,
+              help="lidar scan number to pause at (resume with "
+                   "SPACE via dispatch_key; ref: source.py --pause-at)")
 @click.pass_context
 def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
                accum_every, accum_every_m, map_enabled, map_ratio,
-               html_out, html_field):
+               html_out, html_field, rate, pause_at):
     """Visualize scans (offscreen renderer; ref: plugins/source.py viz,
     sdk/viz/model.py view modes / palettes / AOI). With --html, writes a
     single-file interactive WebGL orbit viewer of the (pose-dewarped)
@@ -793,7 +801,9 @@ def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
                         snapshot_every=every, accum_num=accum_num,
                         accum_every=accum_every,
                         accum_every_m=accum_every_m,
-                        map_enabled=map_enabled, map_ratio=map_ratio)
+                        map_enabled=map_enabled, map_ratio=map_ratio,
+                        rate=0.0 if rate == "max" else float(rate),
+                        pause_at=pause_at, auto_resume=True)
         lsv = viz.scan_viz
         if cloud_mode:
             names = [m.name for m in lsv.cloud_modes[0]]

@@ -516,11 +516,107 @@ class LidarScanViz:
         return self.viz.render()
 
 
+class _Seekable:
+    """Wrap an iterable with a bounded back-buffer so playback can seek
+    by absolute index (ref: sdk/viz/core.py:1031 _Seekable — same
+    invariant: (read_ind - len(cache)) < next_ind <= read_ind + 1)."""
+
+    def __init__(self, it: Iterable, maxlen: int = 50):
+        from collections import deque
+
+        self._it = iter(it)
+        self._cache: "deque" = deque(maxlen=maxlen)
+        self._maxlen = maxlen
+        self._read_ind = -1   # last index read from the source
+        self._next_ind = 0    # index returned by the next __next__
+
+    @property
+    def next_ind(self) -> int:
+        return self._next_ind
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._next_ind <= self._read_ind:
+            val = self._cache[self._next_ind - self._read_ind - 1]
+        else:
+            val = next(self._it)
+            self._read_ind += 1
+            self._cache.append(val)
+        self._next_ind += 1
+        return val
+
+    def seek(self, ind: int) -> bool:
+        """Position so the next __next__ returns index `ind`; False when
+        `ind` left the bounded cache or is past the stream head."""
+        if ind > self._read_ind + 1:
+            return False
+        if ind <= self._read_ind - len(self._cache):
+            return False
+        self._next_ind = max(ind, 0)
+        return True
+
+    def close(self) -> None:
+        close = getattr(self._it, "close", None)
+        if close:
+            close()
+
+
+class LiveConsumer:
+    """Consume a live iterator on a worker thread through a depth-1
+    queue, dropping (and counting) frames the consumer can't keep up
+    with (ref: sdk/viz/core.py:1130 LiveConsumer)."""
+
+    def __init__(self, iterable, should_count_dropped_frame=lambda: True):
+        import queue
+        import threading
+
+        self._queue: "queue.Queue" = queue.Queue(1)
+        self._stopped = threading.Event()
+        self._should_count = should_count_dropped_frame
+        self.dropped = 0
+
+        def run():
+            for item in iterable:
+                if self._stopped.is_set():
+                    break
+                try:
+                    self._queue.put_nowait(item)
+                except queue.Full:
+                    if self._should_count():
+                        self.dropped += 1
+            self._stopped.set()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        import queue
+
+        while True:
+            try:
+                yield self._queue.get(timeout=0.2)
+            except queue.Empty:
+                if self._stopped.is_set():
+                    return
+
+    def stop(self) -> None:
+        self._stopped.set()
+
+
 class SimpleViz:
     """Playback loop (ref: sdk/viz/core.py:1180). Headless: renders every
     `snapshot_every` scans to PNG when snapshot_path is set. Accumulators
     (key frames / trajectory / global map, ref: viz/accumulators.py and
-    the CLI --accum-*/--map flags) overlay onto the cloud when enabled."""
+    the CLI --accum-*/--map flags) overlay onto the cloud when enabled.
+
+    Playback semantics follow the reference: `rate` paces wall-clock
+    replay (0 = as fast as possible), `pause_at` pauses on a scan index,
+    pause()/resume()/toggle_pause and step/seek work from another thread
+    or through the key bindings (SPACE pause, . / , step, > / < rate)."""
+
+    _playback_rates = (0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 0.0)
 
     def __init__(self, infos: Sequence[SensorInfo],
                  snapshot_path: Optional[str] = None,
@@ -530,7 +626,11 @@ class SimpleViz:
                  accum_every_m: float = 0.0,
                  map_enabled: bool = False,
                  map_ratio: float = 1.0,
-                 map_size: int = 1_500_000):
+                 map_size: int = 1_500_000,
+                 rate: Optional[float] = None,
+                 pause_at: int = -1,
+                 buflen: int = 50,
+                 auto_resume: bool = False):
         from .accumulators import (MapAccumulator, ScansAccumulator,
                                    TracksAccumulator)
 
@@ -552,22 +652,161 @@ class SimpleViz:
             self.map = MapAccumulator(infos, map_ratio=map_ratio,
                                       map_size=map_size)
 
-    def run(self, scan_sets: Iterable) -> int:
+        import threading
+
+        if rate is not None and rate not in self._playback_rates:
+            raise ValueError(
+                f"rate must be one of {self._playback_rates}")
+        self._rate = 1.0 if rate is None else rate
+        self._pause_at = pause_at
+        self._buflen = buflen
+        self._paused = False
+        self._step = 0
+        self._seek_to: Optional[int] = None
+        self._auto_resume = auto_resume
+        self._cv = threading.Condition()
+        self._install_key_bindings()
+
+    # -- playback controls (ref: sdk/viz/core.py:1330-1420) ---------------
+    @property
+    def paused(self) -> bool:
+        return self._paused
+
+    @property
+    def rate(self) -> float:
+        return self._rate
+
+    def pause(self) -> None:
+        with self._cv:
+            self._paused = True
+            self._cv.notify()
+
+    def resume(self) -> None:
+        with self._cv:
+            self._paused = False
+            self._cv.notify()
+
+    def toggle_pause(self) -> None:
+        with self._cv:
+            self._paused = not self._paused
+            self._cv.notify()
+
+    def seek_relative(self, n_frames: int) -> None:
+        """Step forward/backward; pauses playback
+        (ref: core.py:1380 seek_relative)."""
+        with self._cv:
+            self._paused = True
+            self._step += n_frames
+            self._cv.notify()
+
+    def seek(self, ind: int) -> None:
+        with self._cv:
+            self._seek_to = ind
+            self._cv.notify()
+
+    def modify_rate(self, amount: int) -> float:
+        """Cycle through the reference playback rates
+        (ref: core.py:1388 modify_rate)."""
+        with self._cv:
+            i = self._playback_rates.index(self._rate)
+            i = int(np.clip(i + amount, 0,
+                            len(self._playback_rates) - 1))
+            self._rate = self._playback_rates[i]
+        return self._rate
+
+    def _install_key_bindings(self) -> None:
+        def handle(ctx, key: int, mods: int) -> bool:
+            if key == ord(" "):
+                self.toggle_pause()
+            elif key == ord("."):
+                self.seek_relative(1)
+            elif key == ord(","):
+                self.seek_relative(-1)
+            elif key == ord(">"):
+                self.modify_rate(1)
+            elif key == ord("<"):
+                self.modify_rate(-1)
+            return True
+
+        self.scan_viz.viz.push_key_handler(handle)
+
+    def _consume(self, scans, n: int) -> None:
+        self.scan_viz.update(scans)
+        if self.accum is not None:
+            self.accum.accept(scans)
+            self.tracks.accept(scans)
+        if self.map is not None:
+            self.map.accept(scans)
+        if self.snapshot_path and n % self.snapshot_every == 0:
+            self._overlay_accumulators()
+            stem, ext = os.path.splitext(self.snapshot_path)
+            path = f"{stem}_{n:04d}{ext or '.png'}"
+            self.scan_viz.viz.save_png(path)
+
+    def run(self, scan_sets: Iterable, live: bool = False) -> int:
+        """Drive the playback loop over scan sets. `live` wraps the
+        source in a LiveConsumer (drop-when-slow, no seeking)."""
+        import time as _time
+
+        if live:
+            src: Iterable = LiveConsumer(scan_sets)
+            seekable = None
+        else:
+            seekable = _Seekable(scan_sets, maxlen=self._buflen)
+            src = seekable
+
         n = 0
-        for ls_set in scan_sets:
+        last_wall = None
+        it = iter(src)
+        while True:
+            # honor pause/step/seek before pulling the next set
+            with self._cv:
+                while self._paused and not self._step and \
+                        self._seek_to is None:
+                    self._cv.wait(timeout=0.1)
+                step, self._step = self._step, 0
+                seek_to, self._seek_to = self._seek_to, None
+            if seekable is not None:
+                if seek_to is not None:
+                    seekable.seek(seek_to)
+                elif step:
+                    seekable.seek(max(seekable.next_ind - 1 + step, 0))
+            try:
+                ls_set = next(it)
+            except StopIteration:
+                break
             scans = list(ls_set)
-            self.scan_viz.update(scans)
-            if self.accum is not None:
-                self.accum.accept(scans)
-                self.tracks.accept(scans)
-            if self.map is not None:
-                self.map.accept(scans)
-            if self.snapshot_path and n % self.snapshot_every == 0:
-                self._overlay_accumulators()
-                stem, ext = os.path.splitext(self.snapshot_path)
-                path = f"{stem}_{n:04d}{ext or '.png'}"
-                self.scan_viz.viz.save_png(path)
+            self._consume(scans, n)
             n += 1
+            if n - 1 == self._pause_at:
+                self.pause()
+                if self._auto_resume:
+                    # headless CLI semantics: a pause point becomes a
+                    # guaranteed snapshot, then playback continues
+                    if self.snapshot_path:
+                        self._overlay_accumulators()
+                        stem, ext = os.path.splitext(self.snapshot_path)
+                        self.scan_viz.viz.save_png(
+                            f"{stem}_pause_{n - 1:04d}{ext or '.png'}")
+                    self.resume()
+            # wall-clock pacing from scan timestamps (ref: core.py run
+            # loop; 0 = free-run)
+            if self._rate > 0 and not live:
+                anchor = next((s for s in scans if s is not None), None)
+                period = 0.1
+                if anchor is not None and \
+                        anchor.sensor_info is not None:
+                    fps = getattr(anchor.sensor_info.format, "fps", 0) \
+                        or 10
+                    period = 1.0 / fps
+                now = _time.monotonic()
+                if last_wall is not None:
+                    sleep = period / self._rate - (now - last_wall)
+                    if sleep > 0:
+                        _time.sleep(sleep)
+                last_wall = _time.monotonic()
+        if seekable is not None:
+            seekable.close()
         return n
 
     def _overlay_accumulators(self) -> None:

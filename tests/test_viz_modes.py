@@ -17,6 +17,15 @@ PCAP = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
 
 
 @pytest.fixture(scope="module")
+def sensor_info():
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    return sensor_info_from_metadata(
+        open(PCAP.replace(".pcap", ".json")).read())
+
+
+@pytest.fixture(scope="module")
 def scan_and_info():
     if not os.path.exists(PCAP):
         pytest.skip("fixture missing")
@@ -132,3 +141,70 @@ def test_po_viz_snapshots(tmp_path):
     assert len(paths) == 2
     for p in paths:
         assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_seekable_invariants():
+    """_Seekable keeps absolute indexes stable over a bounded cache
+    (ref: sdk/viz/core.py:1031)."""
+    from ouster_sdk_tpu.viz.core import _Seekable
+
+    sk = _Seekable(iter(range(10)), maxlen=4)
+    assert [next(sk) for _ in range(5)] == [0, 1, 2, 3, 4]
+    assert sk.seek(2) and next(sk) == 2
+    assert next(sk) == 3 and next(sk) == 4 and next(sk) == 5
+    assert not sk.seek(0)       # evicted from the bounded cache
+    assert not sk.seek(9)       # beyond read head + 1
+    assert sk.seek(6) and next(sk) == 6
+
+
+def test_simpleviz_playback_controls(sensor_info):
+    """pause_at / seek_relative / resume / modify_rate semantics
+    (ref: sdk/viz/core.py:1330-1420)."""
+    import threading
+    import time
+
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.io.sources import LidarScanSet
+    from ouster_sdk_tpu.viz.core import SimpleViz
+
+    def sets(n):
+        for k in range(n):
+            s = o.LidarScan(sensor_info)
+            s.field(o.ChanField.RANGE)[:] = 1000 + k
+            s.status[:] = 1
+            yield LidarScanSet([s])
+
+    sv = SimpleViz([sensor_info], rate=0.0, pause_at=1)
+    done = []
+    t = threading.Thread(target=lambda: done.append(sv.run(sets(5))))
+    t.start()
+    deadline = time.monotonic() + 5
+    while not sv.paused and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert sv.paused
+    sv.seek_relative(1)      # single-step while paused
+    time.sleep(0.2)
+    assert sv.paused
+    sv.resume()
+    t.join(5)
+    assert done and done[0] >= 5
+    assert sv.modify_rate(1) in SimpleViz._playback_rates
+    with pytest.raises(ValueError):
+        SimpleViz([sensor_info], rate=0.33)
+
+
+def test_live_consumer_drops_when_slow(sensor_info):
+    """LiveConsumer keeps a depth-1 queue and counts drops
+    (ref: sdk/viz/core.py:1130)."""
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.io.sources import LidarScanSet
+    from ouster_sdk_tpu.viz.core import LiveConsumer
+
+    def sets(n):
+        for k in range(n):
+            s = o.LidarScan(sensor_info)
+            yield LidarScanSet([s])
+
+    lc = LiveConsumer(sets(30))
+    got = sum(1 for _ in lc)
+    assert got + lc.dropped == 30
