@@ -179,9 +179,29 @@ class LidarScan:
             self.add_field(ft)
 
     # -- field management -------------------------------------------------
-    def add_field(self, ft: FieldType,
-                  data: Optional[np.ndarray] = None) -> np.ndarray:
-        """(ref: lidar_scan.h:446-471)"""
+    def add_field(self, ft, data: Optional[np.ndarray] = None,
+                  field_class: FieldClass = FieldClass.PIXEL_FIELD,
+                  *, dtype=None, shape=()) -> np.ndarray:
+        """Add a field. Accepts the reference's three call forms
+        (ref: lidar_scan.h:446-471; client.pyi add_field overloads):
+        add_field(FieldType), add_field(name, array[, field_class]),
+        add_field(name, dtype=…, shape=…[, field_class])."""
+        if isinstance(ft, str):
+            name = ft
+            if data is not None and not isinstance(data, (type,
+                                                          np.dtype)):
+                arr = np.asarray(data)
+                lead = {FieldClass.PIXEL_FIELD: 2,
+                        FieldClass.COLUMN_FIELD: 1,
+                        FieldClass.PACKET_FIELD: 1}.get(field_class, 0)
+                ft = FieldType(name, arr.dtype, arr.shape[lead:],
+                               field_class)
+                return self.add_field(ft, arr)
+            # (name, dtype, shape) form — dtype may arrive positionally
+            dt = np.dtype(dtype if dtype is not None else
+                          (data if data is not None else np.uint32))
+            ft = FieldType(name, dt, tuple(shape), field_class)
+            return self.add_field(ft)
         if ft.name in self._fields:
             raise ValueError(f"Duplicated field {ft.name!r}")
         shape = ft.shape(self.h, self.w, len(self.packet_timestamp))

@@ -280,8 +280,29 @@ class SingleScanSource:
             if s is not None:
                 yield s
 
+    @property
+    def is_live(self) -> bool:
+        return self._parent.is_live
+
+    @property
+    def is_indexed(self) -> bool:
+        return self._parent.is_indexed
+
     def __len__(self) -> int:
         return len(self._parent)
+
+    def __getitem__(self, i):
+        """Random access on an indexed parent: returns this sensor's
+        scan (ref: scan_source.cpp Singler indexing). Slices forward to
+        the next set carrying this sensor when the i-th set has a hole."""
+        if isinstance(i, slice):
+            return [self[k] for k in range(*i.indices(len(self)))]
+        ls_set = self._parent[i]
+        s = ls_set[self._idx]
+        if s is None:
+            raise IndexError(
+                f"scan set {i} has no scan for sensor {self._idx}")
+        return s
 
     def close(self) -> None:
         self._parent.close()
