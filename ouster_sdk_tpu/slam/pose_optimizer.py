@@ -480,10 +480,16 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
     nodes_before = [Node(t, p.copy()) for t, p in zip(node_ts, node_poses)]
     opt.solve()
     if viz_snapshot:
-        from ..viz.po_viz import save_po_viz_snapshots
+        if viz_snapshot.lower().endswith(".html"):
+            from ..viz.po_viz import export_po_html
 
-        save_po_viz_snapshots(nodes_before, opt.nodes, opt.constraints,
-                              viz_snapshot)
+            export_po_html(nodes_before, opt.nodes, opt.constraints,
+                           viz_snapshot)
+        else:
+            from ..viz.po_viz import save_po_viz_snapshots
+
+            save_po_viz_snapshots(nodes_before, opt.nodes,
+                                  opt.constraints, viz_snapshot)
 
     # per-scan correction T_fix = T_new @ inv(T_old), SE(3)-interpolated
     # between the surrounding knots at the scan's mid timestamp

@@ -39,8 +39,13 @@ function decode(b64, T) {{
   for (let i = 0; i < raw.length; i++) view[i] = raw.charCodeAt(i);
   return new T(buf);
 }}
+const LINE_POS_B64 = "{line_pos_b64}";
+const LINE_COL_B64 = "{line_col_b64}";
+const NL = {n_lines};
 const pos = decode(POS_B64, Float32Array);
 const col = decode(COL_B64, Uint8Array);
+const lpos = NL ? decode(LINE_POS_B64, Float32Array) : new Float32Array(0);
+const lcol = NL ? decode(LINE_COL_B64, Uint8Array) : new Uint8Array(0);
 const canvas = document.getElementById("c");
 const gl = canvas.getContext("webgl");
 const vs = `attribute vec3 p; attribute vec3 c; uniform mat4 mvp;
@@ -55,15 +60,23 @@ const prog = gl.createProgram();
 gl.attachShader(prog, sh(gl.VERTEX_SHADER, vs));
 gl.attachShader(prog, sh(gl.FRAGMENT_SHADER, fs));
 gl.linkProgram(prog); gl.useProgram(prog);
-function attr(name, data, size, type, norm) {{
+function makeBuf(data) {{
   const b = gl.createBuffer(); gl.bindBuffer(gl.ARRAY_BUFFER, b);
-  gl.bufferData(gl.ARRAY_BUFFER, data, gl.STATIC_DRAW);
-  const loc = gl.getAttribLocation(prog, name);
-  gl.enableVertexAttribArray(loc);
-  gl.vertexAttribPointer(loc, size, type, norm, 0, 0);
+  gl.bufferData(gl.ARRAY_BUFFER, data, gl.STATIC_DRAW); return b;
 }}
-attr("p", pos, 3, gl.FLOAT, false);
-attr("c", col, 3, gl.UNSIGNED_BYTE, true);
+const posBuf = makeBuf(pos), colBuf = makeBuf(col);
+const lposBuf = NL ? makeBuf(lpos) : null;
+const lcolBuf = NL ? makeBuf(lcol) : null;
+const locP = gl.getAttribLocation(prog, "p");
+const locC = gl.getAttribLocation(prog, "c");
+gl.enableVertexAttribArray(locP);
+gl.enableVertexAttribArray(locC);
+function bind(pb, cb) {{
+  gl.bindBuffer(gl.ARRAY_BUFFER, pb);
+  gl.vertexAttribPointer(locP, 3, gl.FLOAT, false, 0, 0);
+  gl.bindBuffer(gl.ARRAY_BUFFER, cb);
+  gl.vertexAttribPointer(locC, 3, gl.UNSIGNED_BYTE, true, 0, 0);
+}}
 const uMvp = gl.getUniformLocation(prog, "mvp");
 const uPs = gl.getUniformLocation(prog, "ps");
 // camera state (orbit around target), reference-like defaults
@@ -100,7 +113,12 @@ function draw() {{
   gl.clearColor(0.03,0.03,0.04,1); gl.clear(gl.COLOR_BUFFER_BIT);
   gl.uniformMatrix4fv(uMvp, false, new Float32Array(mat()));
   gl.uniform1f(uPs, {point_size} * devicePixelRatio);
+  bind(posBuf, colBuf);
   gl.drawArrays(gl.POINTS, 0, N);
+  if (NL) {{
+    bind(lposBuf, lcolBuf);
+    gl.drawArrays(gl.LINES, 0, NL * 2);
+  }}
 }}
 let dragging = false, panning = false, lx = 0, ly = 0;
 canvas.addEventListener("mousedown", e => {{ dragging = true;
@@ -136,11 +154,15 @@ def export_html(path: str, points: np.ndarray,
                 key: Optional[np.ndarray] = None,
                 palette: str = "viridis", point_size: float = 2.0,
                 title: str = "ouster_sdk_tpu point cloud",
-                max_points: int = 2_000_000) -> str:
+                max_points: int = 2_000_000,
+                lines: Optional[np.ndarray] = None,
+                line_colors: Optional[np.ndarray] = None) -> str:
     """Write a single self-contained interactive HTML viewer for (N, 3)
     points. `key` (N,) colors via the named palette (percentile
     normalized, like the reference's AutoExposure-driven cloud keys);
-    without a key, points are colored by height."""
+    without a key, points are colored by height. `lines` (M, 2, 3)
+    segments render as GL_LINES colored by `line_colors` (M, 3) u8
+    (trajectories, constraint links)."""
     pts = np.asarray(points, dtype=np.float32).reshape(-1, 3)
     if key is not None:
         key = np.asarray(key, dtype=np.float64).reshape(-1)
@@ -155,15 +177,34 @@ def export_html(path: str, points: np.ndarray,
     lo, hi = (np.percentile(key, [2, 98]) if key.size else (0.0, 1.0))
     k = np.clip((key - lo) / max(hi - lo, 1e-12), 0.0, 1.0)
     colors = colorize(k.astype(np.float32), palette)
-    center = pts.mean(axis=0) if len(pts) else np.zeros(3)
+    segs = np.zeros((0, 2, 3), dtype=np.float32) if lines is None else \
+        np.asarray(lines, dtype=np.float32).reshape(-1, 2, 3)
+    if line_colors is None:
+        seg_cols = np.full((len(segs), 3), 255, dtype=np.uint8)
+    else:
+        seg_cols = np.asarray(line_colors, dtype=np.uint8).reshape(-1, 3)
+        if len(seg_cols) != len(segs):
+            raise ValueError("line_colors length must match lines")
+    # one color per segment -> per vertex
+    seg_vcols = np.repeat(seg_cols, 2, axis=0)
+
+    anchor = np.concatenate([pts, segs.reshape(-1, 3)]) \
+        if len(segs) else pts
+    center = anchor.mean(axis=0) if len(anchor) else np.zeros(3)
     spread = float(np.percentile(
-        np.linalg.norm(pts - center, axis=1), 90)) if len(pts) else 10.0
+        np.linalg.norm(anchor - center, axis=1), 90)) \
+        if len(anchor) else 10.0
     html = _TEMPLATE.format(
         title=title, npts=len(pts),
         pos_b64=base64.b64encode(np.ascontiguousarray(pts).tobytes()
                                  ).decode(),
         col_b64=base64.b64encode(np.ascontiguousarray(colors).tobytes()
                                  ).decode(),
+        n_lines=len(segs),
+        line_pos_b64=base64.b64encode(
+            np.ascontiguousarray(segs).tobytes()).decode(),
+        line_col_b64=base64.b64encode(
+            np.ascontiguousarray(seg_vcols).tobytes()).decode(),
         dist=json.dumps(round(max(spread * 2.0, 1.0), 3)),
         cx=round(float(center[0]), 3), cy=round(float(center[1]), 3),
         cz=round(float(center[2]), 3),

@@ -69,6 +69,62 @@ def render_po_viz(nodes_before: Sequence, nodes_after: Sequence,
     return render_with_drawables(viz, drawables)
 
 
+def export_po_html(nodes_before: Sequence, nodes_after: Sequence,
+                   constraints: Sequence = (),
+                   path: str = "po_viz.html") -> str:
+    """Interactive WebGL view of the pose graph: grey input trajectory,
+    green optimized trajectory, yellow pose-to-pose constraint links,
+    red absolute-pose markers (headless stand-in for the reference's
+    interactive editor, ref: cli/plugins/source_po_viz.py)."""
+    from .html import export_html
+
+    before = np.array([n.pose[:3, 3]
+                       for n in nodes_before]).reshape(-1, 3)
+    after = np.array([n.pose[:3, 3] for n in nodes_after]).reshape(-1, 3)
+    pts = np.concatenate([before, after])
+    key = np.concatenate([np.full(len(before), 0.2),
+                          np.full(len(after), 0.9)])
+
+    segs: List[np.ndarray] = []
+    cols: List = []
+
+    def add_traj(p, color):
+        if p.shape[0] >= 2:
+            segs.append(np.stack([p[:-1], p[1:]], axis=1))
+            cols.append(np.tile(color, (p.shape[0] - 1, 1)))
+
+    add_traj(before, (120, 120, 120))
+    add_traj(after, (60, 220, 60))
+    ts_to_after = {n.ts: n for n in nodes_after}
+    extra_segs = []
+    extra_cols = []
+    for c in constraints:
+        kind = type(c).__name__
+        if kind == "PoseToPoseConstraint":
+            a = ts_to_after.get(c.ts1)
+            b = ts_to_after.get(c.ts2)
+            if a is not None and b is not None:
+                extra_segs.append(np.array([[a.pose[:3, 3],
+                                             b.pose[:3, 3]]]))
+                extra_cols.append(np.array([[255, 255, 0]]))
+        elif kind == "AbsolutePoseConstraint":
+            t = c.target_pose[:3, 3]
+            d = 0.3
+            for axis in range(3):
+                e = np.zeros(3)
+                e[axis] = d
+                extra_segs.append(np.array([[t - e, t + e]]))
+                extra_cols.append(np.array([[255, 60, 60]]))
+    segs.extend(extra_segs)
+    cols.extend(extra_cols)
+    lines = np.concatenate(segs) if segs else None
+    line_colors = np.concatenate(cols) if cols else None
+    return export_html(path, pts, key, palette="viridis",
+                       point_size=4.0,
+                       title="pose_optimizer: grey=input green=optimized",
+                       lines=lines, line_colors=line_colors)
+
+
 def save_po_viz_snapshots(nodes_before, nodes_after, constraints,
                           path: str) -> List[str]:
     """Write orbit + top-down PNG snapshots; returns the paths."""

@@ -248,3 +248,35 @@ def test_loop_closure_on_larger_trajectory():
     end_err_after = np.linalg.norm(nodes[-1].pose[:3, 3] - true[-1][:3, 3])
     assert end_err_after < end_err_before * 0.2, \
         (end_err_before, end_err_after)
+
+
+def test_po_viz_html_export(tmp_path):
+    """Interactive HTML export of the pose graph
+    (ref: cli/plugins/source_po_viz.py, headless equivalent)."""
+    import base64
+    import re
+
+    from ouster_sdk_tpu.slam.pose_optimizer import (
+        AbsolutePoseConstraint as APC, Node,
+        PoseToPoseConstraint as PPC)
+    from ouster_sdk_tpu.viz.po_viz import export_po_html
+
+    def mk(t, x):
+        p = np.eye(4)
+        p[0, 3] = x
+        return Node(t, p)
+
+    before = [mk(t, t * 1.0) for t in range(6)]
+    after = [mk(t, t * 1.1) for t in range(6)]
+    cons = [PPC(ts1=1, ts2=4, relative_pose=np.eye(4)),
+            APC(ts=2, target_pose=np.eye(4))]
+    out = export_po_html(before, after, cons,
+                         str(tmp_path / "po.html"))
+    html = open(out).read()
+    n = int(re.search(r"const NL = (\d+)", html).group(1))
+    pos = np.frombuffer(base64.b64decode(
+        re.search(r'LINE_POS_B64 = "([^"]*)"', html).group(1)),
+        np.float32)
+    # 2x5 trajectory segments + 1 p2p + 3 absolute-pose axis marks
+    assert n == 14 and pos.size == n * 6
+    assert not re.search(r"\{[a-z_]+\}", html.split("<script>")[0])
