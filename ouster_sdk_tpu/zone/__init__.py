@@ -9,6 +9,7 @@ from .zone import (  # noqa: F401
     Zone,
     ZoneMode,
     ZoneSet,
+    ZoneSetOutputFilter,
     load_stl,
     save_stl,
 )

@@ -176,6 +176,65 @@ class ZoneSet:
         return cls(zones, power_on_live_ids=cfg.get("power_on_live_ids"))
 
 
+class ZoneSetOutputFilter(Enum):
+    """What a serialized zone set carries
+    (ref: client.pyi:1854 ZoneSetOutputFilter STL/ZRB/STL_AND_ZRB)."""
+
+    STL = 1
+    ZRB = 2
+    STL_AND_ZRB = 3
+
+
+def _zoneset_to_json(self, zone_set_output=ZoneSetOutputFilter.STL) -> str:
+    """zones.json content (ref: client.pyi ZoneSet.to_json)."""
+    cfg = {"zones": [
+        {"id": z.id, "name": z.name, "mode": z.mode.name.lower(),
+         "mesh": f"zone_{z.id}.stl", "min_points": z.min_points,
+         "frame_count": z.frame_count,
+         "min_range_m": z.min_range_m, "max_range_m": z.max_range_m}
+        for z in self.zones]}
+    if self.power_on_live_ids is not None:
+        cfg["power_on_live_ids"] = list(self.power_on_live_ids)
+    return json.dumps(cfg, indent=2)
+
+
+def _zoneset_to_zip_blob(self,
+                         zone_set_output=ZoneSetOutputFilter.STL,
+                         zrbs=None) -> bytes:
+    """Zip blob with the requested artifacts: STL meshes and/or
+    pre-rendered Zrb range-image blobs (ref: client.pyi
+    ZoneSet.to_zip_blob; zrb entries keyed zone_<id>.zrb)."""
+    want_stl = zone_set_output in (ZoneSetOutputFilter.STL,
+                                   ZoneSetOutputFilter.STL_AND_ZRB)
+    want_zrb = zone_set_output in (ZoneSetOutputFilter.ZRB,
+                                   ZoneSetOutputFilter.STL_AND_ZRB)
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("zones.json", self.to_json(zone_set_output))
+        if want_stl:
+            for z in self.zones:
+                zf.writestr(f"zone_{z.id}.stl",
+                            save_stl(None, z.triangles))
+        if want_zrb:
+            for zid, zrb in (zrbs or {}).items():
+                blob = zrb.to_blob() if hasattr(zrb, "to_blob") else \
+                    bytes(zrb)
+                zf.writestr(f"zone_{zid}.zrb", blob)
+    return buf.getvalue()
+
+
+def _zoneset_save(self, path: str,
+                  zone_set_output=ZoneSetOutputFilter.STL) -> None:
+    """Write the zip to disk (ref: client.pyi ZoneSet.save)."""
+    with open(path, "wb") as f:
+        f.write(self.to_zip_blob(zone_set_output))
+
+
+ZoneSet.to_json = _zoneset_to_json
+ZoneSet.to_zip_blob = _zoneset_to_zip_blob
+ZoneSet.save = _zoneset_save
+
+
 class CoordinateFrame(Enum):
     """STL vertex frame (ref: zone_monitor.cpp binding
     Stl::CoordinateFrame BODY/SENSOR)."""
