@@ -590,16 +590,20 @@ def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
               help="write the final SLAM map points to this .ply file")
 @click.option("--trajectory", default=None,
               help="write KITTI poses to this file")
+@click.option("--backend", default="host", show_default=True,
+              type=click.Choice(["host", "tpu"]),
+              help="registration backend: host KD-tree ICP or the "
+                   "device-resident GN ICP (slam/jax_icp.py)")
 @click.pass_context
 def source_slam(ctx, voxel_size, min_range, max_range, deskew_method,
-                dump_map, trajectory):
+                dump_map, trajectory, backend):
     """Run KISS-ICP SLAM over the stream, updating scan poses
     (ref: plugins/source_mapping.py:298 source_slam)."""
     from ..slam.engine import SlamConfig, SlamEngine
 
     engine = SlamEngine(ctx.obj.infos, SlamConfig(
         min_range=min_range, max_range=max_range, voxel_size=voxel_size,
-        deskew=deskew_method))
+        deskew=deskew_method, backend=backend))
     poses: List[np.ndarray] = []
 
     def stage(it):

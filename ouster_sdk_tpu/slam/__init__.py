@@ -17,6 +17,7 @@ from .deskew import (  # noqa: F401
 )
 from .time_correction import ActiveTimeCorrection  # noqa: F401
 from .kiss_icp import KissConfig, KissICP  # noqa: F401
+from .jax_icp import JaxICP, register_points_jax  # noqa: F401
 from .pose_optimizer import (  # noqa: F401
     AbsolutePointConstraint,
     AbsolutePoseConstraint,

@@ -35,6 +35,9 @@ class SlamConfig:
     # IMU integration when scans carry IMU fields, else constant
     # velocity; ref: source_mapping.py --deskew-method)
     deskew: str = "constant_velocity"
+    # registration backend: "host" (KD-tree KissICP) or "tpu"
+    # (slam/jax_icp.py — the whole GN ICP loop as one device program)
+    backend: str = "host"
 
 
 def _interp_poses_along(t_frac: np.ndarray, pose0: np.ndarray,
@@ -92,10 +95,16 @@ class SlamEngine:
             if self._voxel_size <= 0:
                 self._voxel_size = determine_voxel_size(
                     [s for s in scans if s is not None])
-            self._kiss = KissICP(KissConfig(
+            kiss_config = KissConfig(
                 voxel_size=self._voxel_size,
                 min_range=self.config.min_range,
-                max_range=self.config.max_range))
+                max_range=self.config.max_range)
+            if self.config.backend == "tpu":
+                from .jax_icp import JaxICP
+
+                self._kiss = JaxICP(kiss_config)
+            else:
+                self._kiss = KissICP(kiss_config)
         return self._kiss
 
     # ------------------------------------------------------------------

@@ -1,0 +1,237 @@
+"""TPU-resident ICP registration.
+
+The reference registers scans with a host KD-tree/voxel-grid ICP
+(ref: ouster_mapping thirdparty kiss-icp Registration.cpp). Here the
+entire inner loop — nearest-neighbor search, Geman-McClure-robust
+Gauss-Newton, SE(3) update, convergence test — runs as ONE jitted
+device program (`lax.while_loop`), so a frame registration is a single
+dispatch instead of ~20 host KD-tree queries.
+
+Design notes (TPU-first, not a port):
+- NN is brute force over the local map, chunked with `lax.fori_loop`;
+  the (N, Mc) squared-distance block is a broadcast+reduce expression
+  XLA fuses into one loop — it never materializes in HBM. At the
+  typical sizes (N≈2-8k source points, M≈100-500k map points) that is
+  ~10 GFLOP per Gauss-Newton iteration, microseconds of VPU time —
+  cheaper than a host KD-tree build+query and latency-free on-device.
+- Shapes are static: source and map are padded to bucket sizes
+  (powers of two) so at most a handful of programs compile; invalid
+  rows are masked with +inf / zero weight.
+- Map maintenance (voxel capping, distance pruning) stays on host in
+  the existing VoxelHashMap — it is O(points) cheap and inherently
+  dynamic; only its point cloud ships to the device each frame
+  (~1-6 MB f32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.jax_config import ensure_compile_cache
+from .kiss_icp import KissConfig, KissICP
+
+ensure_compile_cache()
+
+_MAP_CHUNK = 8192
+
+
+def _bucket(n: int, lo: int = 512) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _se3_exp_kiss(dx: jnp.ndarray) -> jnp.ndarray:
+    """(rho, theta) -> 4x4, translation-first layout like kiss-icp
+    (mirror of kiss_icp.se3_exp on device)."""
+    rho, theta = dx[:3], dx[3:]
+    angle = jnp.linalg.norm(theta)
+    K = jnp.array([[0.0, -theta[2], theta[1]],
+                   [theta[2], 0.0, -theta[0]],
+                   [-theta[1], theta[0], 0.0]])
+    a2 = jnp.where(angle < 1e-10, 1.0, angle * angle)
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    small = angle < 1e-10
+    A = jnp.where(small, 1.0, s / angle)
+    B = jnp.where(small, 0.5, (1.0 - c) / a2)
+    C = jnp.where(small, 1.0 / 6.0, (angle - s) / (a2 * angle))
+    K2 = K @ K
+    R = jnp.eye(3) + A * K + B * K2
+    V = jnp.eye(3) + B * K + C * K2
+    T = jnp.eye(4)
+    T = T.at[:3, :3].set(R)
+    T = T.at[:3, 3].set(V @ rho)
+    return T
+
+
+def _chunked_nn(src: jnp.ndarray, map_pts: jnp.ndarray,
+                map_valid: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Running (best_d2, best_idx) over map chunks; the per-chunk
+    (N, Mc) distance block is fused by XLA (broadcast -> reduce)."""
+    n_chunks = map_pts.shape[0] // _MAP_CHUNK
+
+    def body(k, carry):
+        best_d2, best_idx = carry
+        sl = lax.dynamic_slice_in_dim(map_pts, k * _MAP_CHUNK,
+                                      _MAP_CHUNK)
+        vl = lax.dynamic_slice_in_dim(map_valid, k * _MAP_CHUNK,
+                                      _MAP_CHUNK)
+        d2 = jnp.sum(
+            (src[:, None, :] - sl[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.where(vl[None, :], d2, jnp.inf)
+        cmin = jnp.min(d2, axis=1)
+        cidx = jnp.argmin(d2, axis=1) + k * _MAP_CHUNK
+        upd = cmin < best_d2
+        return (jnp.where(upd, cmin, best_d2),
+                jnp.where(upd, cidx, best_idx))
+
+    init = (jnp.full(src.shape[0], jnp.inf, dtype=src.dtype),
+            jnp.zeros(src.shape[0], dtype=jnp.int32))
+    return lax.fori_loop(0, n_chunks, body, init)
+
+
+def _f32_matmuls(fn):
+    # TPU default matmul precision is bf16 passes — catastrophic for
+    # meter-scale geometry (bf16 ulp at 40 m is ~0.25 m). Trace every
+    # dot/einsum in this module at full f32.
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+@_f32_matmuls
+def register_points_jax(src: jnp.ndarray, src_valid: jnp.ndarray,
+                        map_pts: jnp.ndarray, map_valid: jnp.ndarray,
+                        init_pose: jnp.ndarray,
+                        max_corr_dist: jnp.ndarray,
+                        kernel_scale: jnp.ndarray,
+                        max_iters: int = 100,
+                        convergence: float = 1e-4) -> jnp.ndarray:
+    """Whole robust GN ICP as one device program
+    (ref semantics: Registration.cpp AlignPointsToMap; GM kernel,
+    J = [I | -hat(s)], left-multiplied increments)."""
+    src = src.astype(jnp.float32)
+    init_pose = init_pose.astype(jnp.float32)
+    src_w = src @ init_pose[:3, :3].T + init_pose[:3, 3]
+
+    def cond(carry):
+        _, _, it, done = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def step(carry):
+        cur, T_icp, it, _ = carry
+        best_d2, best_idx = _chunked_nn(cur, map_pts, map_valid)
+        corr = (best_d2 <= max_corr_dist * max_corr_dist) & src_valid
+        tgt = map_pts[best_idx]
+        r = cur - tgt
+        r2 = jnp.sum(r * r, axis=1)
+        w = jnp.where(
+            corr,
+            (kernel_scale ** 2) / (kernel_scale + r2) ** 2,
+            0.0).astype(jnp.float32)
+
+        # J_r = [I | -hat(s)]; JTr top = sum w r, bottom = sum w (s x r)
+        wr = w[:, None] * r
+        JTr = jnp.concatenate([
+            jnp.sum(wr, axis=0),
+            jnp.sum(jnp.cross(cur, wr), axis=0)])
+
+        W = jnp.sum(w)
+        hs = jnp.zeros((cur.shape[0], 3, 3), dtype=jnp.float32)
+        hs = hs.at[:, 0, 1].set(-cur[:, 2])
+        hs = hs.at[:, 0, 2].set(cur[:, 1])
+        hs = hs.at[:, 1, 0].set(cur[:, 2])
+        hs = hs.at[:, 1, 2].set(-cur[:, 0])
+        hs = hs.at[:, 2, 0].set(-cur[:, 1])
+        hs = hs.at[:, 2, 1].set(cur[:, 0])
+        Sx = -jnp.einsum("n,nij->ij", w, hs)
+        JTJ = jnp.zeros((6, 6), dtype=jnp.float32)
+        JTJ = JTJ.at[:3, :3].set(jnp.eye(3) * W)
+        JTJ = JTJ.at[:3, 3:].set(Sx)
+        JTJ = JTJ.at[3:, :3].set(Sx.T)
+        JTJ = JTJ.at[3:, 3:].set(
+            jnp.einsum("n,nij,nik->jk", w, hs, hs))
+
+        # Tikhonov floor keeps the solve finite when correspondences
+        # collapse; a converged/degenerate step then yields dx ~ 0
+        dx = jnp.linalg.solve(
+            JTJ + 1e-6 * jnp.eye(6, dtype=jnp.float32), -JTr)
+        dT = _se3_exp_kiss(dx)
+        cur_new = cur @ dT[:3, :3].T + dT[:3, 3]
+        done = jnp.linalg.norm(dx) < convergence
+        enough = jnp.sum(corr) >= 6
+        cur_new = jnp.where(enough, cur_new, cur)
+        T_new = jnp.where(enough, dT @ T_icp, T_icp)
+        return (cur_new, T_new, it + 1,
+                jnp.logical_or(done, jnp.logical_not(enough)))
+
+    carry = (src_w, jnp.eye(4, dtype=jnp.float32), jnp.int32(0),
+             jnp.array(False))
+    _, T_icp, _, _ = lax.while_loop(cond, step, carry)
+    return T_icp @ init_pose
+
+
+class JaxICP(KissICP):
+    """KissICP with the registration loop on the TPU: identical
+    preprocessing, voxelization, adaptive threshold and host-side map
+    maintenance; `register_points_to_map` replaced by one-device-dispatch
+    `register_points_jax`."""
+
+    def __init__(self, config: Optional[KissConfig] = None):
+        super().__init__(config)
+
+    def register_frame(self, frame: np.ndarray,
+                       initial_guess: np.ndarray,
+                       update_map: bool = True) -> np.ndarray:
+        source, frame_downsample = self.voxelize(frame)
+        sigma = self.adaptive_threshold.compute_threshold()
+
+        if self.local_map.empty() or source.shape[0] < 6:
+            new_pose = initial_guess.copy()
+        else:
+            map_np = self.local_map.pointcloud().astype(np.float32)
+            N = _bucket(source.shape[0])
+            M = _bucket(max(map_np.shape[0], _MAP_CHUNK), _MAP_CHUNK)
+            src_pad = np.zeros((N, 3), dtype=np.float32)
+            src_pad[: source.shape[0]] = source
+            src_valid = np.zeros(N, dtype=bool)
+            src_valid[: source.shape[0]] = True
+            map_pad = np.zeros((M, 3), dtype=np.float32)
+            map_pad[: map_np.shape[0]] = map_np
+            map_valid = np.zeros(M, dtype=bool)
+            map_valid[: map_np.shape[0]] = True
+
+            new_pose = np.asarray(register_points_jax(
+                jnp.asarray(src_pad), jnp.asarray(src_valid),
+                jnp.asarray(map_pad), jnp.asarray(map_valid),
+                jnp.asarray(initial_guess, dtype=jnp.float32),
+                jnp.float32(3.0 * sigma), jnp.float32(sigma / 3.0),
+                max_iters=min(self.config.max_num_iterations, 100),
+                convergence=self.config.convergence_criterion),
+                dtype=np.float64)
+            # re-orthonormalize: ~20 f32 GN steps leave the rotation a
+            # hair off SO(3), which would accumulate over a trajectory
+            u, _, vt = np.linalg.svd(new_pose[:3, :3])
+            new_pose[:3, :3] = u @ vt
+
+        deviation = np.linalg.solve(initial_guess, new_pose)
+        self.adaptive_threshold.update_model_deviation(deviation)
+
+        if update_map:
+            if self._frame_count <= 2:
+                self.local_map.clear()
+            self._frame_count += 1
+            self.local_map.update(frame_downsample, new_pose)
+
+        return new_pose

@@ -106,3 +106,69 @@ def test_slam_trajectory_vs_kitti():
         err = np.linalg.norm(est_d - gt_d)
         assert err < 0.2, f"frame {i}: delta error {err} (est {est_d}, " \
             f"gt {gt_d})"
+
+
+def test_jax_icp_matches_host_single_shot():
+    """Device-resident GN ICP (slam/jax_icp.py) recovers the same pose
+    as the host KD-tree ICP on one registration."""
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu.slam.jax_icp import (_MAP_CHUNK, _bucket,
+                                             register_points_jax)
+
+    world = _random_world()
+    vm = VoxelHashMap(voxel_size=1.0, max_distance=200.0,
+                      max_points_per_voxel=20)
+    vm.add_points(world)
+    T_true = se3_exp(np.array([0.3, -0.2, 0.1, 0.02, -0.01, 0.03]))
+    scan = (world - T_true[:3, 3]) @ T_true[:3, :3]
+    host = register_points_to_map(scan, vm, np.eye(4),
+                                  max_correspondence_distance=1.0,
+                                  kernel_scale=0.3)
+
+    mp = vm.pointcloud().astype(np.float32)
+    N = _bucket(len(scan))
+    M = _bucket(max(len(mp), _MAP_CHUNK), _MAP_CHUNK)
+    sp = np.zeros((N, 3), np.float32)
+    sp[: len(scan)] = scan
+    sv = np.zeros(N, bool)
+    sv[: len(scan)] = True
+    mpad = np.zeros((M, 3), np.float32)
+    mpad[: len(mp)] = mp
+    mv = np.zeros(M, bool)
+    mv[: len(mp)] = True
+    dev = np.asarray(register_points_jax(
+        jnp.asarray(sp), jnp.asarray(sv), jnp.asarray(mpad),
+        jnp.asarray(mv), jnp.asarray(np.eye(4), jnp.float32),
+        jnp.float32(1.0), jnp.float32(0.3)))
+    assert np.linalg.norm(dev[:3, 3] - host[:3, 3]) < 1e-3
+    assert np.abs(dev[:3, :3] - host[:3, :3]).max() < 1e-4
+
+
+def test_jax_icp_odometry_matches_host():
+    """JaxICP odometry tracks the host KissICP trajectory."""
+    from ouster_sdk_tpu.slam.jax_icp import JaxICP
+
+    world = _random_world(6000, seed=1)
+    motion = np.eye(4)
+    motion[:3, 3] = [0.5, 0.05, 0.0]
+
+    def drive(icp):
+        est = []
+        T = np.eye(4)
+        for i in range(4):
+            frame = (world - T[:3, 3]) @ T[:3, :3]
+            guess = np.eye(4) if len(est) < 2 else est[-1] @ \
+                np.linalg.solve(est[-2], est[-1])
+            if len(est) in (0, 1) and est:
+                guess = est[-1]
+            est.append(icp.register_frame(frame, guess))
+            T = T @ motion
+        return est
+
+    est_h = drive(KissICP(KissConfig(voxel_size=0.5, min_range=0.5,
+                                     max_range=200)))
+    est_j = drive(JaxICP(KissConfig(voxel_size=0.5, min_range=0.5,
+                                    max_range=200)))
+    for a, b in zip(est_h, est_j):
+        assert np.linalg.norm(a[:3, 3] - b[:3, 3]) < 0.05
