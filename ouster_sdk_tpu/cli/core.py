@@ -683,9 +683,12 @@ def source_pose_optimize(ctx, output_osf, config_path, key_frame_distance,
 @click.option("--voxel-size", type=float, default=-1.0)
 @click.option("--trajectory", default=None,
               help="write KITTI poses to this file")
+@click.option("--backend", default="host", show_default=True,
+              type=click.Choice(["host", "tpu"]),
+              help="registration backend (see slam --backend)")
 @click.pass_context
 def source_localize(ctx, map_path, min_range, max_range, voxel_size,
-                    trajectory):
+                    trajectory, backend):
     """Localize against a prior map — registration without map updates
     (ref: plugins/source_mapping.py localize, kiss_localization.cpp)."""
     from ..io.cloud_io import read_pointcloud
@@ -693,7 +696,8 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
 
     points, _ = read_pointcloud(map_path)
     engine = LocalizationEngine(ctx.obj.infos, points, SlamConfig(
-        min_range=min_range, max_range=max_range, voxel_size=voxel_size))
+        min_range=min_range, max_range=max_range, voxel_size=voxel_size,
+        backend=backend))
     poses: List[np.ndarray] = []
 
     def stage(it):

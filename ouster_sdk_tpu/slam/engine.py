@@ -225,10 +225,16 @@ class LocalizationEngine(SlamEngine):
         super().__init__(infos, config)
         if self._voxel_size <= 0:
             self._voxel_size = 1.0
-        self._kiss = KissICP(KissConfig(
+        kiss_config = KissConfig(
             voxel_size=self._voxel_size,
             min_range=self.config.min_range,
-            max_range=self.config.max_range))
+            max_range=self.config.max_range)
+        if self.config.backend == "tpu":
+            from .jax_icp import JaxICP
+
+            self._kiss = JaxICP(kiss_config)
+        else:
+            self._kiss = KissICP(kiss_config)
         self._kiss.local_map.add_points(np.asarray(map_points,
                                                    dtype=np.float64))
         self._kiss._frame_count = 10  # never clear the prior map

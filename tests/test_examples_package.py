@@ -99,3 +99,14 @@ def test_single_source_indexing(pcap):
     assert scan.complete()
     with pytest.raises(IndexError):
         src[len(src) + 5]
+
+
+def test_event_and_zone_states_examples(pcap, capsys):
+    from ouster_sdk_tpu.examples.viz_image_events import viz_image_events
+    from ouster_sdk_tpu.examples.zone_monitor_zone_states_example import \
+        zone_states_example
+
+    clicks = viz_image_events("/tmp/ev_example.png")
+    assert clicks and clicks[0][2]   # center click lands inside
+    zone_states_example(pcap, 2)
+    assert "zone 1" in capsys.readouterr().out
