@@ -997,6 +997,24 @@ def util_benchmark(url, frames, report_dir, trace_dir):
         except Exception as e:  # noqa: BLE001
             click.echo(f"  device pipeline stage skipped: {e}", err=True)
 
+    # ICP registration: host KD-tree vs device-resident GN loop
+    try:
+        from ..slam.jax_icp import JaxICP
+        from ..slam.kiss_icp import KissConfig, KissICP
+
+        lut64 = make_xyz_lut(info)
+        rng0 = scans[0].field(ChanField.RANGE)
+        pts = lut64(rng0)[rng0 > 0]
+        for tag, icp_cls in (("icp_host", KissICP), ("icp_tpu", JaxICP)):
+            icp = icp_cls(KissConfig(voxel_size=1.0, min_range=1.0))
+            icp.register_frame(pts, np.eye(4))   # builds the map
+            icp.register_frame(pts, np.eye(4))   # warm (compiles tpu)
+            t0 = time.perf_counter()
+            icp.register_frame(pts, np.eye(4), update_map=False)
+            report_dur(tag, time.perf_counter() - t0, 1)
+    except Exception as e:  # noqa: BLE001
+        click.echo(f"  icp stage skipped: {e}", err=True)
+
     click.echo(json.dumps(report["times"], indent=2))
     if report_dir:
         os.makedirs(report_dir, exist_ok=True)
