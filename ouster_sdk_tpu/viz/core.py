@@ -474,6 +474,13 @@ class LidarScanViz:
             rng = scan.field(ChanField.RANGE)
             xyz = self._luts[idx](rng)
             valid = rng > 0
+            # apply per-column scan poses so SLAM-posed scans render in
+            # the world frame (ref: _viz.cpp Cloud column poses)
+            if not np.allclose(scan.pose, np.eye(4)):
+                cols = np.broadcast_to(scan.pose[None],
+                                       (scan.h, scan.w, 4, 4))
+                xyz = np.einsum("hwij,hwj->hwi", cols[..., :3, :3],
+                                xyz) + cols[..., :3, 3]
 
             mode = self.cloud_modes[idx][self._cloud_mode_ind]
             if not mode.enabled(scan):

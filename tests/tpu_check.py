@@ -247,6 +247,45 @@ def main():
     else:
         print(f"lutfree ok (max err {err.max():.2e} m)", file=sys.stderr)
 
+    # ---- 4. device-resident ICP matches the host KD-tree path ----------
+    from ouster_sdk_tpu.slam.jax_icp import (_MAP_CHUNK, _bucket,
+                                             register_points_jax)
+    from ouster_sdk_tpu.slam.kiss_icp import (VoxelHashMap,
+                                              register_points_to_map,
+                                              se3_exp)
+
+    rng_state = np.random.RandomState(11)
+    world = np.concatenate([
+        np.c_[rng_state.uniform(-30, 30, 4000),
+              rng_state.uniform(-30, 30, 4000), np.zeros(4000)],
+        np.c_[rng_state.uniform(-30, 30, 2000), np.full(2000, 8.0),
+              rng_state.uniform(0, 4, 2000)]])
+    vm = VoxelHashMap(1.0, 200.0, 20)
+    vm.add_points(world)
+    T_true = se3_exp(np.array([0.25, 0.1, 0.05, 0.01, 0.0, 0.02]))
+    scan_pts = (world[::2] - T_true[:3, 3]) @ T_true[:3, :3]
+    host_T = register_points_to_map(scan_pts, vm, np.eye(4), 3.0, 0.6)
+    mp = vm.pointcloud().astype(np.float32)
+    N = _bucket(len(scan_pts))
+    M = _bucket(max(len(mp), _MAP_CHUNK), _MAP_CHUNK)
+    sp = np.zeros((N, 3), np.float32)
+    sp[: len(scan_pts)] = scan_pts
+    sv = np.zeros(N, bool)
+    sv[: len(scan_pts)] = True
+    mpad = np.zeros((M, 3), np.float32)
+    mpad[: len(mp)] = mp
+    mv = np.zeros(M, bool)
+    mv[: len(mp)] = True
+    dev_T = np.asarray(register_points_jax(
+        jnp.asarray(sp), jnp.asarray(sv), jnp.asarray(mpad),
+        jnp.asarray(mv), jnp.asarray(np.eye(4), jnp.float32),
+        jnp.float32(3.0), jnp.float32(0.6)))
+    icp_err = np.linalg.norm(dev_T[:3, 3] - host_T[:3, 3])
+    if icp_err > 1e-3:
+        failures.append(f"device ICP vs host: {icp_err} m")
+    else:
+        print(f"device ICP ok (vs host {icp_err:.2e} m)", file=sys.stderr)
+
     if failures:
         print("FAILURES:\n" + "\n".join(failures), file=sys.stderr)
         return 1
