@@ -846,7 +846,7 @@ def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
                     lsv.viz.save_png(f"{stem}_{n:04d}{ext or '.png'}")
                 n += 1
         else:
-            viz.run(it)
+            viz.run(it, live=ctx.obj.source.is_live)
 
     ctx.obj.consumers.append(consumer)
 

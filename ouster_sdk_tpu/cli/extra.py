@@ -416,6 +416,18 @@ def osf_metadata_cmd(path):
         click.echo(m)
 
 
+@osf.command("parse")
+@click.argument("path")
+@click.option("--decode", is_flag=True, default=False,
+              help="also decode each scan message")
+def osf_parse_cmd(path, decode):
+    """Print message types, timestamps and counts
+    (ref: source_osf.py osf_parse / _osf.cpp parse_and_print)."""
+    from ..io.osf_ops import parse_and_print
+
+    parse_and_print(path, with_decoding=decode)
+
+
 @cli.group()
 def sensor() -> None:
     """Live sensor control-plane commands."""
@@ -468,6 +480,83 @@ def sensor_metadata(hostname):
     from ..sensor.http import SensorHttp
 
     click.echo(SensorHttp.create(hostname).metadata())
+
+
+@sensor.command("network")
+@click.argument("hostname")
+def sensor_network(hostname):
+    """Print the sensor's network configuration
+    (ref: source_sensor.py sensor_network)."""
+    from ..sensor.http import SensorHttp
+
+    click.echo(json.dumps(SensorHttp.create(hostname).network(),
+                          indent=2))
+
+
+@sensor.command("diagnostics")
+@click.argument("hostname")
+@click.option("-o", "--output", default="diagnostics.bin",
+              show_default=True)
+def sensor_diagnostics(hostname, output):
+    """Download the sensor diagnostics dump
+    (ref: source_sensor.py sensor_diagnostics)."""
+    from ..sensor.http import SensorHttp
+
+    blob = SensorHttp.create(hostname).diagnostics_dump()
+    with open(output, "wb") as f:
+        f.write(blob)
+    click.echo(f"wrote {len(blob)} bytes to {output}")
+
+
+@sensor.command("restart")
+@click.argument("hostname")
+def sensor_restart(hostname):
+    """Restart the sensor (ref: source_sensor.py sensor_restart)."""
+    from ..sensor.http import SensorHttp
+
+    SensorHttp.create(hostname).restart()
+    click.echo("restart requested")
+
+
+@sensor.command("live_zones")
+@click.argument("hostname")
+@click.argument("zones", nargs=-1, type=int)
+@click.option("--set", "do_set", is_flag=True, default=False,
+              help="set the given zone ids live instead of printing")
+def sensor_live_zones(hostname, zones, do_set):
+    """Get or set the live zone-monitor zone ids
+    (ref: source_sensor.py sensor_live_zones)."""
+    from ..sensor.http import SensorHttp
+
+    http_client = SensorHttp.create(hostname)
+    if do_set:
+        http_client.set_zone_monitor_live_ids(list(zones))
+        click.echo(f"live zones set to {list(zones)}")
+    else:
+        click.echo(json.dumps(http_client.get_zone_monitor_live_ids()))
+
+
+@sensor.command("firmware")
+@click.argument("hostname")
+@click.argument("image", required=False,
+                type=click.Path(exists=True, dir_okay=False))
+def sensor_firmware(hostname, image):
+    """Print the firmware version, or upload a firmware image
+    (ref: source_sensor.py sensor_firmware / update_fw: POST
+    api/v1/system/firmware)."""
+    from ..sensor.http import SensorHttp
+
+    http_client = SensorHttp.create(hostname)
+    if image is None:
+        click.echo(str(http_client.firmware_version()))
+        return
+    with open(image, "rb") as f:
+        blob = f.read()
+    http_client._request("POST", "/api/v1/system/firmware", body=blob,
+                         content_type="application/octet-stream",
+                         timeout=300.0)
+    click.echo(f"uploaded {len(blob)} bytes; sensor will re-flash "
+               f"and restart")
 
 
 def _register_benchmark_sensor():

@@ -121,3 +121,40 @@ def test_recording_packet_source(tmp_path):
     replayed = [bytes(p.buf) for _, p in back]
     back.close()
     assert replayed == [b for _, b in passed]
+
+
+def test_sensor_group_commands_against_emulator():
+    """sensor network/live_zones/restart + osf parse CLI commands
+    (ref: plugins/source_sensor.py, source_osf.py)."""
+    import glob
+
+    from click.testing import CliRunner
+
+    import ouster_sdk_tpu as o
+    import ouster_sdk_tpu.__main__  # noqa: F401  (registers groups)
+    from ouster_sdk_tpu.cli.core import cli
+    from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    info = o.sensor_info_from_metadata(meta)
+    emu = SensorEmulator(info, lambda: iter(()), http_port=0)
+    emu._http_thread.start()
+    host = f"localhost:{emu.http_port}"
+    try:
+        r = CliRunner().invoke(cli, ["sensor", "network", host])
+        assert r.exit_code == 0 and "ipv4" in r.output
+        r = CliRunner().invoke(
+            cli, ["sensor", "live_zones", host, "2", "5", "--set"])
+        assert r.exit_code == 0
+        r = CliRunner().invoke(cli, ["sensor", "live_zones", host])
+        assert r.exit_code == 0 and "[2, 5]" in r.output
+        r = CliRunner().invoke(cli, ["sensor", "restart", host])
+        assert r.exit_code == 0
+    finally:
+        emu._http.shutdown()
+
+    osfs = sorted(glob.glob("/root/reference/tests/osfs/*.osf"))
+    if osfs:
+        r = CliRunner().invoke(cli, ["osf", "parse", osfs[0]])
+        assert r.exit_code == 0 and "streams:" in r.output
