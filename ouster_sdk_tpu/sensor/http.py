@@ -71,7 +71,9 @@ class SensorHttp:
         conn = http.client.HTTPConnection(
             self.hostname, timeout=timeout or self._timeout)
         if _API_PREFIX:
-            path = f"/{_API_PREFIX}{path}"
+            # the reference splices the prefix AFTER api/v1
+            # (ref: sensor_http_imp.cpp "api/v1/" + api_prefix_ + ...)
+            path = path.replace("/api/v1/", f"/api/v1/{_API_PREFIX}/", 1)
         try:
             headers = dict(_API_HEADERS)
             if body is not None:
