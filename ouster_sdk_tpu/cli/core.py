@@ -784,11 +784,10 @@ def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
                     rng = s.field(ChanField.RANGE)
                     xyz = luts[k](rng)
                     valid = rng > 0
-                    pose_cols = np.broadcast_to(
-                        s.pose[None], (s.h, s.w, 4, 4))[valid]
-                    p = np.einsum("nij,nj->ni", pose_cols[:, :3, :3],
-                                  xyz[valid]) + pose_cols[:, :3, 3]
-                    pts_acc.append(p.astype(np.float32))
+                    from ..utils.pose_util import dewarp as _dewarp
+
+                    world = _dewarp(xyz, s.pose)
+                    pts_acc.append(world[valid].astype(np.float32))
                     if s.has_field(html_field.upper()):
                         key_acc.append(
                             s.field(html_field.upper())[valid])

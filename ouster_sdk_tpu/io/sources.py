@@ -265,6 +265,7 @@ class SingleScanSource:
     def __init__(self, parent: ScanSource, sensor_idx: int):
         self._parent = parent
         self._idx = sensor_idx
+        self._index: Optional[List[int]] = None
 
     @property
     def sensor_info(self) -> List[SensorInfo]:
@@ -288,21 +289,31 @@ class SingleScanSource:
     def is_indexed(self) -> bool:
         return self._parent.is_indexed
 
+    def _sensor_index(self) -> List[int]:
+        """Scan-set positions at which THIS sensor has a scan
+        (ref: Singler's per-sensor index, scan_source_utils.cpp)."""
+        if self._index is None:
+            self._index = \
+                self._parent.individual_index()[self._idx]
+        return self._index
+
     def __len__(self) -> int:
-        return len(self._parent)
+        """Number of this sensor's scans (ref: Singler length —
+        per-sensor, not the parent's set count)."""
+        return len(self._sensor_index())
 
     def __getitem__(self, i):
-        """Random access on an indexed parent: returns this sensor's
-        scan (ref: scan_source.cpp Singler indexing). Slices forward to
-        the next set carrying this sensor when the i-th set has a hole."""
+        """i-th scan OF THIS SENSOR on an indexed parent
+        (ref: scan_source.cpp Singler indexing)."""
         if isinstance(i, slice):
             return [self[k] for k in range(*i.indices(len(self)))]
-        ls_set = self._parent[i]
-        s = ls_set[self._idx]
-        if s is None:
-            raise IndexError(
-                f"scan set {i} has no scan for sensor {self._idx}")
-        return s
+        idx = self._sensor_index()
+        if i < 0:
+            i += len(idx)
+        if not 0 <= i < len(idx):
+            raise IndexError(f"scan {i} out of range for sensor "
+                             f"{self._idx} ({len(idx)} scans)")
+        return self._parent[idx[i]][self._idx]
 
     def close(self) -> None:
         self._parent.close()

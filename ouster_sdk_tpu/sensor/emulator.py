@@ -153,6 +153,11 @@ class SensorEmulator:
                             v = json.loads(v)
                         except ValueError:
                             pass
+                        if k == "udp_dest" and v == "@auto":
+                            # like the fw: resolve '@auto' to the
+                            # requester's address (ref:
+                            # sensor_http_imp.cpp auto udp_dest flow)
+                            v = self.client_address[0]
                         emu._staged_config[k] = v
                     return self._json("set_config_param")
                 if p in ("/api/v1/sensor/cmd/set_udp_dest_auto",

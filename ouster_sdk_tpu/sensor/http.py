@@ -246,17 +246,16 @@ class SensorHttp:
             self, timeout: Optional[float] = None,
             original_destination: Optional[str] = None) -> str:
         """The sender IP the sensor would pick for auto udp_dest
-        (ref: sensor_http_imp.cpp auto_detected_udp_dest — probes
-        api/v1/system/network/udp_dest_auto without applying it)."""
-        try:
-            resp = self._get_json("/api/v1/system/network/udp_dest_auto")
-            if isinstance(resp, dict):
-                return str(resp.get("udp_dest", ""))
-            return str(resp)
-        except SensorHttpError:
-            if original_destination is not None:
-                return original_destination
-            raise
+        (ref: sensor_http_imp.cpp:182-217): stage udp_dest='@auto'
+        without reinit, read the staged value back, then restore the
+        original destination."""
+        if original_destination is None:
+            original_destination = str(
+                self.active_config_params().get("udp_dest") or "")
+        self.set_config_param("udp_dest", "@auto")
+        detected = str(self.staged_config_params().get("udp_dest") or "")
+        self.set_config_param("udp_dest", original_destination)
+        return detected
 
 
 class SensorHttp_2_4_or_3(SensorHttp):

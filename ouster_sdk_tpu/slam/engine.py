@@ -40,6 +40,16 @@ class SlamConfig:
     backend: str = "host"
 
 
+def _make_icp(config: "SlamConfig", kiss_config: "KissConfig"):
+    """Registration-backend factory shared by SlamEngine and
+    LocalizationEngine (config.backend: host KD-tree vs device ICP)."""
+    if config.backend == "tpu":
+        from .jax_icp import JaxICP
+
+        return JaxICP(kiss_config)
+    return KissICP(kiss_config)
+
+
 def _interp_poses_along(t_frac: np.ndarray, pose0: np.ndarray,
                         pose1: np.ndarray) -> np.ndarray:
     """Per-column SE(3) interpolation pose0 -> pose1 (host, f64)."""
@@ -95,16 +105,10 @@ class SlamEngine:
             if self._voxel_size <= 0:
                 self._voxel_size = determine_voxel_size(
                     [s for s in scans if s is not None])
-            kiss_config = KissConfig(
+            self._kiss = _make_icp(self.config, KissConfig(
                 voxel_size=self._voxel_size,
                 min_range=self.config.min_range,
-                max_range=self.config.max_range)
-            if self.config.backend == "tpu":
-                from .jax_icp import JaxICP
-
-                self._kiss = JaxICP(kiss_config)
-            else:
-                self._kiss = KissICP(kiss_config)
+                max_range=self.config.max_range))
         return self._kiss
 
     # ------------------------------------------------------------------
@@ -225,16 +229,10 @@ class LocalizationEngine(SlamEngine):
         super().__init__(infos, config)
         if self._voxel_size <= 0:
             self._voxel_size = 1.0
-        kiss_config = KissConfig(
+        self._kiss = _make_icp(self.config, KissConfig(
             voxel_size=self._voxel_size,
             min_range=self.config.min_range,
-            max_range=self.config.max_range)
-        if self.config.backend == "tpu":
-            from .jax_icp import JaxICP
-
-            self._kiss = JaxICP(kiss_config)
-        else:
-            self._kiss = KissICP(kiss_config)
+            max_range=self.config.max_range))
         self._kiss.local_map.add_points(np.asarray(map_points,
                                                    dtype=np.float64))
         self._kiss._frame_count = 10  # never clear the prior map

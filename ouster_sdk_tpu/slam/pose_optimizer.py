@@ -561,13 +561,10 @@ def save_trajectory(filename: str, timestamps, poses,
         raise RuntimeError("Timestamps and poses size mismatch")
 
     def _quat(R):
-        qw = np.sqrt(max(0.0, 1 + np.trace(R))) / 2
-        if qw > 1e-8:
-            qx = (R[2, 1] - R[1, 2]) / (4 * qw)
-            qy = (R[0, 2] - R[2, 0]) / (4 * qw)
-            qz = (R[1, 0] - R[0, 1]) / (4 * qw)
-        else:
-            qx, qy, qz = 0.0, 0.0, 0.0
+        # 4-branch conversion: stable for 180-degree rotations too
+        from ..utils.extrinsics import rotation_matrix_to_quaternion
+
+        qw, qx, qy, qz = rotation_matrix_to_quaternion(R)
         return qx, qy, qz, qw
 
     with open(filename, "w") as f:

@@ -113,11 +113,11 @@ def img_aspect_ratio(info: SensorInfo) -> float:
 
 
 def quaternion_to_rotation_matrix(q: np.ndarray) -> np.ndarray:
-    """(qx, qy, qz, qw) -> 3x3 rotation (normalized first;
-    ref: util/extrinsics.py:53-64)."""
-    qx, qy, qz, qw = np.asarray(q, np.float64).reshape(4)
-    n = np.sqrt(qx * qx + qy * qy + qz * qz + qw * qw)
-    qx, qy, qz, qw = qx / n, qy / n, qz / n, qw / n
+    """Quaternion [w, x, y, z] -> 3x3 rotation (normalized first;
+    ref: util/extrinsics.py:53-64 — same component order)."""
+    qw, qx, qy, qz = np.asarray(q, np.float64).reshape(4)
+    n = np.sqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+    qw, qx, qy, qz = qw / n, qx / n, qy / n, qz / n
     return np.array([
         [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qw * qz),
          2 * (qx * qz + qw * qy)],
@@ -128,39 +128,41 @@ def quaternion_to_rotation_matrix(q: np.ndarray) -> np.ndarray:
 
 
 def rotation_matrix_to_quaternion(R: np.ndarray) -> np.ndarray:
-    """3x3 rotation -> (qx, qy, qz, qw) (ref: util/extrinsics.py:67-98)."""
+    """3x3 rotation -> quaternion [w, x, y, z]
+    (ref: util/extrinsics.py:67-98 — same component order, same
+    4-branch numerically-stable conversion)."""
     R = np.asarray(R, np.float64).reshape(3, 3)
     tr = np.trace(R)
     if tr > 0:
-        s = 2.0 * np.sqrt(tr + 1.0)
-        qw = 0.25 * s
-        qx = (R[2, 1] - R[1, 2]) / s
-        qy = (R[0, 2] - R[2, 0]) / s
-        qz = (R[1, 0] - R[0, 1]) / s
+        s4 = 2.0 * np.sqrt(tr + 1.0)
+        w = 0.25 * s4
+        x = (R[2, 1] - R[1, 2]) / s4
+        y = (R[0, 2] - R[2, 0]) / s4
+        z = (R[1, 0] - R[0, 1]) / s4
     elif R[0, 0] > R[1, 1] and R[0, 0] > R[2, 2]:
-        s = 2.0 * np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2])
-        qw = (R[2, 1] - R[1, 2]) / s
-        qx = 0.25 * s
-        qy = (R[0, 1] + R[1, 0]) / s
-        qz = (R[0, 2] + R[2, 0]) / s
+        s4 = 2.0 * np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2])
+        w = (R[2, 1] - R[1, 2]) / s4
+        x = 0.25 * s4
+        y = (R[0, 1] + R[1, 0]) / s4
+        z = (R[0, 2] + R[2, 0]) / s4
     elif R[1, 1] > R[2, 2]:
-        s = 2.0 * np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2])
-        qw = (R[0, 2] - R[2, 0]) / s
-        qx = (R[0, 1] + R[1, 0]) / s
-        qy = 0.25 * s
-        qz = (R[1, 2] + R[2, 1]) / s
+        s4 = 2.0 * np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2])
+        w = (R[0, 2] - R[2, 0]) / s4
+        x = (R[0, 1] + R[1, 0]) / s4
+        y = 0.25 * s4
+        z = (R[1, 2] + R[2, 1]) / s4
     else:
-        s = 2.0 * np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1])
-        qw = (R[1, 0] - R[0, 1]) / s
-        qx = (R[0, 2] + R[2, 0]) / s
-        qy = (R[1, 2] + R[2, 1]) / s
-        qz = 0.25 * s
-    return np.array([qx, qy, qz, qw])
+        s4 = 2.0 * np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1])
+        w = (R[1, 0] - R[0, 1]) / s4
+        x = (R[0, 2] + R[2, 0]) / s4
+        y = (R[1, 2] + R[2, 1]) / s4
+        z = 0.25 * s4
+    return np.array([w, x, y, z])
 
 
 def position_quaternion_to_transform(p: np.ndarray,
                                      q: np.ndarray) -> np.ndarray:
-    """Translation + (qx, qy, qz, qw) -> 4x4
+    """Translation + quaternion [w, x, y, z] -> 4x4
     (ref: util/extrinsics.py:101-106)."""
     out = np.eye(4)
     out[:3, :3] = quaternion_to_rotation_matrix(q)
@@ -186,8 +188,11 @@ def xyzrpy_to_matrix(px, py, pz, r, p, y) -> np.ndarray:
 
 
 def xyzq_to_matrix(px, py, pz, qx, qy, qz, qw) -> np.ndarray:
-    """Translation + quaternion -> 4x4 (ref: util/extrinsics.py:154-169)."""
-    return position_quaternion_to_transform([px, py, pz], [qx, qy, qz, qw])
+    """Translation + quaternion (x,y,z,w args like the reference's CLI
+    form) -> 4x4 (ref: util/extrinsics.py:154-169 — reorders to
+    [w,x,y,z] internally)."""
+    return position_quaternion_to_transform([px, py, pz],
+                                            [qw, qx, qy, qz])
 
 
 def parse_extrinsics_from_string(extrinsics: str, degrees: bool = True):

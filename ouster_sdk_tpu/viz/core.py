@@ -477,10 +477,9 @@ class LidarScanViz:
             # apply per-column scan poses so SLAM-posed scans render in
             # the world frame (ref: _viz.cpp Cloud column poses)
             if not np.allclose(scan.pose, np.eye(4)):
-                cols = np.broadcast_to(scan.pose[None],
-                                       (scan.h, scan.w, 4, 4))
-                xyz = np.einsum("hwij,hwj->hwi", cols[..., :3, :3],
-                                xyz) + cols[..., :3, 3]
+                from ..utils.pose_util import dewarp as _dewarp
+
+                xyz = _dewarp(xyz, scan.pose)
 
             mode = self.cloud_modes[idx][self._cloud_mode_ind]
             if not mode.enabled(scan):
@@ -555,10 +554,19 @@ class _Seekable:
         return val
 
     def seek(self, ind: int) -> bool:
-        """Position so the next __next__ returns index `ind`; False when
-        `ind` left the bounded cache or is past the stream head."""
-        if ind > self._read_ind + 1:
-            return False
+        """Position so the next __next__ returns index `ind`. Seeking
+        forward past the read head consumes the source up to `ind`
+        (reference semantics); False when `ind` was evicted from the
+        bounded back-cache or the source ends first."""
+        while ind > self._read_ind + 1:
+            try:
+                val = next(self._it)
+            except StopIteration:
+                return False
+            self._read_ind += 1
+            # skipped-over items enter the back-cache like read ones,
+            # so seeking back across a forward seek still works
+            self._cache.append(val)
         if ind <= self._read_ind - len(self._cache):
             return False
         self._next_ind = max(ind, 0)
@@ -664,7 +672,9 @@ class SimpleViz:
         if rate is not None and rate not in self._playback_rates:
             raise ValueError(
                 f"rate must be one of {self._playback_rates}")
-        self._rate = 1.0 if rate is None else rate
+        # default: free-run — headless batch jobs must not sleep between
+        # scans; pass an explicit rate for wall-clock pacing
+        self._rate = 0.0 if rate is None else rate
         self._pause_at = pause_at
         self._buflen = buflen
         self._paused = False
@@ -905,16 +915,17 @@ class WindowCtx:
     window_height: int = 0
 
     def aspect_ratio(self) -> float:
-        return (self.viewport_height / self.viewport_width
-                if self.viewport_width else 1.0)
+        """window_width / window_height (ref: point_viz.cpp:1250)."""
+        return (self.window_width / self.window_height
+                if self.window_height else 1.0)
 
     def normalized_coordinates(self, x: float, y: float):
-        """Viewport pixels -> 2D NDC, y in (-1, 1)
-        (ref: point_viz.h:776-787)."""
-        h = self.viewport_height or 1
-        w = self.viewport_width or 1
-        a = w / h
-        return (2.0 * x / h - a, 1.0 - 2.0 * y / h)
+        """Window pixels -> 2D NDC, y in (-1, 1)
+        (ref: point_viz.cpp:1255-1260)."""
+        w = self.window_width or 1
+        h = self.window_height or 1
+        return ((2.0 / w * x - 1.0) * self.aspect_ratio(),
+                2.0 * (1.0 - y / h) - 1.0)
 
 
 # simple geometry aliases (ref: _viz.cpp Vertex/Vec3f for Mesh input)

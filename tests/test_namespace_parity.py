@@ -256,3 +256,58 @@ def test_emulator_zone_monitor_endpoints():
         assert http.get_zone_monitor_config_zip() == b""
     finally:
         emu._http.shutdown()
+
+
+def test_quaternion_convention_matches_reference():
+    """Our quaternion helpers use [w, x, y, z] like the reference
+    (ref: util/extrinsics.py:53-98); verified against the reference
+    implementation executed directly."""
+    import importlib.util as ilu
+
+    import numpy as np
+
+    spec = ilu.spec_from_file_location(
+        "ref_ext", f"{REF}/util/extrinsics.py")
+    # the reference module imports ouster.sdk — execute just the two
+    # pure-numpy functions instead
+    src = open(f"{REF}/util/extrinsics.py").read()
+    ns = {"np": np}
+    for fn in ("quaternion_to_rotation_matrix",
+               "rotation_matrix_to_quaternion"):
+        start = src.index(f"def {fn}")
+        end = src.index("\ndef ", start + 1)
+        exec(src[start:end], ns)  # noqa: S102 - reference code, test only
+
+    from ouster_sdk_tpu.utils.extrinsics import (
+        quaternion_to_rotation_matrix, rotation_matrix_to_quaternion)
+
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        q = rng.randn(4)
+        q /= np.linalg.norm(q)
+        np.testing.assert_allclose(
+            quaternion_to_rotation_matrix(q),
+            ns["quaternion_to_rotation_matrix"](q), atol=1e-12)
+        R = quaternion_to_rotation_matrix(q)
+        ours = rotation_matrix_to_quaternion(R)
+        ref = ns["rotation_matrix_to_quaternion"](R)
+        np.testing.assert_allclose(ours, ref, atol=1e-9)
+    # degenerate 180-degree rotation keeps unit norm
+    q180 = rotation_matrix_to_quaternion(np.diag([-1.0, -1.0, 1.0]))
+    assert abs(np.linalg.norm(q180) - 1.0) < 1e-12
+
+
+def test_window_ctx_matches_reference_mapping():
+    """aspect_ratio + normalized_coordinates follow point_viz.cpp
+    (ref: point_viz.cpp:1250-1260)."""
+    from ouster_sdk_tpu.viz import WindowCtx
+
+    ctx = WindowCtx(viewport_width=1280, viewport_height=720,
+                    window_width=1280, window_height=720)
+    assert abs(ctx.aspect_ratio() - 1280 / 720) < 1e-12
+    # center of the window -> (0, 0)
+    nx, ny = ctx.normalized_coordinates(640, 360)
+    assert abs(nx) < 1e-9 and abs(ny) < 1e-9
+    # top-left -> (-aspect, +1)
+    nx, ny = ctx.normalized_coordinates(0, 0)
+    assert abs(nx + ctx.aspect_ratio()) < 1e-9 and abs(ny - 1.0) < 1e-9

@@ -153,8 +153,11 @@ def test_seekable_invariants():
     assert sk.seek(2) and next(sk) == 2
     assert next(sk) == 3 and next(sk) == 4 and next(sk) == 5
     assert not sk.seek(0)       # evicted from the bounded cache
-    assert not sk.seek(9)       # beyond read head + 1
-    assert sk.seek(6) and next(sk) == 6
+    # forward seek past the read head consumes the source (reference
+    # semantics) and the skipped items land in the back-cache
+    assert sk.seek(9) and next(sk) == 9
+    assert sk.seek(7) and next(sk) == 7
+    assert not sk.seek(15)      # beyond the end of the stream
 
 
 def test_simpleviz_playback_controls(sensor_info):
