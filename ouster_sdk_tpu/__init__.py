@@ -39,6 +39,7 @@ from .core.packets import (  # noqa: F401
     ImuPacket,
     LidarPacket,
     Packet,
+    PacketType,
     PacketValidationFailure,
     ZonePacket,
 )
@@ -68,6 +69,8 @@ from .ops.packet_format import PacketFormat, PacketWriter  # noqa: F401
 from .io.sources import (  # noqa: F401
     Collator,
     IoType,
+    Singler,
+    Slicer,
     SourceURLException,
     LidarScanSet,
     MultiScanSource,
@@ -81,6 +84,7 @@ from .io.sources import (  # noqa: F401
     io_type_from_extension,
     open_packet_source,
     open_source,
+    populate_extrinsics,
 )
 from .io.derived import (  # noqa: F401
     ClippedScanSource,
@@ -90,10 +94,13 @@ from .io.derived import (  # noqa: F401
 from .io.cloud_io import read_pointcloud  # noqa: F401
 from .ops.destagger import destagger, stagger  # noqa: F401
 from .ops.xyzlut import make_xyz_lut, make_xyz_lut_float  # noqa: F401
-from .ops.image_processing import AutoExposure  # noqa: F401
+from .ops.image_processing import (  # noqa: F401
+    AutoExposure,
+    BeamUniformityCorrector,
+)
 from .ops.downsample import voxel_downsample  # noqa: F401
 from .ops.normals import normals  # noqa: F401
-from .ops.profiles import add_custom_profile  # noqa: F401
+from .ops.profiles import FieldInfo, add_custom_profile  # noqa: F401
 from .sensor.http import (  # noqa: F401
     LONG_HTTP_REQUEST_TIMEOUT_SECONDS,
     SHORT_HTTP_REQUEST_TIMEOUT_SECONDS,

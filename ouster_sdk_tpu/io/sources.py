@@ -351,6 +351,41 @@ def collate_scans(
         yield LidarScanSet(pending)
 
 
+class Slicer(ScanSource):
+    """ScanSource view applying [start:stop:step] forward-slice
+    semantics (ref: scan_source.cpp Slicer, util/forward_slicer.py)."""
+
+    def __init__(self, source: ScanSource, key: slice):
+        super().__init__(source.sensor_info)
+        if (key.step or 1) <= 0:
+            raise ValueError("Slicer requires a positive step")
+        if (key.start or 0) < 0 or (key.stop is not None
+                                    and key.stop < 0):
+            raise ValueError("Slicer requires non-negative bounds")
+        self._source = source
+        self._key = key
+
+    @property
+    def is_indexed(self) -> bool:
+        return self._source.is_indexed
+
+    def _iter_sets(self) -> Iterator[LidarScanSet]:
+        import itertools
+
+        return itertools.islice(iter(self._source), self._key.start,
+                                self._key.stop, self._key.step)
+
+    def __len__(self) -> int:
+        return len(range(*self._key.indices(len(self._source))))
+
+    def __getitem__(self, i):
+        rng = range(*self._key.indices(len(self._source)))
+        return self._source[rng[i]]
+
+    def close(self) -> None:
+        self._source.close()
+
+
 class Collator(ScanSource):
     """ScanSource wrapper that time-collates an uncollated source
     (ref: scan_source_utils.h Collator; python binding
@@ -377,6 +412,11 @@ class Collator(ScanSource):
 
     def close(self) -> None:
         self._source.close()
+
+
+#: Reference binding class name for the single-sensor view
+#: (ref: scan_source.cpp Singler).
+Singler = SingleScanSource
 
 
 def collate(source: ScanSource,

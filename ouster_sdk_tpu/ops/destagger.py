@@ -71,3 +71,18 @@ def destagger_jnp(fields: jnp.ndarray, shifts: Union[Sequence[int],
             fields, idx.reshape((1,) * (fields.ndim - 3) + idx.shape),
             axis=-2)
     raise ValueError("image height does not match shifts size")
+
+
+# typed variants matching the reference binding names (the C++ side has
+# one per dtype, ref: client.pyi destagger_uint8...; ours is generic)
+destagger_bool = destagger
+destagger_int8 = destagger
+destagger_int16 = destagger
+destagger_int32 = destagger
+destagger_int64 = destagger
+destagger_uint8 = destagger
+destagger_uint16 = destagger
+destagger_uint32 = destagger
+destagger_uint64 = destagger
+destagger_float = destagger
+destagger_double = destagger

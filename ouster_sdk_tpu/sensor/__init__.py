@@ -22,7 +22,15 @@ from .scan_source import (  # noqa: F401
     SensorPacketSource,
     SensorScanSource,
 )
-from .client import Client, init_client  # noqa: F401
+from .client import (  # noqa: F401
+    Client,
+    ClientEvent,
+    ClientEventType,
+    ClientState,
+    SensorConnection,
+    in_multicast,
+    init_client,
+)
 from .emulator import SensorEmulator  # noqa: F401
 from .._deprecation import (  # noqa: F401
     deprecated_alias,

@@ -12,6 +12,7 @@ import socket
 import struct
 import time
 from dataclasses import dataclass
+from enum import IntEnum
 from typing import List, Optional, Tuple
 
 from ..core.types import SensorConfig, SensorInfo
@@ -172,3 +173,27 @@ def init_client(
     client.close()
     raise TimeoutError(
         f"timed out waiting for sensor {hostname} to initialize: {last_err}")
+
+
+class ClientState(IntEnum):
+    """Legacy poll-state bitmask (ref: client.pyi ClientState)."""
+
+    TIMEOUT = 0
+    ERROR = 1
+    LIDAR_DATA = 2
+    IMU_DATA = 4
+    EXIT = 8
+
+
+class ClientEventType(IntEnum):
+    """(ref: client.pyi ClientEventType / sensor_packet_source.h)"""
+
+    Error = 0
+    Exit = 1
+    PollTimeout = 2
+    Packet = 3
+
+
+#: Reference name for the low-level UDP connection
+#: (ref: client.pyi SensorConnection).
+SensorConnection = Client

@@ -4,7 +4,10 @@
 
 from .zrb import Zrb  # noqa: F401
 from .zone import (  # noqa: F401
+    BeamConfig,
+    Coord,
     CoordinateFrame,
+    Triangle,
     Stl,
     Zone,
     ZoneMode,

@@ -274,3 +274,35 @@ class Stl:
         if not isinstance(other, Stl):
             return NotImplemented
         return self._data == other._data
+
+
+class Triangle:
+    """Mesh triangle view: coords / edges / normal
+    (ref: client.pyi Triangle; zone mesh accessors)."""
+
+    def __init__(self, vertices: np.ndarray):
+        self._v = np.asarray(vertices, dtype=np.float64).reshape(3, 3)
+
+    @property
+    def coords(self) -> List[np.ndarray]:
+        return [self._v[0], self._v[1], self._v[2]]
+
+    @property
+    def edges(self) -> List[np.ndarray]:
+        return [self._v[1] - self._v[0], self._v[2] - self._v[1],
+                self._v[0] - self._v[2]]
+
+    @property
+    def normal(self) -> np.ndarray:
+        n = np.cross(self._v[1] - self._v[0], self._v[2] - self._v[0])
+        mag = np.linalg.norm(n)
+        return n / mag if mag > 0 else n
+
+
+#: Plain 3-vector used by the mesh accessors (ref: client.pyi Coord).
+Coord = np.ndarray
+
+
+class BeamConfig:
+    """(ref: client.pyi BeamConfig — unbound in the reference binding
+    as well; placeholder for API parity)."""
