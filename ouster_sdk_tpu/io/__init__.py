@@ -7,7 +7,12 @@ from .pcap import (  # noqa: F401
     PcapDuplicatePortException,
     PcapReader,
     PcapWriter,
+    StreamKey,
+    StreamStats,
+    get_stream_info,
+    guess_ports,
     record,
+    stream_info,
 )
 from .pcap_source import (  # noqa: F401
     PcapPacketSource,
@@ -17,6 +22,8 @@ from .pcap_source import (  # noqa: F401
 from .pcap_scan_source import PcapScanSource  # noqa: F401
 from .osf import (  # noqa: F401
     AsyncWriter,
+    MessageRef,
+    MetadataEntry,
     Encoder,
     LidarScanEncoder,
     OsfScanSource,

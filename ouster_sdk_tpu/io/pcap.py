@@ -416,3 +416,32 @@ def record(packets, pcap_path: str, *,
         if error and n == 0 and _os.path.exists(pcap_path):
             _os.remove(pcap_path)
     return n
+
+
+#: Reference binding alias (ref: pcap.pyi get_stream_info).
+get_stream_info = stream_info
+
+
+def guess_ports(stream_stats, lidar_packet_size: int,
+                imu_packet_size: int, lidar_spec: int = 0,
+                imu_spec: int = 0):
+    """Candidate (lidar_port, imu_port) pairs from per-flow payload
+    sizes (ref: pcap.pyi guess_ports / sdk/pcap/pcap.py _guess_ports):
+    a port qualifies when its dominant payload size matches the
+    expected packet size; explicit spec ports filter the candidates."""
+    lidar_ports = set()
+    imu_ports = set()
+    for (dst_ip, dst_port), st in stream_stats.items():
+        if not st.sizes:
+            continue
+        dominant = max(st.sizes, key=st.sizes.get)
+        if dominant == lidar_packet_size and \
+                (not lidar_spec or dst_port == lidar_spec):
+            lidar_ports.add(dst_port)
+        if dominant == imu_packet_size and \
+                (not imu_spec or dst_port == imu_spec):
+            imu_ports.add(dst_port)
+    guesses = [(lp, ip) for lp in (lidar_ports or {0})
+               for ip in (imu_ports or {0}) if lp != ip or lp == 0]
+    guesses.sort(reverse=True, key=lambda p: (p[0] != 0, p[1] != 0, p))
+    return guesses

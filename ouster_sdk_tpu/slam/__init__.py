@@ -31,3 +31,11 @@ from .pose_optimizer import (  # noqa: F401
     save_trajectory,
 )
 from .ply_to_png import ply_to_png  # noqa: F401
+
+#: Reference binding names (ref: mapping.pyi Constraint base /
+#: PoseOptimizerNode).
+from typing import Union as _Union  # noqa: E402
+
+Constraint = _Union[AbsolutePoseConstraint, PoseToPoseConstraint,
+                    PointToPointConstraint, AbsolutePointConstraint]
+PoseOptimizerNode = Node

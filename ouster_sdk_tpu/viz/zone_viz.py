@@ -82,3 +82,64 @@ def save_zone_snapshot(zone_set: ZoneSet, info, scan, triggered,
     with open(path, "wb") as f:
         f.write(png_codec.encode(frame, png_codec.COLOR_RGB, 8))
     return path
+
+
+def precompute_voxel_vertices(info) -> np.ndarray:
+    """Per-pixel unit beam directions + offsets: the reusable vertex
+    lookup table for voxel-style zone meshes (ref: _viz.cpp:1133
+    precompute_voxel_vertices / zone_monitor_voxel_mesh.cpp
+    VertexLookupTable). Returns (2, H, W, 3): [unit directions,
+    beam origins in meters]."""
+    from ..ops.xyzlut import make_xyz_lut
+
+    lut = make_xyz_lut(info)
+    dirs = lut.direction
+    mags = np.linalg.norm(dirs, axis=-1, keepdims=True)
+    unit = dirs / np.maximum(mags, 1e-30)
+    return np.stack([unit, lut.offset])
+
+
+def voxel_style_mesh_from_zone_image_pair(zrb, sensor_info,
+                                          voxel_vertices=None):
+    """Build a wireframe Mesh of a zone's near/far range-image bounds
+    (ref: zone_monitor_voxel_mesh.cpp:355
+    voxel_style_mesh_from_zone_image_pair): for every active pixel, the
+    near-face and far-face sample points become quad diagonals, stitched
+    into triangles along the image grid; edges connect near to far at
+    the zone silhouette."""
+    from .drawables import Mesh
+
+    if voxel_vertices is None:
+        voxel_vertices = precompute_voxel_vertices(sensor_info)
+    unit, offset = voxel_vertices
+    near = np.asarray(zrb.near_range_mm, dtype=np.float64) * 1e-3
+    far = np.asarray(zrb.far_range_mm, dtype=np.float64) * 1e-3
+    active = far > near
+
+    tris = []
+    h, w = near.shape
+    for img in (near, far):
+        pts = offset + unit * img[..., None]
+        # quads between horizontally/vertically adjacent active pixels
+        a = active[:-1, :-1] & active[:-1, 1:] & active[1:, :-1] \
+            & active[1:, 1:]
+        if not a.any():
+            continue
+        p00 = pts[:-1, :-1][a]
+        p01 = pts[:-1, 1:][a]
+        p10 = pts[1:, :-1][a]
+        p11 = pts[1:, 1:][a]
+        tris.append(np.stack([p00, p01, p11], axis=1))
+        tris.append(np.stack([p00, p11, p10], axis=1))
+    # near<->far stitching at silhouette pixels (boundary of the mask)
+    import scipy.ndimage as ndi
+
+    edge_px = active & ~ndi.binary_erosion(active)
+    if edge_px.any():
+        pn = (offset + unit * near[..., None])[edge_px]
+        pf = (offset + unit * far[..., None])[edge_px]
+        # degenerate triangles render as near-far edges in the
+        # wireframe rasterizer
+        tris.append(np.stack([pn, pf, pf], axis=1))
+    triangles = np.concatenate(tris) if tris else np.zeros((0, 3, 3))
+    return Mesh(triangles)

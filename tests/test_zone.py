@@ -236,3 +236,26 @@ def test_cli_emulate_zones():
         "source", pcap, "slice", ":1",
         "emulate_zones", "-c", zpath, "stats"])
     assert r.exit_code == 0, r.output
+
+
+def test_voxel_style_zone_mesh():
+    """Voxel-style zone boundary mesh (ref: zone_monitor_voxel_mesh.cpp
+    voxel_style_mesh_from_zone_image_pair)."""
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.viz import (precompute_voxel_vertices,
+                                    voxel_style_mesh_from_zone_image_pair)
+    from ouster_sdk_tpu.zone import Zone, render_zone_bounds
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    info = o.sensor_info_from_metadata(meta)
+    zone = Zone.box(1, (6, 0, 0), (4, 4, 2))
+    zrb = render_zone_bounds(zone, info)
+    vv = precompute_voxel_vertices(info)
+    mesh = voxel_style_mesh_from_zone_image_pair(zrb, info, vv)
+    assert mesh.triangles.shape[0] > 100
+    # every vertex must lie within the zone's range band (plus margin)
+    import numpy as np
+
+    d = np.linalg.norm(mesh.triangles.reshape(-1, 3), axis=1)
+    assert d.min() > 3.0 and d.max() < 12.0
