@@ -141,6 +141,7 @@ struct FragKey {
 struct FragState {
     std::vector<uint8_t> buf;
     int64_t total = -1;
+    int64_t last_seen = 0;  // record counter at last fragment
     // covered byte ranges (merged, sorted): duplicate/overlapping fragments
     // must not count twice toward completion (the reference ip_reassembler
     // tracks holes explicitly)
@@ -201,7 +202,7 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
                        uint64_t* ts_ns, uint32_t* ports, uint32_t* dst_ips,
                        int64_t max_out) {
     std::map<FragKey, FragState> frags;
-    int64_t pos = 24, n_out = 0, payload_pos = 0;
+    int64_t pos = 24, n_out = 0, payload_pos = 0, rec_no = 0;
     bool truncated = false;
 
     auto rd32 = [&](int64_t off) -> uint32_t {
@@ -211,6 +212,7 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
     };
 
     while (pos + 16 <= len && n_out < max_out) {
+        rec_no++;
         uint32_t ts_sec = rd32(pos), ts_frac = rd32(pos + 4);
         uint32_t incl = rd32(pos + 8);
         int64_t frame_off = pos + 16;
@@ -323,7 +325,21 @@ int64_t onat_pcap_scan(const uint8_t* data, int64_t len, int swap_endian,
             dlen = pllen;
         } else {
             FragKey key{src_ip, dst_ip, ip_id, proto};
+            // evict stale incomplete groups: on lossy captures each
+            // lost-fragment datagram would otherwise leak a 64 KB
+            // buffer for the whole scan (the reference ip_reassembler
+            // expires entries too); 4096 records at MTU size far
+            // exceeds any real in-flight reassembly window
+            if (frags.size() > 1024) {
+                for (auto it = frags.begin(); it != frags.end();) {
+                    if (it->second.last_seen + 4096 < rec_no)
+                        it = frags.erase(it);
+                    else
+                        ++it;
+                }
+            }
             FragState& st = frags[key];
+            st.last_seen = rec_no;
             if ((int64_t)st.buf.size() < frag_off + pllen) {
                 // reserve the max UDP datagram up front: per-fragment
                 // geometric regrowth would memcpy the partial buffer ~20x

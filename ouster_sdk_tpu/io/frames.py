@@ -65,12 +65,13 @@ class FrameReader:
                     np.zeros(0, np.int64), np.zeros(0, np.uint64),
                     np.zeros(0, np.uint32), np.zeros(0, np.uint32))
         head = data[:24].tobytes()
-        magic_le = struct.unpack("<I", head[:4])[0]
-        magic = magic_le if magic_le in _PCAP_MAGICS else \
-            struct.unpack(">I", head[:4])[0]
+        magic = struct.unpack("<I", head[:4])[0]
         if magic not in _PCAP_MAGICS:
             raise ValueError("unknown pcap magic")
-        swap = magic_le not in _PCAP_MAGICS
+        # the table maps the value READ LITTLE-ENDIAN to the file's
+        # actual byte order — a big-endian capture reads as the
+        # byte-swapped magic, which is also a table key
+        swap = _PCAP_MAGICS[magic][0] == ">"
         ts_nano = _PCAP_MAGICS[magic][1] == 1
         linktype = struct.unpack(
             ("<" if not swap else ">") + "I", head[20:24])[0] & 0x0FFFFFFF
@@ -189,6 +190,12 @@ class FrameReader:
         payloads, offsets, sizes, ts, ports, ips = res
         lidar = self._lidar_mask(sizes, ports)
         if not lidar.any():
+            # capture variant the native scanner skips (it supports a
+            # subset of linktypes/encapsulations): derive the planar
+            # staging from the packet-layout path, which falls back to
+            # the pure-Python reader — never silently yield nothing for
+            # a capture that iter_chunks can read
+            yield from self._planar_from_chunks(chunk, words)
             return
         offs, tss = offsets[lidar], ts[lidar]
         pkt_size = self.pf.lidar_packet_size
@@ -237,6 +244,26 @@ class FrameReader:
             else:
                 yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
                        ts_out[:nf].copy())
+
+    def _planar_from_chunks(self, chunk: int,
+                            words: Optional[Tuple[int, ...]]
+                            ) -> Iterator[Tuple[np.ndarray, np.ndarray,
+                                                np.ndarray, np.ndarray]]:
+        """Planar staging computed from the packet-layout chunks — the
+        fallback when the native scanner can't parse the capture."""
+        plan = self.plan
+        for fids, frames, tss in self.iter_chunks(chunk):
+            B = frames.shape[0]
+            cols = frames[:, :, plan.hw:plan.hw + plan.cpp * plan.cw] \
+                .reshape(B, plan.w, plan.cw)
+            pix = cols[:, :, plan.chw:plan.chw + plan.h * plan.pw] \
+                .reshape(B, plan.w, plan.h, plan.pw)
+            planes = np.transpose(pix, (0, 3, 2, 1))   # (B, pw, h, w)
+            if words is not None:
+                planes = planes[:, list(words)]
+            hdrs = np.transpose(cols[:, :, :plan.chw], (0, 2, 1))
+            yield (fids, np.ascontiguousarray(planes),
+                   np.ascontiguousarray(hdrs), tss)
 
     def _iter_python(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         from ..ops.unpack import frame_words_from_packets

@@ -131,7 +131,7 @@ class MessageRef:
     ts: int
     ts_sensor: int
     id: int
-    buffer: bytes
+    buffer: "np.ndarray"  # u8 view into the reader's mmap (or bytes)
     reader: "Reader"
 
     @property
@@ -581,15 +581,55 @@ class Reader:
 
     def messages(self, start_ts: int = 0,
                  end_ts: int = 2**64 - 1) -> Iterator[MessageRef]:
-        """Iterate messages in timestamp order across chunks
-        (streaming layout; ref: reader.h:884 MessagesStreamingRange)."""
-        order = np.argsort(self.chunk_offsets["start_ts"], kind="stable") \
-            if len(self.chunk_offsets) else []
-        for ci in order:
-            off = int(self.chunk_offsets["offset"][ci])
-            for msg in self._chunk_messages(off):
-                if start_ts <= msg.ts <= end_ts:
-                    yield msg
+        """Iterate messages in GLOBAL timestamp order (streaming layout;
+        ref: reader.h:884 MessagesStreamingRange). Each chunk holds one
+        stream's time-ordered messages, but chunks of different streams
+        overlap in time — a k-way merge (not chunk concatenation)
+        restores the cross-sensor interleave that collation needs."""
+        import heapq
+
+        order = [int(self.chunk_offsets["offset"][ci]) for ci in
+                 (np.argsort(self.chunk_offsets["start_ts"],
+                             kind="stable")
+                  if len(self.chunk_offsets) else [])]
+        # group chunks by stream (StreamingInfo) so each run is one
+        # stream's chunks in time order — the merge then only parses
+        # each stream's FIRST chunk upfront, keeping iteration lazy
+        by_stream = self._chunks_by_stream()
+        if by_stream is not None:
+            starts = {off: k for k, off in enumerate(order)}
+            groups = [sorted(offs, key=lambda o: starts.get(o, 0))
+                      for offs in by_stream.values()]
+        else:  # no StreamingInfo entry: one (eager) run per chunk
+            groups = [[off] for off in order]
+
+        def run(offsets, k):
+            for off in offsets:
+                for m in self._chunk_messages(off):
+                    # (ts, run_idx) keeps the merge stable across equal
+                    # timestamps without comparing MessageRefs
+                    yield (m.ts, k, m)
+
+        for _, _, msg in heapq.merge(
+                *(run(g, k) for k, g in enumerate(groups))):
+            if start_ts <= msg.ts <= end_ts:
+                yield msg
+
+    def _chunks_by_stream(self) -> Optional[Dict[int, List[int]]]:
+        """chunk offset lists keyed by stream id, from the StreamingInfo
+        metadata entry (ref: meta_streaming_info.cpp); None when the
+        file carries no StreamingInfo."""
+        for ent in self.entries.values():
+            if ent.type != _METADATA_ENTRY_STREAMING_INFO:
+                continue
+            tbl = fb.root_auto(ent.buffer)
+            out: Dict[int, List[int]] = {}
+            for ci in tbl.vector_tables(0):
+                off = ci.scalar(0, "Q")
+                sid = ci.scalar(1, "I")
+                out.setdefault(sid, []).append(int(off))
+            return out
+        return None
 
     def _chunk_messages(self, rel_offset: int) -> List[MessageRef]:
         pos = self._chunks_base + rel_offset
@@ -606,14 +646,22 @@ class Reader:
         for m in chunk.vector_tables(0):
             out.append(MessageRef(
                 ts=m.scalar(0, "Q"), id=m.scalar(1, "I"),
-                buffer=m.vector_bytes(2), ts_sensor=m.scalar(3, "Q"),
+                # zero-copy view into the mmap: indexing a multi-GB OSF
+                # does not copy every payload into RAM (decode slices
+                # it on demand); valid until Reader.close()
+                buffer=m.vector_view(2), ts_sensor=m.scalar(3, "Q"),
                 reader=self))
         return out
 
     def close(self) -> None:
         self._data = memoryview(b"")
         if getattr(self, "_mm", None) is not None:
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                # zero-copy MessageRef views still reference the mmap;
+                # it unmaps when the last view is garbage-collected
+                pass
             self._mm = None
         if getattr(self, "_f", None) is not None:
             self._f.close()
@@ -1009,6 +1057,8 @@ class AsyncWriter:
             item = self._q.get()
             if item is None:
                 return
+            if self._exc is not None:
+                continue  # drain after a failure so producers never block
             try:
                 op, a, scan, ts = item
                 if op == "save_set":
@@ -1016,11 +1066,11 @@ class AsyncWriter:
                 else:
                     self._writer.save(a, scan, ts)
             except BaseException as e:  # noqa: BLE001
-                self._exc = e
-                return
+                self._exc = e  # keep draining; surfaced by save()/close()
 
     def close(self) -> None:
-        self._q.put(None)
+        if self._thread.is_alive():
+            self._q.put(None)
         self._thread.join()
         self._writer.close()
         if self._exc:

@@ -72,11 +72,7 @@ class PlanarLut:
 
 def _range_to_xyz(w0, dir_hi, dir_lo, off_hi, off_lo, *, bit, size,
                   upshift, precision):
-    lo = w0 >> np.uint32(bit) if bit else w0
-    if size < 32:
-        lo = lo & np.uint32((1 << size) - 1)
-    if upshift:
-        lo = lo << np.uint32(upshift)
+    lo = _extract_bits(w0, bit=bit, size=size, upshift=upshift)
     # mosaic has no u32 -> f32 cast; range fits in i32 (< 2^20 mm)
     r = lo.astype(jnp.int32).astype(jnp.float32)[None]   # (1, h, TW)
     if precision == "dd":
@@ -131,6 +127,9 @@ def unpack_project_pallas(frame_words: jnp.ndarray, dir_hi, dir_lo, off_hi,
     rng_plan = _field_plan(plan, "RANGE")
     pix, valid_row, _, _ = _prep_pixel_words(frame_words, plan)
 
+    if plan.w % tile_w or plan.w < tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must evenly divide w={plan.w}")
     grid = (plan.w // tile_w,)
     kernel = functools.partial(
         _project_kernel, h=plan.h, pw=plan.pw, word=rng_plan.word,
@@ -178,6 +177,9 @@ def unpack_project_pallas_batched(frames_words: jnp.ndarray, dir_hi, dir_lo,
     rng_plan = _field_plan(plan, "RANGE")
     pix, valid_row, B, _ = _prep_pixel_words(frames_words, plan)
 
+    if plan.w % tile_w or plan.w < tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must evenly divide w={plan.w}")
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None
@@ -394,6 +396,9 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     valid = valid.reshape(1, B * plan.w)  # row layout: block (1, tile_w)
 
     rows = planes.reshape(B * pw, plan.h, plan.w)
+    if plan.w % tile_w or plan.w < tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must evenly divide w={plan.w}")
     tiles_per_frame = plan.w // tile_w
     # 2D grid (tile, batch), batch fastest: the LUT block index depends
     # only on the tile coordinate, so Mosaic keeps the LUT block

@@ -217,7 +217,7 @@ class JaxICP(KissICP):
                 jnp.asarray(map_pad), jnp.asarray(map_valid),
                 jnp.asarray(initial_guess, dtype=jnp.float32),
                 jnp.float32(3.0 * sigma), jnp.float32(sigma / 3.0),
-                max_iters=min(self.config.max_num_iterations, 100),
+                max_iters=self.config.max_num_iterations,
                 convergence=self.config.convergence_criterion),
                 dtype=np.float64)
             # re-orthonormalize: ~20 f32 GN steps leave the rotation a

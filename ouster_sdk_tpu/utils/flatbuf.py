@@ -94,6 +94,11 @@ class Table:
     def vector_bytes(self, slot: int) -> bytes:
         return self.vector_np(slot, np.uint8).tobytes()
 
+    def vector_view(self, slot: int):
+        """Zero-copy view of a [ubyte] vector (valid only while the
+        underlying buffer/mmap is alive)."""
+        return self.vector_np(slot, np.uint8)
+
     def vector_tables(self, slot: int) -> List["Table"]:
         p = self._indirect(slot)
         if p is None:

@@ -158,3 +158,102 @@ def test_sensor_group_commands_against_emulator():
     if osfs:
         r = CliRunner().invoke(cli, ["osf", "parse", osfs[0]])
         assert r.exit_code == 0 and "streams:" in r.output
+
+
+def test_big_endian_pcap_native_scan(tmp_path):
+    """The native pcap scanner must honor the file's byte order — the
+    magic read little-endian is a table key in BOTH orders, so
+    endianness comes from the table value (io/frames.py fix)."""
+    import shutil
+    import struct
+
+    import numpy as np
+
+    from ouster_sdk_tpu.io.frames import FrameReader
+
+    src = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(src):
+        pytest.skip("fixture missing")
+    data = bytearray(open(src, "rb").read())
+    gh = struct.unpack("<IHHiIII", bytes(data[:24]))
+    data[:24] = struct.pack(">IHHiIII", *gh)
+    pos = 24
+    while pos + 16 <= len(data):
+        f = struct.unpack("<IIII", bytes(data[pos:pos + 16]))
+        data[pos:pos + 16] = struct.pack(">IIII", *f)
+        pos += 16 + f[2]
+    be = str(tmp_path / "be.pcap")
+    open(be, "wb").write(bytes(data))
+    shutil.copy(src.replace(".pcap", ".json"), str(tmp_path / "be.json"))
+
+    _, frames_le, _ = next(FrameReader(src).iter_chunks(1))
+    _, frames_be, _ = next(FrameReader(be).iter_chunks(1))
+    np.testing.assert_array_equal(frames_le, frames_be)
+
+
+def test_planar_fallback_matches_native():
+    """iter_planar_chunks' pure-Python fallback is bit-identical to the
+    native planar staging (io/frames.py _planar_from_chunks)."""
+    import numpy as np
+
+    from ouster_sdk_tpu.io.frames import FrameReader
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    src = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(src):
+        pytest.skip("fixture missing")
+    fr = FrameReader(src)
+    _, p1, h1, _ = next(fr.iter_planar_chunks(1))
+    _, p2, h2, _ = next(fr._planar_from_chunks(1, None))
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_osf_multi_stream_message_interleave(tmp_path):
+    """messages() merges per-stream chunks into global timestamp order
+    so multi-sensor collation pairs scans (io/osf.py k-way merge fix)."""
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.io.osf import OsfScanSource, Reader, Writer
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    i1 = o.sensor_info_from_metadata(meta)
+    i2 = o.sensor_info_from_metadata(meta)
+    i2.sn = i1.sn + 1
+    path = str(tmp_path / "multi.osf")
+    with Writer(path) as w:
+        s1, s2 = w.add_sensor(i1), w.add_sensor(i2)
+        for k in range(3):
+            for sid, off in ((s1, 0), (s2, 50)):
+                sc = o.LidarScan(i1)
+                sc.status[:] = 1
+                sc.timestamp[:] = 1000 + k * 100 + off
+                w.save(sid, sc, ts=1000 + k * 100 + off)
+    r = Reader(path)
+    ts_seq = [m.ts for m in r.messages() if m.is_lidar_scan()]
+    assert ts_seq == sorted(ts_seq)
+    sets = list(OsfScanSource(path))
+    assert [len(s.valid()) for s in sets] == [2, 2, 2]
+
+
+def test_async_writer_failure_does_not_deadlock(tmp_path):
+    """A failing worker drains the queue; close() raises the stored
+    exception instead of hanging (io/osf.py AsyncWriter fix)."""
+    import ouster_sdk_tpu as o
+    from ouster_sdk_tpu.io.osf import AsyncWriter
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    info = o.sensor_info_from_metadata(meta)
+    w = AsyncWriter(str(tmp_path / "x.osf"))
+    sid = w.add_sensor(info)
+    # poison the underlying writer so the first save raises in the worker
+    w._writer.save = None  # type: ignore[assignment]
+    scan = o.LidarScan(info)
+    with pytest.raises(RuntimeError):
+        # keep feeding until the failure is observed or close() raises
+        for _ in range(64):
+            w.save(sid, scan, ts=1)
+        w.close()
