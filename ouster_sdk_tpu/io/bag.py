@@ -83,12 +83,15 @@ class Ros1BagReader:
 
     def __init__(self, path: str):
         with open(path, "rb") as f:
-            self._data = f.read()
-        if not self._data.startswith(_MAGIC):
+            data = f.read()
+        if not data.startswith(_MAGIC):
             raise ValueError(f"{path}: not a ROS1 v2.0 bag")
         self.connections: Dict[int, Connection] = {}
         self._messages: List[BagMessage] = []
-        self._parse(memoryview(self._data)[len(_MAGIC):])
+        self._parse(memoryview(data)[len(_MAGIC):])
+        # messages hold copies; sort once here so the file buffer can be
+        # released and messages() is O(n) per call
+        self._messages.sort(key=lambda m: m.timestamp)
 
     def _records(self, buf: memoryview) -> Iterator[Tuple[Dict, memoryview]]:
         pos = 0
@@ -153,7 +156,7 @@ class Ros1BagReader:
 
     def messages(self, topics: Optional[List[str]] = None
                  ) -> Iterator[BagMessage]:
-        for m in sorted(self._messages, key=lambda m: m.timestamp):
+        for m in self._messages:
             if topics is None or m.connection.topic in topics:
                 yield m
 
@@ -667,47 +670,78 @@ class BagScanSource(ScanSource):
 
 
 class Ros1BagWriter:
-    """Minimal uncompressed ROS1 v2.0 bag writer for ouster packet topics
-    (ref: source_save.py bag save)."""
+    """Indexed, uncompressed ROS1 v2.0 bag writer interoperable with
+    standard tooling (ref: source_save.py bag save; rosbag v2.0 format
+    spec): one chunk, per-connection INDEX_DATA records, post-chunk
+    connection records, a CHUNK_INFO record, and a backfilled bag header
+    (index_pos/conn_count/chunk_count) — `rosbag info`-compatible, with
+    per-type ROS md5sums so `rosbag play` accepts the messages."""
+
+    # dependency-free definitions: the ROS md5 of such a message is the
+    # md5 of its canonical definition text
+    _DEFS = {
+        "std_msgs/String": "string data",
+        "ouster_ros/PacketMsg": "uint8[] buf",
+    }
 
     def __init__(self, path: str):
         self._f = open(path, "wb")
         self._f.write(_MAGIC)
         self._conns: Dict[str, int] = {}
+        self._conn_meta: List[Tuple[str, str]] = []  # (topic, msgtype)
         self._records = bytearray()
-        self._chunk_msgs = 0
-        # placeholder bag header record (4096-byte padded like rosbag)
+        # per conn: [(time_sec, time_nsec, chunk_offset)]
+        self._index: Dict[int, List[Tuple[int, int, int]]] = {}
+        self._t_min: Optional[Tuple[int, int]] = None
+        self._t_max: Optional[Tuple[int, int]] = None
+        self._write_bag_header(index_pos=0, conn_count=0, chunk_count=0)
+
+    def _write_bag_header(self, index_pos: int, conn_count: int,
+                          chunk_count: int) -> None:
         hdr = _make_header({
             b"op": bytes([OP_BAG_HEADER]),
-            b"index_pos": struct.pack("<Q", 0),
-            b"conn_count": struct.pack("<I", 0),
-            b"chunk_count": struct.pack("<I", 1),
+            b"index_pos": struct.pack("<Q", index_pos),
+            b"conn_count": struct.pack("<I", conn_count),
+            b"chunk_count": struct.pack("<I", chunk_count),
         })
-        pad = max(4096 - len(hdr), 0)
+        # the bag header record is padded to 4096 bytes total via its
+        # data section (rosbag convention)
+        pad = 4096 - (4 + len(hdr) + 4)
         self._f.write(struct.pack("<I", len(hdr)))
         self._f.write(hdr)
-        filler = b" " * pad
-        self._f.write(struct.pack("<I", len(filler)))
-        self._f.write(filler)
+        self._f.write(struct.pack("<I", pad))
+        self._f.write(b" " * pad)
 
-    def _conn_id(self, topic: str, msgtype: str) -> int:
-        if topic in self._conns:
-            return self._conns[topic]
-        cid = len(self._conns)
-        self._conns[topic] = cid
+    @classmethod
+    def _md5(cls, msgtype: str) -> bytes:
+        import hashlib
+
+        text = cls._DEFS.get(msgtype, "uint8[] buf")
+        return hashlib.md5(text.encode()).hexdigest().encode()
+
+    def _conn_record(self, cid: int, topic: str, msgtype: str) -> bytes:
         conn_data = _make_header({
             b"topic": topic.encode(),
             b"type": msgtype.encode(),
-            b"md5sum": b"0" * 32,
-            b"message_definition": b"uint8[] buf\n",
+            b"md5sum": self._md5(msgtype),
+            b"message_definition":
+                self._DEFS.get(msgtype, "uint8[] buf").encode(),
         })
         rec_hdr = _make_header({
             b"op": bytes([OP_CONNECTION]),
             b"conn": struct.pack("<I", cid),
             b"topic": topic.encode(),
         })
-        self._records += struct.pack("<I", len(rec_hdr)) + rec_hdr
-        self._records += struct.pack("<I", len(conn_data)) + conn_data
+        return (struct.pack("<I", len(rec_hdr)) + rec_hdr
+                + struct.pack("<I", len(conn_data)) + conn_data)
+
+    def _conn_id(self, topic: str, msgtype: str) -> int:
+        if topic in self._conns:
+            return self._conns[topic]
+        cid = len(self._conns)
+        self._conns[topic] = cid
+        self._conn_meta.append((topic, msgtype))
+        self._records += self._conn_record(cid, topic, msgtype)
         return cid
 
     def write_string(self, topic: str, text: str, ts_ns: int) -> None:
@@ -723,6 +757,7 @@ class Ros1BagWriter:
                    ts_ns: int) -> None:
         cid = self._conn_id(topic, msgtype)
         sec, nsec = divmod(ts_ns, 1_000_000_000)
+        off = len(self._records)
         rec_hdr = _make_header({
             b"op": bytes([OP_MSG]),
             b"conn": struct.pack("<I", cid),
@@ -730,9 +765,14 @@ class Ros1BagWriter:
         })
         self._records += struct.pack("<I", len(rec_hdr)) + rec_hdr
         self._records += struct.pack("<I", len(payload)) + payload
-        self._chunk_msgs += 1
+        self._index.setdefault(cid, []).append((sec, nsec, off))
+        if self._t_min is None or (sec, nsec) < self._t_min:
+            self._t_min = (sec, nsec)
+        if self._t_max is None or (sec, nsec) > self._t_max:
+            self._t_max = (sec, nsec)
 
     def close(self) -> None:
+        chunk_pos = self._f.tell()
         chunk_hdr = _make_header({
             b"op": bytes([OP_CHUNK]),
             b"compression": b"none",
@@ -742,6 +782,47 @@ class Ros1BagWriter:
         self._f.write(chunk_hdr)
         self._f.write(struct.pack("<I", len(self._records)))
         self._f.write(self._records)
+
+        # per-connection INDEX_DATA (v1): entries (time, chunk offset)
+        for cid, entries in sorted(self._index.items()):
+            idx_hdr = _make_header({
+                b"op": bytes([OP_INDEX]),
+                b"ver": struct.pack("<I", 1),
+                b"conn": struct.pack("<I", cid),
+                b"count": struct.pack("<I", len(entries)),
+            })
+            data = b"".join(struct.pack("<III", sec, nsec, off)
+                            for sec, nsec, off in entries)
+            self._f.write(struct.pack("<I", len(idx_hdr)))
+            self._f.write(idx_hdr)
+            self._f.write(struct.pack("<I", len(data)))
+            self._f.write(data)
+
+        # index section: connection records then the chunk info record
+        index_pos = self._f.tell()
+        for cid, (topic, msgtype) in enumerate(self._conn_meta):
+            self._f.write(self._conn_record(cid, topic, msgtype))
+        t0 = self._t_min or (0, 0)
+        t1 = self._t_max or (0, 0)
+        ci_hdr = _make_header({
+            b"op": bytes([OP_CHUNK_INFO]),
+            b"ver": struct.pack("<I", 1),
+            b"chunk_pos": struct.pack("<Q", chunk_pos),
+            b"start_time": struct.pack("<II", *t0),
+            b"end_time": struct.pack("<II", *t1),
+            b"count": struct.pack("<I", len(self._conn_meta)),
+        })
+        ci_data = b"".join(
+            struct.pack("<II", cid, len(self._index.get(cid, [])))
+            for cid in range(len(self._conn_meta)))
+        self._f.write(struct.pack("<I", len(ci_hdr)))
+        self._f.write(ci_hdr)
+        self._f.write(struct.pack("<I", len(ci_data)))
+        self._f.write(ci_data)
+
+        # backfill the bag header with the real index position/counts
+        self._f.seek(len(_MAGIC))
+        self._write_bag_header(index_pos, len(self._conn_meta), 1)
         self._f.close()
 
     def __enter__(self):

@@ -97,26 +97,24 @@ class Client:
                 out.append("zone")
         return out or ["timeout"]
 
-    def _read(self, sock: socket.socket, expected: int
+    def _read(self, sock: socket.socket
               ) -> Optional[Tuple[bytes, int]]:
         try:
             data = sock.recv(65536)
         except BlockingIOError:
             return None
-        ts = time.time_ns()
-        if expected and len(data) != expected:
-            return data, ts  # caller validates
-        return data, ts
+        return data, time.time_ns()
 
-    def read_lidar_packet(self, expected: int = 0):
-        """(ref: client.h:202)"""
-        return self._read(self.lidar_sock, expected)
+    def read_lidar_packet(self):
+        """(ref: client.h:202; size validation happens in
+        Packet.validate, core/packets.py)"""
+        return self._read(self.lidar_sock)
 
-    def read_imu_packet(self, expected: int = 0):
-        return self._read(self.imu_sock, expected)
+    def read_imu_packet(self):
+        return self._read(self.imu_sock)
 
-    def read_zone_packet(self, expected: int = 0):
-        return self._read(self.zm_sock, expected) if self.zm_sock else None
+    def read_zone_packet(self):
+        return self._read(self.zm_sock) if self.zm_sock else None
 
 
 def init_client(
@@ -135,17 +133,37 @@ def init_client(
     config, the sockets bind to the ports the sensor's active config
     advertises (the reference's no-config init_client listens on the
     sensor's current ports)."""
+    import copy
+
     http_client = SensorHttp.create(hostname)
-    if not lidar_port and config is None:
+    # port priority: explicit args > ports pinned in the passed config >
+    # the sensor's active config > defaults — the sockets must listen
+    # exactly where the sensor is told to send
+    cfg = copy.deepcopy(config) if config is not None else None
+    if not lidar_port and cfg is not None and cfg.udp_port_lidar:
+        lidar_port = cfg.udp_port_lidar
+    if not imu_port and cfg is not None and cfg.udp_port_imu:
+        imu_port = cfg.udp_port_imu
+    if not lidar_port and cfg is None:
         try:
             active = http_client.active_config_params()
             lidar_port = int(active.get("udp_port_lidar") or 0)
             imu_port = imu_port or int(active.get("udp_port_imu") or 0)
         except Exception:
             pass
-    client = Client(hostname, lidar_port or 7502, imu_port or 7503)
-    if config is not None and not do_not_reinitialize:
-        cfg = config
+    # open the zone-monitor socket when the sensor streams zone packets
+    # (ref: sensor_packet_source.cpp zone socket)
+    zm_port = None
+    try:
+        active = http_client.active_config_params()
+        if active.get("zone_monitoring_enabled") or \
+                active.get("udp_port_zm"):
+            zm_port = int(active.get("udp_port_zm") or 7504)
+    except Exception:
+        pass
+    client = Client(hostname, lidar_port or 7502, imu_port or 7503,
+                    zm_port=zm_port)
+    if cfg is not None and not do_not_reinitialize:
         if cfg.udp_port_lidar is None:
             cfg.udp_port_lidar = client.lidar_port
         if cfg.udp_port_imu is None:
@@ -159,14 +177,17 @@ def init_client(
             pass
 
     # metadata fetch with retry while the sensor reinitializes
-    # (ref: client.cpp:402)
+    # (ref: client.cpp:402): only RUNNING (or sensors that don't report
+    # a status at all) counts as ready
     deadline = time.monotonic() + timeout_sec
     last_err: Optional[Exception] = None
     while time.monotonic() < deadline:
         try:
             info = fetch_metadata(hostname)
-            if info.status in ("RUNNING", "", None) or info.status:
+            if info.status in ("RUNNING", "", None):
                 return client, info
+            last_err = RuntimeError(
+                f"sensor status {info.status!r}")
         except Exception as e:  # noqa: BLE001
             last_err = e
         time.sleep(1.0)

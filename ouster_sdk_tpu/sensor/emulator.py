@@ -219,9 +219,16 @@ class SensorEmulator:
                     if t0_pkt is None:
                         t0_pkt = ts
                     target = t0_wall + (ts - t0_pkt) * 1e-9 / self._rate
-                    delay = target - time.monotonic()
-                    if delay > 0:
+                    # sleep in <=1 s slices, re-checking the target and
+                    # stop flag, so capture gaps longer than 1 s are
+                    # honored instead of compressed
+                    while not self._stop.is_set():
+                        delay = target - time.monotonic()
+                        if delay <= 0:
+                            break
                         time.sleep(min(delay, 1.0))
+                    if self._stop.is_set():
+                        return
                 sock.sendto(payload, (self._udp_dest, ports[kind]))
                 self.packets_sent += 1
             self.passes_completed += 1

@@ -102,10 +102,14 @@ class SensorPacketSource:
                 # operate without contacting hardware
                 # (ref: open_source.h:80 sensor_info override)
                 info = sensor_info[i]
+                zm_port = (info.config.udp_port_zm or 7504) \
+                    if info.format.zone_monitoring_enabled else None
                 client = Client(host,
                                 lidar_port or info.config.udp_port_lidar
                                 or 7502,
-                                imu_port or info.config.udp_port_imu or 7503)
+                                imu_port or info.config.udp_port_imu
+                                or 7503,
+                                zm_port=zm_port)
             else:
                 client, info = init_client(
                     host, lidar_port or 0, imu_port or 0, config=cfg,
@@ -117,8 +121,6 @@ class SensorPacketSource:
 
         self._formats = [PacketFormat.from_info(i) for i in self._infos]
         self._drained: list = []
-        self._buffer: Optional[queue.deque] = None
-        self._buffer_time = buffer_time_sec
         self._stop = threading.Event()
         self._bufq: "queue.Queue" = queue.Queue(maxsize=4096)
         self._thread: Optional[threading.Thread] = None
@@ -229,8 +231,12 @@ class SensorPacketSource:
                 self._bufq.put_nowait((idx, pkt))
 
     def __iter__(self) -> Iterator[Tuple[int, Packet]]:
-        while True:
-            idx, pkt = self.get_packet()
+        while not self._stop.is_set():
+            try:
+                idx, pkt = self.get_packet()
+            except (OSError, ValueError):
+                # sockets closed under us (close() from another thread)
+                return
             if pkt is not None:
                 yield idx, pkt
 

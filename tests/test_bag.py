@@ -210,3 +210,53 @@ def test_mcap_zstd_chunked_read(tmp_path):
     b = list(back)[0].valid()[0]
     np.testing.assert_array_equal(b.field(ChanField.RANGE),
                                   scan.field(ChanField.RANGE))
+
+
+def test_ros1_writer_emits_standard_index(tmp_path):
+    """The written bag carries the rosbag v2.0 index: backfilled header
+    (index_pos/conn_count/chunk_count), post-chunk connection records,
+    INDEX_DATA per connection and a CHUNK_INFO record, with canonical
+    ROS md5sums (std_msgs/String md5 == md5('string data'))."""
+    import hashlib
+    import struct
+
+    from ouster_sdk_tpu.io.bag import (Ros1BagReader, Ros1BagWriter,
+                                       _parse_header)
+
+    path = str(tmp_path / "ix.bag")
+    w = Ros1BagWriter(path)
+    w.write_string("/os_node/metadata", '{"x":1}', 10**9)
+    for k in range(5):
+        w.write_packet("/os_node/lidar_packets", b"\x01" * 64,
+                       10**9 + k)
+    w.close()
+
+    data = open(path, "rb").read()
+    pos = data.index(b"\n") + 1
+    hlen = struct.unpack_from("<I", data, pos)[0]
+    hdr = _parse_header(data[pos + 4:pos + 4 + hlen])
+    index_pos = struct.unpack("<Q", hdr[b"index_pos"])[0]
+    assert struct.unpack("<I", hdr[b"conn_count"])[0] == 2
+    assert struct.unpack("<I", hdr[b"chunk_count"])[0] == 1
+    assert index_pos > 0
+
+    ops = []
+    pos = index_pos
+    while pos + 4 <= len(data):
+        hlen = struct.unpack_from("<I", data, pos)[0]
+        h = _parse_header(data[pos + 4:pos + 4 + hlen])
+        pos += 4 + hlen
+        dlen = struct.unpack_from("<I", data, pos)[0]
+        d = data[pos + 4:pos + 4 + dlen]
+        pos += 4 + dlen
+        ops.append(h[b"op"][0])
+        if h[b"op"][0] == 6:  # CHUNK_INFO: per-conn message counts
+            n = struct.unpack("<I", h[b"count"])[0]
+            counts = dict(struct.unpack_from("<II", d, 8 * i)
+                          for i in range(n))
+            assert counts == {0: 1, 1: 5}
+    assert ops == [7, 7, 6]
+
+    assert hashlib.md5(b"string data").hexdigest() == \
+        "992ce8a1687cec8c8bd883ec73ca41d1"  # canonical std_msgs/String
+    assert len(list(Ros1BagReader(path).messages())) == 6
