@@ -73,19 +73,32 @@ class SourcePipeline:
 
         _END = object()
         qs = [queue.Queue(maxsize=4) for _ in self.consumers]
+        failed = [None] * len(self.consumers)
 
-        def drain(consumer, q):
+        def drain(k, consumer, q):
+            saw_end = [False]
+
             def gen():
                 while True:
                     item = q.get()
                     if item is _END:
+                        saw_end[0] = True
                         return
                     yield item
 
-            consumer(gen())
+            try:
+                consumer(gen())
+            except BaseException as e:  # noqa: BLE001
+                failed[k] = e
+            # keep draining so the producer never blocks on this
+            # consumer's bounded queue after an early exit or failure
+            while not saw_end[0]:
+                if q.get() is _END:
+                    break
 
-        threads = [threading.Thread(target=drain, args=(c, q), daemon=True)
-                   for c, q in zip(self.consumers, qs)]
+        threads = [threading.Thread(target=drain, args=(k, c, q),
+                                    daemon=True)
+                   for k, (c, q) in enumerate(zip(self.consumers, qs))]
         for t in threads:
             t.start()
         for item in it:
@@ -95,6 +108,9 @@ class SourcePipeline:
             q.put(_END)
         for t in threads:
             t.join()
+        for e in failed:
+            if e is not None:
+                raise e
 
 
 @click.group(name="ouster-cli")
@@ -333,8 +349,8 @@ def source_filter(ctx, axis_field, indices, filtered_fields, invalid_value,
             for ls_set in it:
                 if luts is None:
                     luts = [make_xyz_lut(
-                        s.sensor_info, use_extrinsics=(frame != "sensor"))
-                        for s in ls_set]
+                        info, use_extrinsics=(frame != "sensor"))
+                        for info in ctx.obj.infos]
                 for k, s in enumerate(ls_set):
                     if s is not None:
                         filter_xyz(s, luts[k], axis_idx, lo_m, hi_m,
@@ -390,6 +406,16 @@ def source_plumb(ctx, sensor_idx):
     def legacy(idx):
         return infos[idx].format.udp_profile_imu == UDPProfileIMU.LEGACY
 
+    # early-exit predicate: only the sensors being averaged need to
+    # reach 100 samples — with --sensor-idx (or sensors that carry no
+    # IMU data at all) requiring (counts > 100).all() would scan the
+    # whole capture for nothing
+    tracked = ([sensor_idx] if sensor_idx is not None
+               else list(range(n)))
+
+    def enough() -> bool:
+        return bool(tracked) and bool(counts[tracked].min() > 100)
+
     try:
         psrc = open_packet_source(ctx.obj.url)
     except Exception:
@@ -397,7 +423,7 @@ def source_plumb(ctx, sensor_idx):
     if psrc is not None:
         try:
             for idx, pkt in psrc:
-                if (counts > 100).all():
+                if enough():
                     break
                 if sensor_idx is not None and idx != sensor_idx:
                     continue
@@ -425,7 +451,7 @@ def source_plumb(ctx, sensor_idx):
         src2 = _open(ctx.obj.url)
         try:
             for ls_set in src2:
-                if (counts > 100).all():
+                if enough():
                     break
                 for idx, s in enumerate(ls_set):
                     if s is None or not s.has_field(ChanField.IMU_ACC):

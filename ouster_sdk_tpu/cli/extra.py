@@ -132,8 +132,7 @@ def pcap_info(ctx, n):
     total = 0
     for pi, payload in PcapReader(path):
         total += 1
-        t = pi.timestamp / 1e9 if pi.timestamp > 10**14 else \
-            pi.timestamp / 1e6
+        t = pi.timestamp / 1e9  # PacketInfo.timestamp is nanoseconds
         ts_min = t if ts_min is None else min(ts_min, t)
         ts_max = t if ts_max is None else max(ts_max, t)
         streams[(pi.src_ip, pi.src_port, pi.dst_ip, pi.dst_port,
@@ -770,9 +769,10 @@ def source_config(ctx, keyval, persist):
     if io_type(url) != IoType.SENSOR:
         raise click.ClickException("config requires a sensor source")
 
-    # control-plane only: run immediately, no scan iteration needed
+    # control-plane only: run immediately — never open the scan source
+    # (a live data stream) just to discard it
     sensor_config.callback(url, keyval, persist)
-    ctx.obj.consumers.append(lambda it: None)
+    ctx.obj.standalone = True
 
 
 @source.command("userdata")
@@ -788,7 +788,7 @@ def source_userdata(ctx, set_value, delete):
     if io_type(url) != IoType.SENSOR:
         raise click.ClickException("userdata requires a sensor source")
     sensor_userdata.callback(url, set_value, delete)
-    ctx.obj.consumers.append(lambda it: None)
+    ctx.obj.standalone = True
 
 
 @source.command("save_raw")
@@ -816,8 +816,11 @@ def source_save_raw(ctx, path, overwrite, duration, ros2):
 
     pipeline = ctx.obj
     url = pipeline.url
+    # standalone: recording raw packets must NOT also open the scan
+    # source — on a live sensor that would bind the same UDP ports twice
+    pipeline.standalone = True
 
-    def consumer(_it):
+    def record_raw():
         packets = open_packet_source(url)
         infos = packets.sensor_info
         n = 0
@@ -877,7 +880,7 @@ def source_save_raw(ctx, path, overwrite, duration, ros2):
             w.close()
         click.echo(f"saved {n} raw packets to {path}")
 
-    pipeline.consumers.append(consumer)
+    record_raw()
 
 
 @osf.command("set-metadata")

@@ -643,7 +643,10 @@ class BagScanSource(ScanSource):
     """(ref: bag/bag_scan_source.py)"""
 
     def __init__(self, path: str, *, meta=None, soft_id_check=False,
-                 extrinsics=None, extrinsics_file=None):
+                 extrinsics=None, extrinsics_file=None,
+                 error_handler=None):
+        # bags have no schema-version gate; error_handler is accepted
+        # for option parity with the other backends
         self._packets = BagPacketSource(path, meta=meta,
                                         soft_id_check=soft_id_check)
         infos = self._packets.sensor_info

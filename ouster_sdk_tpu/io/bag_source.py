@@ -14,6 +14,7 @@ def _build_bag_scan_source(source: str, opts: ScanSourceOptions):
         soft_id_check=bool(opts.take("soft_id_check")),
         extrinsics=opts.take("extrinsics"),
         extrinsics_file=opts.take("extrinsics_file"),
+        error_handler=opts.take("error_handler"),
     )
 
 
@@ -25,6 +26,7 @@ from .sources import register_packet_source  # noqa: E402
 def _build_bag_packet_source(source: str, opts: ScanSourceOptions):
     from .bag import BagPacketSource
 
+    opts.take("error_handler")  # bags carry no schema version to gate
     return BagPacketSource(
         source,
         meta=opts.take("meta"),

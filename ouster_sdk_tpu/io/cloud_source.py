@@ -121,6 +121,7 @@ def _build(source: str, opts: ScanSourceOptions):
         extrinsics_file=opts.take("extrinsics_file"),
     )
     opts.take("index")  # always indexed; accept the option silently
+    opts.take("error_handler")  # no recoverable-error surface here
     return src
 
 

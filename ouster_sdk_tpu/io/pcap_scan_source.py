@@ -54,6 +54,7 @@ class PcapScanSource(ScanSource):
         self._raw_fields = raw_fields
         self._index: Optional[List[List[int]]] = None
         self._scan_cache: Optional[List[List[LidarScan]]] = None
+        self._set_cache: Optional[List[List[Optional[LidarScan]]]] = None
         if index:
             self._build_index()
 
@@ -116,17 +117,24 @@ class PcapScanSource(ScanSource):
     # -- indexing ----------------------------------------------------------
     def _build_index(self) -> None:
         """Materialize all scans (fixtures are small; a file-offset index
-        like the reference's comes with the native reader)."""
+        like the reference's comes with the native reader). Indexed sets
+        use the SAME time collation as iteration, so source[i] equals
+        the i-th iterated set even when a sensor drops a frame."""
+        sets = [list(ls_set) for ls_set in collate_scans(
+            self._iter_scans(), len(self.sensor_info))]
+        self._set_cache = sets
         cache: List[List[LidarScan]] = [[] for _ in self.sensor_info]
-        for idx, scan in self._iter_scans():
-            cache[idx].append(scan)
+        for s_list in sets:
+            for k, sc in enumerate(s_list):
+                if sc is not None:
+                    cache[k].append(sc)
         self._scan_cache = cache
         self._index = [[s.frame_id for s in lst] for lst in cache]
 
     def __len__(self) -> int:
         if self._scan_cache is None:
             raise TypeError("source is not indexed")
-        return max((len(c) for c in self._scan_cache), default=0)
+        return len(self._set_cache)
 
     def __getitem__(self, i) -> LidarScanSet:
         if self._scan_cache is None:
@@ -140,8 +148,7 @@ class PcapScanSource(ScanSource):
             i += n
         if not 0 <= i < n:
             raise IndexError(i)
-        return LidarScanSet([
-            c[i] if i < len(c) else None for c in self._scan_cache])
+        return LidarScanSet(self._set_cache[i])
 
     def scans_num(self) -> List[int]:
         if self._scan_cache is None:

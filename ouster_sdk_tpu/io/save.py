@@ -283,12 +283,10 @@ def _save_points(path, infos, scan_sets, kind: str, *,
             rng = scan.field(ChanField.RANGE)
             xyz = luts[idx](rng)
             valid = rng > 0
-            pts = xyz[valid]
             # dewarp by per-column poses
-            pose_cols = np.broadcast_to(
-                scan.pose[None, :, :, :], (scan.h, scan.w, 4, 4))[valid]
-            pts = np.einsum("nij,nj->ni", pose_cols[:, :3, :3], pts) \
-                + pose_cols[:, :3, 3]
+            from ..utils.pose_util import dewarp as _dewarp
+
+            pts = _dewarp(xyz, scan.pose)[valid]
             keep = np.ones(len(pts), bool)
             if min_z is not None:
                 keep &= pts[:, 2] >= min_z
@@ -296,8 +294,13 @@ def _save_points(path, infos, scan_sets, kind: str, *,
                 keep &= pts[:, 2] <= max_z
             pts = pts[keep]
             pts_acc.append(pts)
-            if key_name is not None and scan.has_field(key_name):
-                key_acc.append(scan.field(key_name)[valid][keep])
+            if key_name is not None:
+                # keep key and point arrays aligned even when some
+                # scans lack the field (zero-fill those)
+                if scan.has_field(key_name):
+                    key_acc.append(scan.field(key_name)[valid][keep])
+                else:
+                    key_acc.append(np.zeros(len(pts), dtype=np.float32))
             n_buffered += len(pts)
             n_scans += 1
             if n_buffered >= pts_per_file:

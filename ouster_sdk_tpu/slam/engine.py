@@ -52,15 +52,11 @@ def _make_icp(config: "SlamConfig", kiss_config: "KissConfig"):
 
 def _interp_poses_along(t_frac: np.ndarray, pose0: np.ndarray,
                         pose1: np.ndarray) -> np.ndarray:
-    """Per-column SE(3) interpolation pose0 -> pose1 (host, f64)."""
-    import jax.numpy as jnp
+    """Per-column SE(3) interpolation pose0 -> pose1, genuinely f64 —
+    f32 would quantize world coordinates to ~1 mm at 10 km."""
+    from ..utils.pose_util import interp_pose_pair
 
-    from ..ops.pose import interp_pose
-
-    out = interp_pose(jnp.asarray(t_frac, dtype=jnp.float32),
-                      jnp.asarray(pose0, dtype=jnp.float32),
-                      jnp.asarray(pose1, dtype=jnp.float32))
-    return np.asarray(out, dtype=np.float64)
+    return interp_pose_pair(t_frac, pose0, pose1)
 
 
 def determine_voxel_size(scans: Sequence[LidarScan],

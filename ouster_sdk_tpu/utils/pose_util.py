@@ -232,3 +232,42 @@ def load_kitti_poses(path: str) -> np.ndarray:
     out = np.broadcast_to(np.eye(4), (rows.shape[0], 4, 4)).copy()
     out[:, :3, :] = rows
     return out
+
+
+def _se3_exp64_batch(xi: np.ndarray) -> np.ndarray:
+    """Vectorized f64 SE(3) exp for (N, 6) twists (rot, trans)."""
+    xi = np.asarray(xi, np.float64).reshape(-1, 6)
+    w, v = xi[:, :3], xi[:, 3:]
+    n = len(xi)
+    K = np.zeros((n, 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -w[:, 2], w[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = w[:, 2], -w[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -w[:, 1], w[:, 0]
+    th = np.linalg.norm(w, axis=1)
+    small = th < 1e-10
+    ts = np.where(small, 1.0, th)
+    A = np.where(small, 1.0, np.sin(th) / ts)[:, None, None]
+    B = np.where(small, 0.5, (1 - np.cos(th)) / ts**2)[:, None, None]
+    C = np.where(small, 1.0 / 6.0,
+                 (th - np.sin(th)) / ts**3)[:, None, None]
+    K2 = K @ K
+    eye = np.eye(3)[None]
+    R = eye + A * K + B * K2
+    V = eye + B * K + C * K2
+    T = np.tile(np.eye(4), (n, 1, 1))
+    T[:, :3, :3] = R
+    T[:, :3, 3] = (V @ v[:, :, None])[:, :, 0]
+    return T
+
+
+def interp_pose_pair(fracs: np.ndarray, pose0: np.ndarray,
+                     pose1: np.ndarray) -> np.ndarray:
+    """Geodesic pose0 -> pose1 at each fraction, full float64
+    (ref: pose_util.h:207-232 semantics). Vectorized over fracs —
+    used for per-column deskew poses where f32 would quantize
+    kilometer-scale trajectories to millimeters."""
+    pose0 = np.asarray(pose0, np.float64)
+    pose1 = np.asarray(pose1, np.float64)
+    xi = _se3_log64(np.linalg.solve(pose0, pose1))
+    fr = np.asarray(fracs, np.float64).reshape(-1)
+    return pose0[None] @ _se3_exp64_batch(fr[:, None] * xi[None])
