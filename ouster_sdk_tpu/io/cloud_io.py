@@ -36,7 +36,7 @@ def read_pointcloud(path: str) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
     if ext == ".pcd":
         return _read_pcd(path)
     if ext == ".csv":
-        data = np.loadtxt(path, delimiter=",", skiprows=1)
+        data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
         return data[:, :3], {}
     if ext == ".las":
         return _read_las(path)
@@ -78,7 +78,11 @@ def _read_ply(path: str):
         count = 0
         in_vertex = False
         while True:
-            line = f.readline().strip()
+            line = f.readline()
+            if not line:
+                raise ValueError(
+                    "truncated PLY header (no end_header)")
+            line = line.strip()
             if not line:
                 continue
             tok = line.split()
@@ -151,7 +155,10 @@ def _read_pcd(path: str):
         n = 0
         data_kind = "ascii"
         while True:
-            line = f.readline().decode(errors="replace").strip()
+            raw = f.readline()
+            if not raw:
+                raise ValueError("truncated PCD header (no DATA line)")
+            line = raw.decode(errors="replace").strip()
             if line.startswith("#") or not line:
                 continue
             tok = line.split()
@@ -240,12 +247,19 @@ def _write_las(path, points, attributes):
         struct.pack_into("<H", header, 105, 20)       # point record length
         struct.pack_into("<I", header, 107, n)        # legacy point count
         struct.pack_into("<ddd", header, 131, scale, scale, scale)
-        struct.pack_into("<ddd", header, 155, 0.0, 0.0, 0.0)
+        # offset = per-axis minimum so int32-coded residuals stay small
+        # even for georeferenced (e.g. UTM) coordinates
+        struct.pack_into("<ddd", header, 155, *mins)
         struct.pack_into("<dd", header, 179, maxs[0], mins[0])
         struct.pack_into("<dd", header, 195, maxs[1], mins[1])
         struct.pack_into("<dd", header, 211, maxs[2], mins[2])
         f.write(header)
-        xyz = np.round(points / scale).astype(np.int32)
+        coded = np.round((points - mins) / scale)
+        if coded.size and (np.abs(coded) > np.iinfo(np.int32).max).any():
+            raise ValueError(
+                "LAS int32 overflow: point extent too large for scale "
+                f"{scale}")
+        xyz = coded.astype(np.int32)
         rec = np.zeros(n, dtype=np.dtype([
             ("x", "<i4"), ("y", "<i4"), ("z", "<i4"),
             ("intensity", "<u2"), ("flags", "u1"), ("cls", "u1"),

@@ -36,6 +36,18 @@ def _R_to_rotvec(R: np.ndarray) -> np.ndarray:
     if theta < 1e-12:
         return np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0],
                          R[1, 0] - R[0, 1]]) / 2
+    if theta > np.pi - 1e-6:
+        # near 180 deg the off-diagonal differences cancel; recover the
+        # axis from the diagonal of (R + I) / 2 = axis axis^T
+        axis = np.sqrt(np.maximum(np.diag((R + np.eye(3)) / 2.0), 0.0))
+        # fix the signs from the off-diagonal sums
+        if axis[0] > 0:
+            axis[1] = np.copysign(axis[1], R[0, 1] + R[1, 0])
+            axis[2] = np.copysign(axis[2], R[0, 2] + R[2, 0])
+        elif axis[1] > 0:
+            axis[2] = np.copysign(axis[2], R[1, 2] + R[2, 1])
+        n = np.linalg.norm(axis)
+        return theta * axis / (n if n > 0 else 1.0)
     return theta / (2 * np.sin(theta)) * np.array(
         [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
 
@@ -171,6 +183,23 @@ class PoseOptimizer:
 
     def add_constraint(self, c) -> None:
         self.constraints.append(c)
+        self._resolved = None
+
+    def _resolve_indices(self) -> List[Tuple[int, ...]]:
+        """Per-constraint node indices, computed once per solve —
+        node_at is O(n) and least_squares evaluates residuals many
+        times per iteration."""
+        if getattr(self, "_resolved", None) is None:
+            out: List[Tuple[int, ...]] = []
+            for c in self.constraints:
+                if isinstance(c, (AbsolutePoseConstraint,
+                                  AbsolutePointConstraint)):
+                    out.append((self._ts_index[self.node_at(c.ts).ts],))
+                else:
+                    out.append((self._ts_index[self.node_at(c.ts1).ts],
+                                self._ts_index[self.node_at(c.ts2).ts]))
+            self._resolved = out
+        return self._resolved
 
     # ------------------------------------------------------------------
     def _residuals(self, x: np.ndarray) -> np.ndarray:
@@ -179,27 +208,25 @@ class PoseOptimizer:
         Ts = [(_params_to_T(params[i]) if not self.nodes[i].fixed
                else self.nodes[i].pose) for i in range(n)]
         res: List[np.ndarray] = []
-        for c in self.constraints:
+        for c, idx in zip(self.constraints, self._resolve_indices()):
             if isinstance(c, AbsolutePoseConstraint):
-                i = self._ts_index[self.node_at(c.ts).ts]
+                i, = idx
                 diff = np.linalg.solve(Ts[i], c.target_pose)
                 res.append(_R_to_rotvec(diff[:3, :3]) * c.rotation_weight)
                 res.append(diff[:3, 3] * c.translation_weight)
             elif isinstance(c, PoseToPoseConstraint):
-                i = self._ts_index[self.node_at(c.ts1).ts]
-                j = self._ts_index[self.node_at(c.ts2).ts]
+                i, j = idx
                 rel = np.linalg.solve(Ts[i], Ts[j])
                 diff = np.linalg.solve(c.relative_pose, rel)
                 res.append(_R_to_rotvec(diff[:3, :3]) * c.rotation_weight)
                 res.append(diff[:3, 3] * c.translation_weight)
             elif isinstance(c, PointToPointConstraint):
-                i = self._ts_index[self.node_at(c.ts1).ts]
-                j = self._ts_index[self.node_at(c.ts2).ts]
+                i, j = idx
                 p1 = Ts[i][:3, :3] @ c.point1 + Ts[i][:3, 3]
                 p2 = Ts[j][:3, :3] @ c.point2 + Ts[j][:3, 3]
                 res.append((p1 - p2) * c.translation_weight)
             elif isinstance(c, AbsolutePointConstraint):
-                i = self._ts_index[self.node_at(c.ts).ts]
+                i, = idx
                 p = Ts[i][:3, :3] @ c.point + Ts[i][:3, 3]
                 res.append((p - c.target) * c.translation_weight)
         if not res:
@@ -210,21 +237,10 @@ class PoseOptimizer:
         n = len(self.nodes)
         rows = 0
         entries: List[Tuple[int, List[int]]] = []
-        for c in self.constraints:
-            if isinstance(c, AbsolutePoseConstraint):
-                i = self._ts_index[self.node_at(c.ts).ts]
-                entries.append((6, [i]))
-            elif isinstance(c, PoseToPoseConstraint):
-                i = self._ts_index[self.node_at(c.ts1).ts]
-                j = self._ts_index[self.node_at(c.ts2).ts]
-                entries.append((6, [i, j]))
-            elif isinstance(c, PointToPointConstraint):
-                i = self._ts_index[self.node_at(c.ts1).ts]
-                j = self._ts_index[self.node_at(c.ts2).ts]
-                entries.append((3, [i, j]))
-            elif isinstance(c, AbsolutePointConstraint):
-                i = self._ts_index[self.node_at(c.ts).ts]
-                entries.append((3, [i]))
+        for c, idx in zip(self.constraints, self._resolve_indices()):
+            nrows = 6 if isinstance(c, (AbsolutePoseConstraint,
+                                        PoseToPoseConstraint)) else 3
+            entries.append((nrows, list(idx)))
         total = sum(r for r, _ in entries) or 1
         S = lil_matrix((total, n * 6), dtype=np.int8)
         row = 0
@@ -272,18 +288,11 @@ class PoseOptimizer:
             for nd in self.nodes:
                 t = nd.pose[:3, 3]
                 R = nd.pose[:3, :3]
-                # rotation matrix -> quaternion (w last per TUM: x y z w)
-                qw = np.sqrt(max(0.0, 1 + np.trace(R))) / 2
-                if qw > 1e-8:
-                    qx = (R[2, 1] - R[1, 2]) / (4 * qw)
-                    qy = (R[0, 2] - R[2, 0]) / (4 * qw)
-                    qz = (R[1, 0] - R[0, 1]) / (4 * qw)
-                else:
-                    w = _R_to_rotvec(R)
-                    angle = np.linalg.norm(w)
-                    axis = w / max(angle, 1e-12)
-                    qw = np.cos(angle / 2)
-                    qx, qy, qz = axis * np.sin(angle / 2)
+                # robust 4-branch conversion (w last per TUM: x y z w)
+                from ..utils.extrinsics import \
+                    rotation_matrix_to_quaternion
+
+                qw, qx, qy, qz = rotation_matrix_to_quaternion(R)
                 f.write(f"{nd.ts * 1e-9:.9f} {t[0]} {t[1]} {t[2]} "
                         f"{qx} {qy} {qz} {qw}\n")
 
@@ -427,13 +436,18 @@ def optimize_osf_trajectory(src_osf: str, out_osf: str,
     lut = make_xyz_lut(infos[0])
 
     def pixel_point(ts, row, col, return_idx):
-        """Sensor-frame 3D point of a pixel in the scan nearest ts."""
-        i = int(np.argmin([abs(t - ts) for t in node_ts]))
-        s = scans[i]
+        """Sensor-frame 3D point of a pixel in the scan nearest ts.
+        The SCAN list is searched (not the resampled knots — with
+        key-frame resampling active a knot index would address the
+        wrong scan); the constraint then anchors to the nearest KNOT
+        timestamp, which is what the solver optimizes."""
+        si = int(np.argmin([abs(t - ts) for t in scan_ts]))
+        s = scans[si]
         name = ChanField.RANGE2 if return_idx == 2 else ChanField.RANGE
         r = np.zeros((s.h, s.w), dtype=np.uint32)
         r[row, col] = s.field(name)[row, col]
-        return node_ts[i], lut(r)[row, col]
+        ni = int(np.argmin([abs(t - scan_ts[si]) for t in node_ts]))
+        return node_ts[ni], lut(r)[row, col]
 
     for c in raw_constraints:
         ctype = str(c.get("type", "")).upper()

@@ -32,9 +32,31 @@ def _project(viz: PointViz, pts: np.ndarray
 
 def _draw_segment(frame: np.ndarray, x0, y0, x1, y1, color) -> None:
     h, w = frame.shape[:2]
-    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) + 1
-    xs = np.linspace(x0, x1, n).astype(int)
-    ys = np.linspace(y0, y1, n).astype(int)
+    # Liang-Barsky clip to the viewport first: segments projecting far
+    # off-screen would otherwise allocate O(projected length) samples
+    # (near-clip geometry can project to millions of pixels)
+    dx, dy = x1 - x0, y1 - y0
+    t0, t1 = 0.0, 1.0
+    for p, q in ((-dx, x0), (dx, w - 1 - x0), (-dy, y0),
+                 (dy, h - 1 - y0)):
+        if p == 0:
+            if q < 0:
+                return  # parallel and fully outside
+            continue
+        r = q / p
+        if p < 0:
+            if r > t1:
+                return
+            t0 = max(t0, r)
+        else:
+            if r < t0:
+                return
+            t1 = min(t1, r)
+    cx0, cy0 = x0 + t0 * dx, y0 + t0 * dy
+    cx1, cy1 = x0 + t1 * dx, y0 + t1 * dy
+    n = int(max(abs(cx1 - cx0), abs(cy1 - cy0), 1)) + 1
+    xs = np.linspace(cx0, cx1, n).astype(int)
+    ys = np.linspace(cy0, cy1, n).astype(int)
     ok = (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
     frame[ys[ok], xs[ok]] = color
 

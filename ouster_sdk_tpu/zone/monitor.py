@@ -70,6 +70,14 @@ def render_zone_bounds(zone: Zone, info: SensorInfo,
     far = np.where(np.isfinite(near),
                    np.max(np.where(np.isfinite(t), t, -np.inf), axis=1),
                    np.inf)
+    # inside-the-mesh handling: an ODD hit count means the beam origin
+    # is inside the (closed) zone volume, so the zone starts at the
+    # sensor — near = 0, far = first exit face
+    # (ref: zone_render_mini.cpp parity handling)
+    hits = np.isfinite(t).sum(axis=1)
+    inside = hits % 2 == 1
+    far = np.where(inside, near, far)
+    near = np.where(inside, 0.0, near)
 
     zrb = Zrb(h, w, m_per_zmbin,
               serial_number=info.sn or 1,
@@ -145,6 +153,14 @@ class EmulatedZoneMon:
             for zid, zrb in self.rendered.items()}
 
     def set_live_zones(self, live_zones: List[int]) -> None:
+        # reset hysteresis for zones leaving the live set, else a
+        # previously-triggered zone stays in triggered_zone_ids forever
+        for zid in self.live_zones:
+            if zid not in live_zones:
+                self.zone_triggers[zid] = 0
+                self.zone_alerts[zid] = 0
+        self.triggered_zone_ids = [
+            z for z in self.triggered_zone_ids if z in live_zones]
         self.live_zones = list(live_zones)
 
     def calc_triggers(self, range_field: np.ndarray,
@@ -155,9 +171,14 @@ class EmulatedZoneMon:
             if zid not in self.live_zones:
                 continue
             zrb = self.rendered[zid]
+            # zone range filters like ZoneMonitor.check_scan
+            # (ref: zone_common.py min/max range)
+            lo_mm = max(int(zone.min_range_m * 1000),
+                        0)
+            hi_mm = int(zone.max_range_m * 1000)
             inside = (range_field > 0) & \
-                (zrb.near_range_mm <= range_field) & \
-                (range_field <= zrb.far_range_mm)
+                (range_field >= np.maximum(zrb.near_range_mm, lo_mm)) & \
+                (range_field <= np.minimum(zrb.far_range_mm, hi_mm))
             self.zone_counts[zid] = int(np.count_nonzero(inside))
             self.invalid_counts[zid] = int(np.count_nonzero(
                 (range_field == 0) & (zrb.near_range_mm > 0)))
