@@ -17,21 +17,24 @@ from ..core.types import SensorInfo
 from .sources import LidarScanSet, ScanSource
 
 
+def clip(scan: LidarScan, fields: Sequence[str], lower: float,
+         upper: float, invalid: int = 0) -> None:
+    """Zero (or `invalid`) values of the given pixel fields outside
+    [lower, upper] — RAW field units like the reference (mm for RANGE)
+    (ref: scan_ops.py:33 clip)."""
+    for name in _resolve_pixel_fields(scan, list(fields) or None):
+        m = scan.field(name)
+        m[(m < lower) | (m > upper)] = invalid
+
+
 def clip_scan(scan: LidarScan, min_range_m: float, max_range_m: float,
               fields: Sequence[str] = (ChanField.RANGE, ChanField.RANGE2)
               ) -> LidarScan:
-    """Zero returns outside [min, max] meters, in place
-    (ref: scan_ops.py:33 clip)."""
+    """Meters-based convenience over `clip` for RANGE-like fields, in
+    place (CLI `clip --min/max-range` takes meters)."""
     lo = int(min_range_m * 1000)
-    hi = int(max_range_m * 1000) if np.isfinite(max_range_m) else None
-    for name in fields:
-        if not scan.has_field(name):
-            continue
-        rng = scan.field(name)
-        bad = rng < lo
-        if hi is not None:
-            bad |= rng > hi
-        rng[bad] = 0
+    hi = int(max_range_m * 1000) if np.isfinite(max_range_m) else 2**32
+    clip(scan, [f for f in fields if scan.has_field(f)], lo, hi)
     return scan
 
 
@@ -53,18 +56,20 @@ def mask_scan(scan: LidarScan, mask: np.ndarray,
 def _resolve_pixel_fields(scan: LidarScan,
                           fields: Optional[Sequence[str]] = None
                           ) -> List[str]:
-    """Pixel-field targets: default all (h, w, ...) pixel fields; an
-    explicit list is validated (ref: scan_ops.py:8)."""
-    if fields:
-        out = []
-        for name in fields:
-            if not scan.has_field(name):
-                raise ValueError(f"scan has no field {name!r}")
-            out.append(name)
-        return out
-    return [name for name in scan.fields
-            if scan.field(name).ndim >= 2
-            and scan.field(name).shape[:2] == (scan.h, scan.w)]
+    """Pixel-field targets (ref: scan_ops.py:8): default all pixel
+    fields; an explicit list ignores MISSING fields (field sets vary
+    mid-stream) but rejects present non-pixel fields."""
+    def is_pixel(name: str) -> bool:
+        f = scan.field(name)
+        return f.ndim >= 2 and f.shape[:2] == (scan.h, scan.w)
+
+    requested = list(fields) if fields else list(scan.fields)
+    present = [n for n in requested if scan.has_field(n)]
+    non_pixel = [n for n in present if not is_pixel(n)]
+    if fields and non_pixel:
+        raise ValueError(
+            f"cannot operate on non-pixel fields: {non_pixel}")
+    return [n for n in present if is_pixel(n)]
 
 
 def filter_field(scan: LidarScan, field: str, lower: float, upper: float,
@@ -215,20 +220,33 @@ def reduce_scan(scan: LidarScan, beams: int) -> LidarScan:
 
 
 class ClippedScanSource(ScanSource):
-    """(ref: sdk/core/clipped_scan_source.py)"""
+    """Clips field values to [lower, upper] in RAW field units (mm for
+    RANGE), yielding CLIPPED COPIES so other consumers of the parent
+    stream see unmodified scans
+    (ref: sdk/core/clipped_scan_source.py)."""
 
     def __init__(self, parent: ScanSource, fields: Sequence[str],
                  lower: float, upper: float):
+        if upper < lower:
+            raise ValueError("`upper` value can't be less than `lower`")
         super().__init__(parent.sensor_info)
         self._parent = parent
         self._fields = list(fields)
         self._lower, self._upper = lower, upper
 
     def _iter_sets(self):
+        from copy import deepcopy
+
         for ls_set in self._parent:
-            for s in ls_set.valid():
-                clip_scan(s, self._lower, self._upper, self._fields)
-            yield ls_set
+            out = []
+            for s in ls_set:
+                if s is None:
+                    out.append(None)
+                    continue
+                cpy = deepcopy(s)
+                clip(cpy, self._fields, self._lower, self._upper)
+                out.append(cpy)
+            yield LidarScanSet(out)
 
 
 class MaskedScanSource(ScanSource):
@@ -256,10 +274,14 @@ class ReducedScanSource(ScanSource):
     def __init__(self, parent: ScanSource, beams: List[int]):
         import copy
 
+        if len(beams) != len(parent.sensor_info):
+            raise ValueError(
+                f"beams count ({len(beams)}) must match the number of "
+                f"sensors ({len(parent.sensor_info)})")
         infos = []
         for info, b in zip(parent.sensor_info, beams):
             h = info.format.pixels_per_column
-            if h % b != 0:
+            if b <= 0 or h % b != 0:
                 raise ValueError(
                     f"beam count {b} must evenly divide {h}")
             ni = copy.deepcopy(info)

@@ -21,15 +21,12 @@ from ..core.types import SensorInfo
 
 def _interp_cols(scan: LidarScan, pose0: np.ndarray,
                  pose1: np.ndarray) -> None:
-    import jax.numpy as jnp
+    # genuine f64: f32 interpolation quantizes km-scale trajectories
+    # at the millimeter level (same fix as engine._interp_poses_along)
+    from ..utils.pose_util import interp_pose_pair
 
-    from ..ops.pose import interp_pose
-
-    frac = np.linspace(0.0, 1.0, scan.w, dtype=np.float32)
-    out = interp_pose(jnp.asarray(frac), jnp.asarray(pose0,
-                                                     dtype=jnp.float32),
-                      jnp.asarray(pose1, dtype=jnp.float32))
-    scan.pose[:] = np.asarray(out, dtype=np.float64)
+    frac = np.linspace(0.0, 1.0, scan.w)
+    scan.pose[:] = interp_pose_pair(frac, pose0, pose1)
 
 
 class DeskewMethod:
@@ -78,19 +75,25 @@ class ConstantVelocityDeskewMethod(DeskewMethod):
 
         t0 = anchor.first_valid_column_timestamp()
         t1 = anchor.last_valid_column_timestamp()
+        if not t0:
+            # no valid columns anywhere: extrapolating from ts=0 would
+            # produce an astronomically-scaled garbage pose
+            for s in scans:
+                if s is not None:
+                    s.pose[:] = self._last_pose
+            return
         dt_hist = self._last_ts - self._prev_ts
         rel = np.linalg.solve(self._prev_pose, self._last_pose)
-        # velocity-scaled extrapolation from last pose to scan start/end
-        from .kiss_icp import se3_exp
-        from .pose_optimizer import _R_to_rotvec
+        # true SE(3) geodesic scaling: xi = log(rel), pose(a) =
+        # last @ exp(a * xi) — scaling the raw translation as the exp
+        # rho argument would NOT reproduce rel at a=1
+        from ..utils.pose_util import _se3_exp64, _se3_log64
 
-        w = _R_to_rotvec(rel[:3, :3])
-        v = rel[:3, 3]
+        xi = _se3_log64(rel)
 
         def pose_at(ts: int) -> np.ndarray:
             a = (ts - self._last_ts) / dt_hist
-            return self._last_pose @ se3_exp(
-                np.concatenate([a * v, a * w]))
+            return self._last_pose @ _se3_exp64(a * xi)
 
         for s in scans:
             if s is None:
@@ -110,25 +113,33 @@ class InertialIntegrationImuDeskewMethod(DeskewMethod):
     """Gyro/accel integration between column timestamps
     (ref: deskew_method.h:133, deskew_method.cpp inertial integration)."""
 
-    GRAVITY = np.array([0.0, 0.0, -9.80665])
-
     def __init__(self, infos: List[SensorInfo]):
         self._infos = infos
         self._last_ts: Optional[int] = None
         self._last_pose = np.eye(4)
-        self._velocity = np.zeros(3)
+        # gyro rates arrive in the IMU frame; rotate them into the body
+        # frame via extrinsic @ imu_to_sensor (ref: deskew_method.cpp
+        # imu_to_body)
+        self._imu_to_body_R: List[np.ndarray] = []
+        for info in infos:
+            R = (np.asarray(info.extrinsic)[:3, :3]
+                 @ np.asarray(info.imu_to_sensor_transform)[:3, :3]) \
+                if info is not None else np.eye(3)
+            self._imu_to_body_R.append(R)
 
     def update(self, scans) -> None:
         from .kiss_icp import se3_exp
 
-        for s in scans:
+        for k, s in enumerate(scans):
             if s is None:
                 continue
             if not s.has_field(ChanField.IMU_GYRO) or \
                     not s.has_field(ChanField.IMU_TIMESTAMP):
                 s.pose[:] = self._last_pose
                 continue
-            gyro = s.field(ChanField.IMU_GYRO)  # (n, 3) deg/s
+            R_ib = (self._imu_to_body_R[k]
+                    if k < len(self._imu_to_body_R) else np.eye(3))
+            gyro = s.field(ChanField.IMU_GYRO) @ R_ib.T  # body frame
             imu_ts = s.field(ChanField.IMU_TIMESTAMP).astype(np.float64)
             valid = imu_ts > 0
             if valid.sum() < 2:

@@ -188,6 +188,9 @@ class SlamEngine:
 
         frame = self._gather_frame(scans, np.linalg.inv(mid_pose))
         if frame.shape[0] == 0:
+            # restore timestamps before bailing: the scans flow on to
+            # save/viz and must not keep the packet-offset shift
+            self._time_correction.reset(scans)
             return
 
         frame = kiss.preprocess(frame)
@@ -245,6 +248,9 @@ class LocalizationEngine(SlamEngine):
         mid_pose = anchor.pose[max(mid_col, 0)].copy()
         frame = self._gather_frame(scans, np.linalg.inv(mid_pose))
         if frame.shape[0] == 0:
+            # restore timestamps before bailing: the scans flow on to
+            # save/viz and must not keep the packet-offset shift
+            self._time_correction.reset(scans)
             return
         frame = self._kiss.preprocess(frame)
         new_pose = self._kiss.register_frame(frame, mid_pose,

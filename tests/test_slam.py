@@ -172,3 +172,95 @@ def test_jax_icp_odometry_matches_host():
                                     max_range=200)))
     for a, b in zip(est_h, est_j):
         assert np.linalg.norm(a[:3, 3] - b[:3, 3]) < 0.05
+
+
+def test_time_correction_rewrites_nonmonotonic_and_shifts_imu():
+    """Non-monotonic frames are rewritten from the previous frame start
+    + frame duration, packet-offset mode engages, IMU timestamps shift
+    with the columns, and reset() restores everything
+    (ref: active_time_correction.cpp:60-133, 221-244)."""
+    from ouster_sdk_tpu import ChanField, LidarScan
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+    from ouster_sdk_tpu.slam.time_correction import ActiveTimeCorrection
+
+    meta = open("/root/reference/tests/pcaps/"
+                "OS-2-128-U1_v2.3.0_1024x10.json").read()
+    info = sensor_info_from_metadata(meta)
+    tc = ActiveTimeCorrection([info])
+
+    s = LidarScan(info)
+    s.status[:] = 1
+    s.timestamp[:] = np.arange(s.w, dtype=np.uint64) * 100_000 + 10**9
+    s.timestamp[10] = 1  # backwards jump mid-frame
+    s.packet_timestamp[:] = 2 * 10**9
+    from ouster_sdk_tpu.core.field import FieldClass
+
+    s.add_field("IMU_TIMESTAMP", (np.arange(6, dtype=np.uint64) + 1)
+                * 10**8, FieldClass.SCAN_FIELD)
+    orig_ts = s.timestamp.copy()
+    orig_imu = s.field(ChanField.IMU_TIMESTAMP).copy()
+
+    offs = tc.update([s])
+    # rewritten to monotonic + packet offset applied
+    nz = s.timestamp[s.timestamp != 0].astype(np.int64)
+    assert np.all(np.diff(nz) > 0)
+    assert offs[0] != 0
+    assert s.field(ChanField.IMU_TIMESTAMP)[0] != orig_imu[0]
+
+    tc.reset([s])
+    np.testing.assert_array_equal(s.timestamp, orig_ts)
+    np.testing.assert_array_equal(s.field(ChanField.IMU_TIMESTAMP),
+                                  orig_imu)
+
+
+def test_clipped_scan_source_raw_units_and_copies():
+    """ClippedScanSource clips in RAW units and yields copies
+    (ref: sdk/core/clipped_scan_source.py)."""
+    from ouster_sdk_tpu import ChanField, LidarScan
+    from ouster_sdk_tpu.io.derived import ClippedScanSource
+    from ouster_sdk_tpu.io.sources import LidarScanSet, ScanSource
+
+    class Fake(ScanSource):
+        def __init__(self):
+            super().__init__([None])
+            self.scans = []
+
+        def _iter_sets(self):
+            s = LidarScan(w=32, h=4)
+            s.field(ChanField.RANGE)[:] = 5000  # 5 m in mm
+            self.scans.append(s)
+            yield LidarScanSet([s])
+
+    src = Fake()
+    out = list(ClippedScanSource(src, [ChanField.RANGE], 1000, 4000))
+    clipped = out[0][0]
+    assert (clipped.field(ChanField.RANGE) == 0).all()   # 5000 > 4000
+    # parent's scan untouched (copies, not in-place)
+    assert (src.scans[0].field(ChanField.RANGE) == 5000).all()
+    with pytest.raises(ValueError):
+        ClippedScanSource(src, [ChanField.RANGE], 10, 5)
+
+
+def test_constant_velocity_deskew_screw_scaling():
+    """pose_at(last_ts + dt_hist) reproduces the last relative motion
+    exactly (true SE(3) geodesic, not component scaling)."""
+    from ouster_sdk_tpu.slam.deskew import ConstantVelocityDeskewMethod
+    from ouster_sdk_tpu.utils.pose_util import _se3_exp64
+
+    d = ConstantVelocityDeskewMethod()
+    p0 = np.eye(4)
+    rel = _se3_exp64(np.array([0.5, 0.2, 0.1, 1.0, 0.4, 0.0]))
+    p1 = p0 @ rel
+    d.set_last_pose(1_000_000_000, p0)
+    d.set_last_pose(1_100_000_000, p1)
+
+    from ouster_sdk_tpu import LidarScan
+    s = LidarScan(w=64, h=4)
+    s.status[:] = 1
+    # scan spanning exactly one historic interval beyond last_ts
+    s.timestamp[:] = np.linspace(1_100_000_000, 1_200_000_000, 64,
+                                 dtype=np.uint64)
+    d.update([s])
+    # first column = last pose; last column = last_pose @ rel
+    np.testing.assert_allclose(s.pose[0], p1, atol=1e-9)
+    np.testing.assert_allclose(s.pose[-1], p1 @ rel, atol=1e-9)
