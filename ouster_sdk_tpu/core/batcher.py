@@ -306,10 +306,19 @@ class ScanBatcher:
         buf = packet.buf
 
         ts, m_id, status = pf.imu_measurement_headers(buf)
+        # guards like the lidar path (batcher line ~177): malformed
+        # metadata (imu_packets_per_frame 0) or a corrupt measurement id
+        # must drop the packet, not crash mid-stream
+        ippf = pf.imu_packets_per_frame
+        mpp = pf.imu_measurements_per_packet
+        if ippf <= 0 or mpp <= 0 or ls.w < ippf:
+            return
         imu_first_m_id = int(m_id[0])
-        packet_id = imu_first_m_id // (ls.w // pf.imu_packets_per_frame)
-        col_offset = packet_id * pf.imu_measurements_per_packet
-        n = pf.imu_measurements_per_packet
+        packet_id = imu_first_m_id // (ls.w // ippf)
+        if not 0 <= packet_id < ippf:
+            return
+        col_offset = packet_id * mpp
+        n = mpp
         sl = slice(col_offset, col_offset + n)
 
         if ls.has_field(C.IMU_TIMESTAMP):

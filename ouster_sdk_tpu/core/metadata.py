@@ -162,7 +162,8 @@ NONLEGACY_METADATA_FIELDS = {
     "calibration_status": False,
 }
 
-_LEGACY_CONFIG_FIELDS = ["udp_port_imu", "udp_port_lidar", "lidar_mode"]
+_LEGACY_CONFIG_FIELDS = ["udp_port_imu", "udp_port_lidar", "lidar_mode",
+                         "udp_ip"]
 _LEGACY_BEAM_FIELDS = [
     "lidar_origin_to_beam_origin_mm",
     "beam_altitude_angles",
@@ -262,8 +263,13 @@ class _Parser:
             getattr(self.issues, severity).append(
                 ValidatorEntry(jpath, "Item not found, using default"))
             return default
-        if ty is float and isinstance(val, (int, float)):
-            return float(val)
+        if ty is float:
+            # sensor jsons sometimes carry numbers as strings
+            try:
+                return float(val)
+            except (TypeError, ValueError):
+                self.warn(jpath, f"Expected number, got {val!r}")
+                return default
         if ty is int:
             # sensor jsons sometimes carry ints as strings (e.g. prod_sn)
             try:
@@ -304,7 +310,10 @@ class _Parser:
         if val is None:
             self.info(jpath, "Item not found, using default")
             return None if default is None else default.copy()
-        arr = np.asarray(val, dtype=np.float64)
+        try:
+            arr = np.asarray(val, dtype=np.float64)
+        except (TypeError, ValueError):
+            arr = np.zeros(0)
         if arr.size != 16:
             self.critical(jpath, f"Expected 16 elements, got {arr.size}")
             return None if default is None else default.copy()
@@ -362,9 +371,20 @@ def _parse_config_params(p: _Parser, config: SensorConfig) -> None:
     config.multipurpose_io_mode = p.enum(
         cp + ("multipurpose_io_mode",), MultipurposeIOMode)
 
+    if config.udp_dest is None:
+        # legacy firmware names the UDP destination udp_ip
+        # (ref: metadata.cpp legacy config mapping)
+        legacy_dest = p.get("config_params", "udp_ip")
+        if isinstance(legacy_dest, str) and legacy_dest:
+            config.udp_dest = legacy_dest
+
     az_win = p.get("config_params", "azimuth_window")
     if az_win is not None and isinstance(az_win, list) and len(az_win) == 2:
-        config.azimuth_window = (int(az_win[0]), int(az_win[1]))
+        try:
+            config.azimuth_window = (int(az_win[0]), int(az_win[1]))
+        except (TypeError, ValueError):
+            p.warn("$.config_params.azimuth_window",
+                   f"Expected [int, int], got {az_win!r}")
 
     config.lidar_frame_azimuth_offset = p.item(
         cp + ("lidar_frame_azimuth_offset",), float)
@@ -475,7 +495,14 @@ def _parse_data_format(p: _Parser, info: SensorInfo) -> None:
 
     shifts = p.get("lidar_data_format", "pixel_shift_by_row")
     if shifts is not None:
-        fmt.pixel_shift_by_row = [int(s) for s in shifts]
+        try:
+            fmt.pixel_shift_by_row = [int(s) for s in shifts]
+        except (TypeError, ValueError):
+            p.warn("$.lidar_data_format.pixel_shift_by_row.*",
+                   f"Expected integers, got {shifts!r}")
+            fmt.pixel_shift_by_row = [0] * fmt.pixels_per_column
+            shifts = None
+    if shifts is not None:
         if len(fmt.pixel_shift_by_row) != fmt.pixels_per_column:
             # ref truncates/extends (metadata.cpp:600-604)
             fmt.pixel_shift_by_row = (
@@ -557,8 +584,12 @@ def _parse_beam_intrinsics(p: _Parser, info: SensorInfo) -> None:
                 return [float(v) for row in x for v in row]
             return [float(v) for v in x]
 
-        info.beam_altitude_angles = flatten(alts)
-        info.beam_azimuth_angles = flatten(azis)
+        try:
+            info.beam_altitude_angles = flatten(alts)
+            info.beam_azimuth_angles = flatten(azis)
+        except (TypeError, ValueError):
+            p.critical("$.beam_intrinsics.beam_altitude_angles",
+                       "Non-numeric beam angles")
 
     origin = p.item(bi + ("lidar_origin_to_beam_origin_mm",), float)
     if origin is None:
@@ -567,7 +598,10 @@ def _parse_beam_intrinsics(p: _Parser, info: SensorInfo) -> None:
 
     b2l = p.get("beam_intrinsics", "beam_to_lidar_transform")
     if b2l is not None:
-        arr = np.asarray(b2l, dtype=np.float64)
+        try:
+            arr = np.asarray(b2l, dtype=np.float64)
+        except (TypeError, ValueError):
+            arr = np.zeros(0)
         if arr.size == 16:
             info.beam_to_lidar_transform = arr.reshape(4, 4)
         else:
@@ -595,7 +629,10 @@ def _parse_intrinsics(p: _Parser, info: SensorInfo) -> None:
 
     ext = p.get("ouster-sdk", "extrinsic")
     if ext is not None:
-        arr = np.asarray(ext, dtype=np.float64)
+        try:
+            arr = np.asarray(ext, dtype=np.float64)
+        except (TypeError, ValueError):
+            arr = np.zeros(0)
         if arr.size == 16:
             info.extrinsic = arr.reshape(4, 4)
 

@@ -79,23 +79,41 @@ class _Fragments:
 
 class IpReassembler:
     """IPv4 fragment reassembly keyed on (src, dst, id, proto)
-    (ref: ip_reassembler.h:76-100)."""
+    (ref: ip_reassembler.h:76-100). Incomplete groups EXPIRE after a
+    bounded number of subsequent fragments: without expiry a lossy
+    capture leaks one group per lost fragment, and because the 16-bit
+    IP ID recycles within ~a minute at line rate, a stale group would
+    merge into an unrelated later datagram and corrupt it."""
+
+    _MAX_PENDING = 1024
+    _TTL_RECORDS = 4096
 
     def __init__(self) -> None:
         self._pending: Dict[Tuple, _Fragments] = {}
+        self._last_seen: Dict[Tuple, int] = {}
+        self._rec = 0
 
     def process(self, src: str, dst: str, ip_id: int, proto: int,
                 frag_offset: int, more_fragments: bool,
                 payload: bytes) -> Optional[bytes]:
+        self._rec += 1
         if frag_offset == 0 and not more_fragments:
             return payload  # unfragmented fast path
         key = (src, dst, ip_id, proto)
+        if len(self._pending) > self._MAX_PENDING:
+            cut = self._rec - self._TTL_RECORDS
+            for k in [k for k, seen in self._last_seen.items()
+                      if seen < cut]:
+                self._pending.pop(k, None)
+                self._last_seen.pop(k, None)
         frags = self._pending.get(key)
         if frags is None:
             frags = self._pending[key] = _Fragments()
+        self._last_seen[key] = self._rec
         done = frags.add(frag_offset, payload, more_fragments)
         if done is not None:
             del self._pending[key]
+            self._last_seen.pop(key, None)
         return done
 
 
@@ -123,11 +141,22 @@ class PcapReader:
     (ref: ouster_pcap/include/ouster/pcap.h:62)."""
 
     def __init__(self, path: str):
+        import mmap
+
         self._path = path
-        with open(path, "rb") as f:
-            self._data = f.read()
+        self._f = open(path, "rb")
+        try:
+            # O(1) resident memory for multi-GB captures; bytes are
+            # paged in on demand
+            self._mm = mmap.mmap(self._f.fileno(), 0,
+                                 access=mmap.ACCESS_READ)
+            self._data = memoryview(self._mm)
+        except (ValueError, OSError):  # empty file / no-mmap fs
+            self._mm = None
+            self._data = self._f.read()
         if len(self._data) < 24:
             raise ValueError(f"{path}: not a pcap file")
+        self._closed = False
         magic = struct.unpack("<I", self._data[:4])[0]
         if magic not in _PCAP_MAGICS:
             magic = struct.unpack(">I", self._data[:4])[0]
@@ -138,6 +167,26 @@ class PcapReader:
         self._linktype = hdr[6] & 0x0FFFFFFF
         self._pos = 24
         self._reasm = IpReassembler()
+
+    def close(self) -> None:
+        """Release the mmap/file handle (views into packets become
+        invalid)."""
+        self._data = b""
+        if getattr(self, "_mm", None) is not None:
+            try:
+                self._mm.close()
+            except BufferError:
+                pass
+            self._mm = None
+        if getattr(self, "_f", None) is not None:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self) -> "PcapReader":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def reset(self) -> None:
         self._pos = 24
@@ -218,7 +267,9 @@ class PcapReader:
         if lt == LINKTYPE_NULL:
             if len(frame) < 4:
                 return None
-            family = struct.unpack("<I", frame[:4])[0]
+            # the null-linktype AF family is written in the CAPTURING
+            # host's byte order — use the file's detected endianness
+            family = struct.unpack(self._endian + "I", frame[:4])[0]
             if family in (2,):  # AF_INET
                 return self._parse_ip4(frame[4:], ts_ns, file_offset)
             return None
@@ -279,6 +330,8 @@ class PcapReader:
             timestamp=ts_ns, payload_size=len(udp_payload),
             file_offset=file_offset)
         return info, udp_payload
+
+
 
 
 @dataclass

@@ -15,6 +15,7 @@ parallel/sharding.py).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
@@ -56,6 +57,7 @@ class ScanPipeline:
                  destagger: bool = True, dewarp: bool = True,
                  precision: str = "dd"):
         self.info = info
+        self._use_extrinsics = use_extrinsics
         plan = make_decode_plan(info)
         self.cfg = PipelineConfig(
             plan=plan,
@@ -71,28 +73,33 @@ class ScanPipeline:
         self._batch = jax.jit(jax.vmap(
             functools.partial(_pipeline, cfg=self.cfg),
             in_axes=(0, None, 0)))
-        # native batched variant: batch handled by reshape/broadcast rather
-        # than vmap — identical math, much cheaper to compile on the
-        # remote-compile path and fewer gather batch dims
-        self._batch_native = jax.jit(functools.partial(
-            _pipeline_batched, cfg=self.cfg))
+        # no-pose variants: skip the identity dewarp einsum entirely
+        # (cfg is jit-static, so this compiles a genuinely cheaper
+        # program for the common no-SLAM path)
+        cfg_nd = dataclasses.replace(self.cfg, dewarp=False)
+        self._single_nd = jax.jit(functools.partial(_pipeline, cfg=cfg_nd))
+        self._batch_nd = jax.jit(jax.vmap(
+            functools.partial(_pipeline, cfg=cfg_nd),
+            in_axes=(0, None, 0)))
+        self._dummy_pose = jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (self.cfg.plan.w, 4, 4))
 
     def __call__(self, packet_words: jnp.ndarray,
                  poses: Optional[jnp.ndarray] = None
                  ) -> Dict[str, jnp.ndarray]:
         if poses is None:
-            poses = jnp.broadcast_to(
-                jnp.eye(4, dtype=jnp.float32),
-                (self.cfg.plan.w, 4, 4))
+            return self._single_nd(packet_words, self.lut,
+                                   self._dummy_pose)
         return self._single(packet_words, self.lut, poses)
 
     def batch(self, frames_words: jnp.ndarray,
               poses: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
         b = frames_words.shape[0]
         if poses is None:
-            poses = jnp.broadcast_to(
+            dummy = jnp.broadcast_to(
                 jnp.eye(4, dtype=jnp.float32),
                 (b, self.cfg.plan.w, 4, 4))
+            return self._batch_nd(frames_words, self.lut, dummy)
         return self._batch(frames_words, self.lut, poses)
 
     # -- planar fast path ---------------------------------------------------
@@ -100,7 +107,9 @@ class ScanPipeline:
     def _planar_lut(self):
         from .pallas_kernels import PlanarLut
 
-        return PlanarLut(make_xyz_lut(self.info))
+        # honor the constructor's extrinsics flag: both the packet-layout
+        # and planar paths must project into the same frame
+        return PlanarLut(make_xyz_lut(self.info, self._use_extrinsics))
 
     def project_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray,
                        poses: Optional[jnp.ndarray] = None):
@@ -185,80 +194,5 @@ def _pipeline(packet_words: jnp.ndarray, lut: XYZLutDevice,
             if v.ndim >= 2 and v.shape[0] == plan.h and \
                     (v.ndim == 2 and v.shape[1] == plan.w
                      or v.ndim == 3 and v.shape[1] == plan.w):
-                out[k] = destagger_jnp(v, shifts)
-    return out
-
-
-def _pipeline_batched(frames_words: jnp.ndarray, lut: XYZLutDevice,
-                      poses: jnp.ndarray, *, cfg: PipelineConfig
-                      ) -> Dict[str, jnp.ndarray]:
-    """Batched pipeline over (B, n_pkts, pkt_words) without vmap: the batch
-    axis rides as a leading broadcast dimension through every op (decode is
-    elementwise over words; destagger indices broadcast; dewarp einsum gets
-    a 'b' index)."""
-    from .unpack import _extract
-
-    plan = cfg.plan
-    B = frames_words.shape[0]
-    cols = frames_words[:, :, plan.hw:plan.hw + plan.cpp * plan.cw]
-    cols = cols.reshape(B, plan.w, plan.cw)
-
-    status = _extract(cols, plan.status_word, plan.status_bit,
-                      plan.status_size).astype(jnp.uint32)
-    valid = (status & 1).astype(jnp.bool_)  # (B, W)
-
-    px = cols[:, :, plan.chw:plan.chw + plan.h * plan.pw]
-    px = px.reshape(B, plan.w, plan.h, plan.pw)
-
-    out: Dict[str, jnp.ndarray] = {"status": status}
-    for f in plan.fields:
-        v = _extract(px, f.word, f.bit, f.size, f.upshift)  # (B, W, h)
-        v = jnp.where(valid[:, :, None], v, 0)
-        dt = jnp.dtype(f.out_dtype)
-        if dt == jnp.float16:
-            v = v.astype(jnp.uint16).view(jnp.float16)
-        else:
-            v = v.astype(dt)
-        out[f.name] = jnp.swapaxes(v, 1, 2)  # (B, h, W)
-
-    rng = out[ChanField.RANGE]
-    r = rng.astype(jnp.float32)[..., None]
-    if cfg.precision == "dd":
-        p_hi, p_lo = dd_mul_f(lut.dir_hi, lut.dir_lo, r)
-        s_hi, s_lo = dd_add(p_hi, p_lo, lut.off_hi, lut.off_lo)
-        xyz = s_hi + s_lo
-    else:
-        xyz = r * lut.dir_hi + lut.off_hi
-    mask = (r != 0) & valid[:, None, :, None]
-    xyz = jnp.where(mask, xyz, jnp.float32(0))
-
-    if cfg.dewarp:
-        rot = poses[..., :3, :3].astype(jnp.float32)
-        trans = poses[..., :3, 3].astype(jnp.float32)
-        xyz = jnp.einsum("bwij,bhwj->bhwi", rot, xyz) + trans[:, None]
-        xyz = jnp.where(mask, xyz, jnp.float32(0))
-    out["XYZ"] = xyz
-
-    if cfg.dual and ChanField.RANGE2 in out:
-        rng2 = out[ChanField.RANGE2]
-        r2 = rng2.astype(jnp.float32)[..., None]
-        if cfg.precision == "dd":
-            p_hi, p_lo = dd_mul_f(lut.dir_hi, lut.dir_lo, r2)
-            s_hi, s_lo = dd_add(p_hi, p_lo, lut.off_hi, lut.off_lo)
-            xyz2 = s_hi + s_lo
-        else:
-            xyz2 = r2 * lut.dir_hi + lut.off_hi
-        mask2 = (r2 != 0) & valid[:, None, :, None]
-        if cfg.dewarp:
-            rot = poses[..., :3, :3].astype(jnp.float32)
-            trans = poses[..., :3, 3].astype(jnp.float32)
-            xyz2 = jnp.einsum("bwij,bhwj->bhwi", rot, xyz2) + trans[:, None]
-        out["XYZ2"] = jnp.where(mask2, xyz2, jnp.float32(0))
-
-    if cfg.destagger:
-        shifts = np.asarray(cfg.shifts)
-        for k in list(out.keys()):
-            v = out[k]
-            if v.ndim >= 3 and v.shape[1] == plan.h and v.shape[2] == plan.w:
                 out[k] = destagger_jnp(v, shifts)
     return out

@@ -31,7 +31,7 @@ def test_mesh_sharded_batch_pipeline():
         jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (8, 64, 4, 4)),
         NamedSharding(mesh, P("batch")))
 
-    out = pipe._batch_native(frames, pipe.lut, poses)
+    out = pipe._batch(frames, pipe.lut, poses)
     xyz = out["XYZ"]
     assert xyz.shape == (8, 16, 64, 3)
     # output stays sharded on the batch axis
