@@ -301,10 +301,17 @@ class PacketFormat:
         return cls._CRC64_TABLE
 
     def calculate_crc(self, buf) -> int:
-        """CRC64 over all bytes except the trailing 8-byte CRC field."""
+        """CRC64 over all bytes except the trailing 8-byte CRC field
+        (native fast path when the toolchain built; byte-at-a-time
+        numpy-table fallback otherwise — equality tested)."""
         a = np.frombuffer(buf, dtype=np.uint8) \
             if not isinstance(buf, np.ndarray) else buf
         data = a[: len(a) - 8]
+        from ..utils import native as _native
+
+        fast = _native.crc64(data)
+        if fast is not None:
+            return fast
         table = self._crc64_table()
         crc = np.uint64(0xFFFFFFFFFFFFFFFF)
         for b in data.tobytes():

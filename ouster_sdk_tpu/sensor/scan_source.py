@@ -194,7 +194,9 @@ class SensorPacketSource:
             # amortizes syscall cost at multi-kHz packet rates)
             from ..utils import native
 
-            batch = native.udp_recv_batch(s, stride=65536, max_msgs=64)
+            ws = self.__dict__.setdefault("_recv_ws", {})
+            batch = native.udp_recv_batch(s, stride=65536, max_msgs=64,
+                                          workspace=ws)
             if batch is not None:
                 bufs, sizes, ts = batch
                 for k in range(len(sizes)):

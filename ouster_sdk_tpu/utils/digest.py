@@ -103,12 +103,16 @@ class StreamDigest:
 
     @classmethod
     def from_packet_source(cls, source) -> "StreamDigest":
-        """Batch all lidar packets of sensor 0 and hash packets + scans
-        (ref: _digest.py:124-159)."""
-        packets = [p for idx, p in source
-                   if isinstance(p, LidarPacket) and idx == 0]
+        """Batch ALL lidar packets like the reference (no sensor-index
+        filter; ref: _digest.py:124-159), restricted to packets that
+        parse with sensor 0's format — the reference is only ever fed
+        single-sensor streams, and mixed-format packets would make its
+        own FieldDigest crash identically."""
         metadata = source.sensor_info[0]
         pf = PacketFormat.from_info(metadata)
+        packets = [p for idx, p in source
+                   if isinstance(p, LidarPacket)
+                   and len(p.buf) == pf.lidar_packet_size]
         batcher = ScanBatcher(metadata)
 
         scans: List[LidarScan] = []

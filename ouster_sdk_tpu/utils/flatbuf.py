@@ -141,15 +141,12 @@ def root_size_prefixed(buf, expect_ident: Optional[bytes] = None) -> Table:
 
 
 def root_auto(buf) -> Table:
-    """Root of a buffer that may or may not carry a size prefix."""
+    """Root of a buffer that may or may not carry a size prefix
+    (heuristic: a leading u32 equal to the remaining length IS the
+    prefix)."""
     size = _U32.unpack_from(buf, 0)[0]
-    if size == len(buf) - 4 or (len(buf) >= size + 8 and size + 8 <= len(buf)
-                                and size < len(buf) and size > 4
-                                and size == len(buf) - 4):
-        return root(memoryview(buf)[4:4 + size])
-    # heuristic: a size prefix equals remaining length
     if size == len(buf) - 4:
-        return root(memoryview(buf)[4:])
+        return root(memoryview(buf)[4:4 + size])
     return root(memoryview(buf))
 
 
@@ -310,10 +307,13 @@ class Builder:
 
     def finish(self, root_off: int, file_ident: Optional[bytes] = None,
                size_prefix: bool = False) -> bytes:
-        # the size prefix lives outside the buffer; only root offset +
-        # identifier count toward final alignment
+        # like flatbuffers FinishSizePrefixed: when a size prefix is
+        # emitted it counts toward the final alignment, so 8-byte data
+        # stays 8-aligned from the START of the emitted block (C++
+        # readers mmap at that offset and do aligned loads)
         self._align(self._minalign,
-                    extra=4 + (4 if file_ident else 0))
+                    extra=(4 if size_prefix else 0) + 4
+                    + (4 if file_ident else 0))
         if file_ident is not None:
             assert len(file_ident) == 4
             self._push(file_ident)

@@ -34,13 +34,32 @@ def _cache_dir() -> str:
         "ouster_sdk_tpu")
 
 
+def _machine_tag() -> str:
+    """CPU identity folded into the cache key: -march=native binaries
+    are machine-specific, and a shared cache dir (NFS home) must never
+    serve a foreign binary (SIGILL)."""
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    parts.append(line.split(":", 1)[1].strip())
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:8]
+
+
 def _build() -> Optional[str]:
     try:
         with open(_SRC, "rb") as f:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
-    so = os.path.join(_cache_dir(), f"libouster_native-{digest}.so")
+    so = os.path.join(_cache_dir(),
+                      f"libouster_native-{digest}-{_machine_tag()}.so")
     if os.path.exists(so):
         return so
     try:
@@ -255,16 +274,30 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
     return int(consumed), int(nframes[0])
 
 
-def udp_recv_batch(sock, stride: int, max_msgs: int = 256):
+def udp_recv_batch(sock, stride: int, max_msgs: int = 256,
+                   workspace: Optional[dict] = None):
     """Batched recvmmsg drain of a non-blocking UDP socket; returns
     (payload_buffer (max_msgs, stride) u8, sizes i64 (n,), ts_ns) or None
-    when native is unavailable or nothing pending."""
+    when native is unavailable or nothing pending. Pass a persistent
+    `workspace` dict to reuse the multi-MB receive buffers across calls
+    (fresh allocations at this size are mmap'd and first-touch
+    page-fault on every drain)."""
     lib = get_lib()
     if lib is None:
         return None
-    buf = np.empty((max_msgs, stride), dtype=np.uint8)
-    sizes = np.empty(max_msgs, dtype=np.int64)
-    ts = np.zeros(1, dtype=np.uint64)
+    if workspace is not None:
+        buf = workspace.get("buf")
+        if buf is None or buf.shape != (max_msgs, stride):
+            buf = workspace["buf"] = np.empty((max_msgs, stride),
+                                              dtype=np.uint8)
+            workspace["sizes"] = np.empty(max_msgs, dtype=np.int64)
+            workspace["ts"] = np.zeros(1, dtype=np.uint64)
+        sizes = workspace["sizes"]
+        ts = workspace["ts"]
+    else:
+        buf = np.empty((max_msgs, stride), dtype=np.uint8)
+        sizes = np.empty(max_msgs, dtype=np.int64)
+        ts = np.zeros(1, dtype=np.uint64)
     n = lib.onat_udp_recv_batch(sock.fileno(), _ptr(buf), stride, max_msgs,
                                 _ptr(sizes), _ptr(ts))
     if n <= 0:
