@@ -108,11 +108,29 @@ def sharded_multi_sensor_step(pipes: Sequence, mesh: Mesh):
 def fuse_multi_sensor_clouds(mesh: Mesh, clouds: jnp.ndarray,
                              extrinsics: jnp.ndarray,
                              axis_name: str = "sensor") -> jnp.ndarray:
-    """Apply per-sensor extrinsics to (S, N, 3) clouds sharded over sensors
-    and all-gather the fused world-frame cloud — the TPU equivalent of the
-    reference Collator + extrinsics fan-in (ref: scan_source_utils.h:22)."""
+    """Apply per-sensor extrinsics to (S, N, 3) clouds sharded over the
+    mesh's sensor axis, then all-gather the fused (S*N, 3) world-frame
+    cloud so every device holds the full result — the TPU equivalent of
+    the reference Collator + extrinsics fan-in
+    (ref: scan_source_utils.h:22)."""
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
     def apply(cloud, ext):
         return cloud @ ext[:3, :3].T + ext[:3, 3]
 
-    fused = jax.vmap(apply)(clouds, extrinsics)
-    return fused.reshape(-1, 3)
+    def local_fuse(clouds_blk, ext_blk):
+        fused = jax.vmap(apply)(clouds_blk, ext_blk)
+        # gather the sensor-sharded blocks so the fused cloud is
+        # replicated (rides ICI; ref module docstring)
+        return jax.lax.all_gather(
+            fused, axis_name, axis=0, tiled=True).reshape(-1, 3)
+
+    kw = dict(mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
+              out_specs=P())
+    try:  # jax >= 0.7 calls the replication check check_vma
+        fn = shard_map(local_fuse, check_vma=False, **kw)
+    except TypeError:
+        fn = shard_map(local_fuse, check_rep=False, **kw)
+    return fn(clouds, extrinsics)

@@ -10,6 +10,10 @@ the reference are intentional and noted:
     fixed-capacity grid-hash path lives in ops/downsample.py and
     slam/registration_jax.py as it matures)
   - math in numpy float64 like the reference's Eigen doubles
+  - voxelize() keeps per-voxel CENTROIDS (ops/downsample.voxel_downsample)
+    where the reference VoxelDownsample keeps the first point per voxel;
+    centroids are a standard variant with slightly better sampling
+    uniformity, at the cost of tiny trajectory differences
 """
 
 from __future__ import annotations
@@ -202,11 +206,11 @@ def register_points_to_map(
         JTr[3:] = np.cross(s, wsum).sum(axis=0)
 
         W = w.sum()
+        hs = _hat_batch(s)
         JTJ[:3, :3] = np.eye(3) * W
-        Sx = -np.einsum("n,nij->ij", w, _hat_batch(s))
+        Sx = -np.einsum("n,nij->ij", w, hs)
         JTJ[:3, 3:] = Sx
         JTJ[3:, :3] = Sx.T
-        hs = _hat_batch(s)
         JTJ[3:, 3:] = np.einsum("n,nij,nik->jk", w, hs, hs)
 
         try:

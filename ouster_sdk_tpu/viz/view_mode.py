@@ -65,10 +65,11 @@ class SimpleMode(ImageCloudMode):
         self._ae = [AutoExposure() if use_ae else None for _ in range(2)]
         self._buc = [BeamUniformityCorrector() if use_buc else None
                      for _ in range(2)]
-        parts = [p for p in (prefix, field, suffix) if p]
-        self.name = " ".join(parts)
-        self.names = [self.name, " ".join(
-            [p for p in (prefix, second or field, suffix) if p])]
+        self.name = " ".join(p for p in (prefix, field, suffix) if p)
+        # one display name per available return
+        # (ref: view_mode.py:168-170 SimpleMode.names)
+        self.names = [" ".join(p for p in (prefix, f, suffix) if p)
+                      for f in self._fields]
 
     def enabled(self, scan, return_num: int = 0) -> bool:
         return return_num < len(self._fields) and \
@@ -86,19 +87,23 @@ class SimpleMode(ImageCloudMode):
 
 
 class ReflMode(ImageCloudMode):
-    """Calibrated-reflectivity mode (ref: view_mode.py ReflMode): values
-    0-255 map linearly (diffuse 0-100 -> [0, 0.5), retro 101-255 ->
-    [0.5, 1]); uncalibrated sensors fall back to AutoExposure."""
+    """Calibrated-reflectivity mode (ref: view_mode.py:418-455 ReflMode):
+    fw >= v2.1.0 emits calibrated 0-255 reflectivity, displayed as a
+    fixed /255 normalization; older firmware falls back to AutoExposure.
+    When no metadata is available normalization is assumed (reference
+    does the same for extra-mode construction)."""
 
     name = "REFLECTIVITY"
 
     def __init__(self, info=None):
         self._fields = [ChanField.REFLECTIVITY, ChanField.REFLECTIVITY2]
         self.names = list(self._fields)
-        cal = getattr(info, "cal", None) if info is not None else None
-        self._calibrated = bool(
-            getattr(cal, "reflectivity_status", "") == "OK") if cal else \
-            _fw_ge_2_1(info)
+        if info is not None:
+            from ..core.types import Version
+            self._normalized_refl = \
+                info.get_version() >= Version.from_string("v2.1.0")
+        else:
+            self._normalized_refl = True
         self._ae = [AutoExposure() for _ in range(2)]
 
     def enabled(self, scan, return_num: int = 0) -> bool:
@@ -109,10 +114,8 @@ class ReflMode(ImageCloudMode):
         if not self.enabled(scan, return_num):
             return None
         refl = scan.field(self._fields[return_num]).astype(np.float64)
-        if self._calibrated:
-            key = np.where(refl < 101, refl * (0.5 / 100.0),
-                           0.5 + (refl - 101) * (0.5 / 154.0))
-            return np.clip(key, 0.0, 1.0)
+        if self._normalized_refl:
+            return np.clip(refl / 255.0, 0.0, 1.0)
         key = refl.copy()
         self._ae[return_num](key)
         return np.clip(key, 0.0, 1.0)
@@ -143,6 +146,7 @@ def default_cloud_modes(info) -> List:
             SimpleMode(ChanField.RANGE),
             SimpleMode(ChanField.SIGNAL),
             SimpleMode(ChanField.NEAR_IR, use_buc=True),
+            SimpleMode(ChanField.FLAGS),
             RingMode(info)]
 
 
@@ -153,22 +157,13 @@ def default_image_modes(info) -> List:
             SimpleMode(ChanField.NEAR_IR, use_buc=True)]
 
 
-def _fw_ge_2_1(info) -> bool:
-    fw = getattr(info, "fw_rev", "") or ""
-    import re
-
-    m = re.search(r"v?(\d+)\.(\d+)", fw)
-    if not m:
-        return False
-    return (int(m.group(1)), int(m.group(2))) >= (2, 1)
-
-
 # -- reference extra modes (ref: view_mode.py:215+, 353+, 457+;
 #    model.py:57 VizExtraMode) -------------------------------------------
 
 class RGBMode(ImageCloudMode):
     """Direct RGB channel display, normalized by dtype range
-    (ref: view_mode.py:215 RGBMode)."""
+    (ref: view_mode.py:215-255 RGBMode: u8 / 255, u16 / 65535, floats
+    passed through; other dtypes rejected)."""
 
     def __init__(self, field: str, *, info=None):
         self._info = info
@@ -177,14 +172,23 @@ class RGBMode(ImageCloudMode):
         self.names = [field]
 
     def enabled(self, scan, return_num: int = 0) -> bool:
-        return return_num == 0 and scan.has_field(self._field)
+        if return_num != 0 or not scan.has_field(self._field):
+            return False
+        data = scan.field(self._field)
+        return np.ndim(data) == 3 and data.shape[-1] == 3
 
     def prepare(self, scan, return_num: int = 0):
         if not self.enabled(scan, return_num):
             return None
-        rgb = scan.field(self._field).astype(np.float64)
-        if rgb.max() > 1.0:
-            rgb = rgb / (255.0 if rgb.max() <= 255 else rgb.max())
+        field = scan.field(self._field)
+        if field.dtype == np.uint8:
+            rgb = field / float(2 ** 8 - 1)
+        elif field.dtype == np.uint16:
+            rgb = field / float(2 ** 16 - 1)
+        elif field.dtype in (np.float32, np.float64):
+            rgb = field.astype(np.float64)
+        else:
+            raise TypeError(f"Unsupported field type {field.dtype}")
         return np.clip(rgb, 0.0, 1.0)
 
 
@@ -215,7 +219,7 @@ class NormalsMode(ImageCloudMode):
 def is_norm_reflectivity_mode(mode) -> bool:
     """True for calibrated-reflectivity modes
     (ref: view_mode.py:457-462)."""
-    return isinstance(mode, ReflMode) and mode._calibrated
+    return isinstance(mode, ReflMode) and mode._normalized_refl
 
 
 from dataclasses import dataclass as _dataclass  # noqa: E402

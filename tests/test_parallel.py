@@ -56,6 +56,33 @@ def test_collective_reduction_over_mesh():
     assert float(total_points(clouds)) == 800.0
 
 
+def test_fuse_multi_sensor_clouds_gathers_world_frame():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ouster_sdk_tpu.parallel.sharding import fuse_multi_sensor_clouds
+
+    rng = np.random.default_rng(3)
+    S, N = 8, 50
+    clouds_np = rng.normal(size=(S, N, 3))
+    ext_np = np.broadcast_to(np.eye(4), (S, 4, 4)).copy()
+    ext_np[:, :3, 3] = rng.normal(size=(S, 3))  # distinct translations
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("sensor",))
+    clouds = jax.device_put(jnp.asarray(clouds_np),
+                            NamedSharding(mesh, P("sensor")))
+    ext = jax.device_put(jnp.asarray(ext_np),
+                         NamedSharding(mesh, P("sensor")))
+
+    fused = fuse_multi_sensor_clouds(mesh, clouds, ext)
+    assert fused.shape == (S * N, 3)
+    expect = np.concatenate(
+        [clouds_np[i] @ ext_np[i, :3, :3].T + ext_np[i, :3, 3]
+         for i in range(S)])
+    np.testing.assert_allclose(np.asarray(fused), expect, atol=1e-6)
+    # result is replicated (all-gathered), not left sharded
+    assert fused.sharding.is_fully_replicated
+
+
 def test_graft_dryrun():
     import sys
 

@@ -66,14 +66,34 @@ def test_kitti_io(tmp_path):
     assert np.abs(back - poses).max() < 1e-12
 
 
-def test_forward_slicer():
+def _fwd_slice(data, key):
+    # the reference usage pattern: normalize, hand slice() an iterator
+    # positioned at k.start, reverse when the step is negative
+    # (ref: python/tests/test_forward_slicer.py NormalizedSliceable)
+    k = ForwardSlicer.normalize(key, len(data))
+    result = ForwardSlicer.slice(iter(data[k.start:k.stop]), k)
+    return result if k.step > 0 else list(reversed(result))
+
+
+@pytest.mark.parametrize("start, stop, step", [
+    (None, None, None), (None, 8, None), (3, None, None), (3, 8, 2),
+    (0, 10, 3), (3, -1, 1), (-7, -2, 1), (8, 3, 1),
+    (None, None, -1), (8, 3, -1), (8, 3, -3), (10, 0, -2),
+    (-1, -7, -1), (-1, 0, -3), (3, 8, -1), (9, 0, -4),
+])
+def test_forward_slicer(start, stop, step):
     data = list(range(10))
-    assert list(ForwardSlicer.slice_iter(iter(data), slice(2, 8, 2))) == \
-        [2, 4, 6]
-    assert ForwardSlicer.slice(data, slice(None, None, -1)) == data[::-1]
-    assert ForwardSlicer.slice(data, slice(-3, None, 1)) == [7, 8, 9]
-    s = ForwardSlicer.normalize(slice(-5, None, 1), 10)
-    assert (s.start, s.stop) == (5, 10)
+    key = slice(start, stop, step)
+    assert _fwd_slice(data, key) == data[key]
+
+
+def test_forward_slicer_lazy_and_zero_step():
+    data = list(range(10))
+    k = ForwardSlicer.normalize(slice(2, 8, 2), 10)
+    assert list(ForwardSlicer.slice_iter(iter(data[k.start:k.stop]),
+                                         k)) == [2, 4, 6]
+    with pytest.raises(ValueError):
+        ForwardSlicer.normalize(slice(None, None, 0), 10)
 
 
 @pytest.mark.skipif(not os.path.exists(OSF), reason="fixture missing")

@@ -118,6 +118,66 @@ def test_imu_subplot_renders():
     assert np.abs(with_imu.astype(int) - without.astype(int)).sum() > 0
 
 
+def test_refl_mode_normalization_by_fw_version(scan_and_info):
+    """fw >= v2.1 -> fixed /255 normalization; older fw -> AutoExposure;
+    no metadata -> normalized (ref: viz/view_mode.py:418-455)."""
+    import copy
+
+    from ouster_sdk_tpu.viz.view_mode import (ReflMode,
+                                              is_norm_reflectivity_mode)
+
+    scan, info = scan_and_info
+    mode = ReflMode(info)   # fixture fw is v2.3.0
+    assert is_norm_reflectivity_mode(mode)
+    key = mode.prepare(scan)
+    refl = scan.field(ChanField.REFLECTIVITY)
+    # linear /255, not data-dependent auto-exposure
+    np.testing.assert_allclose(
+        key, np.clip(refl / 255.0, 0, 1), atol=1e-12)
+
+    old = copy.deepcopy(info)
+    old.fw_rev = "v2.0.0"
+    old.image_rev = "ousteros-image-prod-aries-v2.0.0"
+    assert not is_norm_reflectivity_mode(ReflMode(old))
+    assert is_norm_reflectivity_mode(ReflMode(None))
+
+
+def test_simple_mode_names_single_and_dual():
+    from ouster_sdk_tpu.viz.view_mode import SimpleMode
+
+    assert SimpleMode(ChanField.NEAR_IR).names == [ChanField.NEAR_IR]
+    assert SimpleMode(ChanField.RANGE).names == \
+        [ChanField.RANGE, ChanField.RANGE2]
+
+
+def test_rgb_mode_dtype_normalization(scan_and_info):
+    """u8 / 255, u16 / 65535 — brightness must not depend on frame content
+    (ref: viz/view_mode.py:238-255)."""
+    from ouster_sdk_tpu.core.lidar_scan import FieldClass
+    from ouster_sdk_tpu.viz.view_mode import RGBMode
+
+    scan, info = scan_and_info
+    scan = scan.copy() if hasattr(scan, "copy") else scan
+    import copy as _copy
+    scan = _copy.deepcopy(scan)
+    rgb16 = np.zeros((scan.h, scan.w, 3), np.uint16)
+    rgb16[..., 0] = 300   # dim frame: max well below dtype max
+    scan.add_field("rgb16", rgb16, FieldClass.PIXEL_FIELD)
+    mode = RGBMode("rgb16")
+    assert mode.enabled(scan)
+    key = mode.prepare(scan)
+    np.testing.assert_allclose(key[..., 0], 300 / 65535.0, atol=1e-9)
+    # 2D (non-RGB-shaped) fields are not eligible
+    assert not RGBMode(ChanField.RANGE).enabled(scan)
+
+
+def test_default_cloud_modes_include_flags(sensor_info):
+    from ouster_sdk_tpu.viz.view_mode import default_cloud_modes
+
+    names = [m.name for m in default_cloud_modes(sensor_info)]
+    assert ChanField.FLAGS in names and "RING" in names
+
+
 def test_po_viz_snapshots(tmp_path):
     from ouster_sdk_tpu.slam.pose_optimizer import (AbsolutePoseConstraint,
                                                     Node,
