@@ -123,9 +123,18 @@ def _save_osf(path, infos, scan_sets, fields, *, chunk_size=2 * 1024 * 1024,
                    compression_level=compression_level, encoder=encoder)
         ids = []
         for info in infos:
-            fts = get_field_types(info)
+            # no field filter by default so extra fields added upstream
+            # (NORMALS, user add_field...) are preserved — the reference
+            # passes an empty field_types list to AsyncWriter
+            # (ref: plugins/source_save.py:148)
+            fts = None
             if fields:
-                fts = [ft for ft in fts if ft.name in fields]
+                from ..core.field import FieldClass, FieldType
+                known = {ft.name: ft for ft in get_field_types(info)}
+                fts = [known.get(name,
+                                 FieldType(name, np.float32, (),
+                                           FieldClass.PIXEL_FIELD))
+                       for name in fields]
             ids.append(w.add_sensor(info, fts))
         state["w"], state["ids"] = w, ids
 

@@ -42,6 +42,9 @@ def voxel_downsample(
     """
     points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
     vs = np.broadcast_to(np.asarray(voxel_size, dtype=np.float64), (3,))
+    if np.any(vs <= 0):
+        # ref: downsample.h throws invalid_argument for non-positive sizes
+        raise ValueError("voxel size is zero or negative")
     if points.size == 0:
         return points.reshape(0, 3), [
             a[:0] for a in (attribs or [])]
@@ -82,36 +85,42 @@ def voxel_downsample_jax(
     mask False. Deterministic, jit/vmap-safe: sort by voxel key +
     segment-mean.
     """
+    if voxel_size <= 0:
+        # ref: downsample.h throws invalid_argument for non-positive sizes
+        raise ValueError("voxel size is zero or negative")
     n = points.shape[0]
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
 
-    # two int32 keys (avoids int64, which jax disables by default):
-    # k1 = (ix, iy) packed, k2 = iz; lexsort groups equal voxels together
+    # three unpacked int32 keys (avoids int64, which jax disables by
+    # default, without any cell-coordinate range limit); lexsort groups
+    # equal voxels together, invalid points sort last
     idx = jnp.floor(points / voxel_size).astype(jnp.int32)
-    off = jnp.int32(1 << 14)
-    k1 = ((idx[:, 0] + off) << jnp.int32(15)) | (idx[:, 1] + off)
-    k2 = idx[:, 2] + off
     big = jnp.int32(2**30)
-    k1 = jnp.where(valid, k1, big)  # invalid sorts last
-    k2 = jnp.where(valid, k2, big)
+    kx = jnp.where(valid, idx[:, 0], big)
+    ky = jnp.where(valid, idx[:, 1], big)
+    kz = jnp.where(valid, idx[:, 2], big)
 
-    order = jnp.lexsort((k2, k1))
-    k1_s, k2_s = k1[order], k2[order]
+    order = jnp.lexsort((kz, ky, kx))
+    kx_s, ky_s, kz_s = kx[order], ky[order], kz[order]
     pts_s = points[order]
     valid_s = valid[order]
 
-    # segment ids: positions where either key changes
+    # segment ids: positions where any key changes
     new_seg = jnp.concatenate([
         jnp.ones((1,), bool),
-        (k1_s[1:] != k1_s[:-1]) | (k2_s[1:] != k2_s[:-1])])
+        (kx_s[1:] != kx_s[:-1]) | (ky_s[1:] != ky_s[:-1])
+        | (kz_s[1:] != kz_s[:-1])])
     seg_id = jnp.cumsum(new_seg) - 1  # 0..n_segments-1
-    seg_id = jnp.minimum(seg_id, capacity - 1)
+    # voxels beyond capacity are DROPPED into an overflow slot (sliced off
+    # below) rather than corrupting the last real voxel's centroid
+    seg_id = jnp.where(seg_id >= capacity, capacity, seg_id)
 
     w = valid_s.astype(points.dtype)
     sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id,
-                               num_segments=capacity)
-    counts = jax.ops.segment_sum(w, seg_id, num_segments=capacity)
+                               num_segments=capacity + 1)[:capacity]
+    counts = jax.ops.segment_sum(w, seg_id,
+                                 num_segments=capacity + 1)[:capacity]
     mask = counts > 0
     centroids = jnp.where(mask[:, None], sums / jnp.maximum(counts, 1)[:, None],
                           0.0)

@@ -65,7 +65,10 @@ class AutoExposure:
 
         flat = image.reshape(-1)
         if self.counter == 0 and update_state:
-            if not self._sample_percentiles(flat) and not self.initialized:
+            # too few nonzero samples: leave the frame raw and keep ALL
+            # state (incl. the counter) frozen so sampling retries next
+            # frame (ref: image_processing.cpp:88-90 unconditional return)
+            if not self._sample_percentiles(flat):
                 return image
         if not self.initialized:
             return image
@@ -106,8 +109,9 @@ class AutoExposure:
         if self.counter == 0 and update_state:
             lum = (image[..., 0] * 0.299 + image[..., 1] * 0.587
                    + image[..., 2] * 0.114)
-            if not self._sample_percentiles(lum.reshape(-1)) and \
-                    not self.initialized:
+            # as in __call__: a failed sample freezes state and skips the
+            # frame entirely (ref: image_processing.cpp:88-90)
+            if not self._sample_percentiles(lum.reshape(-1)):
                 return image
         if not self.initialized:
             return image

@@ -73,10 +73,17 @@ def _axis_candidates(axis: str, radius: int, h: int, w: int):
 
 def _shifted(arr: np.ndarray, dr: int, dc: int, wrap_cols: bool,
              fill=0) -> np.ndarray:
-    """arr[(u+dr, v+dc)] with vertical edge fill and horizontal wrap."""
+    """arr[(u+dr, v+dc)] with vertical edge fill and horizontal wrap
+    (or edge fill when wrap_cols is False)."""
     out = arr
     if dc:
         out = np.roll(out, -dc, axis=1)
+        if not wrap_cols:
+            out = out.copy()
+            if dc > 0:
+                out[:, -dc:] = fill
+            else:
+                out[:, :-dc] = fill
     if dr:
         out = np.roll(out, -dr, axis=0)
         if dr > 0:
@@ -98,7 +105,6 @@ def _find_best_neighbors(
     Returns (found (H,W), diff (H,W,3), flip (H,W), thin (H,W))."""
     h, w = rng.shape
     inf = np.inf
-    best_err = np.full((h, w), inf)
     best_d_sq = np.full((h, w), inf)
     best_diff = np.zeros((h, w, 3))
     best_flip = np.zeros((h, w), bool)
@@ -128,7 +134,6 @@ def _find_best_neighbors(
                 thin &= ~(valid & salient)
                 err = np.abs(d_sq - target_sq)
                 better = valid & (err < np.abs(best_d_sq - target_sq))
-                best_err = np.where(better, err, best_err)
                 best_d_sq = np.where(better, d_sq, best_d_sq)
                 best_diff = np.where(better[..., None], diff, best_diff)
                 best_flip = np.where(better, flip, best_flip)
@@ -173,36 +178,44 @@ def normals(
         raise ValueError(
             "normals: sensor_origins size must match image width")
 
-    out1 = _normals_single(xyz, range_img, sensor_origins_xyz, xyz2, range2,
-                           pixel_search_range, min_angle_of_incidence_rad,
-                           target_distance_m)
     out2 = None
     if xyz2 is not None and range2 is not None:
         xyz2 = np.asarray(xyz2, dtype=np.float64).reshape(h, w, 3)
-        # the dual overload computes the vertical pixel subtent ONCE from
-        # the first return and reuses it for the second pass so thresholds
-        # stay consistent (ref: normals.cpp:480-536); recomputing it from
-        # the sparser second return shifts boundary-pixel decisions
+        # the dual overload computes the first return's beams and vertical
+        # pixel subtent ONCE and shares them with BOTH passes so thresholds
+        # stay consistent (ref: normals.cpp:480-536); recomputing the
+        # subtent from the sparser second return shifts boundary-pixel
+        # decisions
         dir1 = xyz - sensor_origins_xyz[None, :, :]
         mag1 = np.linalg.norm(dir1, axis=-1, keepdims=True)
         beams1 = np.where(mag1 > 0, dir1 / np.maximum(mag1, 1e-300), 0.0)
         v_subtent = _compute_vertical_subtent(range_img, beams1)
+        out1 = _normals_single(xyz, range_img, sensor_origins_xyz, xyz2,
+                               range2, pixel_search_range,
+                               min_angle_of_incidence_rad, target_distance_m,
+                               v_subtent=v_subtent, beams=beams1)
         out2 = _normals_single(xyz2, range2, sensor_origins_xyz, xyz,
                                range_img, pixel_search_range,
                                min_angle_of_incidence_rad, target_distance_m,
                                v_subtent=v_subtent)
+    else:
+        out1 = _normals_single(xyz, range_img, sensor_origins_xyz, None,
+                               None, pixel_search_range,
+                               min_angle_of_incidence_rad, target_distance_m)
     return out1, out2
 
 
 def _normals_single(xyz, range_img, origins, xyz2, range2, search_range,
-                    min_aoi, target_m, v_subtent=None) -> np.ndarray:
+                    min_aoi, target_m, v_subtent=None,
+                    beams=None) -> np.ndarray:
     h, w = range_img.shape
     target_sq = target_m * target_m
     safe_aoi = max(min_aoi, 1e-6)
 
-    direction = xyz - origins[None, :, :]
-    mag = np.linalg.norm(direction, axis=-1, keepdims=True)
-    beams = np.where(mag > 0, direction / np.maximum(mag, 1e-300), 0.0)
+    if beams is None:
+        direction = xyz - origins[None, :, :]
+        mag = np.linalg.norm(direction, axis=-1, keepdims=True)
+        beams = np.where(mag > 0, direction / np.maximum(mag, 1e-300), 0.0)
 
     h_subtent = 2.0 * math.pi / w
     if v_subtent is None:

@@ -221,6 +221,9 @@ def unpack_project_lutfree(frames_words: jnp.ndarray, tables: FactorTables,
     ce = jnp.tile(tables.ce, (1, B))
     se = jnp.tile(tables.se, (1, B))
 
+    if plan.w % tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must divide frame width {plan.w}")
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
     kernel = functools.partial(_lutfree_kernel, h=plan.h, pw=plan.pw,
@@ -343,6 +346,9 @@ def unpack_project_lutfree_dd(frames_words: jnp.ndarray,
     se = jnp.tile(tables.se, (1, B))
     sel = jnp.tile(tables.se_lo, (1, B))
 
+    if plan.w % tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must divide frame width {plan.w}")
     tiles_per_frame = plan.w // tile_w
     grid = (B * tiles_per_frame,)
 
@@ -457,6 +463,9 @@ def unpack_project_lutfree_planar(planes: jnp.ndarray,
     sel = jnp.tile(tables.se_lo, (1, B))
 
     rows = planes.reshape(B * plan.pw, plan.h, plan.w)
+    if plan.w % tile_w:
+        raise ValueError(
+            f"tile_w={tile_w} must divide frame width {plan.w}")
     tiles_per_frame = plan.w // tile_w
     grid = (tiles_per_frame, B)
     mem = pltpu.VMEM if (_HAS_TPU_PALLAS and not interpret) else None

@@ -113,8 +113,13 @@ def make_xyz_lut(
 
     if w <= 0 or h <= 0:
         raise ValueError("lut dimensions must be greater than zero")
-    if azimuth_angles_deg.size not in (h, w * h) or \
-            altitude_angles_deg.size not in (h, w * h):
+    # both tables must be per-beam (h) or both per-pixel (w*h) — mixed
+    # sizes are rejected up front like the reference
+    # (ref: xyzlut.cpp "unexpected scan dimensions")
+    if not ((azimuth_angles_deg.size == h
+             and altitude_angles_deg.size == h)
+            or (azimuth_angles_deg.size == w * h
+                and altitude_angles_deg.size == w * h)):
         raise ValueError("unexpected scan dimensions")
 
     # beam origin euclidean distance (ref: xyzlut.cpp:25-30)

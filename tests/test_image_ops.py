@@ -47,6 +47,23 @@ def test_autoexposure_few_points_noop():
     np.testing.assert_array_equal(out, img)  # too few nonzero -> untouched
 
 
+def test_autoexposure_occluded_frame_freezes_state():
+    """An initialized AE that hits a sampling frame with too few nonzero
+    points must leave the frame RAW and freeze lo/hi state + counter
+    (ref: image_processing.cpp:88-90 unconditional early return)."""
+    rng = np.random.default_rng(7)
+    ae = AutoExposure()
+    for _ in range(3):   # update_every=3 -> counter wraps back to 0
+        ae(rng.uniform(50, 150, size=(32, 64)))
+    lo, hi, counter = ae.lo_state, ae.hi_state, ae.counter
+    assert counter == 0  # next frame is a sampling frame
+    occluded = np.zeros((32, 64))
+    occluded[0, :10] = 5.0   # < AE_MIN_NONZERO_POINTS after stride
+    out = ae(occluded.copy())
+    np.testing.assert_array_equal(out, occluded)     # untouched
+    assert (ae.lo_state, ae.hi_state, ae.counter) == (lo, hi, counter)
+
+
 def test_beam_uniformity_removes_row_bias():
     rng = np.random.default_rng(2)
     base = rng.uniform(100, 110, size=(1, 256)).repeat(32, axis=0)
@@ -101,6 +118,51 @@ def test_voxel_downsample_jax_matches_host():
 
     np.testing.assert_allclose(key(cent_j), key(cent_np.astype(np.float32)),
                                atol=1e-4)
+
+
+def test_voxel_downsample_jax_far_coordinates():
+    """Cell indices beyond +/-2^14 must not collide (the old packed-int32
+    key overflowed at ~1.6 km with 0.1 m voxels)."""
+    import jax.numpy as jnp
+
+    pts = np.array([[0.05, 1700.0, 0.0],      # iy = 17000
+                    [1.05, -1576.85, 0.0],    # old packing collided these
+                    [0.05, 1700.05, 0.0]], np.float32)
+    cent, mask = voxel_downsample_jax(jnp.asarray(pts), 0.1, capacity=16)
+    cent = np.asarray(cent)[np.asarray(mask)]
+    assert cent.shape[0] == 2                 # two distinct voxels
+    cent_np, _ = voxel_downsample(pts, 0.1)
+    def key(a):
+        return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+    np.testing.assert_allclose(key(cent), key(cent_np.astype(np.float32)),
+                               atol=1e-3)
+
+
+def test_voxel_downsample_jax_capacity_overflow_drops():
+    """Voxels beyond the static capacity are dropped, not merged into the
+    last slot as a phantom centroid."""
+    import jax.numpy as jnp
+
+    # 32 distinct voxels along x, capacity 8
+    pts = np.stack([np.arange(32) * 2.0, np.zeros(32), np.zeros(32)],
+                   axis=1).astype(np.float32)
+    cent, mask = voxel_downsample_jax(jnp.asarray(pts), 1.0, capacity=8)
+    cent = np.asarray(cent)[np.asarray(mask)]
+    assert cent.shape[0] == 8
+    # every surviving centroid is a real input point, not a mean of many
+    for c in cent:
+        assert np.min(np.linalg.norm(pts - c, axis=1)) < 1e-5
+
+
+def test_voxel_downsample_rejects_nonpositive_size():
+    pts = np.zeros((4, 3))
+    with pytest.raises(ValueError):
+        voxel_downsample(pts, 0.0)
+    with pytest.raises(ValueError):
+        voxel_downsample(pts, -1.0)
+    import jax.numpy as jnp
+    with pytest.raises(ValueError):
+        voxel_downsample_jax(jnp.zeros((4, 3)), 0.0, capacity=8)
 
 
 def test_normals_flat_wall():

@@ -189,6 +189,23 @@ def test_lutfree_rejects_df_sensors():
         FactorTables(info)
 
 
+def test_lutfree_rejects_nondivisible_tile_w():
+    """A tile width that doesn't divide the frame width must raise
+    up front instead of leaving output columns unwritten."""
+    if not os.path.exists(PCAP):
+        pytest.skip("fixture missing")
+    fr = FrameReader(PCAP)
+    _, words, _ = next(iter(fr))
+    tables = FactorTables(fr.info)
+    plan = fr.plan
+    with pytest.raises(ValueError, match="must divide"):
+        unpack_project_lutfree(jnp.asarray(words), tables, plan,
+                               tile_w=600, interpret=True)
+    with pytest.raises(ValueError, match="must divide"):
+        unpack_project_lutfree_dd(jnp.asarray(words), tables, plan,
+                                  tile_w=2048, interpret=True)
+
+
 def test_lutfree_planar_matches_packet_layout():
     """LUT-free dd over word-planar staging is bit-identical to the
     packet-layout LUT-free dd kernel."""

@@ -123,6 +123,34 @@ def test_write_read_roundtrip(tmp_path):
         np.testing.assert_array_equal(a.pose, b.pose)
 
 
+def test_save_scans_preserves_extra_fields(tmp_path):
+    """save_scans must not filter scans down to the sensor-default field
+    list: fields added upstream (e.g. NORMALS) are preserved, like the
+    reference AsyncWriter with empty field_types
+    (ref: plugins/source_save.py:148)."""
+    src_path = os.path.join(OSF_DIR, "single_scan_016.osf")
+    if not os.path.exists(src_path):
+        pytest.skip("fixture missing")
+    from ouster_sdk_tpu.core.field import FieldClass
+    from ouster_sdk_tpu.io.save import save_scans
+    from ouster_sdk_tpu.io.sources import LidarScanSet
+
+    r = Reader(src_path)
+    info = r.sensor_info[0]
+    scan = next(m.decode() for m in r.messages() if m.is_lidar_scan())
+    extra = np.linspace(0, 1, scan.h * scan.w * 3, dtype=np.float32
+                        ).reshape(scan.h, scan.w, 3)
+    scan.add_field("NORMALS", extra, FieldClass.PIXEL_FIELD)
+
+    out = str(tmp_path / "extra.osf")
+    n = save_scans(out, [info], iter([LidarScanSet([scan])]))
+    assert n == 1
+    back = next(m.decode() for m in Reader(out).messages()
+                if m.is_lidar_scan())
+    assert "NORMALS" in back.fields
+    np.testing.assert_array_equal(back.field("NORMALS"), extra)
+
+
 def test_png_codec_roundtrip():
     from ouster_sdk_tpu.utils import png as P
 

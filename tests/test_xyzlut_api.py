@@ -14,6 +14,21 @@ def _info():
     return info
 
 
+def test_lut_rejects_mixed_angle_table_sizes():
+    """Both tables must be per-beam (h) or per-pixel (w*h) — mixed sizes
+    get the reference's diagnostic, not a downstream broadcast error
+    (ref: xyzlut.cpp 'unexpected scan dimensions')."""
+    info = _info()
+    h, w = info.h, info.w
+    with pytest.raises(ValueError, match="unexpected scan dimensions"):
+        make_xyz_lut(
+            w, h=h,
+            azimuth_angles_deg=np.zeros(h),
+            altitude_angles_deg=np.zeros(w * h),
+            beam_to_lidar_transform=np.eye(4),
+            transform=np.eye(4))
+
+
 def test_lut_zero_range_is_origin():
     info = _info()
     lut = make_xyz_lut(info)
