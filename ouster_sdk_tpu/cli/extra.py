@@ -29,6 +29,8 @@ def source_mask(ctx, mask_path):
     mask = img > 0
 
     def stage(it):
+        from ..ops.destagger import destagger
+
         for ls_set in it:
             for s in ls_set.valid():
                 m = mask
@@ -36,6 +38,11 @@ def source_mask(ctx, mask_path):
                     ys = np.linspace(0, m.shape[0] - 1, s.h).astype(int)
                     xs = np.linspace(0, m.shape[1] - 1, s.w).astype(int)
                     m = m[ys][:, xs]
+                # the PNG is drawn in destaggered (image) coordinates;
+                # apply it in the scan's staggered frame
+                # (ref: plugins/source.py:1141 destagger inverse=True)
+                if getattr(s, "sensor_info", None) is not None:
+                    m = destagger(s.sensor_info, m, inverse=True)
                 mask_scan(s, m)
             yield ls_set
 

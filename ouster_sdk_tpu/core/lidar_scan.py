@@ -133,12 +133,43 @@ class LidarScan:
     def __init__(
         self,
         info: Optional[SensorInfo] = None,
+        _pos2=None,
+        _pos3=None,
+        _pos4=None,
         *,
         w: Optional[int] = None,
         h: Optional[int] = None,
         field_types: Optional[List[FieldType]] = None,
         columns_per_packet: int = 16,
     ):
+        if isinstance(info, LidarScan):
+            # copy constructor (ref: lidar_scan.h LidarScan(const LidarScan&),
+            # used by e.g. MaskedScanSource to yield modified copies)
+            import copy as _copy
+
+            self.__dict__.update(_copy.deepcopy(info).__dict__)
+            return
+        if isinstance(info, (int, np.integer)):
+            # positional overloads (ref: client.pyi LidarScan.__init__):
+            #   (h, w) / (h, w, profile, cpp=16) / (w, h, field_types, cpp=16)
+            a, b = int(info), int(_pos2)
+            if _pos4 is not None:
+                columns_per_packet = int(_pos4)
+            if _pos3 is None:
+                h, w = a, b
+            elif isinstance(_pos3, (list, tuple)):
+                w, h = a, b
+                field_types = list(_pos3)
+            else:
+                h, w = a, b
+                profile = _pos3
+                if isinstance(profile, str):
+                    profile = UDPProfileLidar.from_string(profile)
+                field_types = get_field_types(DataFormat(
+                    pixels_per_column=h, columns_per_frame=w,
+                    columns_per_packet=columns_per_packet,
+                    udp_profile_lidar=profile))
+            info = None
         if info is not None:
             w = info.format.columns_per_frame
             h = info.format.pixels_per_column

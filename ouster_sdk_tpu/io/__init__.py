@@ -17,6 +17,7 @@ from .pcap import (  # noqa: F401
 from .pcap_source import (  # noqa: F401
     PcapPacketSource,
     RecordingPacketSource,
+    ichunked_before,
     resolve_metadata_paths,
 )
 from .pcap_scan_source import PcapScanSource  # noqa: F401

@@ -41,12 +41,16 @@ def clip_scan(scan: LidarScan, min_range_m: float, max_range_m: float,
 def mask_scan(scan: LidarScan, mask: np.ndarray,
               fields: Optional[Sequence[str]] = None) -> LidarScan:
     """Zero all pixel fields where mask (H, W) is falsy, in place
-    (ref: scan_ops.py:192 mask)."""
-    mask = np.asarray(mask).astype(bool)
-    names = fields if fields is not None else list(scan.fields)
-    for name in names:
-        if not scan.has_field(name):
-            continue
+    (ref: scan_ops.py:192-206 mask: shape validated, pixel-field targets
+    only, empty/None field list means all pixel fields)."""
+    mask = np.asarray(mask)
+    if mask.shape[0] != scan.h or mask.shape[1] != scan.w:
+        raise ValueError(
+            f"Used mask size {mask.shape} doesn't match scan size "
+            f"({scan.h}, {scan.w})")
+    mask = mask.astype(bool)
+    for name in _resolve_pixel_fields(scan, list(fields) if fields
+                                      else None):
         f = scan.field(name)
         if f.ndim >= 2 and f.shape[:2] == (scan.h, scan.w):
             f[~mask] = 0
@@ -250,22 +254,36 @@ class ClippedScanSource(ScanSource):
 
 
 class MaskedScanSource(ScanSource):
-    """(ref: sdk/core/masked_scan_source.py)"""
+    """Masks are given in DESTAGGERED (image) coordinates and are
+    inverse-destaggered per sensor at construction; scans are yielded as
+    modified copies (ref: sdk/core/masked_scan_source.py:11-57)."""
 
-    def __init__(self, parent: ScanSource, masks: List[Optional[np.ndarray]],
-                 fields: Optional[Sequence[str]] = None):
+    def __init__(self, parent: ScanSource, fields: Sequence[str],
+                 masks: List[Optional[np.ndarray]]):
+        from ..ops.destagger import destagger
+
+        if len(parent.sensor_info) != len(masks):
+            raise ValueError(
+                "the number of masks should match the count of sensors")
         super().__init__(parent.sensor_info)
         self._parent = parent
-        self._masks = masks
-        self._fields = fields
+        self._fields = list(fields)
+        self._masks = [
+            destagger(si, m, inverse=True) if m is not None else None
+            for si, m in zip(parent.sensor_info, masks)]
 
     def _iter_sets(self):
         for ls_set in self._parent:
+            out: List[Optional[LidarScan]] = []
             for idx, s in enumerate(ls_set):
-                if s is not None and idx < len(self._masks) and \
-                        self._masks[idx] is not None:
-                    mask_scan(s, self._masks[idx], self._fields)
-            yield ls_set
+                if s is None:
+                    out.append(None)
+                    continue
+                cpy = LidarScan(s)
+                if self._masks[idx] is not None:
+                    mask_scan(cpy, self._masks[idx], self._fields)
+                out.append(cpy)
+            yield LidarScanSet(out)
 
 
 class ReducedScanSource(ScanSource):

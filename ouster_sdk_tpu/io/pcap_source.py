@@ -19,6 +19,38 @@ from ..core.metadata import sensor_info_from_metadata
 from ..core.packets import ImuPacket, LidarPacket, Packet, ZonePacket
 
 
+def ichunked_before(it, pred):
+    """Chunk a stream lazily, starting a new chunk BEFORE each item where
+    pred is true (ref: sdk/pcap/packet_iter.py:16-56 ichunked_before):
+    chunks are iterators, not lists — no caching, safe on infinite
+    streams where pred may never fire; requesting the next chunk consumes
+    whatever remains of the current one."""
+    i = iter(it)
+    done = False
+    try:
+        t = next(i)
+    except StopIteration:
+        return
+
+    def chunk():
+        nonlocal done, t
+        yield t
+        for t in i:
+            if pred(t):
+                break
+            yield t
+        else:
+            done = True
+
+    import collections
+
+    while not done:
+        c = chunk()
+        yield c
+        # drain any unread remainder without retaining a reference to it
+        collections.deque(c, maxlen=0)
+
+
 class RecordingPacketSource:
     """Pass-through packet source that tees every packet to rolling pcap
     chunks while yielding it (ref: sdk/pcap/packet_iter.py:58

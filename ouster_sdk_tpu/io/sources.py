@@ -145,8 +145,11 @@ class LidarScanSet:
     """One collated time slice: at most one scan per sensor
     (ref: lidar_scan_set.h:213)."""
 
-    def __init__(self, scans: Sequence[Optional[LidarScan]]):
-        self._scans: List[Optional[LidarScan]] = list(scans)
+    def __init__(self, scans: Optional[Sequence[Optional[LidarScan]]]
+                 = None):
+        # empty overload (ref: client.pyi LidarScanSet.__init__())
+        self._scans: List[Optional[LidarScan]] = \
+            list(scans) if scans is not None else []
         # set-level fields (ref: lidar_scan_set.h add_field/field) — extra
         # arrays attached to the collation itself, not to any one scan
         self._fields: Dict[str, np.ndarray] = {}
@@ -158,7 +161,11 @@ class LidarScanSet:
     def field(self, name: str) -> np.ndarray:
         return self._fields[name]
 
-    def add_field(self, name: str, arr) -> np.ndarray:
+    def add_field(self, name: str, arr, shape=None) -> np.ndarray:
+        # overloads (ref: client.pyi LidarScanSet.add_field): (name, array)
+        # or (name, dtype, shape=())
+        if isinstance(arr, type) or isinstance(arr, np.dtype):
+            arr = np.zeros(tuple(shape or ()), dtype=arr)
         self._fields[name] = np.asarray(arr)
         return self._fields[name]
 
@@ -173,6 +180,10 @@ class LidarScanSet:
 
     def __getitem__(self, i: int) -> Optional[LidarScan]:
         return self._scans[i]
+
+    def __setitem__(self, i: int, value: Optional[LidarScan]) -> None:
+        # (ref: client.pyi LidarScanSet.__setitem__)
+        self._scans[i] = value
 
     def __iter__(self) -> Iterator[Optional[LidarScan]]:
         return iter(self._scans)

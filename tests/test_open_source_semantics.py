@@ -119,3 +119,37 @@ def test_raw_headers_and_raw_fields_options():
     raw1 = scan2.field("RAW32_WORD1")
     np.testing.assert_array_equal(raw1 & 0x7FFFF,
                                   scan2.field(ChanField.RANGE))
+
+
+# -- sliced-source parity matrix (ref: python/tests/test_scan_source_slice.py
+#    test_slicing_level_1/2: a sliced source behaves like native list
+#    slicing of the original, including nested re-slicing) ----------------
+
+_L = 3  # both lb_n3 fixtures hold exactly 3 scans
+_SLICE_PATHS = [
+    "/root/reference/tests/osfs/OS-1-128_v2.3.0_1024x10_lb_n3.osf",
+    "/root/reference/tests/pcaps/OS-1-128_v2.3.0_1024x10_lb_n3.pcap",
+]
+
+
+@pytest.mark.parametrize("path", _SLICE_PATHS)
+@pytest.mark.parametrize("start, stop, step", [
+    (0, _L, None), (0, _L - 1, None), (0, _L - 3, None),
+    (1, _L, None), (3, _L, None), (0, _L + _L, None),
+    (0, -1, None), (0, -_L, None),
+    (-1, _L, None), (-_L, _L, None),
+    (0, _L, 2), (0, _L, 3), (0, _L - 1, 2),
+    (1, _L, 2), (1, _L - 1, 3),
+])
+def test_sliced_source_matches_native_slicing(path, start, stop, step):
+    _need(path)
+    src = open_source(path, index=True)
+    ref_ids = [s[0].frame_id for s in src]
+    assert len(ref_ids) == _L
+    s = slice(start, stop, step)
+    sliced = src[s]
+    assert len(sliced) == len(ref_ids[s])
+    assert [x[0].frame_id for x in sliced] == ref_ids[s]
+    # level-2 nested slicing composes (ref test_slicing_level_2_*)
+    nested = sliced[1:]
+    assert [x[0].frame_id for x in nested] == ref_ids[s][1:]
