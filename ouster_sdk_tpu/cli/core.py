@@ -515,14 +515,19 @@ def source_stats(ctx):
             for idx, s in enumerate(ls_set):
                 if s is None:
                     continue
-                rng = s.field(ChanField.RANGE)
-                valid = rng[rng > 0]
-                click.echo(
-                    f"scan {n} sensor {idx}: frame_id={s.frame_id} "
-                    f"complete={s.complete()} "
-                    f"valid_px={valid.size} "
-                    f"range[m] min={valid.min()*1e-3 if valid.size else 0:.2f} "
-                    f"max={valid.max()*1e-3 if valid.size else 0:.2f}")
+                line = (f"scan {n} sensor {idx}: frame_id={s.frame_id} "
+                        f"complete={s.complete()}")
+                if s.has_field(ChanField.RANGE):
+                    rng = s.field(ChanField.RANGE)
+                    valid = rng[rng > 0]
+                    lo = valid.min() * 1e-3 if valid.size else 0
+                    hi = valid.max() * 1e-3 if valid.size else 0
+                    line += (f" valid_px={valid.size} "
+                             f"range[m] min={lo:.2f} max={hi:.2f}")
+                else:
+                    # lidar-stream-off sources carry IMU/zone data only
+                    line += " (no lidar fields)"
+                click.echo(line)
             n += 1
         click.echo(f"total scan sets: {n}")
 

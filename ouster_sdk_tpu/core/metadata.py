@@ -690,6 +690,21 @@ def parse_and_validate_metadata(
     _parse_intrinsics(p, info)
     _parse_calibration_status(p, info)
 
+    # zone monitoring also engages via a configured zm destination
+    # (ref: metadata.cpp:650-656)
+    if (info.config.udp_dest_zm or "") and \
+            (info.config.udp_port_zm or 0) != 0:
+        info.format.zone_monitoring_enabled = True
+
+    # lidar stream disabled: port 0 or empty udp_dest means no lidar
+    # packets will ever arrive — profile OFF so batching completes from
+    # IMU/zone packets alone (ref: metadata.cpp:658-665)
+    port = info.config.udp_port_lidar
+    dest = info.config.udp_dest
+    if (port if port is not None else 7504) == 0 or \
+            (dest is not None and dest == ""):
+        info.format.udp_profile_lidar = UDPProfileLidar.OFF
+
     if "user_data" in root and isinstance(root["user_data"], str):
         info.user_data = root["user_data"]
 

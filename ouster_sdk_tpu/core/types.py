@@ -232,8 +232,10 @@ class DataFormat:
         return self.columns_per_frame - start + end + 1
 
     def lidar_packets_per_frame(self) -> int:
-        """Packets needed to cover the column window
-        (ref: types.h:849-856)."""
+        """Packets needed to cover the column window; 0 when the lidar
+        stream is disabled (ref: types.cpp:725-727)."""
+        if self.udp_profile_lidar == UDPProfileLidar.OFF:
+            return 0
         if self.columns_per_packet == 0:
             return 0
         start, end = self.column_window

@@ -543,13 +543,14 @@ class ScanSourceOptions:
 
     def check(self, context: str) -> None:
         """Raise if a set option was never consumed
-        (ref: open_source.cpp:281-318)."""
+        (ref: open_source.cpp:281-318; reference surfaces this as a
+        SourceURLException 'Parameter X not supported by Y')."""
         for name, value in vars(self).items():
             if name.startswith("_") or value is None:
                 continue
             if name not in self._consumed:
-                raise ValueError(
-                    f"option '{name}' is not supported by {context}")
+                raise RuntimeError(
+                    f"Parameter '{name}' not supported by {context}.")
 
 
 _SCAN_SOURCE_BUILDERS: Dict[IoType, Callable] = {}
@@ -590,11 +591,11 @@ def open_source(source: str, *, sensor_idx: int = -1, collate: bool = True,
     opts = ScanSourceOptions(**options)
     try:
         src = _SCAN_SOURCE_BUILDERS[t](source, opts)
+        opts.check(f"{t.value} scan source")
     except (KeyboardInterrupt, SystemExit):
         raise
     except Exception as ex:
         raise SourceURLException(ex, [source], False) from ex
-    opts.check(f"{t.value} scan source")
     if sensor_idx >= 0:
         return src.single(sensor_idx)
     return src
@@ -610,11 +611,11 @@ def open_packet_source(source: str, **options):
     opts = ScanSourceOptions(**options)
     try:
         src = _PACKET_SOURCE_BUILDERS[t](source, opts)
+        opts.check(f"{t.value} packet source")
     except (KeyboardInterrupt, SystemExit):
         raise
     except Exception as ex:
         raise SourceURLException(ex, [source], True) from ex
-    opts.check(f"{t.value} packet source")
     return src
 
 

@@ -165,3 +165,143 @@ def test_ichunked_exhausting_chunk_ends_iterator():
     list(next(it))
     with pytest.raises(StopIteration):
         next(it)
+
+
+# -- resolve_metadata (ref: test_sdk_utils.py:17-113) ----------------------
+
+def test_resolve_metadata_requires_data_file(tmp_path):
+    from ouster_sdk_tpu.utils import resolve_metadata
+
+    with pytest.raises(ValueError, match="must be a path to a file"):
+        resolve_metadata("")
+    with pytest.raises(ValueError, match="must be a path to a file"):
+        resolve_metadata(str(tmp_path))
+
+
+def test_resolve_metadata_requires_meta_file(tmp_path):
+    from ouster_sdk_tpu.utils import resolve_metadata
+
+    data = tmp_path / "data.pcap"
+    data.touch()
+    with pytest.raises(ValueError, match="metadata parameter"):
+        resolve_metadata(str(data), str(tmp_path))
+
+
+def test_resolve_metadata_needs_common_prefix(tmp_path):
+    from ouster_sdk_tpu.utils import resolve_metadata, resolve_metadata_multi
+
+    (tmp_path / "foo").touch()
+    (tmp_path / "tmpfile.json").touch()
+    assert resolve_metadata(str(tmp_path / "foo")) is None
+    assert resolve_metadata_multi(str(tmp_path / "foo")) == []
+    (tmp_path / "tmpfile").touch()
+    assert resolve_metadata(str(tmp_path / "tmpfile")) == \
+        str(tmp_path / "tmpfile.json")
+
+
+def test_resolve_metadata_multi_distinct_sensors():
+    from ouster_sdk_tpu.utils import resolve_metadata_multi
+
+    base = "/root/reference/tests/pcaps/OS-0-128_v3.0.1_1024x10"
+    _need(base + ".pcap")
+    assert set(resolve_metadata_multi(base + ".pcap")) == \
+        {base + ".json", base + ".2.json"}
+
+
+def test_resolve_metadata_multi_duplicate_sensor_raises():
+    from ouster_sdk_tpu.utils import resolve_metadata_multi
+
+    p = ("/root/reference/tests/pcaps/"
+         "OS-0-128_v3.0.1_1024x10_20240321_125947.pcap")
+    _need(p)
+    with pytest.raises(RuntimeError, match="same sensor"):
+        resolve_metadata_multi(p)
+
+
+# -- FUSA profile + CRC (ref: test_parsing.py) ------------------------------
+
+def test_fusa_profile_packet_headers():
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    from ouster_sdk_tpu.core.packets import LidarPacket
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+    from ouster_sdk_tpu.ops.packet_format import PacketFormat
+
+    base = ("/root/reference/tests/pcaps/"
+            "OS-1-128_767798045_1024x10_20230712_120049")
+    _need(base + ".pcap")
+    si = sensor_info_from_metadata(open(base + ".json").read())
+    pf = PacketFormat(si)
+    assert pf.udp_profile_lidar == UDPProfileLidar.FUSA_RNG15_RFL8_NIR8_DUAL
+    assert si.format.columns_per_packet == 16
+    assert si.format.pixels_per_column == 128
+    p = next(p for _, p in PcapPacketSource(base + ".pcap",
+                                            sensor_infos=[si])
+             if isinstance(p, LidarPacket))
+    arr = np.frombuffer(p.buf, np.uint8)
+    assert pf.packet_type(arr) == 1
+    assert pf.frame_id(arr) == 229          # ref: test_parsing.py:41
+    assert pf.init_id(arr) == si.init_id
+    assert pf.prod_sn(arr) == si.sn
+
+
+def test_packet_crc_matches_stored():
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    from ouster_sdk_tpu.core.packets import LidarPacket
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+    from ouster_sdk_tpu.ops.packet_format import PacketFormat
+
+    base = "/root/reference/tests/pcaps/crc_test"
+    _need(base + ".pcap")
+    si = sensor_info_from_metadata(open(base + ".json").read())
+    pf = PacketFormat(si)
+    count = 0
+    for _, p in PcapPacketSource(base + ".pcap", sensor_infos=[si]):
+        if isinstance(p, LidarPacket):
+            assert pf.crc(p.buf) == pf.calculate_crc(p.buf)
+            count += 1
+    assert count == 34                      # ref: test_parsing.py:88
+
+
+# -- open_source edge scenarios (ref: test_open_source.py) -----------------
+
+def test_meta_option_rejected_by_osf():
+    from ouster_sdk_tpu.io.sources import SourceURLException
+
+    p = "/root/reference/tests/osfs/OS-1-128_v2.3.0_1024x10_lb_n3.osf"
+    _need(p)
+    with pytest.raises(SourceURLException,
+                       match="Parameter 'meta' not supported"):
+        open_source(p, meta=["fake_meta.json"])
+
+
+def test_open_packet_source_bag_yields_packets():
+    from ouster_sdk_tpu.io.sources import open_packet_source
+
+    p = "/root/reference/tests/bags/512x10_raw.bag"
+    _need(p)
+    idx, packet = next(iter(open_packet_source(p)))
+    assert packet.buf is not None and len(packet.buf) > 0
+
+
+def test_source_with_no_lidar_stream():
+    """udp_port_lidar=0 disables the lidar stream: profile OFF, zero
+    lidar packets per frame, frames batch from IMU/zone packets with no
+    pixel fields (ref: test_open_source.py:157-173,
+    metadata.cpp:658-665)."""
+    from ouster_sdk_tpu.core.field import FieldClass
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+
+    p = "/root/reference/tests/pcaps/imu_zm_no_lidar.pcap"
+    _need(p)
+    src = open_source(p)
+    info = src.sensor_info[0]
+    assert info.format.udp_profile_lidar == UDPProfileLidar.OFF
+    assert info.format.lidar_packets_per_frame() == 0
+    assert info.format.zone_monitoring_enabled
+    scan = next(iter(src))[0]
+    names = [ft.name for ft in scan.field_types]
+    assert "IMU_PACKET_TIMESTAMP" in names
+    assert "ZONE_PACKET_TIMESTAMP" in names
+    assert all(ft.field_class != FieldClass.PIXEL_FIELD
+               for ft in scan.field_types)
