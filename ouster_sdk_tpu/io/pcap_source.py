@@ -221,8 +221,37 @@ class PcapPacketSource:
                     self._infos.append(sensor_info_from_metadata(f.read()))
         self._soft_id_check = soft_id_check
         self._formats = [PacketFormat.from_info(i) for i in self._infos]
+        self._check_duplicate_ports()
         self.id_error_count = 0
         self.size_error_count = 0
+
+    def _check_duplicate_ports(self) -> None:
+        """Two sensors may share a port only if their packets are
+        distinguishable by serial; LEGACY lidar/IMU packets carry no id,
+        so any same-port legacy pair is ambiguous
+        (ref: indexed_pcap_reader.cpp:85-131)."""
+        from ..core.types import UDPProfileIMU
+        from .pcap import PcapDuplicatePortException
+
+        port_map: Dict[int, Dict[str, int]] = {}
+        for index, info in enumerate(self._infos):
+            sn_lidar = sn_imu = sn_zm = str(info.sn)
+            if info.format.udp_profile_lidar == UDPProfileLidar.LEGACY:
+                sn_lidar = "LEGACY_LIDAR"
+            if info.format.udp_profile_imu == UDPProfileIMU.LEGACY:
+                sn_imu = "LEGACY_IMU"
+            for name, port, sn in (
+                    ("lidar", info.config.udp_port_lidar, sn_lidar),
+                    ("imu", info.config.udp_port_imu, sn_imu),
+                    ("zm", info.config.udp_port_zm, sn_zm)):
+                if port is None or port == 0:
+                    continue  # unknown / stream disabled
+                seen = port_map.setdefault(port, {})
+                if sn in seen:
+                    raise PcapDuplicatePortException(
+                        f"Duplicate {name} port/sn found in pcap: "
+                        f"{sn}:{port}")
+                seen[sn] = index
 
     @property
     def sensor_info(self) -> List[SensorInfo]:

@@ -14,6 +14,25 @@ from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
 PCAP_DIR = "/root/reference/tests/pcaps"
 
 
+def _deconflicted_infos(metas, imu_ports):
+    """Load sensor infos, reassigning IMU ports: legacy IMU packets carry
+    no id, so same-imu-port pairs are rejected (reference semantics) —
+    the reference's own multi-sensor tests deconflict the same way
+    (ref: python/tests/test_multiple_scan_source_pcap.py patch_json_file)."""
+    import json
+
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+
+    infos = []
+    for meta, port in zip(metas, imu_ports):
+        d = json.load(open(meta))
+        if port is not None:
+            d["config_params"]["udp_port_imu"] = port
+        infos.append(sensor_info_from_metadata(d))
+    return infos
+
+
+
 def test_same_ports_two_sensors():
     """Two sensors sharing ports: disambiguated by packet size/serial."""
     path = os.path.join(PCAP_DIR, "same_ports.pcap")
@@ -21,7 +40,8 @@ def test_same_ports_two_sensors():
              os.path.join(PCAP_DIR, "same_ports.2.json")]
     if not all(map(os.path.exists, [path] + metas)):
         pytest.skip("fixture missing")
-    src = PcapPacketSource(path, metadata_paths=metas)
+    src = PcapPacketSource(
+        path, sensor_infos=_deconflicted_infos(metas, [7503, None]))
     assert len(src.sensor_info) == 2
     counts = {0: 0, 1: 0}
     for idx, p in src:
@@ -35,7 +55,8 @@ def test_collated_scan_source_two_sensors():
              os.path.join(PCAP_DIR, "same_ports_nonlegacy.2.json")]
     if not all(map(os.path.exists, [path] + metas)):
         pytest.skip("fixture missing")
-    src = PcapScanSource(path, meta=metas)
+    src = PcapScanSource(
+        path, sensor_infos=_deconflicted_infos(metas, [7503, None]))
     sets = list(src)
     assert sets, "no collated sets"
     # at least one set should carry scans from both sensors over the run
@@ -148,3 +169,63 @@ def test_frame_reader_per_sensor_port_filter(tmp_path):
     assert fids_b == [101, 102]
     pf_a, pl_a, hd_a, _ = next(fr_a.iter_planar_chunks(4))
     assert list(pf_a) == [1, 2]
+
+
+@pytest.mark.parametrize("name", ["same_ports", "same_ports_legacy",
+                                  "same_ports_nonlegacy"])
+def test_duplicate_imu_port_rejected(name):
+    """Same IMU port across sensors is ambiguous (legacy IMU packets
+    carry no id) -> PcapDuplicatePortException
+    (ref: test_multiple_scan_source_pcap.py:40-50)."""
+    from ouster_sdk_tpu.io.pcap import PcapDuplicatePortException
+
+    path = os.path.join(PCAP_DIR, f"{name}.pcap")
+    metas = [os.path.join(PCAP_DIR, f"{name}.1.json"),
+             os.path.join(PCAP_DIR, f"{name}.2.json")]
+    if not all(map(os.path.exists, [path] + metas)):
+        pytest.skip("fixture missing")
+    with pytest.raises(PcapDuplicatePortException):
+        PcapScanSource(path, meta=metas)
+
+
+def test_duplicate_legacy_lidar_port_rejected():
+    """Even with IMU deconflicted, two LEGACY-lidar sensors on one port
+    cannot be told apart (ref: test_multiple_scan_source_pcap.py:117)."""
+    from ouster_sdk_tpu.io.pcap import PcapDuplicatePortException
+
+    path = os.path.join(PCAP_DIR, "same_ports_legacy.pcap")
+    metas = [os.path.join(PCAP_DIR, "same_ports_legacy.1.json"),
+             os.path.join(PCAP_DIR, "same_ports_legacy.2.json")]
+    if not all(map(os.path.exists, [path] + metas)):
+        pytest.skip("fixture missing")
+    with pytest.raises(PcapDuplicatePortException):
+        PcapScanSource(
+            path, sensor_infos=_deconflicted_infos(metas, [7503, None]))
+
+
+def test_bad_id_sensor_yields_none_other_decodes(tmp_path):
+    """Mismatched serials: the bad-id sensor's scans are None while the
+    matching sensor still decodes
+    (ref: test_multiple_scan_source_pcap.py:83-114)."""
+    import json
+
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+    from ouster_sdk_tpu.io.sources import collate
+
+    path = os.path.join(PCAP_DIR, "same_ports.pcap")
+    metas = [os.path.join(PCAP_DIR, "same_ports.1.json"),
+             os.path.join(PCAP_DIR, "same_ports.2.json")]
+    if not all(map(os.path.exists, [path] + metas)):
+        pytest.skip("fixture missing")
+    infos = []
+    for m, imu, sn in zip(metas, (7503, None), (1234, 5678)):
+        d = json.load(open(m))
+        if imu:
+            d["config_params"]["udp_port_imu"] = imu
+        d["sensor_info"]["prod_sn"] = sn
+        infos.append(sensor_info_from_metadata(d))
+    src = PcapScanSource(path, sensor_infos=infos)
+    scans = list(iter(collate(src)))[0]
+    assert scans[0] is None
+    assert scans[1] is not None
+    assert scans[1].frame_id == 883 and scans[1].h == 64
