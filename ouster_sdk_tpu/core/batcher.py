@@ -216,6 +216,15 @@ class ScanBatcher:
                 continue
             info = pf.field_info(name)
             tgt = ls.field(name)
+            if not np.issubdtype(tgt.dtype, np.floating) and \
+                    tgt.dtype.itemsize < info.dtype.itemsize:
+                # destination can't hold the decoded values — reject like
+                # the reference's typed field visitor
+                # (ref: python/tests/test_batching.py:201-225
+                # test_incompatible_profile)
+                raise ValueError(
+                    f"field {name} dtype {tgt.dtype} is too small for "
+                    f"profile values ({info.dtype})")
             if info.num_elements > 1:
                 vals = np.stack(
                     [read_bits(px, info, element=e)

@@ -150,18 +150,18 @@ class LidarScan:
             self.__dict__.update(_copy.deepcopy(info).__dict__)
             return
         if isinstance(info, (int, np.integer)):
-            # positional overloads (ref: client.pyi LidarScan.__init__):
-            #   (h, w) / (h, w, profile, cpp=16) / (w, h, field_types, cpp=16)
-            a, b = int(info), int(_pos2)
+            # positional overloads, all (h, w)-first like the reference
+            # bindings' lambdas (ref: python/src/cpp/client/
+            # lidar_scan.cpp:60-103 — note the py::arg names of the
+            # field_types overload are swapped there; positional order
+            # is what its own tests rely on):
+            #   (h, w) / (h, w, profile, cpp=16) / (h, w, field_types, cpp=16)
+            h, w = int(info), int(_pos2)
             if _pos4 is not None:
                 columns_per_packet = int(_pos4)
-            if _pos3 is None:
-                h, w = a, b
-            elif isinstance(_pos3, (list, tuple)):
-                w, h = a, b
+            if isinstance(_pos3, (list, tuple)):
                 field_types = list(_pos3)
-            else:
-                h, w = a, b
+            elif _pos3 is not None:
                 profile = _pos3
                 if isinstance(profile, str):
                     profile = UDPProfileLidar.from_string(profile)
@@ -170,6 +170,10 @@ class LidarScan:
                     columns_per_packet=columns_per_packet,
                     udp_profile_lidar=profile))
             info = None
+        elif info is not None and isinstance(_pos2, (list, tuple)):
+            # (sensor_info, field_types) overload
+            # (ref: lidar_scan.cpp:132-135)
+            field_types = list(_pos2)
         if info is not None:
             w = info.format.columns_per_frame
             h = info.format.pixels_per_column

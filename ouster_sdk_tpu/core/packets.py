@@ -35,12 +35,23 @@ class Packet:
     __slots__ = ("buf", "host_timestamp", "format")
     TYPE = PacketType.Unknown
 
-    def __init__(self, buf: Union[bytes, bytearray, np.ndarray],
+    def __init__(self,
+                 buf: Union[int, bytes, bytearray, np.ndarray] = 65536,
                  host_timestamp: int = 0):
-        if isinstance(buf, np.ndarray):
+        if isinstance(buf, (int, np.integer)):
+            # size overload: writable zeroed buffer, for PacketWriter
+            # synthesis (ref: python/src/cpp/client/packet.cpp:353
+            # py::init<int>, size=65536)
+            self.buf = np.zeros(int(buf), dtype=np.uint8)
+        elif isinstance(buf, np.ndarray):
             self.buf = np.ascontiguousarray(buf, dtype=np.uint8)
+        elif isinstance(buf, bytes):
+            # zero-copy (read-only) view — the pcap hot path
+            self.buf = np.frombuffer(buf, dtype=np.uint8)
         else:
-            self.buf = np.frombuffer(bytes(buf), dtype=np.uint8)
+            # bytearray/memoryview: zero-copy view, writable when the
+            # source is
+            self.buf = np.frombuffer(buf, dtype=np.uint8)
         self.host_timestamp = int(host_timestamp)
         self.format = None
 

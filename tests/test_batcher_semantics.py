@@ -147,3 +147,78 @@ def test_invalid_columns_zeroed():
     assert not scan.complete()
     good = 2 * cpp + 4
     assert scan.field(ChanField.RANGE)[:, good].any()
+
+
+def test_custom_fields_preserved_and_subset_batched():
+    """Batching into a scan declaring a field subset + custom fields:
+    declared profile fields fill, custom fields keep their data
+    (ref: python/tests/test_batching.py:151-198)."""
+    from ouster_sdk_tpu.core.field import FieldClass, FieldType
+
+    info = _info()
+    fields = [FieldType(ChanField.RANGE, np.uint32, (),
+                        FieldClass.PIXEL_FIELD),
+              FieldType(ChanField.SIGNAL, np.uint16, (),
+                        FieldClass.PIXEL_FIELD),
+              FieldType("custom0", np.uint8, (), FieldClass.PIXEL_FIELD),
+              FieldType("custom8", np.uint16, (), FieldClass.PIXEL_FIELD)]
+    ls = LidarScan(info.format.pixels_per_column,
+                   info.format.columns_per_frame, fields)
+    for f in ls.fields:
+        assert np.count_nonzero(ls.field(f)) == 0
+    ls.field("custom8")[:] = 8
+    b = ScanBatcher(info)
+    for p in _packets(info, 7):
+        b(p, ls)
+    assert len(list(ls.fields)) == len(fields)
+    assert np.count_nonzero(ls.field(ChanField.RANGE)) > 0
+    assert np.all(ls.field("custom0") == 0)
+    assert np.all(ls.field("custom8") == 8)
+
+
+def test_incompatible_field_dtype_rejected():
+    """A destination dtype too small for the profile's values raises
+    (ref: python/tests/test_batching.py:201-225)."""
+    from ouster_sdk_tpu.core.field import FieldClass, FieldType
+
+    info = _info()
+    ls = LidarScan(info.format.pixels_per_column,
+                   info.format.columns_per_frame,
+                   [FieldType(ChanField.RANGE, np.uint8, (),
+                              FieldClass.PIXEL_FIELD)])
+    b = ScanBatcher(info)
+    with pytest.raises(ValueError, match="too small"):
+        for p in _packets(info, 3):
+            b(p, ls)
+
+
+def test_bad_column_ids_near_block_boundary():
+    """Valid columns whose m_ids all point near the frame edge must fall
+    back to column parsing without crashing
+    (ref: python/tests/test_batching.py:318-348)."""
+    from ouster_sdk_tpu.core.types import HeaderType, UDPProfileIMU
+    from ouster_sdk_tpu.ops.packet_format import (
+        PacketWriter as OpsPacketWriter,
+    )
+
+    info = SensorInfo()
+    info.format.column_window = (0, 1023)
+    info.format.columns_per_frame = 1024
+    info.format.columns_per_packet = 16
+    info.format.pixels_per_column = 128
+    info.format.udp_profile_lidar = \
+        UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_DUAL
+    info.format.udp_profile_imu = UDPProfileIMU.LEGACY
+    info.format.header_type = HeaderType.STANDARD
+    w = OpsPacketWriter.from_info(info)
+    b = ScanBatcher(info)
+    scan = LidarScan(info)
+    scan.frame_id = 0
+    pkt = LidarPacket(w.lidar_packet_size)   # writable size-overload
+    pkt.host_timestamp = 1
+    for i in range(info.format.columns_per_packet):
+        w.set_col_status(pkt, i, 1)
+        w.set_col_measurement_id(pkt, i, 1020)
+    b(pkt, scan)
+    assert scan.status[1020] == 1
+    assert scan.status[1021] == 0

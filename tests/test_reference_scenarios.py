@@ -96,8 +96,11 @@ def test_lidar_scan_ctor_overloads():
     assert (s.h, s.w) == (16, 512)
     assert s.has_field("NEAR_IR") and not s.has_field("SIGNAL")
     ft = [FieldType("RANGE", np.uint32, (), FieldClass.PIXEL_FIELD)]
-    s = LidarScan(512, 16, ft)         # field_types overload = (w, h, ...)
-    assert (s.w, s.h) == (512, 16) and list(s.fields) == ["RANGE"]
+    # field_types overload is ALSO (h, w, ...)-positional — the reference
+    # binding's own tests pass pixels_per_column first
+    # (ref: test_batching.py:170-172)
+    s = LidarScan(16, 512, ft)
+    assert (s.h, s.w) == (16, 512) and list(s.fields) == ["RANGE"]
 
 
 # -- ichunked_before (ref: test_packet_iter.py) ----------------------------
