@@ -469,14 +469,23 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
 // projection itself). Loop order (k, p, c-within-packet) keeps writes in
 // 64-byte bursts while the 24-33 kB packet stays cache-resident.
 // Same grouping/resume contract as onat_group_frames.
+//
+// word_sel/n_sel (optional; NULL/0 = all words): stage only the listed
+// packet-word planes, compacted in the given order — out_planes is then
+// (max_frames, n_sel, h, W). Projection-only consumers (RANGE words)
+// cut the staged+memset bytes to n_sel/pw of the full layout on top of
+// the h2d savings (the Python-side subset copy this replaces still
+// staged every word).
 int64_t onat_group_frames_planar(
     const uint8_t* payloads, const int64_t* offsets, const uint64_t* ts_in,
     int64_t count, int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
     uint64_t fid_mask, int64_t hw_bytes, int64_t cw_bytes, int64_t chw_bytes,
     int64_t mid_byte_in_col, int64_t cpp, int64_t h, int64_t pw, int64_t W,
     uint8_t* out_planes, uint8_t* out_colhdr, int64_t* out_fids,
-    uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes) {
-    const int64_t plane_bytes = (int64_t)pw * h * W * 4;
+    uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes,
+    const int64_t* word_sel, int64_t n_sel) {
+    const int64_t pw_out = (word_sel && n_sel > 0) ? n_sel : pw;
+    const int64_t plane_bytes = (int64_t)pw_out * h * W * 4;
     const int64_t colhdr_bytes = (int64_t)(chw_bytes / 4) * W * 4;
     const int64_t chw = chw_bytes / 4;
     int64_t nf = 0, i = 0;
@@ -522,15 +531,20 @@ int64_t onat_group_frames_planar(
                 if (mid >= W) continue;
                 const uint8_t* px = col + chw_bytes;
                 for (int64_t pp = 0; pp < h; pp++)
-                    for (int64_t k = 0; k < pw; k++)
-                        std::memcpy(planes + ((k * h + pp) * W + mid) * 4,
-                                    px + (pp * pw + k) * 4, 4);
+                    for (int64_t ko = 0; ko < pw_out; ko++) {
+                        int64_t k = word_sel && n_sel > 0 ? word_sel[ko]
+                                                          : ko;
+                        std::memcpy(
+                            planes + ((ko * h + pp) * W + mid) * 4,
+                            px + (pp * pw + k) * 4, 4);
+                    }
             }
             continue;
         }
-        for (int64_t k = 0; k < pw; k++) {
+        for (int64_t ko = 0; ko < pw_out; ko++) {
+            int64_t k = word_sel && n_sel > 0 ? word_sel[ko] : ko;
             for (int64_t pp = 0; pp < h; pp++) {
-                uint8_t* dst = planes + ((k * h + pp) * W + mid0) * 4;
+                uint8_t* dst = planes + ((ko * h + pp) * W + mid0) * 4;
                 const uint8_t* src =
                     p + hw_bytes + chw_bytes + (pp * pw + k) * 4;
                 for (int64_t c = 0; c < cpp; c++)

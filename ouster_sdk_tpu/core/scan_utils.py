@@ -9,7 +9,7 @@ stays free of convenience-layer imports.
 from __future__ import annotations
 
 from enum import Enum
-from typing import Callable, Union
+from typing import Callable, Optional, Union
 
 import numpy as np
 
@@ -35,53 +35,60 @@ class ColHeader(Enum):
 
 
 class FrameBorder:
-    """Callable that flags packets crossing a frame boundary
-    (ref: core/core.py:51-72). ``pred`` gates whether a detected border
-    is reported."""
+    """Callable that flags lidar packets whose frame id differs from the
+    previous packet's (ref: core/core.py:51-72). ``pred`` gates whether a
+    detected border is reported. Non-lidar packets never report a border.
+
+    Consecutive calls with the same packet (identified by a nonzero host
+    receive timestamp) return the cached answer instead of re-deciding, so
+    wrapping iterators may probe the same packet twice.
+    """
 
     def __init__(self, meta: SensorInfo,
                  pred: Callable[[Packet], bool] = lambda _: True):
         from ..ops.packet_format import PacketFormat
 
-        self._last_f_id = -1
-        self._last_packet_ts = None
-        self._last_packet_res = False
-        self._pred = pred
         self._pf = PacketFormat(meta)
+        self._pred = pred
+        self._prev_frame: Optional[int] = None
+        self._memo: tuple = (None, False)  # (host_ts, last answer)
 
     def __call__(self, packet: Packet) -> bool:
-        if isinstance(packet, LidarPacket):
-            # don't examine the same packet twice (host ts match)
-            if (self._last_packet_ts and packet.host_timestamp != 0
-                    and self._last_packet_ts == packet.host_timestamp):
-                return self._last_packet_res
-            self._last_packet_ts = packet.host_timestamp
-            f_id = self._pf.frame_id(packet.buf)
-            changed = self._last_f_id != -1 and f_id != self._last_f_id
-            self._last_packet_res = changed and self._pred(packet)
-            self._last_f_id = f_id
-            return self._last_packet_res
-        return False
+        if not isinstance(packet, LidarPacket):
+            return False
+        memo_ts, memo_res = self._memo
+        if memo_ts and packet.host_timestamp and memo_ts == packet.host_timestamp:
+            return memo_res
+        frame = self._pf.frame_id(packet.buf)
+        crossed = self._prev_frame is not None and frame != self._prev_frame
+        self._prev_frame = frame
+        result = bool(crossed and self._pred(packet))
+        self._memo = (packet.host_timestamp, result)
+        return result
 
 
 def first_valid_column_pose(scan: LidarScan) -> np.ndarray:
-    """First valid column pose of a LidarScan (ref: core/core.py:75)."""
-    return scan.pose[scan.get_first_valid_column()]
+    """Pose of the first valid column (ref: core/core.py:75)."""
+    return scan.pose[int(scan.get_first_valid_column())]
 
 
 def last_valid_column_pose(scan: LidarScan) -> np.ndarray:
-    """Last valid column pose of a LidarScan (ref: core/core.py:80)."""
-    return scan.pose[scan.get_last_valid_column()]
+    """Pose of the last valid column (ref: core/core.py:80)."""
+    return scan.pose[int(scan.get_last_valid_column())]
 
 
 def valid_packet_idxs(scan: LidarScan) -> np.ndarray:
-    """Indices of packets that contributed to the scan: any valid column
-    status OR a nonzero packet receive timestamp (ref: core/core.py:85-98)."""
-    valid_cols = scan.status & 0x1
-    valid_packet_ts = scan.packet_timestamp != 0
-    sp = np.split(valid_cols, scan.packet_timestamp.shape[0])
-    valid_packets = np.logical_or(np.any(sp, axis=1), valid_packet_ts)
-    return np.nonzero(valid_packets)[0]
+    """Indices of packets that contributed to the scan
+    (ref: core/core.py:85-98).
+
+    A packet counts as present when either holds: some column it carried
+    has a valid status bit, or its host receive timestamp is nonzero (a
+    packet can arrive with headers only, every pixel column invalid).
+    """
+    n_packets = scan.packet_timestamp.shape[0]
+    col_ok = (scan.status & 0x1).astype(bool).reshape(n_packets, -1)
+    present = col_ok.any(axis=1) | (scan.packet_timestamp != 0)
+    return np.flatnonzero(present)
 
 
 def poses_present(scan: LidarScan) -> bool:

@@ -99,6 +99,66 @@ class FrameReader:
                 # zero-copy hot path; steady-state copies recycle arenas)
                 yield int(fids[k]), frames[k].copy(), int(tss[k])
 
+    def iter_planar_chunks_pipelined(
+            self, chunk: int = 8,
+            words: Optional[Tuple[int, ...]] = None,
+            depth: int = 2) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """iter_planar_chunks with the host stage (native pcap scan +
+        reassembly + planar packing) running on a background thread,
+        overlapped with whatever the consumer does (h2d transfer + device
+        dispatch). The staging pool ring is sized depth+2 so a yielded
+        view stays valid while up to `depth` staged chunks queue ahead
+        (the native pack is a ctypes call, so it drops the GIL and
+        genuinely overlaps device work). This is the replay ingest
+        topology of the reference's thread-per-role design
+        (ref: sensor_packet_source.cpp:550, async_writer.cpp) applied to
+        the TPU upload path."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+        done = object()
+        err: List[BaseException] = []
+
+        def produce():
+            try:
+                for item in self.iter_planar_chunks(
+                        chunk, words, pool_depth=depth + 2):
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # surfaced on the consumer side
+                err.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(done, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=produce, daemon=True,
+                             name="frame-staging")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
+        if err:
+            raise err[0]
+
     def iter_chunks(self, chunk: int = 8) -> Iterator[
             Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (frame_ids, frames (m, n_pkts, pkt_words) u32, host_ts)
@@ -163,7 +223,8 @@ class FrameReader:
             yield fid_out[:nf].copy(), pool[:nf], ts_out[:nf].copy()
 
     def iter_planar_chunks(self, chunk: int = 8,
-                           words: Optional[Tuple[int, ...]] = None
+                           words: Optional[Tuple[int, ...]] = None,
+                           pool_depth: int = 2
                            ) -> Iterator[
             Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
         """Yield (frame_ids, planes (m, pw, h, W) u32, col_hdrs
@@ -204,46 +265,39 @@ class FrameReader:
         g = self.pf.geom
         fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
         fid_mask = (1 << g.frame_id.bit_size) - 1
-        key = ("planar", chunk, words)
+        key = ("planar", chunk, words, pool_depth)
+        n_planes = len(words) if words is not None else plan.pw
         if key not in self._pools:
-            pools = [(np.empty((chunk, plan.pw, plan.h, plan.w),
+            pools = [(np.empty((chunk, n_planes, plan.h, plan.w),
                                dtype=np.uint32),
                       np.empty((chunk, plan.chw, plan.w), dtype=np.uint32))
-                     for _ in range(2)]
+                     for _ in range(pool_depth)]
             for planes, hdrs in pools:
                 planes.fill(0)
                 hdrs.fill(0)
-            if words is not None:
-                subs = [np.zeros((chunk, len(words), plan.h, plan.w),
-                                 dtype=np.uint32) for _ in range(2)]
-                pools = [(p, h, s) for (p, h), s in zip(pools, subs)]
             self._pools[key] = pools
         pools = self._pools[key]
+        # word subsetting happens inside the native pack (compacted
+        # planes), so subset staging touches n_sel/pw of the bytes
+        word_sel = np.asarray(words, np.int64) if words is not None \
+            else None
         fid_out = np.zeros(chunk, np.int64)
         ts_out = np.zeros(chunk, np.uint64)
         pos, flip = 0, 0
         while pos < offs.size:
-            entry = pools[flip]
-            planes, hdrs = entry[0], entry[1]
-            flip ^= 1
+            planes, hdrs = pools[flip]
+            flip = (flip + 1) % len(pools)
             consumed, nf = native.group_frames_planar(
                 payloads, offs[pos:], tss[pos:], pkt_size, fid_byte,
                 fid_shift, fid_mask, self.pf.packet_header_size,
                 self.pf.col_size, self.pf.col_header_size,
                 plan.mid_word * 4, plan.cpp, plan.h, plan.pw, plan.w,
-                planes, hdrs, fid_out, ts_out)
+                planes, hdrs, fid_out, ts_out, word_sel=word_sel)
             if nf == 0:
                 break
             pos += consumed
-            if words is not None:
-                sub = entry[2]
-                for k, wd in enumerate(words):
-                    sub[:nf, k] = planes[:nf, wd]
-                yield (fid_out[:nf].copy(), sub[:nf], hdrs[:nf],
-                       ts_out[:nf].copy())
-            else:
-                yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
-                       ts_out[:nf].copy())
+            yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
+                   ts_out[:nf].copy())
 
     def _planar_from_chunks(self, chunk: int,
                             words: Optional[Tuple[int, ...]]

@@ -44,6 +44,22 @@ class PipelineConfig:
     precision: str = "dd"  # "dd" | "f32"
 
 
+def planar_engine_default() -> str:
+    """Resolve engine='auto' for the planar projection: the
+    OUSTER_SDK_TPU_ENGINE env var ('pallas' | 'xla') wins; otherwise
+    Pallas on real TPU backends and XLA everywhere else (CPU/interpret)."""
+    import os
+
+    env = os.environ.get("OUSTER_SDK_TPU_ENGINE", "").strip().lower()
+    if env in ("pallas", "xla"):
+        return env
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform == "tpu" else "xla"
+
+
 class ScanPipeline:
     """Per-sensor fused pipeline factory.
 
@@ -112,20 +128,40 @@ class ScanPipeline:
         return PlanarLut(make_xyz_lut(self.info, self._use_extrinsics))
 
     def project_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray,
-                       poses: Optional[jnp.ndarray] = None):
+                       poses: Optional[jnp.ndarray] = None,
+                       words: Optional[Tuple[int, ...]] = None,
+                       engine: str = "auto"):
         """Fastest packets -> XYZ path: word-planar staged frames
-        (FrameReader.iter_planar_chunks) through the planar Pallas kernel
-        — no in-VMEM transpose, no XLA strided prep (2x the packet-layout
+        (FrameReader.iter_planar_chunks) through the planar projection —
+        no in-VMEM transpose, no XLA strided prep (2x the packet-layout
         kernel; see ops/pallas_kernels.py). Returns (B, 3, h, w) XYZ
         (sensor frame, or world frame when per-column poses are given;
-        a pair of arrays for dual-return profiles without poses)."""
-        from .pallas_kernels import unpack_project_planar_batched
+        a pair of arrays for dual-return profiles without poses).
+
+        `words` declares a word-subset staging (see
+        FrameReader.iter_planar_chunks). `engine` picks the lowering:
+        'pallas' (hand-tiled kernel — fastest on-chip dispatch),
+        'xla' (stock-ops twin, bit-identical output; no custom calls),
+        or 'auto' (env OUSTER_SDK_TPU_ENGINE, else pallas on TPU). The
+        XLA twin exists because some TPU attachments (tunneled or
+        virtualized runtimes) throttle host<->device DMA after any
+        custom-call execution; there the end-to-end pipeline runs faster
+        on the XLA lowering even though the Pallas kernel wins on-chip."""
+        from .pallas_kernels import (
+            unpack_project_planar_batched,
+            unpack_project_planar_batched_xla,
+        )
 
         lut = self._planar_lut
-        return unpack_project_planar_batched(
+        if engine == "auto":
+            engine = planar_engine_default()
+        fn = (unpack_project_planar_batched_xla if engine == "xla"
+              else unpack_project_planar_batched)
+        return fn(
             planes, col_hdrs, lut.stack, self.cfg.plan,
             precision=self.cfg.precision,
-            dual=self.cfg.dual and poses is None, poses=poses)
+            dual=self.cfg.dual and poses is None, poses=poses,
+            words=words)
 
     def decode_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray
                       ) -> Dict[str, jnp.ndarray]:

@@ -489,6 +489,81 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
             out2.reshape(B, 3, plan.h, plan.w))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("plan", "precision", "dual", "words"))
+def unpack_project_planar_batched_xla(planes: jnp.ndarray,
+                                      col_hdrs: jnp.ndarray,
+                                      lut_stack, plan: DecodePlan,
+                                      precision: str = "dd",
+                                      dual: bool = False,
+                                      poses: Optional[jnp.ndarray] = None,
+                                      words: Optional[tuple] = None):
+    """Pure-XLA twin of unpack_project_planar_batched: identical inputs,
+    outputs, and numerics (same _extract_bits/_proj_lean math, so the
+    result is bit-identical to the Pallas kernel), lowered entirely
+    through stock XLA ops — no custom calls.
+
+    Why it exists: the projection is bandwidth-trivial next to the
+    host->device transfer, so on hosts where the runtime penalizes
+    custom-call dispatch (e.g. tunneled/virtualized TPU attachments) the
+    XLA lowering sustains higher END-TO-END throughput even though the
+    Pallas kernel wins on pure on-chip dispatch rate. ScanPipeline's
+    engine='auto' picks per environment; see ops/fused.py.
+    """
+    if planes.ndim == 3:
+        planes = planes[None]
+        col_hdrs = col_hdrs[None]
+    B, pw = planes.shape[0], planes.shape[1]
+    if words is None:
+        if pw != plan.pw:
+            raise ValueError(f"planes carry {pw} words but profile has "
+                             f"{plan.pw}; pass words=(...) for subsets")
+        words = tuple(range(plan.pw))
+
+    def wmap(word):
+        if word not in words:
+            raise ValueError(f"projection needs packet word {word}; "
+                             f"planes carry only {words}")
+        return words.index(word)
+
+    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    if plan.status_size < 32:
+        status = status & np.uint32((1 << plan.status_size) - 1)
+    vm = jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),
+                   np.uint32(0))[:, None, :]          # (B, 1, w) over h
+
+    rng_plan = _field_plan(plan, "RANGE")
+
+    def ranges(word_plane, fp):
+        return _extract_bits(word_plane, bit=fp.bit, size=fp.size,
+                             upshift=fp.upshift) & vm   # (B, h, w)
+
+    def proj(r):
+        return jax.vmap(
+            lambda rr: _proj_lean(rr, lut_stack, precision=precision))(r)
+
+    r1 = ranges(planes[:, wmap(rng_plan.word)], rng_plan)
+    xyz = proj(r1)                                      # (B, 3, h, w)
+
+    if poses is not None:
+        if dual:
+            raise NotImplementedError("fused dewarp is single-return")
+        if poses.ndim == 3:
+            poses = poses[None]
+        rot = poses[..., :3, :3].astype(jnp.float32)      # (B, w, 3, 3)
+        t = poses[..., :3, 3].astype(jnp.float32)         # (B, w, 3)
+        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
+            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
+        # no-return pixels stay at zero, matching _planar_dewarp_kernel
+        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
+
+    if not dual:
+        return xyz
+    rng2_plan = _field_plan(plan, "RANGE2")
+    xyz2 = proj(ranges(planes[:, wmap(rng2_plan.word)], rng2_plan))
+    return xyz, xyz2
+
+
 def unpack_project(frame_words, lut, plan: DecodePlan, *,
                    tile_w: int = 512, precision: str = "dd",
                    interpret: bool = False):

@@ -122,7 +122,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
             c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
-            c.c_int64, c.c_void_p]
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_int64]
         _lib = lib
         return _lib
 
@@ -254,15 +254,21 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
                         mid_byte_in_col: int, cpp: int, h: int, pw: int,
                         w: int, out_planes: np.ndarray,
                         out_colhdr: np.ndarray, out_fids: np.ndarray,
-                        out_ts: np.ndarray) -> Optional[Tuple[int, int]]:
+                        out_ts: np.ndarray,
+                        word_sel: Optional[np.ndarray] = None
+                        ) -> Optional[Tuple[int, int]]:
     """Word-planar grouping: out_planes (max_frames, pw, h, w) u32 and
     out_colhdr (max_frames, chw, w) u32, both reused across calls.
+    `word_sel` (i64 array of packet-word indices) stages only those
+    planes, compacted — out_planes then has len(word_sel) planes.
     Returns (packets_consumed, n_frames) or None without the native lib."""
     lib = get_lib()
     if lib is None:
         return None
     offsets = np.ascontiguousarray(offsets, np.int64)
     nframes = np.zeros(1, dtype=np.int64)
+    if word_sel is not None:
+        word_sel = np.ascontiguousarray(word_sel, np.int64)
     consumed = lib.onat_group_frames_planar(
         _ptr(payloads), _ptr(offsets),
         _ptr(np.ascontiguousarray(ts, np.uint64)) if ts is not None
@@ -270,7 +276,9 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
         offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask,
         hw_bytes, cw_bytes, chw_bytes, mid_byte_in_col, cpp, h, pw, w,
         _ptr(out_planes), _ptr(out_colhdr), _ptr(out_fids), _ptr(out_ts),
-        out_planes.shape[0], _ptr(nframes))
+        out_planes.shape[0], _ptr(nframes),
+        _ptr(word_sel) if word_sel is not None else None,
+        word_sel.size if word_sel is not None else 0)
     return int(consumed), int(nframes[0])
 
 

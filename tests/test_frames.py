@@ -196,3 +196,108 @@ def test_planar_stream_assembler_matches_offline():
     for (fid, planes, hdrs), k in zip(out, range(len(out))):
         np.testing.assert_array_equal(planes, planes_off[k])
         np.testing.assert_array_equal(hdrs, hdrs_off[k])
+
+
+def test_xla_engine_matches_pallas_interpret():
+    """unpack_project_planar_batched_xla (stock-XLA twin) must be
+    bit-identical to the Pallas planar kernel — same _extract_bits/
+    _proj_lean math, different lowering — on single, dual, word-subset,
+    and fused-dewarp variants."""
+    import jax.numpy as jnp
+
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_planar_batched,
+        unpack_project_planar_batched_xla)
+    from ouster_sdk_tpu.ops.pallas_lutfree import _field_plan
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    pcap = os.path.join(
+        PCAP_DIR, "OS-1-128_767798045_1024x10_20230712_120049.pcap")
+    if not os.path.exists(pcap) or os.path.getsize(pcap) == 0:
+        pytest.skip("fixture missing")
+    fr = FrameReader(pcap)
+    plan = fr.plan
+    lut = PlanarLut(make_xyz_lut(fr.info))
+    dual = any(f.name == ChanField.RANGE2 for f in plan.fields)
+    fids, planes, hdrs, _ = next(fr.iter_planar_chunks(2))
+    pl, hd = jnp.asarray(planes.copy()), jnp.asarray(hdrs.copy())
+
+    a = unpack_project_planar_batched(pl, hd, lut.stack, plan,
+                                      dual=dual, interpret=True)
+    b = unpack_project_planar_batched_xla(pl, hd, lut.stack, plan,
+                                          dual=dual)
+    if dual:
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # word-subset staging through both engines
+    ws = (_field_plan(plan, "RANGE").word,)
+    if dual:
+        ws = ws + (_field_plan(plan, "RANGE2").word,)
+    fr2 = FrameReader(fr._path, info=fr.info)
+    fids_s, planes_s, hdrs_s, _ = next(fr2.iter_planar_chunks(2, words=ws))
+    np.testing.assert_array_equal(fids, fids_s)
+    # native word_sel staging must equal a python subset of full planes
+    np.testing.assert_array_equal(planes_s, planes[:, list(ws)])
+    a = unpack_project_planar_batched(
+        jnp.asarray(planes_s.copy()), jnp.asarray(hdrs_s.copy()),
+        lut.stack, plan, dual=dual, words=ws, interpret=True)
+    b = unpack_project_planar_batched_xla(
+        jnp.asarray(planes_s.copy()), jnp.asarray(hdrs_s.copy()),
+        lut.stack, plan, dual=dual, words=ws)
+    if dual:
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    else:
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fused dewarp (single-return only)
+    B = planes.shape[0]
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (B, plan.w, 1, 1))
+    ang = rng.uniform(-0.1, 0.1, size=plan.w).astype(np.float32)
+    poses[:, :, 0, 0] = np.cos(ang)
+    poses[:, :, 0, 1] = -np.sin(ang)
+    poses[:, :, 1, 0] = np.sin(ang)
+    poses[:, :, 1, 1] = np.cos(ang)
+    poses[:, :, :3, 3] = rng.uniform(-1, 1, (B, plan.w, 3))
+    a = unpack_project_planar_batched(pl, hd, lut.stack, plan,
+                                      poses=jnp.asarray(poses),
+                                      interpret=True)
+    b = unpack_project_planar_batched_xla(pl, hd, lut.stack, plan,
+                                          poses=jnp.asarray(poses))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-5, rtol=0)
+
+
+def test_pipelined_planar_iter_matches_serial():
+    """iter_planar_chunks_pipelined (background staging thread) must
+    yield exactly the serial iterator's chunks, in order."""
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    pcap = os.path.join(PCAP_DIR, "OS-2-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+    fr_a = FrameReader(pcap)
+    fr_b = FrameReader(pcap)
+    serial = [(f.copy(), p.copy(), h.copy(), t.copy())
+              for f, p, h, t in fr_a.iter_planar_chunks(2)]
+    piped = [(f.copy(), p.copy(), h.copy(), t.copy())
+             for f, p, h, t in fr_b.iter_planar_chunks_pipelined(2)]
+    assert len(serial) == len(piped) >= 1
+    for (fa, pa, ha, ta), (fb, pb, hb, tb) in zip(serial, piped):
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_array_equal(pa, pb)
+        np.testing.assert_array_equal(ha, hb)
+        np.testing.assert_array_equal(ta, tb)
+    # early abandonment must not deadlock or leak the producer
+    fr_c = FrameReader(pcap)
+    it = fr_c.iter_planar_chunks_pipelined(1, depth=1)
+    next(it)
+    it.close()
