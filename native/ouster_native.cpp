@@ -435,7 +435,7 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
                           int64_t* out_nframes) {
     int64_t frame_bytes = n_slots * pkt_bytes;
     int64_t nf = 0, i = 0;
-    int64_t cur_fid = -1;
+    int64_t cur_fid = -1, released = -1;
     uint8_t* slab = nullptr;
     for (; i < count; i++) {
         const uint8_t* p = payloads + offsets[i];
@@ -443,6 +443,17 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
         std::memcpy(&fid64, p + fid_byte, 8);
         int64_t fid = (int64_t)((fid64 >> fid_shift) & fid_mask);
         if (fid != cur_fid) {
+            // batcher boundary semantics (ref: lidar_scan.cpp:1505-1591):
+            // drop one-older stragglers while building, and duplicates /
+            // stragglers of the released frame right after a close
+            if (cur_fid >= 0 &&
+                fid == (int64_t)((uint64_t)(cur_fid - 1) & fid_mask))
+                continue;
+            if (cur_fid < 0 && released >= 0 &&
+                (fid == released ||
+                 released == (int64_t)((uint64_t)(fid + 1) & fid_mask)))
+                continue;
+            if (cur_fid >= 0) released = cur_fid;
             if (nf >= max_frames) break;  // resume from packet i next call
             slab = out_frames + nf * frame_bytes;
             std::memset(slab, 0, frame_bytes);
@@ -476,6 +487,22 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
 // cut the staged+memset bytes to n_sel/pw of the full layout on top of
 // the h2d savings (the Python-side subset copy this replaces still
 // staged every word).
+//
+// Batcher frame-boundary semantics (ref: lidar_scan.cpp:1505-1591): while
+// building frame F, a packet whose id is (F-1 mod max) is a straggler from
+// the released frame and is dropped; any other id closes F and opens a new
+// frame. Immediately after a close, duplicates of the released frame and
+// one-older stragglers are dropped until a fresh id arrives. io_released
+// (optional, 1 x i64, -1 = none) carries the released-frame id across
+// resumed calls so the drop rules survive the max_frames boundary.
+//
+// Per-packet scan headers (all optional, NULL = skip):
+//   out_pkt_ts   (max_frames, n_pkts) u64 — host timestamp by packet slot
+//   out_pkt_hdrs (max_frames, n_pkts, hw_words) u32 — packet header words
+//       by packet slot (alert_flags / init_id / serial live here)
+//   out_first_hdr (max_frames, hw_words) u32 — header of the packet that
+//       OPENED the frame in arrival order (frame_status + countdowns come
+//       from it, ref: lidar_scan.cpp:1546-1552)
 int64_t onat_group_frames_planar(
     const uint8_t* payloads, const int64_t* offsets, const uint64_t* ts_in,
     int64_t count, int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
@@ -483,13 +510,17 @@ int64_t onat_group_frames_planar(
     int64_t mid_byte_in_col, int64_t cpp, int64_t h, int64_t pw, int64_t W,
     uint8_t* out_planes, uint8_t* out_colhdr, int64_t* out_fids,
     uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes,
-    const int64_t* word_sel, int64_t n_sel) {
+    const int64_t* word_sel, int64_t n_sel,
+    uint64_t* out_pkt_ts, uint8_t* out_pkt_hdrs, uint8_t* out_first_hdr,
+    int64_t* io_released) {
     const int64_t pw_out = (word_sel && n_sel > 0) ? n_sel : pw;
     const int64_t plane_bytes = (int64_t)pw_out * h * W * 4;
     const int64_t colhdr_bytes = (int64_t)(chw_bytes / 4) * W * 4;
     const int64_t chw = chw_bytes / 4;
+    const int64_t n_pkts = W / cpp;
     int64_t nf = 0, i = 0;
     int64_t cur_fid = -1;
+    int64_t released = io_released ? *io_released : -1;
     uint8_t* planes = nullptr;
     uint8_t* colhdr = nullptr;
     for (; i < count; i++) {
@@ -498,15 +529,44 @@ int64_t onat_group_frames_planar(
         std::memcpy(&fid64, p + fid_byte, 8);
         int64_t fid = (int64_t)((fid64 >> fid_shift) & fid_mask);
         if (fid != cur_fid) {
+            if (cur_fid >= 0 &&
+                fid == (int64_t)((uint64_t)(cur_fid - 1) & fid_mask))
+                continue;  // straggler from the frame we just released
+            if (cur_fid < 0 && released >= 0 &&
+                (fid == released ||
+                 released == (int64_t)((uint64_t)(fid + 1) & fid_mask)))
+                continue;  // duplicate / straggler right after a close
+            if (cur_fid >= 0) released = cur_fid;
             if (nf >= max_frames) break;
             planes = out_planes + nf * plane_bytes;
             colhdr = out_colhdr + nf * colhdr_bytes;
             std::memset(planes, 0, plane_bytes);
             std::memset(colhdr, 0, colhdr_bytes);
+            if (out_pkt_ts)
+                std::memset(out_pkt_ts + nf * n_pkts, 0, n_pkts * 8);
+            if (out_pkt_hdrs)
+                std::memset(out_pkt_hdrs + nf * n_pkts * hw_bytes, 0,
+                            n_pkts * hw_bytes);
+            if (out_first_hdr)
+                std::memcpy(out_first_hdr + nf * hw_bytes, p, hw_bytes);
             out_fids[nf] = fid;
             out_ts[nf] = ts_in ? ts_in[i] : 0;
             cur_fid = fid;
             nf++;
+        }
+        if (out_pkt_ts || out_pkt_hdrs) {
+            uint16_t mid_first;
+            std::memcpy(&mid_first, p + hw_bytes + mid_byte_in_col, 2);
+            int64_t slot = mid_first / cpp;
+            if (slot >= 0 && slot < n_pkts) {
+                if (out_pkt_ts)
+                    out_pkt_ts[(nf - 1) * n_pkts + slot] =
+                        ts_in ? ts_in[i] : 0;
+                if (out_pkt_hdrs)
+                    std::memcpy(out_pkt_hdrs +
+                                    ((nf - 1) * n_pkts + slot) * hw_bytes,
+                                p, hw_bytes);
+            }
         }
         for (int64_t c = 0; c < cpp; c++) {
             const uint8_t* col = p + hw_bytes + c * cw_bytes;
@@ -551,6 +611,12 @@ int64_t onat_group_frames_planar(
                     std::memcpy(dst + c * 4, src + c * cw_bytes, 4);
             }
         }
+    }
+    if (io_released) {
+        // a resumed call restarts with cur_fid = -1; the frame we stopped
+        // inside will be re-opened from packet i, so the released id the
+        // next call must honor is the one BEFORE it
+        *io_released = released;
     }
     *out_nframes = nf;
     return i;

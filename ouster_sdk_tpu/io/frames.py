@@ -12,6 +12,7 @@ library is unavailable.
 from __future__ import annotations
 
 import struct
+from dataclasses import dataclass
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -22,6 +23,79 @@ from ..ops.unpack import DecodePlan, make_decode_plan
 from ..utils import native
 from .pcap import _PCAP_MAGICS, PcapReader
 from .pcap_source import resolve_metadata_paths
+
+
+@dataclass
+class PlanarBatch:
+    """One chunk of word-planar staged frames plus every scan header the
+    batcher materializes (ref: lidar_scan.cpp:1324-1372 per-packet
+    headers, :1546-1552 frame status) — everything DeviceScanSource needs
+    to build LidarScans bit-equal to the numpy ScanBatcher."""
+
+    frame_ids: np.ndarray   # (m,) i64
+    planes: np.ndarray      # (m, pw | n_sel, h, w) u32
+    col_hdrs: np.ndarray    # (m, chw, w) u32
+    host_ts: np.ndarray     # (m,) u64 — first packet's host timestamp
+    pkt_ts: np.ndarray      # (m, n_pkts) u64 — host ts by packet slot
+    pkt_hdrs: np.ndarray    # (m, n_pkts, hw) u32 — packet header words
+    first_hdr: np.ndarray   # (m, hw) u32 — opening packet's header
+
+
+def _pipelined(make_iter, depth: int) -> Iterator:
+    """Run `make_iter()` on a background staging thread, queueing up to
+    `depth` items ahead of the consumer. The producer's native pack is a
+    ctypes call that drops the GIL, so staging genuinely overlaps the
+    consumer's h2d transfer + device dispatch — the replay ingest topology
+    of the reference's thread-per-role design
+    (ref: sensor_packet_source.cpp:550, async_writer.cpp). Exceptions
+    surface on the consumer side; closing the generator joins the
+    producer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    done = object()
+    err: List[BaseException] = []
+
+    def produce():
+        try:
+            for item in make_iter():
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(done, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+
+    def consume():
+        t = threading.Thread(target=produce, daemon=True,
+                             name="frame-staging")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join()
+        if err:
+            raise err[0]
+
+    return consume()
 
 
 class FrameReader:
@@ -45,6 +119,7 @@ class FrameReader:
         self.pf = PacketFormat.from_info(info)
         self.plan: DecodePlan = make_decode_plan(info)
         self._path = pcap_path
+        self.id_error_count = 0
         # staging pools reused across iter_chunks calls (first-touch page
         # faults are expensive on virtualized hosts; reuse keeps the steady
         # state fault-free)
@@ -114,50 +189,133 @@ class FrameReader:
         topology of the reference's thread-per-role design
         (ref: sensor_packet_source.cpp:550, async_writer.cpp) applied to
         the TPU upload path."""
-        import queue
-        import threading
+        return _pipelined(
+            lambda: self.iter_planar_chunks(chunk, words,
+                                            pool_depth=depth + 2),
+            depth)
 
-        q: "queue.Queue" = queue.Queue(maxsize=depth)
-        stop = threading.Event()
-        done = object()
-        err: List[BaseException] = []
+    def _vec_header_field(self, payloads: np.ndarray, offs: np.ndarray,
+                          finfo) -> np.ndarray:
+        """Vectorized packet-header bitfield: value of `finfo` for every
+        packet at `offs` (u64). The per-packet gather is 8 bytes — id
+        checking an entire capture costs one fancy-index, not a Python
+        loop over packets."""
+        byte, shift = divmod(int(finfo.bit_start), 8)
+        idx = offs[:, None] + byte + np.arange(8)
+        v = payloads[idx].astype(np.uint64)
+        v = (v << (np.arange(8, dtype=np.uint64) * np.uint64(8))).sum(
+            axis=1, dtype=np.uint64)
+        v >>= np.uint64(shift)
+        if finfo.bit_size < 64:
+            v &= np.uint64((1 << finfo.bit_size) - 1)
+        return v
 
-        def produce():
-            try:
-                for item in self.iter_planar_chunks(
-                        chunk, words, pool_depth=depth + 2):
-                    while not stop.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-                    if stop.is_set():
-                        return
-            except BaseException as e:  # surfaced on the consumer side
-                err.append(e)
-            finally:
-                while not stop.is_set():
-                    try:
-                        q.put(done, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
+    def id_check_mask(self, payloads: np.ndarray, offs: np.ndarray
+                      ) -> np.ndarray:
+        """Per-packet init_id/serial validation vs the metadata, the
+        vectorized twin of LidarPacket.validate (ref: packet.h:205):
+        False where a nonzero packet id contradicts a nonzero metadata
+        id. LEGACY has no ids in the header: all True."""
+        from ..core.types import UDPProfileLidar
 
-        t = threading.Thread(target=produce, daemon=True,
-                             name="frame-staging")
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is done:
-                    break
-                yield item
-        finally:
-            stop.set()
-            t.join()
-        if err:
-            raise err[0]
+        if self.info.format.udp_profile_lidar == UDPProfileLidar.LEGACY:
+            return np.ones(offs.size, dtype=bool)
+        ok = np.ones(offs.size, dtype=bool)
+        if self.info.init_id:
+            pkt = self._vec_header_field(payloads, offs,
+                                         self.pf.geom.init_id)
+            ok &= (pkt == 0) | (pkt == np.uint64(self.info.init_id))
+        if self.info.sn:
+            pkt = self._vec_header_field(payloads, offs,
+                                         self.pf.geom.prod_sn)
+            ok &= (pkt == 0) | (pkt == np.uint64(self.info.sn))
+        return ok
+
+    def iter_scan_batches(self, chunk: int = 4,
+                          words: Optional[Tuple[int, ...]] = None,
+                          soft_id_check: bool = False,
+                          pool_depth: int = 2) -> Iterator[PlanarBatch]:
+        """Planar staging with full scan headers: yields PlanarBatch
+        chunks carrying per-packet host timestamps, per-packet header
+        words and the frame-opening packet's header, grouped with the
+        batcher's frame-boundary drop semantics (native io_released state)
+        — the host half of the device-decode ScanSource route. Packets
+        failing the init_id/serial check are dropped (counted in
+        self.id_error_count) unless soft_id_check. Buffers are pooled:
+        a yielded batch's arrays stay valid for pool_depth-1 further
+        iterations."""
+        if self.plan.status_word >= self.plan.chw:
+            raise RuntimeError(
+                "planar staging supports eUDP profiles only")
+        res = self._native_scan() if native.get_lib() is not None else None
+        if res is None:
+            raise RuntimeError("scan batches need the native library")
+        payloads, offsets, sizes, ts, ports, ips = res
+        lidar = self._lidar_mask(sizes, ports)
+        if not lidar.any():
+            return
+        offs, tss = offsets[lidar], ts[lidar]
+        idmask = self.id_check_mask(payloads, offs)
+        self.id_error_count = int((~idmask).sum())
+        if not soft_id_check and self.id_error_count:
+            offs, tss = offs[idmask], tss[idmask]
+
+        plan = self.plan
+        g = self.pf.geom
+        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
+        fid_mask = (1 << g.frame_id.bit_size) - 1
+        hw = self.pf.packet_header_size // 4
+        key = ("scan", chunk, words, pool_depth)
+        n_planes = len(words) if words is not None else plan.pw
+        if key not in self._pools:
+            pools = []
+            for _ in range(pool_depth):
+                entry = (
+                    np.zeros((chunk, n_planes, plan.h, plan.w), np.uint32),
+                    np.zeros((chunk, plan.chw, plan.w), np.uint32),
+                    np.zeros((chunk, plan.n_pkts), np.uint64),
+                    np.zeros((chunk, plan.n_pkts, hw), np.uint32),
+                    np.zeros((chunk, hw), np.uint32),
+                )
+                pools.append(entry)
+            self._pools[key] = pools
+        pools = self._pools[key]
+        word_sel = np.asarray(words, np.int64) if words is not None \
+            else None
+        fid_out = np.zeros(chunk, np.int64)
+        ts_out = np.zeros(chunk, np.uint64)
+        released = np.full(1, -1, np.int64)
+        pos, flip = 0, 0
+        while pos < offs.size:
+            planes, hdrs, pkt_ts, pkt_hdrs, first_hdr = pools[flip]
+            flip = (flip + 1) % len(pools)
+            consumed, nf = native.group_frames_planar(
+                payloads, offs[pos:], tss[pos:],
+                self.pf.lidar_packet_size, fid_byte, fid_shift, fid_mask,
+                self.pf.packet_header_size, self.pf.col_size,
+                self.pf.col_header_size, plan.mid_word * 4, plan.cpp,
+                plan.h, plan.pw, plan.w, planes, hdrs, fid_out, ts_out,
+                word_sel=word_sel, out_pkt_ts=pkt_ts,
+                out_pkt_hdrs=pkt_hdrs, out_first_hdr=first_hdr,
+                io_released=released)
+            if nf == 0:
+                break
+            pos += consumed
+            yield PlanarBatch(fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
+                              ts_out[:nf].copy(), pkt_ts[:nf],
+                              pkt_hdrs[:nf], first_hdr[:nf])
+
+    def iter_scan_batches_pipelined(
+            self, chunk: int = 4,
+            words: Optional[Tuple[int, ...]] = None,
+            soft_id_check: bool = False,
+            depth: int = 2) -> Iterator[PlanarBatch]:
+        """iter_scan_batches staged on a background thread (same overlap
+        contract as iter_planar_chunks_pipelined)."""
+        return _pipelined(
+            lambda: self.iter_scan_batches(chunk, words, soft_id_check,
+                                           pool_depth=depth + 2),
+            depth)
 
     def iter_chunks(self, chunk: int = 8) -> Iterator[
             Tuple[np.ndarray, np.ndarray, np.ndarray]]:

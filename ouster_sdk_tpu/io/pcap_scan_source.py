@@ -62,7 +62,49 @@ class PcapScanSource(ScanSource):
     def is_indexed(self) -> bool:
         return self._index is not None
 
+    def _device_iter(self) -> Optional[Iterator[Tuple[int, LidarScan]]]:
+        """The device-decode route (ref: VERDICT r2 — the hot path must be
+        the user path): engaged for single-sensor eligible captures when
+        a device policy allows. Returns None to use the numpy batcher."""
+        from . import device_engine as de
+
+        if len(self.sensor_info) != 1:
+            return None  # multi-sensor interleaving stays on the batcher
+        info = self.sensor_info[0]
+        if not de.device_decode_enabled() or not de.supports_device_decode(
+                info, self._field_names, self._raw_headers,
+                self._raw_fields):
+            return None
+        try:
+            it = de.DeviceScanIterator(
+                self._path, info,
+                field_names=self._field_names,
+                soft_id_check=self._packets._soft_id_check,
+                field_types=self._field_types(info))
+        except Exception:
+            return None
+
+        def run():
+            for scan in it:
+                yield 0, scan
+            if it.id_error_count:
+                from ..core.error_handler import Severity
+
+                self._packets.id_error_count = it.id_error_count
+                self._packets._error_handler(
+                    Severity.WARNING,
+                    f"{self._path}: {it.id_error_count} lidar packets "
+                    f"with mismatched init_id/serial"
+                    + (" (passed through: soft_id_check)"
+                       if self._packets._soft_id_check else " (dropped)"))
+
+        return run()
+
     def _iter_scans(self) -> Iterator[Tuple[int, LidarScan]]:
+        dev = self._device_iter()
+        if dev is not None:
+            yield from dev
+            return
         batchers = [ScanBatcher(i) for i in self.sensor_info]
         scans = [LidarScan(i, field_types=self._field_types(i))
                  for i in self.sensor_info]

@@ -212,6 +212,10 @@ def decode_frame(packet_words: jnp.ndarray, plan: DecodePlan,
         ts_lo = jnp.where(valid, ts_lo, 0)
         ts_hi = jnp.where(valid, ts_hi, 0)
         m_id = jnp.where(valid, m_id, 0)
+        if zero_invalid:
+            # batcher parity: invalid columns' header cells stay 0
+            # (ref: lidar_scan.cpp:1207-1255 per-col skip)
+            status = jnp.where(valid, status, 0)
 
     out["status"] = status.astype(jnp.uint32)
     out["measurement_id"] = m_id.astype(jnp.uint16)
@@ -263,6 +267,11 @@ def decode_frame_planar(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
             lo = lo.astype(dt)
         out[f.name] = lo  # already (h, w)
 
+    # batcher parity: a present-but-invalid column's header cells stay 0
+    # (per-col parse skips them, ref: lidar_scan.cpp:1207-1255; the block
+    # path requires every column valid, so zeroing invalids matches both)
+    if zero_invalid:
+        status = jnp.where(valid, status, 0)
     out["status"] = status.astype(jnp.uint32)
     out["measurement_id"] = jnp.where(valid, m_id, 0).astype(jnp.uint16)
     out["timestamp_lo"] = jnp.where(valid, ts_lo, 0)

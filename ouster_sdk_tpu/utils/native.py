@@ -122,7 +122,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
             c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
-            c.c_int64, c.c_void_p, c.c_void_p, c.c_int64]
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_int64,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
         _lib = lib
         return _lib
 
@@ -255,12 +256,20 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
                         w: int, out_planes: np.ndarray,
                         out_colhdr: np.ndarray, out_fids: np.ndarray,
                         out_ts: np.ndarray,
-                        word_sel: Optional[np.ndarray] = None
+                        word_sel: Optional[np.ndarray] = None,
+                        out_pkt_ts: Optional[np.ndarray] = None,
+                        out_pkt_hdrs: Optional[np.ndarray] = None,
+                        out_first_hdr: Optional[np.ndarray] = None,
+                        io_released: Optional[np.ndarray] = None
                         ) -> Optional[Tuple[int, int]]:
     """Word-planar grouping: out_planes (max_frames, pw, h, w) u32 and
     out_colhdr (max_frames, chw, w) u32, both reused across calls.
     `word_sel` (i64 array of packet-word indices) stages only those
     planes, compacted — out_planes then has len(word_sel) planes.
+    Optional scan-header outputs (see native docs): out_pkt_ts
+    (max_frames, n_pkts) u64, out_pkt_hdrs (max_frames, n_pkts, hw) u32,
+    out_first_hdr (max_frames, hw) u32, io_released (1,) i64 carrying the
+    batcher released-frame id across resumed calls.
     Returns (packets_consumed, n_frames) or None without the native lib."""
     lib = get_lib()
     if lib is None:
@@ -278,7 +287,11 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
         _ptr(out_planes), _ptr(out_colhdr), _ptr(out_fids), _ptr(out_ts),
         out_planes.shape[0], _ptr(nframes),
         _ptr(word_sel) if word_sel is not None else None,
-        word_sel.size if word_sel is not None else 0)
+        word_sel.size if word_sel is not None else 0,
+        _ptr(out_pkt_ts) if out_pkt_ts is not None else None,
+        _ptr(out_pkt_hdrs) if out_pkt_hdrs is not None else None,
+        _ptr(out_first_hdr) if out_first_hdr is not None else None,
+        _ptr(io_released) if io_released is not None else None)
     return int(consumed), int(nframes[0])
 
 

@@ -1,0 +1,226 @@
+"""Device-decode ScanSource route (io/device_engine.py): bit-equality
+against the numpy ScanBatcher route, golden-digest conformance, boundary
+drop semantics, and proof that the CLI executes device decode.
+
+The device route is the user-facing default on TPU hosts
+(ref: open_source.cpp:205-245 — the reference's hot path is its user
+path); these tests force it on CPU via OUSTER_SDK_TPU_DEVICE_DECODE=1.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu.io import device_engine
+from ouster_sdk_tpu.io.pcap_scan_source import PcapScanSource
+from ouster_sdk_tpu.utils import native
+
+PCAP_DIR = "/root/reference/tests/pcaps"
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="no native toolchain")
+
+
+def _fixtures():
+    if not os.path.isdir(PCAP_DIR):
+        return []
+    out = []
+    for p in sorted(glob.glob(os.path.join(PCAP_DIR, "*.pcap"))):
+        if os.path.getsize(p) < 1000:
+            continue
+        base = os.path.splitext(p)[0]
+        if not (os.path.exists(base + ".json")
+                or glob.glob(base + "*.json")):
+            continue
+        try:
+            src = PcapScanSource(p)
+        except Exception:
+            continue
+        if len(src.sensor_info) != 1:
+            continue
+        out.append(p)
+    return out
+
+
+FIXTURES = _fixtures()
+
+
+def _iter_scans(path, force, **kw):
+    old = os.environ.get("OUSTER_SDK_TPU_DEVICE_DECODE")
+    os.environ["OUSTER_SDK_TPU_DEVICE_DECODE"] = force
+    try:
+        return [s for _, s in PcapScanSource(path, **kw)._iter_scans()]
+    finally:
+        if old is None:
+            os.environ.pop("OUSTER_SDK_TPU_DEVICE_DECODE", None)
+        else:
+            os.environ["OUSTER_SDK_TPU_DEVICE_DECODE"] = old
+
+
+def _assert_scan_equal(a, b, tag=""):
+    assert a.frame_id == b.frame_id, tag
+    assert sorted(a.fields) == sorted(b.fields), tag
+    for name in b.fields:
+        np.testing.assert_array_equal(a.field(name), b.field(name),
+                                      err_msg=f"{tag}:{name}")
+    for attr in ("timestamp", "measurement_id", "status",
+                 "packet_timestamp", "alert_flags", "pose"):
+        np.testing.assert_array_equal(getattr(a, attr), getattr(b, attr),
+                                      err_msg=f"{tag}:{attr}")
+    for attr in ("frame_status", "shutdown_countdown",
+                 "shot_limiting_countdown"):
+        assert getattr(a, attr) == getattr(b, attr), f"{tag}:{attr}"
+
+
+@pytest.mark.conformance
+@pytest.mark.parametrize("pcap", FIXTURES,
+                         ids=[os.path.basename(p) for p in FIXTURES])
+def test_device_route_matches_batcher(pcap):
+    """Every scan (fields + every header array) must be bit-equal between
+    the device route and the numpy ScanBatcher route."""
+    device_engine.stats["batches"] = 0
+    dev = _iter_scans(pcap, "1")
+    ref = _iter_scans(pcap, "0")
+    if device_engine.stats["batches"] == 0:
+        # ineligible capture (legacy / NMEA-IMU / zone): the route must
+        # have fallen back to the identical numpy path
+        info = PcapScanSource(pcap).sensor_info[0]
+        assert not device_engine.supports_device_decode(info)
+    assert len(dev) == len(ref)
+    for k, (a, b) in enumerate(zip(dev, ref)):
+        _assert_scan_equal(a, b, f"{os.path.basename(pcap)}[{k}]")
+
+
+@pytest.mark.conformance
+def test_device_route_digest_conformance():
+    """The reference *_digest.json scan hashes must hold bit-exactly for
+    scans produced by the device route."""
+    from ouster_sdk_tpu.utils.digest import FieldDigest, StreamDigest
+
+    ran = 0
+    for dj in sorted(glob.glob(os.path.join(PCAP_DIR, "*_digest.json"))):
+        pcap = dj.replace("_digest.json", ".pcap")
+        if not os.path.exists(pcap) or os.path.getsize(pcap) < 1000:
+            continue
+        src = PcapScanSource(pcap)
+        if len(src.sensor_info) != 1 or not \
+                device_engine.supports_device_decode(src.sensor_info[0]):
+            continue
+        with open(dj) as f:
+            golden = StreamDigest.from_json(f.read())
+        device_engine.stats["batches"] = 0
+        scans = _iter_scans(pcap, "1")
+        assert device_engine.stats["batches"] > 0, pcap
+        assert len(scans) == len(golden.scans), pcap
+        for g, s in zip(golden.scans, scans):
+            g.check(FieldDigest.from_scan(s))
+        ran += 1
+    if ran == 0:
+        pytest.skip("no eligible digest fixtures")
+
+
+def test_device_route_boundary_semantics(tmp_path):
+    """Reordered stragglers and post-release duplicates must be dropped
+    exactly like the batcher (native io_released state machine)."""
+    from test_batcher_semantics import _info, _packets
+
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    info = _info()
+    info.config.udp_port_lidar = 7502  # port 0 parses as lidar-off
+    f1 = _packets(info, 10, base_ts=1000)
+    f2 = _packets(info, 11, base_ts=2000)
+    f3 = _packets(info, 12, base_ts=3000)
+    # frame 2 interrupted by stragglers of frame 1 and, right after the
+    # release of frame 1, a duplicate of it
+    seq = (f1[:-1] + [f2[0]] + [f1[-1]]        # straggler while building f2
+           + f2[1:4] + [f1[2]]                  # another straggler
+           + f2[4:] + f3)
+    path = str(tmp_path / "reorder.pcap")
+    with PcapWriter(path) as w:
+        ts = 10 ** 9
+        for p in seq:
+            w.write(p.buf.tobytes(), "10.0.0.1", "10.0.0.2", 7502, 7502,
+                    ts)
+            ts += 10 ** 5
+    meta = str(tmp_path / "reorder.json")
+    with open(meta, "w") as f:
+        f.write(info.to_json_string())
+
+    device_engine.stats["batches"] = 0
+    dev = _iter_scans(path, "1", meta=[meta])
+    assert device_engine.stats["batches"] > 0
+    ref = _iter_scans(path, "0", meta=[meta])
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref] \
+        == [10, 11, 12]
+    for k, (a, b) in enumerate(zip(dev, ref)):
+        _assert_scan_equal(a, b, f"reorder[{k}]")
+
+
+def test_device_route_id_check(tmp_path):
+    """init_id/serial mismatches must be dropped (counted) unless
+    soft_id_check, matching PcapPacketSource validation."""
+    from test_batcher_semantics import _info, _packets
+
+    from ouster_sdk_tpu import PacketWriter
+    from ouster_sdk_tpu.io.pcap import PcapWriter as PcapW
+
+    info = _info()
+    info.config.udp_port_lidar = 7502  # port 0 parses as lidar-off
+    info.init_id = 1234
+    info.sn = 99887766
+    pkts = _packets(info, 5)
+    # corrupt two packets' init_id
+    pw = PacketWriter(info.format)
+    for k in (2, 3):
+        buf = np.frombuffer(pkts[k].buf.tobytes(), np.uint8).copy()
+        pw.set_packet_header(buf, init_id=info.init_id + 7,
+                             prod_sn=info.sn + 1)
+        pkts[k] = type(pkts[k])(buf.tobytes(),
+                                host_timestamp=pkts[k].host_timestamp)
+    path = str(tmp_path / "badid.pcap")
+    with PcapW(path) as w:
+        ts = 10 ** 9
+        for p in pkts:
+            w.write(p.buf.tobytes(), "10.0.0.1", "10.0.0.2", 7502, 7502,
+                    ts)
+            ts += 10 ** 5
+    meta = str(tmp_path / "badid.json")
+    with open(meta, "w") as f:
+        f.write(info.to_json_string())
+
+    for soft in (False, True):
+        dev = _iter_scans(path, "1", meta=[meta], soft_id_check=soft)
+        ref = _iter_scans(path, "0", meta=[meta], soft_id_check=soft)
+        assert len(dev) == len(ref)
+        for k, (a, b) in enumerate(zip(dev, ref)):
+            _assert_scan_equal(a, b, f"id[{soft}][{k}]")
+
+
+def test_cli_stats_runs_device_decode(monkeypatch):
+    """`source x.pcap stats` must execute device decode when the policy
+    allows — the engine is the user path, not a bench sidecar."""
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli.core import cli
+
+    pcap = os.path.join(PCAP_DIR, "OS-2-128-U1_v2.3.0_1024x10.pcap")
+    if not os.path.exists(pcap):
+        pytest.skip("fixture missing")
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "1")
+    device_engine.stats["batches"] = 0
+    device_engine.stats["scans"] = 0
+    res = CliRunner().invoke(cli, ["source", pcap, "stats"])
+    assert res.exit_code == 0, res.output
+    assert device_engine.stats["batches"] > 0
+    assert device_engine.stats["scans"] > 0
+
+
+def test_policy_resolution(monkeypatch):
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "1")
+    assert device_engine.device_decode_enabled()
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "0")
+    assert not device_engine.device_decode_enabled()
