@@ -622,6 +622,110 @@ int64_t onat_group_frames_planar(
     return i;
 }
 
+// Bit-packed frame staging: the wire-rate layout for link-bound ingest.
+// Lidar ranges are 15/19-bit fields shipped in 32-bit words; when the
+// host->device link (PCIe / this sandbox's tunnel) is the bottleneck,
+// staging the raw words wastes 40-60% of the link. This pack extracts
+// each selected field's `nbits` bits per pixel and emits a dense
+// little-endian bitstream per (field, pixel row): pixel j of a row
+// occupies bits [nbits*j, nbits*(j+1)) of that row's stream. Out planes
+// are (max_frames, n_fields, h, W*nbits/32) u32; the device unpacks with
+// a fixed 32-pixel -> nbits-word block pattern of static shifts
+// (ops/packed.py) that XLA fuses into the projection.
+//
+// Requirements (caller pre-verifies, ops layer falls back to planar
+// staging otherwise): every packet's first measurement id is aligned to
+// cols-per-packet (so each packet's cpp columns are byte-aligned in the
+// stream: cpp*nbits % 8 == 0), and W % 32 == 0.
+// fields: n_fields x (word, bit) pairs. Grouping/drop/resume semantics
+// and col-header/pkt-ts/hdr outputs match onat_group_frames_planar.
+int64_t onat_group_frames_packed(
+    const uint8_t* payloads, const int64_t* offsets, const uint64_t* ts_in,
+    int64_t count, int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
+    uint64_t fid_mask, int64_t hw_bytes, int64_t cw_bytes, int64_t chw_bytes,
+    int64_t mid_byte_in_col, int64_t cpp, int64_t h, int64_t pw, int64_t W,
+    const int64_t* field_words, const int64_t* field_bits, int64_t n_fields,
+    int64_t nbits,
+    uint8_t* out_planes, uint8_t* out_colhdr, int64_t* out_fids,
+    uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes,
+    int64_t* io_released) {
+    const int64_t group_bytes = cpp * nbits / 8;   // per packet, per row
+    const int64_t row_bytes = (W / cpp) * group_bytes;
+    const int64_t plane_bytes = (int64_t)n_fields * h * row_bytes;
+    const int64_t colhdr_bytes = (int64_t)(chw_bytes / 4) * W * 4;
+    const int64_t chw = chw_bytes / 4;
+    const uint32_t vmask = (nbits >= 32) ? 0xFFFFFFFFu
+                                         : ((1u << nbits) - 1u);
+    int64_t nf = 0, i = 0;
+    int64_t cur_fid = -1;
+    int64_t released = io_released ? *io_released : -1;
+    uint8_t* planes = nullptr;
+    uint8_t* colhdr = nullptr;
+    for (; i < count; i++) {
+        const uint8_t* p = payloads + offsets[i];
+        uint64_t fid64;
+        std::memcpy(&fid64, p + fid_byte, 8);
+        int64_t fid = (int64_t)((fid64 >> fid_shift) & fid_mask);
+        if (fid != cur_fid) {
+            if (cur_fid >= 0 &&
+                fid == (int64_t)((uint64_t)(cur_fid - 1) & fid_mask))
+                continue;
+            if (cur_fid < 0 && released >= 0 &&
+                (fid == released ||
+                 released == (int64_t)((uint64_t)(fid + 1) & fid_mask)))
+                continue;
+            if (cur_fid >= 0) released = cur_fid;
+            if (nf >= max_frames) break;
+            planes = out_planes + nf * plane_bytes;
+            colhdr = out_colhdr + nf * colhdr_bytes;
+            std::memset(planes, 0, plane_bytes);
+            std::memset(colhdr, 0, colhdr_bytes);
+            out_fids[nf] = fid;
+            out_ts[nf] = ts_in ? ts_in[i] : 0;
+            cur_fid = fid;
+            nf++;
+        }
+        for (int64_t c = 0; c < cpp; c++) {
+            const uint8_t* col = p + hw_bytes + c * cw_bytes;
+            uint16_t mid;
+            std::memcpy(&mid, col + mid_byte_in_col, 2);
+            if (mid >= W) continue;
+            for (int64_t q = 0; q < chw; q++)
+                std::memcpy(colhdr + (q * W + mid) * 4, col + q * 4, 4);
+        }
+        uint16_t mid0;
+        std::memcpy(&mid0, p + hw_bytes + mid_byte_in_col, 2);
+        if (mid0 + cpp > W || (mid0 % cpp) != 0) continue;  // pre-checked
+        const int64_t slot = mid0 / cpp;
+        for (int64_t k = 0; k < n_fields; k++) {
+            const int64_t fw = field_words[k], fb = field_bits[k];
+            for (int64_t pp = 0; pp < h; pp++) {
+                const uint8_t* src =
+                    p + hw_bytes + chw_bytes + (pp * pw + fw) * 4;
+                uint8_t* dst = planes + (k * h + pp) * row_bytes
+                               + slot * group_bytes;
+                uint64_t bitbuf = 0;
+                int nacc = 0;
+                for (int64_t c = 0; c < cpp; c++) {
+                    uint32_t v;
+                    std::memcpy(&v, src + c * cw_bytes, 4);
+                    v = (v >> fb) & vmask;
+                    bitbuf |= (uint64_t)v << nacc;
+                    nacc += (int)nbits;
+                    while (nacc >= 8) {
+                        *dst++ = (uint8_t)bitbuf;
+                        bitbuf >>= 8;
+                        nacc -= 8;
+                    }
+                }
+            }
+        }
+    }
+    if (io_released) *io_released = released;
+    *out_nframes = nf;
+    return i;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -172,6 +172,24 @@ def _uint_view(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(arr).view(udt)
 
 
+def _encode_field_payload(arr: np.ndarray, encoder: str,
+                          compression_level: int) -> bytes:
+    """Field-table payload (ref: fb_common.cpp encode_fields +
+    png_lidarscan_encoder.cpp:44-58 encode_field): 1-D and structured
+    fields go raw; ndim>=2 goes through the active codec over a uint
+    view collapsed to (shape[0], -1), with NO px_offset destagger —
+    the real SDK's decode_field (png_tools.cpp:715-796) requires
+    exactly this shape convention to read the bytes back."""
+    if arr.ndim <= 1 or arr.dtype.names is not None:
+        return np.ascontiguousarray(arr).tobytes()
+    view = _uint_view(arr)
+    if view.ndim > 2:
+        view = view.reshape(view.shape[0], -1)
+    if encoder == "zpng":
+        return zpng_codec.encode(view, compression_level)
+    return png_codec.encode_field_png(view, compression_level)
+
+
 def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
                           field_types: Optional[List[FieldType]] = None,
                           compression_level: int = 1,
@@ -201,12 +219,16 @@ def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
             return zpng_codec.encode(img, compression_level)
         return png_codec.encode_field_png(img, compression_level)
 
-    # channels: PNG/zPNG-encoded destaggered standard fields
+    # channels: encoded standard fields. PNG channels are stored
+    # DESTAGGERED; zPNG channels are stored STAGGERED — the reference's
+    # ZPngLidarScanEncoder ignores px_offset (zpng_lidarscan_encoder.cpp:24
+    # `/*px_offset*/`) and its decoder restaggers only on the PNG path
+    # (png_tools.cpp:715-796 tries zPNG raw first, then PNG+px_offset)
     channel_offs = []
     chan_field_structs = bytearray()
     for enum_val, name in standard:
         arr = _uint_view(ls.field(name))
-        img = _destagger(px_offset, arr)
+        img = arr if encoder == "zpng" else _destagger(px_offset, arr)
         data = encode_img(img)
         vec = b.vector_bytes(data)
         b.start_table()
@@ -225,15 +247,7 @@ def encode_lidar_scan_msg(ls: LidarScan, info: SensorInfo,
     for name in custom:
         arr = ls.field(name)
         shape = arr.shape
-        if arr.ndim == 1 or arr.dtype.names is not None:
-            payload = np.ascontiguousarray(arr).tobytes()
-        elif arr.ndim >= 2:
-            view = _uint_view(arr)
-            if view.ndim > 2:
-                view = view.reshape(view.shape[0], -1)
-            payload = encode_img(view)
-        else:
-            payload = np.ascontiguousarray(arr).tobytes()
+        payload = _encode_field_payload(arr, encoder, compression_level)
         name_off = b.string(name)
         shape_off = b.vector_scalar(list(shape), np.uint64)
         data_off = b.vector_bytes(payload)
@@ -321,7 +335,12 @@ def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
             handler(Severity.WARNING,
                     f"Skipping field '{name}': {e}")
             continue
-        arr = _stagger(px_offset, img).view(dtype).astype(dtype, copy=False)
+        if zpng_codec.is_zpng(data):
+            # zPNG channels are staggered on the wire (see encode)
+            arr = img.view(dtype).astype(dtype, copy=False)
+        else:
+            arr = _stagger(px_offset, img).view(dtype) \
+                .astype(dtype, copy=False)
         field_types.append(FieldType(name, dtype, (), FieldClass.PIXEL_FIELD))
         arrays[name] = arr
 
@@ -407,10 +426,13 @@ def decode_lidar_scan_msg(buf: bytes, info: SensorInfo,
 # ---------------------------------------------------------------------------
 
 def encode_collation_msg(scan_ids: List[Tuple[int, int]],
-                         set_fields: Optional[Dict[str, np.ndarray]] = None
-                         ) -> bytes:
+                         set_fields: Optional[Dict[str, np.ndarray]] = None,
+                         compression_level: int = 1,
+                         encoder: str = "png") -> bytes:
     """(sensor_id, scan_idx) list + set-level fields -> CollationMsg
-    flatbuffer (ref: collation_stream.cpp create_collation_msg)."""
+    flatbuffer (ref: collation_stream.cpp create_collation_msg; set
+    fields ride fb_save_fields, so multi-dim payloads are codec-encoded
+    exactly like LidarScanMsg custom fields)."""
     b = fb.Builder()
     packed = b"".join(struct.pack("<I4xQ", sid, idx)
                       for sid, idx in scan_ids)
@@ -421,7 +443,8 @@ def encode_collation_msg(scan_ids: List[Tuple[int, int]],
         arr = np.asarray(set_fields[name])
         name_off = b.string(name)
         shape_off = b.vector_scalar(list(arr.shape), np.uint64)
-        data_off = b.vector_bytes(np.ascontiguousarray(arr).tobytes())
+        data_off = b.vector_bytes(
+            _encode_field_payload(arr, encoder, compression_level))
         b.start_table()
         b.slot_offset(0, name_off)
         tag = 30 if arr.dtype.names is not None else \
@@ -456,9 +479,14 @@ def decode_collation_msg(buf: bytes) -> Tuple[List[Tuple[int, int]],
         shape = tuple(int(x) for x in ft_tbl.vector_np(2, np.uint64))
         payload = ft_tbl.vector_bytes(4)
         dtype = _TYPE_TO_DTYPE.get(tag, np.dtype(np.uint8))
-        arr = np.frombuffer(payload, dtype=dtype)
-        if shape:
-            arr = arr.reshape(shape)
+        if len(shape) >= 2 and (payload[:8] == b"\x89PNG\r\n\x1a\n"
+                                or zpng_codec.is_zpng(payload)):
+            img = _decode_channel(payload)
+            arr = img.reshape(shape[0], -1).view(dtype).reshape(shape)
+        else:
+            arr = np.frombuffer(payload, dtype=dtype)
+            if shape:
+                arr = arr.reshape(shape)
         set_fields[name] = arr
     return scan_ids, set_fields
 
@@ -880,7 +908,8 @@ class Writer:
             scan_ids.append((i, count - 1))
 
         msg = encode_collation_msg(
-            scan_ids, {n: ls_set.field(n) for n in ls_set.fields})
+            scan_ids, {n: ls_set.field(n) for n in ls_set.fields},
+            self._compression_level, encoder=self._encoder)
         self.save_message(self._collation_stream_id, int(min_packet_ts or 0),
                           0, msg)
 

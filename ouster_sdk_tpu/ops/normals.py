@@ -21,11 +21,12 @@ Algorithm (per valid pixel):
 NOTE on parity (PROVEN, see tests/test_normals_conformance.py): the
 reference's shipped normals.cpp, compiled unmodified as a ctypes oracle,
 matches this implementation to max |diff| = 5.9e-14 over the full
-single_scan_016.osf frame (single and dual return). The reference repo's
-own hardcoded regression samples (python/tests/test_normals.py:94-117)
-do NOT match its own shipped code (e.g. pixel (67,798): shipped
-[-0.0201, 0.0426, 0.9989] vs expected [0.063, 0.998, -0.012]) — they come
-from a different code revision. We pin behavior to the shipped algorithm.
+single_scan_016.osf frame (single and dual return), and the reference
+repo's hardcoded regression samples (python/tests/test_normals.py:94-117)
+match the shipped code on the correctly-decoded fixture. (An earlier
+round recorded a spurious divergence here; it was an OSF zPNG stagger bug
+in our own reader — zPNG channels are stored staggered on the wire — not
+a reference inconsistency.)
 """
 
 from __future__ import annotations

@@ -124,6 +124,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_int64,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
+        lib.onat_group_frames_packed.restype = c.c_int64
+        lib.onat_group_frames_packed.argtypes = [
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
+            c.c_int64, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
+            c.c_void_p, c.c_void_p]
         _lib = lib
         return _lib
 
@@ -291,6 +299,42 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
         _ptr(out_pkt_ts) if out_pkt_ts is not None else None,
         _ptr(out_pkt_hdrs) if out_pkt_hdrs is not None else None,
         _ptr(out_first_hdr) if out_first_hdr is not None else None,
+        _ptr(io_released) if io_released is not None else None)
+    return int(consumed), int(nframes[0])
+
+
+def group_frames_packed(payloads: np.ndarray, offsets: np.ndarray,
+                        ts: Optional[np.ndarray], pkt_bytes: int,
+                        fid_byte: int, fid_shift: int, fid_mask: int,
+                        hw_bytes: int, cw_bytes: int, chw_bytes: int,
+                        mid_byte_in_col: int, cpp: int, h: int, pw: int,
+                        w: int, field_words: np.ndarray,
+                        field_bits: np.ndarray, nbits: int,
+                        out_planes: np.ndarray, out_colhdr: np.ndarray,
+                        out_fids: np.ndarray, out_ts: np.ndarray,
+                        io_released: Optional[np.ndarray] = None
+                        ) -> Optional[Tuple[int, int]]:
+    """Bit-packed grouping (see native onat_group_frames_packed):
+    out_planes (max_frames, n_fields, h, w*nbits//32) u32 dense LSB-first
+    bitstreams of each selected field's nbits bits per pixel. Caller must
+    pre-verify packet alignment (mid0 % cpp == 0 for every packet).
+    Returns (packets_consumed, n_frames) or None without the native lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    field_words = np.ascontiguousarray(field_words, np.int64)
+    field_bits = np.ascontiguousarray(field_bits, np.int64)
+    nframes = np.zeros(1, dtype=np.int64)
+    consumed = lib.onat_group_frames_packed(
+        _ptr(payloads), _ptr(offsets),
+        _ptr(np.ascontiguousarray(ts, np.uint64)) if ts is not None
+        else None,
+        offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask,
+        hw_bytes, cw_bytes, chw_bytes, mid_byte_in_col, cpp, h, pw, w,
+        _ptr(field_words), _ptr(field_bits), field_words.size, nbits,
+        _ptr(out_planes), _ptr(out_colhdr), _ptr(out_fids), _ptr(out_ts),
+        out_planes.shape[0], _ptr(nframes),
         _ptr(io_released) if io_released is not None else None)
     return int(consumed), int(nframes[0])
 

@@ -5,15 +5,16 @@ Compiles the reference's shipped normals.cpp UNMODIFIED (from
 ctypes oracle and asserts our vectorized implementation matches it to
 machine precision on the reference's own fixture.
 
-Measured verdict (2026-08-16, single_scan_016.osf, full 128x1024 frame):
+Measured verdict (2026-08-17, single_scan_016.osf, full 128x1024 frame):
   max |ours - shipped C++| = 5.9e-14  (bitwise-equivalent algorithm)
-while the reference repo's own regression vectors
-(python/tests/test_normals.py:94-117) do NOT match its shipped code:
-  (67,798)  shipped=[-0.0201, 0.0426, 0.9989]  expected=[0.063, 0.998,-0.012]
-  (68,204)  shipped=[-0.1364,-0.4018,-0.9055]  expected=[0.025,-0.999, 0.028]
-  (100,512) shipped=[-0.0750, 0.0183, 0.9970]  expected=[-0.032, 0.017, 0.999]
-i.e. those vectors come from a different code revision than the shipped
-normals.cpp. We pin to the shipped algorithm.
+and the reference repo's own regression vectors
+(python/tests/test_normals.py:94-117) match the shipped code at every
+sampled pixel once the fixture is decoded correctly. (Round 2 recorded
+the opposite; the mismatch was an OSF zPNG stagger bug in OUR reader —
+zPNG channels are staggered on the wire, zpng_lidarscan_encoder.cpp:24
+ignores px_offset — which silently corrupted the fixture's RANGE image.
+The regression vectors thus double as an end-to-end check of our OSF
+decode + xyzlut + normals chain.)
 """
 
 import ctypes
@@ -160,16 +161,17 @@ def test_dual_return_matches_shipped_cpp(oracle, fixture_frame):
     assert d1.max() < 1e-9 and d2.max() < 1e-9, (d1.max(), d2.max())
 
 
-def test_reference_expected_vectors_disagree_with_its_own_code(
-        oracle, fixture_frame):
-    """Documents (with numbers) that the reference's hardcoded regression
-    vectors do not come from its shipped normals.cpp — the basis for
-    pinning our behavior to the shipped algorithm. If this ever starts
-    failing, the reference vectors match the shipped code after all and
-    our parity note must be revisited."""
-    scan, info, prep = fixture_frame
+def test_reference_regression_vectors(oracle, fixture_frame):
+    """The reference's hardcoded regression vectors
+    (python/tests/test_normals.py:94-117) must match BOTH the shipped
+    normals.cpp oracle and our implementation on the decoded fixture —
+    an end-to-end pin of OSF decode + destagger + xyzlut + normals.
+    (A failure here most likely means a fixture-decode regression, not a
+    normals bug: round 2's zPNG stagger bug surfaced exactly this way.)"""
     from ouster_sdk_tpu import ChanField
+    from ouster_sdk_tpu.ops.normals import normals
 
+    scan, info, prep = fixture_frame
     rng_d, xyz_d = prep(ChanField.RANGE)
     h, w = rng_d.shape
     origins = np.zeros((w, 3))
@@ -177,11 +179,12 @@ def test_reference_expected_vectors_disagree_with_its_own_code(
     oracle.oracle_normals(_ptr(xyz_d), _ptr(rng_d), _ptr(origins), h, w,
                           _ptr(out))
     shipped = out.reshape(h, w, 3)
+    ours, _ = normals(xyz_d, rng_d, origins)
     expected = {(67, 798): [0.063, 0.998, -0.012],
                 (68, 204): [0.025, -0.999, 0.028],
                 (100, 512): [-0.032, 0.017, 0.999]}
-    mismatches = sum(
-        not np.allclose(shipped[rc], v, atol=1e-3)
-        for rc, v in expected.items())
-    assert mismatches == len(expected), \
-        "reference vectors now match shipped code — revisit normals.py NOTE"
+    for rc, v in expected.items():
+        np.testing.assert_allclose(shipped[rc], v, atol=1e-3,
+                                   err_msg=f"shipped {rc}")
+        np.testing.assert_allclose(ours[rc], v, atol=1e-3,
+                                   err_msg=f"ours {rc}")
