@@ -155,13 +155,38 @@ class ScanPipeline:
         lut = self._planar_lut
         if engine == "auto":
             engine = planar_engine_default()
-        fn = (unpack_project_planar_batched_xla if engine == "xla"
-              else unpack_project_planar_batched)
-        return fn(
+        kw = dict(precision=self.cfg.precision,
+                  dual=self.cfg.dual and poses is None, poses=poses,
+                  words=words)
+        if engine == "xla":
+            return unpack_project_planar_batched_xla(
+                planes, col_hdrs, lut.stack, self.cfg.plan, **kw)
+        # explicit engine='pallas' on a non-TPU backend runs the kernel
+        # in interpret mode (CPU test meshes; Mosaic needs real hardware)
+        try:
+            interpret = jax.devices()[0].platform != "tpu"
+        except Exception:
+            interpret = True
+        return unpack_project_planar_batched(
             planes, col_hdrs, lut.stack, self.cfg.plan,
-            precision=self.cfg.precision,
-            dual=self.cfg.dual and poses is None, poses=poses,
-            words=words)
+            interpret=interpret, **kw)
+
+    def sharded(self, mesh=None, *, axis_name: Optional[str] = None,
+                engine: str = "auto",
+                words: Optional[Tuple[int, ...]] = None,
+                tile_w: Optional[int] = None):
+        """Multi-chip face of the planar family: returns a
+        ShardedScanPipeline running the SAME kernels as project_planar
+        under shard_map over `mesh` (default: a 1-D mesh over every
+        local device), with batches split on the leading axis. See
+        parallel/sharding.py; docs/tpu.md §multi-chip."""
+        from ..parallel.sharding import ShardedScanPipeline, make_mesh
+
+        if mesh is None:
+            mesh = make_mesh()
+        return ShardedScanPipeline(self, mesh, axis_name=axis_name,
+                                   engine=engine, words=words,
+                                   tile_w=tile_w)
 
     def decode_planar(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray
                       ) -> Dict[str, jnp.ndarray]:

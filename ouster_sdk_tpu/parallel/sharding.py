@@ -12,12 +12,30 @@ use psum/all_gather over the same mesh.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Iterator, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _shard_map():
+    fn = getattr(jax, "shard_map", None)
+    if fn is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map as fn
+    return fn
+
+
+def _shard_map_norep(fn, **kw):
+    """shard_map with the replication check disabled: Pallas out_shapes
+    carry no vma annotation, and the keyword's name changed across jax
+    versions (check_rep -> check_vma)."""
+    sm = _shard_map()
+    try:
+        return sm(fn, check_vma=False, **kw)
+    except TypeError:  # jax < 0.7
+        return sm(fn, check_rep=False, **kw)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -74,10 +92,7 @@ def sharded_multi_sensor_step(pipes: Sequence, mesh: Mesh):
     Returns (step_fn, stacked_luts): step_fn(frames, luts, poses) ->
     (xyz (S, F, H, W, 3), centroid (3,) replicated).
     """
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map
-
+    shard_map = _shard_map()
     pipe0 = pipes[0]
     luts = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *[p.lut for p in pipes])
@@ -113,10 +128,6 @@ def fuse_multi_sensor_clouds(mesh: Mesh, clouds: jnp.ndarray,
     cloud so every device holds the full result — the TPU equivalent of
     the reference Collator + extrinsics fan-in
     (ref: scan_source_utils.h:22)."""
-    shard_map = getattr(jax, "shard_map", None)
-    if shard_map is None:  # pre-0.8 jax
-        from jax.experimental.shard_map import shard_map
-
     def apply(cloud, ext):
         return cloud @ ext[:3, :3].T + ext[:3, 3]
 
@@ -127,10 +138,164 @@ def fuse_multi_sensor_clouds(mesh: Mesh, clouds: jnp.ndarray,
         return jax.lax.all_gather(
             fused, axis_name, axis=0, tiled=True).reshape(-1, 3)
 
-    kw = dict(mesh=mesh, in_specs=(P(axis_name), P(axis_name)),
-              out_specs=P())
-    try:  # jax >= 0.7 calls the replication check check_vma
-        fn = shard_map(local_fuse, check_vma=False, **kw)
-    except TypeError:
-        fn = shard_map(local_fuse, check_rep=False, **kw)
+    fn = _shard_map_norep(local_fuse, mesh=mesh,
+                          in_specs=(P(axis_name), P(axis_name)),
+                          out_specs=P())
     return fn(clouds, extrinsics)
+
+
+class ShardedScanPipeline:
+    """Public multi-chip face of the planar decode/projection family.
+
+    Wraps a ScanPipeline so the SAME kernel family the single-chip
+    benchmark runs (ops/pallas_kernels.py planar kernels, or their
+    bit-identical XLA twins) executes under `shard_map` over a device
+    mesh: a (B, ...) batch of word-planar staged frames is split on the
+    leading axis, every chip runs the fused unpack+projection on its
+    local shard, and outputs stay batch-sharded for downstream sharded
+    consumers (reductions ride `psum`/`all_gather` on the same mesh).
+
+    The reference has no multi-device analog — its parallelism stops at
+    OpenMP threads (ref: SURVEY.md §2.15); this is the TPU-native scaling
+    story: pure SPMD over frames, zero collectives in the hot loop, so
+    throughput is linear in chips.
+
+    Construct via :meth:`ScanPipeline.sharded`::
+
+        pipe = ScanPipeline(info)
+        sp = pipe.sharded(make_mesh())          # all local chips
+        planes, hdrs = sp.shard(planes), sp.shard(hdrs)
+        xyz = sp.project(planes, hdrs)          # (B, 3, h, w), sharded
+
+    or stream straight from a capture::
+
+        for fids, xyz in sp.map_source(FrameReader(path, info=info)):
+            ...
+
+    `engine` picks the lowering per chip: 'pallas' (the hand-tiled TPU
+    kernel; lowered in interpret mode on non-TPU backends so the kernel
+    logic itself is what runs on the CPU test mesh), 'xla' (stock-ops
+    twin, bit-identical), or 'auto' (pallas on TPU, xla elsewhere —
+    same policy as the single-chip path, ops/fused.py).
+    """
+
+    def __init__(self, pipe, mesh: Mesh, *, axis_name: Optional[str] = None,
+                 engine: str = "auto", words: Optional[Tuple[int, ...]] = None,
+                 tile_w: Optional[int] = None):
+        from ..ops.fused import planar_engine_default
+
+        self.pipe = pipe
+        self.mesh = mesh
+        if axis_name is None:
+            axis_name = mesh.axis_names[0]
+        self.axis_name = axis_name
+        self.n_shards = mesh.shape[axis_name]
+        if engine == "auto":
+            engine = planar_engine_default()
+        self.engine = engine
+        self.words = words
+        plan = pipe.cfg.plan
+        w = plan.w
+        if tile_w is None:
+            tile_w = 256 if (w % 256 == 0 and w >= 256) else w
+        self._tile_w = tile_w
+        platforms = {d.platform for d in mesh.devices.flat}
+        self._interpret = engine == "pallas" and platforms != {"tpu"}
+        self._in = NamedSharding(mesh, P(axis_name))
+        self._repl = NamedSharding(mesh, P())
+        self._jit_cache: Dict[Tuple[bool, ...], object] = {}
+
+    def shard(self, arr) -> jnp.ndarray:
+        """Place a (B, ...) array with B split over the mesh axis."""
+        arr = np.asarray(arr) if not isinstance(arr, jnp.ndarray) else arr
+        if arr.shape[0] % self.n_shards:
+            raise ValueError(
+                f"batch {arr.shape[0]} not divisible by the mesh's "
+                f"{self.n_shards} shards on axis {self.axis_name!r}; pad "
+                f"the batch (see map_source) or resize the chunk")
+        return jax.device_put(arr, self._in)
+
+    def replicate(self, arr) -> jnp.ndarray:
+        """Place an array fully replicated on every mesh device."""
+        return jax.device_put(arr, self._repl)
+
+    def _local_project(self, dewarp: bool):
+        from ..ops.pallas_kernels import (
+            unpack_project_planar_batched,
+            unpack_project_planar_batched_xla,
+        )
+
+        cfg = self.pipe.cfg
+        dual = cfg.dual and not dewarp
+        kw = dict(plan=cfg.plan, precision=cfg.precision, dual=dual,
+                  words=self.words)
+
+        if self.engine == "xla":
+            def local(planes, hdrs, lut, *poses):
+                return unpack_project_planar_batched_xla(
+                    planes, hdrs, lut,
+                    poses=poses[0] if poses else None, **kw)
+        else:
+            def local(planes, hdrs, lut, *poses):
+                return unpack_project_planar_batched(
+                    planes, hdrs, lut, tile_w=self._tile_w,
+                    interpret=self._interpret,
+                    poses=poses[0] if poses else None, **kw)
+        return local, dual
+
+    def _projector(self, dewarp: bool):
+        key = (dewarp,)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            local, dual = self._local_project(dewarp)
+            ax = self.axis_name
+            in_specs = (P(ax), P(ax), P()) + ((P(ax),) if dewarp else ())
+            out_specs = (P(ax), P(ax)) if dual else P(ax)
+            fn = jax.jit(_shard_map_norep(
+                local, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs))
+            self._jit_cache[key] = fn
+        return fn
+
+    def project(self, planes: jnp.ndarray, col_hdrs: jnp.ndarray,
+                poses: Optional[jnp.ndarray] = None):
+        """Batched planes (B, pw|n_sel, h, w) + col headers (B, chw, w)
+        -> XYZ (B, 3, h, w) f32, batch-sharded over the mesh (a pair of
+        arrays for dual-return profiles; world-frame when per-column
+        poses (B, w, 4, 4) are given). Bit-identical to the single-chip
+        ScanPipeline.project_planar on the same engine."""
+        lut = self.pipe._planar_lut.stack
+        if poses is not None:
+            return self._projector(True)(planes, col_hdrs, lut, poses)
+        return self._projector(False)(planes, col_hdrs, lut)
+
+    __call__ = project
+
+    def map_source(self, reader, chunk: Optional[int] = None,
+                   pipelined: bool = True
+                   ) -> Iterator[Tuple[np.ndarray, object]]:
+        """Source-level batch API: stream a FrameReader's word-planar
+        chunks through the sharded projector. Yields (frame_ids, xyz)
+        per chunk with xyz batch-sharded on the mesh; a short tail chunk
+        is padded up to the mesh batch (compiled shape) and the padding
+        rows are dropped from frame_ids, so callers slice xyz by
+        len(frame_ids)."""
+        if chunk is None:
+            chunk = self.n_shards * max(1, 8 // self.n_shards)
+        if chunk % self.n_shards:
+            raise ValueError(f"chunk {chunk} must be a multiple of the "
+                             f"mesh's {self.n_shards} shards")
+        it = (reader.iter_planar_chunks_pipelined(chunk, words=self.words)
+              if pipelined else
+              reader.iter_planar_chunks(chunk, words=self.words))
+        for fids, planes, hdrs, _ts in it:
+            n = fids.size
+            if n < chunk:
+                pad = chunk - n
+                planes = np.concatenate(
+                    [planes, np.broadcast_to(planes[-1:],
+                                             (pad,) + planes.shape[1:])])
+                hdrs = np.concatenate(
+                    [hdrs, np.broadcast_to(hdrs[-1:],
+                                           (pad,) + hdrs.shape[1:])])
+            yield fids, self.project(self.shard(planes), self.shard(hdrs))

@@ -232,6 +232,28 @@ def main():
         print(f"fused dewarp ok (max err {err_w.max():.2e} m)",
               file=sys.stderr)
 
+    # ---- 2e. planar Pallas under a device mesh (ScanPipeline.sharded) ----
+    # shard_map over the real chip(s): same kernel as 2b, batch-sharded.
+    # CPU-mesh equality runs in tests/test_parallel.py; this proves the
+    # Mosaic lowering composes with shard_map on hardware.
+    from jax.sharding import Mesh
+    from ouster_sdk_tpu.ops.fused import ScanPipeline
+    from ouster_sdk_tpu.parallel import make_mesh
+
+    pipe_sh = ScanPipeline(info_p)
+    mesh_sh = make_mesh()          # every real device (1 in this sandbox)
+    n_dev = mesh_sh.devices.size
+    sp_sh = pipe_sh.sharded(mesh_sh, engine="pallas")
+    planes_b = np.stack([planes] * n_dev)
+    hdrs_b = np.stack([hdrs] * n_dev)
+    o1, o2 = sp_sh.project(sp_sh.shard(planes_b), sp_sh.shard(hdrs_b))
+    if not (np.asarray(o1[0]) == np.asarray(out[0][0])).all() or \
+            not (np.asarray(o2[0]) == np.asarray(out[1][0])).all():
+        failures.append("sharded planar Pallas != unsharded kernel")
+    else:
+        print(f"sharded planar Pallas ok on {n_dev}-device mesh "
+              "(bit-identical to unsharded)", file=sys.stderr)
+
     # ---- 3. LUT-free projection -----------------------------------------
     tables = FactorTables(info_d)
     xyz = np.moveaxis(np.asarray(jax.jit(
