@@ -19,6 +19,12 @@ Method notes (this sandbox's TPU sits behind a tunnel):
 - the e2e loop is double-buffered by async dispatch: device_put of batch
   i+1 overlaps compute of batch i; timing includes the FrameReader host
   pass (native pcap scan + IPv4 reassembly + frame staging).
+- the e2e passes perform ZERO device->host readbacks (measured: ONE d2h
+  readback — even 4 bytes — permanently downgrades this tunnel's h2d
+  path from ~1.4 GB/s to ~30 MB/s for the rest of the process; h2d-only
+  and dispatch-only traffic never trigger it). Each pass ends with a
+  block_until_ready completion fence; every pass's accumulator is read
+  back once, after the final timed pass of the final config.
 """
 
 import functools
@@ -56,6 +62,104 @@ def _synth_pcap(path, info, n_frames, seed=1):
                 write_bits(words.reshape(1, -1), pf.geom.frame_id,
                            np.array([[fid]], dtype=np.uint64))
                 w.write(bufs[p].tobytes(), "10.0.0.1", "10.0.0.2",
+                        7502, 7502, ts)
+                ts += 10**5
+            ts += 10**7
+    return path
+
+
+def _scene_ranges(info):
+    """Ray-cast the sensor's beam grid against a box room (12x8x4 m,
+    sensor at 1 m) with two cylindrical pillars -> (h, w) f64 range mm
+    (0 where no geometry). Replay benchmarks should see what real
+    captures look like — piecewise-smooth surfaces with edges and
+    dropouts — not white noise: the reference's own replay benchmarks
+    run on real scenes (tests/pcaps), and wire-format performance
+    (BP64, ops/bp64.py) is only meaningful on realistic content. The
+    INCOMPRESSIBLE metrics below keep the white-noise worst case."""
+    h = info.format.pixels_per_column
+    w = info.format.columns_per_frame
+    az = np.deg2rad(np.asarray(info.beam_azimuth_angles, float))
+    alt = np.deg2rad(np.asarray(info.beam_altitude_angles, float))
+    theta = 2 * np.pi * (np.arange(w) / w)[None, :] + az[:, None]
+    phi = alt[:, None]
+    d = np.stack([np.cos(phi) * np.cos(theta),
+                  np.cos(phi) * np.sin(theta),
+                  np.broadcast_to(np.sin(phi), (h, w))], axis=-1)
+    o = np.array([0.0, 0.0, 1.0])
+    bounds = ((-6.0, 6.0), (-4.0, 4.0), (0.0, 4.0))
+    t = np.full((h, w), np.inf)
+    for axis in range(3):
+        for b in bounds[axis]:
+            denom = d[..., axis]
+            tt = np.where(np.abs(denom) > 1e-9,
+                          (b - o[axis]) / np.where(np.abs(denom) > 1e-9,
+                                                   denom, 1.0), np.inf)
+            tt = np.where(tt > 0.05, tt, np.inf)
+            p = o[None, None] + d * tt[..., None]
+            ok = np.isfinite(tt)
+            for a2 in range(3):
+                if a2 == axis:
+                    continue
+                lo, hi = bounds[a2]
+                ok &= (p[..., a2] >= lo - 1e-6) & (p[..., a2] <= hi + 1e-6)
+            t = np.where(ok, np.minimum(t, tt), t)
+    for cx, cy, r in ((2.5, 1.0, 0.3), (-1.5, -2.0, 0.5)):
+        dx, dy = d[..., 0], d[..., 1]
+        ox, oy = -cx, -cy
+        A = np.maximum(dx * dx + dy * dy, 1e-12)
+        B = 2 * (ox * dx + oy * dy)
+        C = ox * ox + oy * oy - r * r
+        disc = B * B - 4 * A * C
+        tt = np.where(disc > 0,
+                      (-B - np.sqrt(np.maximum(disc, 0))) / (2 * A), np.inf)
+        tt = np.where(tt > 0.05, tt, np.inf)
+        z = o[2] + d[..., 2] * tt
+        t = np.minimum(t, np.where((z >= 0) & (z <= 4), tt, np.inf))
+    return np.where(np.isfinite(t), t * 1000.0, 0.0)
+
+
+def _synth_scene_pcap(path, info, n_frames, dual, seed=2):
+    """Realistic-scene capture: per-frame sensor noise (sigma 3 mm), 4%
+    dropouts, sparse second returns on 15% of valid pixels."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ouster_sdk_tpu import ChanField, PacketWriter
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    base = _scene_ranges(info)
+    pw = PacketWriter(info.format)
+    h = info.format.pixels_per_column
+    cpp = pw.columns_per_packet
+    rng = np.random.default_rng(seed)
+    with PcapWriter(path) as w:
+        ts = 10**9
+        for fid in range(1, n_frames + 1):
+            noise = rng.normal(0, 3.0, size=base.shape)
+            v = np.clip(base + noise, 0, (1 << 19) - 1).astype(np.uint64)
+            v[base == 0] = 0
+            v[rng.random(base.shape) < 0.04] = 0
+            if dual:
+                second = (v + 300 + rng.normal(0, 3.0, size=base.shape)
+                          .astype(np.int64)).astype(np.uint64)
+                second[v == 0] = 0
+                second[rng.random(base.shape) >= 0.15] = 0
+                second = np.minimum(second, (1 << 19) - 1)
+            for p in range(info.format.columns_per_frame // cpp):
+                buf = pw.new_packet()
+                pw.set_packet_header(buf, init_id=info.init_id,
+                                     prod_sn=info.sn)
+                pw.set_frame_id(buf, fid)
+                m0 = p * cpp
+                pw.set_col_headers(
+                    buf,
+                    np.arange(cpp, dtype=np.uint64) + m0 * 1000,
+                    np.arange(cpp, dtype=np.uint16) + m0,
+                    np.ones(cpp, dtype=np.uint32))
+                pw.set_field(buf, ChanField.RANGE, v[:, m0:m0 + cpp])
+                if dual:
+                    pw.set_field(buf, ChanField.RANGE2,
+                                 second[:, m0:m0 + cpp])
+                w.write(buf.tobytes(), "10.0.0.1", "10.0.0.2",
                         7502, 7502, ts)
                 ts += 10**5
             ts += 10**7
@@ -127,7 +231,17 @@ def main():
     # tunnel's bad mood. Inside a pass there is exactly ONE device->host
     # readback (a donated device-resident accumulator) — per-batch scalar
     # readbacks were observed to stall for minutes through the tunnel.
-    def e2e_run(e2e_info, tag, n_frames, dual):
+    pending_accs = []  # device scalars from BOTH e2e configs; one readback
+
+    def e2e_run(e2e_info, tag, n_frames, dual, codec="bp64", scene=True):
+        """One e2e config: pcap -> host scan/reassembly/encode -> h2d ->
+        fused device decode+projection. codec='bp64' ships the BP64
+        delta/bit-packed range streams (ops/bp64.py, ~5-10 bits/px on
+        real content); codec='packed' ships dense 19-bit streams (the
+        incompressible floor). scene=True replays a ray-cast room scene
+        (what real captures look like); scene=False replays white-noise
+        ranges (worst case)."""
+        from ouster_sdk_tpu.ops.bp64 import project_bp64_batched
         from ouster_sdk_tpu.ops.packed import (
             packed_range_fields,
             project_packed_batched,
@@ -135,90 +249,153 @@ def main():
 
         e2e_plan = make_decode_plan(e2e_info)
         e2e_lut = PlanarLut(make_xyz_lut(e2e_info))
-        # wire-rate staging: the native pack ships only the range fields'
-        # 19 bits per pixel as a dense bitstream (ops/packed.py) — 19/32
-        # of the word-subset planar bytes, bit-identical projection. The
-        # host still scans/reassembles every packet byte.
         fields, nbits, upshifts = packed_range_fields(e2e_plan, dual)
 
-        @functools.partial(jax.jit, donate_argnums=(2,))
-        def step_e2e(pk_, hd_, acc):
-            out = project_packed_batched(
-                pk_, hd_, e2e_lut.stack, e2e_plan, nbits,
-                upshifts=upshifts, dual=dual)
+        def reduce_out(out, acc):
             if dual:
                 return acc + jnp.sum(out[0]) + jnp.sum(out[1])
             return acc + jnp.sum(out)
 
-        pcap_path = f"/tmp/ouster_bench_e2e_{tag}_{n_frames}f.pcap"
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def step_packed(pk_, hd_, acc):
+            return reduce_out(project_packed_batched(
+                pk_, hd_, e2e_lut.stack, e2e_plan, nbits,
+                upshifts=upshifts, dual=dual), acc)
+
+        @functools.partial(jax.jit, donate_argnums=(4,))
+        def step_bp64(pay_, wid_, anc_, hd_, acc):
+            return reduce_out(project_bp64_batched(
+                pay_, wid_, anc_, hd_, e2e_lut.stack, e2e_plan, nbits,
+                upshifts=upshifts, dual=dual), acc)
+
+        kind = "scene" if scene else "noise"
+        pcap_path = f"/tmp/ouster_bench_e2e_{tag}_{kind}_{n_frames}f.pcap"
         if not os.path.exists(pcap_path):
             t0 = time.perf_counter()
-            _synth_pcap(pcap_path, e2e_info, n_frames)
-            print(f"synthesized {tag} pcap in {time.perf_counter()-t0:.1f}s "
+            if scene:
+                _synth_scene_pcap(pcap_path, e2e_info, n_frames, dual)
+            else:
+                _synth_pcap(pcap_path, e2e_info, n_frames)
+            print(f"synthesized {tag}/{kind} pcap in "
+                  f"{time.perf_counter()-t0:.1f}s "
                   f"({os.path.getsize(pcap_path) / 1e6:.0f} MB)",
                   file=sys.stderr)
 
         e2e_reader = FrameReader(pcap_path, info=e2e_info)
 
+        def pad_tail(arrs, n):
+            pad = E2E_BATCH - n
+            return [np.concatenate(
+                [a, np.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+                for a in arrs]
+
         def one_pass(limit=None):
+            # CRITICAL (measured, see module docstring): this pass does
+            # ZERO device->host readbacks. One d2h readback permanently
+            # downgrades this tunnel's h2d from ~1.4 GB/s to ~30 MB/s for
+            # the rest of the process, so every pass ends with
+            # block_until_ready (completion fence, no transfer) and the
+            # finiteness check reads all accumulators back after the
+            # final timed pass.
             t0 = time.perf_counter()
             acc = jnp.float32(0.0)
             n_scans = 0
-            for fids, pks, hds, _ts in \
-                    e2e_reader.iter_packed_chunks_pipelined(
-                        E2E_BATCH, fields=fields, nbits=nbits, depth=2):
-                n_scans += fids.size
-                if fids.size < E2E_BATCH:  # pad tail to the jitted shape
-                    pad = E2E_BATCH - fids.size
-                    pks = np.concatenate(
-                        [pks, np.broadcast_to(pks[-1:],
-                                              (pad,) + pks.shape[1:])])
-                    hds = np.concatenate(
-                        [hds, np.broadcast_to(hds[-1:],
-                                              (pad,) + hds.shape[1:])])
-                # device_put copies out of the reused pools; async dispatch
-                # overlaps the next staged chunk (background thread)
-                acc = step_e2e(jax.device_put(pks), jax.device_put(hds),
-                               acc)
-                if limit is not None and n_scans >= limit:
-                    break
-            total = float(jax.block_until_ready(acc))  # the ONE readback
-            assert np.isfinite(total)
+            if codec == "bp64":
+                it = e2e_reader.iter_bp64_chunks_pipelined(
+                    E2E_BATCH, fields=fields, nbits=nbits, depth=2)
+                for fids, pay, wid, anc, hds, _ts in it:
+                    n_scans += fids.size
+                    if fids.size < E2E_BATCH:
+                        pay, wid, anc, hds = pad_tail(
+                            [pay, wid, anc, hds], fids.size)
+                    # device_put copies out of the reused pools; async
+                    # dispatch overlaps the next staged chunk
+                    acc = step_bp64(jax.device_put(pay),
+                                    jax.device_put(wid),
+                                    jax.device_put(anc),
+                                    jax.device_put(hds), acc)
+                    if limit is not None and n_scans >= limit:
+                        break
+            else:
+                it = e2e_reader.iter_packed_chunks_pipelined(
+                    E2E_BATCH, fields=fields, nbits=nbits, depth=2)
+                for fids, pks, hds, _ts in it:
+                    n_scans += fids.size
+                    if fids.size < E2E_BATCH:
+                        pks, hds = pad_tail([pks, hds], fids.size)
+                    acc = step_packed(jax.device_put(pks),
+                                      jax.device_put(hds), acc)
+                    if limit is not None and n_scans >= limit:
+                        break
+            jax.block_until_ready(acc)  # completion fence, not a readback
+            pending_accs.append(acc)
             return n_scans, time.perf_counter() - t0
 
         # warm: one full pass (compile + fault in every ring buffer +
-        # populate the FrameReader scan cache) and one cheap chunk
+        # populate the FrameReader scan cache + lock the BP64 ship width)
+        # and one cheap chunk
         one_pass()
         one_pass(limit=E2E_BATCH)
 
-        # best + min of 5, passes spread ~15 s apart: the sandbox tunnel
-        # alternates between ~0.8-1.5 GB/s and a ~45 MB/s floor in
-        # windows lasting minutes (measured); back-to-back passes sample
-        # ONE window, spread passes sample several, so best reflects the
-        # pipeline and min the floor
         passes = []
         for k in range(5):
             if k:
-                time.sleep(15)
+                time.sleep(2)
             passes.append(one_pass())
         n_scans, dt = max(passes, key=lambda p: p[0] / p[1])
         sps = n_scans / dt
         sps_min = min(n / d for n, d in passes)
         all_sps = "/".join(f"{n / d:.1f}" for n, d in passes)
-        print(f"e2e replay [{tag}]: {n_scans} scans in {dt:.3f}s = "
-              f"{sps:.1f} scans/s best-of-{len(passes)} (min {sps_min:.1f};"
-              f" {all_sps}) (host scan+reassembly+packed staging+device "
-              f"decode+projection; target >= 20)", file=sys.stderr)
+        print(f"e2e replay [{tag}/{kind}/{codec}]: {n_scans} scans in "
+              f"{dt:.3f}s = {sps:.1f} scans/s best-of-{len(passes)} "
+              f"(min {sps_min:.1f}; {all_sps}) (host scan+reassembly+"
+              f"{codec} staging+device decode+projection; target >= 20)",
+              file=sys.stderr)
         return sps, sps_min
 
     # stress config FIRST (flagship 128x2048 dual-return): it needs the
-    # most link bytes per scan, so it gets the freshest transfer budget
+    # most link bytes per scan, so it gets the freshest transfer budget.
+    # Headline e2e = realistic-scene capture through the BP64 wire codec
+    # (what replaying a real capture costs); the incompressible variants
+    # replay white-noise ranges through the dense packed staging (the
+    # adversarial floor — no codec can help there).
     e2e_heavy_sps, e2e_heavy_min = e2e_run(info, "128x2048_dual",
                                            E2E_FRAMES, dual=True)
+    info_1024 = _make_info(w=1024, h=128, dual=False)
     # reference-canonical sensor config (128x1024, RNG19 single-return,
     # like the OS-2-128 1024x10 fixtures): the per-sensor replay target
-    info_1024 = _make_info(w=1024, h=128, dual=False)
-    e2e_sps, e2e_min = e2e_run(info_1024, "128x1024_single", 64, dual=False)
+    e2e_sps, e2e_min = e2e_run(info_1024, "128x1024_single", 64,
+                               dual=False)
+    e2e_heavy_nc_sps, e2e_heavy_nc_min = e2e_run(
+        info, "128x2048_dual", E2E_FRAMES, dual=True, codec="packed",
+        scene=False)
+    e2e_nc_sps, e2e_nc_min = e2e_run(info_1024, "128x1024_single", 64,
+                                     dual=False, codec="packed",
+                                     scene=False)
+
+    # stage + upload the kernel-loop batch while h2d is still fast (the
+    # readbacks below poison it; ~0.5 GB at the post-poison floor would
+    # cost minutes)
+    B = 128
+    _, planes32, hdrs32, _ = next(reader.iter_planar_chunks(E2E_FRAMES))
+    reps = B // planes32.shape[0]
+    planes_np = np.concatenate([planes32] * reps)
+    hdrs_np = np.concatenate([hdrs32] * reps)
+    pw = planes_np.shape[1]
+    rows_np = planes_np.reshape(B * pw, H, W)
+    hdrs_dev = jnp.asarray(hdrs_np)
+    rows = jnp.asarray(rows_np)
+    fids_p, planes0, hdrs0, _ = next(reader.iter_planar_chunks(1))
+    planes0_dev = jnp.asarray(planes0.copy())
+    hdrs0_dev = jnp.asarray(hdrs0.copy())
+    jax.block_until_ready((rows, hdrs_dev, planes0_dev, hdrs0_dev))
+
+    # the ONE d2h readback of every pass's accumulator — AFTER both e2e
+    # configs (a single readback permanently downgrades this tunnel's h2d
+    # to ~30 MB/s; see one_pass)
+    totals = [float(a) for a in pending_accs]
+    assert all(np.isfinite(t) for t in totals), totals
+    print(f"e2e accumulators finite: {len(totals)} passes", file=sys.stderr)
 
     def project(planes, hdrs):
         return unpack_project_planar_batched(
@@ -235,10 +412,8 @@ def main():
     # everywhere (correctly rounded).
     fids_w, frames_w, _ = next(reader.iter_chunks(1))
     ref_xyz, ref_rng = _host_reference_xyz(info, frames_w[0])
-    fids_p, planes0, hdrs0, _ = next(reader.iter_planar_chunks(1))
     assert list(fids_w) == list(fids_p)
-    xyz_dev = np.asarray(jax.jit(project)(
-        jnp.asarray(planes0.copy()), jnp.asarray(hdrs0.copy()))[0][0])
+    xyz_dev = np.asarray(jax.jit(project)(planes0_dev, hdrs0_dev)[0][0])
     xyz_dev = np.moveaxis(xyz_dev, 0, -1)  # -> (H, W, 3)
     err = np.abs(xyz_dev - ref_xyz)
     ulp = np.spacing(np.abs(ref_xyz).astype(np.float32)).astype(np.float64)
@@ -263,15 +438,6 @@ def main():
     # each kernel run is data-dependent on the one before it. The checksum
     # reads a thin output slice (the full-array reduction is not part of
     # the measured pipeline; correctness is covered by the parity gate).
-    B = 128
-    _, planes32, hdrs32, _ = next(reader.iter_planar_chunks(E2E_FRAMES))
-    reps = B // planes32.shape[0]
-    planes_np = np.concatenate([planes32] * reps)
-    hdrs_np = np.concatenate([hdrs32] * reps)
-    pw = planes_np.shape[1]
-    rows_np = planes_np.reshape(B * pw, H, W)
-    hdrs_dev = jnp.asarray(hdrs_np)
-
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(rows, salt):
         patch = (rows[3:4, 0:1, 0:8] ^ salt).astype(jnp.uint32)
@@ -282,8 +448,7 @@ def main():
                  + np.uint32(1))
         return rows, salt2
 
-    rows = jnp.asarray(rows_np)
-    salt = jnp.uint32(1)
+    salt = jnp.uint32(1)                   # rows uploaded above, pre-poison
     rows, salt = step(rows, salt)          # compile
     for _ in range(10):                    # warm (cold-dispatch penalty)
         rows, salt = step(rows, salt)
@@ -309,11 +474,19 @@ def main():
         "xyz_parity_max_err_m": parity_err,
         "e2e_replay_scans_per_s": round(e2e_sps, 1),
         "e2e_replay_scans_per_s_min": round(e2e_min, 1),
-        "e2e_config": "128x1024 single x64 frames, "
-                      "pcap->reassembly->staging->device xyz",
+        "e2e_config": "128x1024 single x64 frames, realistic scene, "
+                      "pcap->reassembly->bp64->device xyz",
         "e2e_heavy_scans_per_s": round(e2e_heavy_sps, 1),
         "e2e_heavy_scans_per_s_min": round(e2e_heavy_min, 1),
-        "e2e_heavy_config": f"128x2048 dual x{E2E_FRAMES} frames",
+        "e2e_heavy_config": f"128x2048 dual x{E2E_FRAMES} frames, "
+                            "realistic scene, bp64 wire codec",
+        "e2e_heavy_incompressible_scans_per_s": round(e2e_heavy_nc_sps, 1),
+        "e2e_heavy_incompressible_scans_per_s_min":
+            round(e2e_heavy_nc_min, 1),
+        "e2e_incompressible_scans_per_s": round(e2e_nc_sps, 1),
+        "e2e_incompressible_scans_per_s_min": round(e2e_nc_min, 1),
+        "e2e_incompressible_config": "white-noise ranges, dense 19-bit "
+                                     "packed staging (codec-proof floor)",
     }))
 
 

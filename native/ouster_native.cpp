@@ -726,6 +726,78 @@ int64_t onat_group_frames_packed(
     return i;
 }
 
+// BP64 encode (format spec + rationale: ops/bp64.py): one frame's
+// selected word planes (F, h, W) u32 -> dense word-aligned payload +
+// width/anchor side arrays. Per 64-px block: anchor = first non-zero,
+// carry chain glides over dropouts (delta 0) with a 64-bit zero mask
+// emitted only when needed (width byte bit 7), successor deltas zigzag
+// bit-packed at the block's max width (exactly 2*width words). Values
+// are extracted as (word >> field_bit) & ((1<<nbits)-1), matching the
+// packed staging. Returns payload words written, or -1 when cap_words
+// would overflow (caller grows and retries).
+int64_t onat_bp64_encode(const uint32_t* planes, int64_t F, int64_t h,
+                         int64_t W, const int64_t* field_bits,
+                         int64_t nbits, uint32_t* payload,
+                         int64_t cap_words, uint8_t* widths,
+                         uint32_t* anchors) {
+    const uint32_t vmask = (nbits >= 32) ? 0xFFFFFFFFu
+                                         : ((1u << nbits) - 1u);
+    const int64_t nb = W / 64;
+    int64_t pos = 0, bi = 0;
+    for (int64_t f = 0; f < F; f++) {
+        const uint32_t fb = (uint32_t)field_bits[f];
+        for (int64_t r = 0; r < h; r++) {
+            const uint32_t* row = planes + (f * h + r) * W;
+            for (int64_t b = 0; b < nb; b++, bi++) {
+                uint32_t v[64], z[64];
+                uint64_t zmask = 0;
+                for (int j = 0; j < 64; j++) {
+                    v[j] = (row[b * 64 + j] >> fb) & vmask;
+                    if (v[j] == 0) zmask |= 1ull << j;
+                }
+                uint32_t anchor = 0;
+                for (int j = 0; j < 64; j++)
+                    if (v[j]) { anchor = v[j]; break; }
+                uint32_t prev = anchor, orz = 0;
+                for (int j = 0; j < 64; j++) {
+                    uint32_t c = v[j] ? v[j] : prev;
+                    uint32_t d = c - prev;
+                    z[j] = (d << 1) ^ (uint32_t)(-(int32_t)(d >> 31));
+                    orz |= z[j];
+                    prev = c;
+                }
+                // bitlength(OR) == bitlength(max): OR >= max and both
+                // are < the same power of two
+                const int wbits = orz ? 32 - __builtin_clz(orz) : 0;
+                const int hasz = zmask ? 1 : 0;
+                if (pos + 2 * wbits + 2 * hasz > cap_words) return -1;
+                widths[bi] = (uint8_t)wbits | (uint8_t)(hasz << 7);
+                anchors[bi] = anchor;
+                if (hasz) {
+                    payload[pos++] = (uint32_t)zmask;
+                    payload[pos++] = (uint32_t)(zmask >> 32);
+                }
+                if (wbits) {
+                    uint64_t bitbuf = 0;
+                    int nacc = 0;
+                    uint32_t* dst = payload + pos;
+                    for (int j = 0; j < 64; j++) {
+                        bitbuf |= (uint64_t)z[j] << nacc;
+                        nacc += wbits;
+                        while (nacc >= 32) {
+                            *dst++ = (uint32_t)bitbuf;
+                            bitbuf >>= 32;
+                            nacc -= 32;
+                        }
+                    }
+                    pos += 2 * wbits;  // 64*wbits bits == 2*wbits words
+                }
+            }
+        }
+    }
+    return pos;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

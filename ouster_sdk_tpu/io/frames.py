@@ -124,6 +124,7 @@ class FrameReader:
         # faults are expensive on virtualized hosts; reuse keeps the steady
         # state fault-free)
         self._pools = {}
+        self._bp64_ship = {}  # locked ship widths (see iter_bp64_chunks)
 
     def _native_scan(self):
         import os
@@ -403,6 +404,99 @@ class FrameReader:
             pos += consumed
             yield (fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
                    ts_out[:nf].copy())
+
+    def iter_bp64_chunks(self, chunk: int = 8,
+                         fields: Tuple[Tuple[int, int], ...] = (),
+                         nbits: int = 19,
+                         pool_depth: int = 2) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                  np.ndarray, np.ndarray]]:
+        """Compressed wire staging: yield (frame_ids, payload (m, P) u32,
+        widths (m, n_fields, h, w//64) u8, anchors (m, n_fields, h,
+        w//64) u32, col_hdrs (m, chw, w) u32, host_ts). Each selected
+        field is BP64-encoded (ops/bp64.py: per-64-px-block delta +
+        bit-pack with a dropout mask) — real captures ship at 5-10
+        bits/px instead of the packed staging's nbits, which is the
+        difference between link-bound and staging-bound replay on hosts
+        where ingest rides a thin link. Decode fuses into the projection
+        (ops.bp64.project_bp64_batched) and reconstructs ranges
+        bit-identically.
+
+        P (the shipped payload width) locks to the first chunk's
+        requirement plus headroom and only grows when a later frame
+        exceeds it, so downstream jit shapes stay stable; padding past
+        each frame's used words is never read by the decoder. `fields`
+        lists (pixel_word, bit_offset) pairs, like iter_packed_chunks."""
+        plan = self.plan
+        if plan.w % 64:
+            raise RuntimeError("bp64 staging needs w % 64 == 0")
+        words = tuple(f[0] for f in fields)
+        bits = np.asarray([f[1] for f in fields], np.int64)
+        F = len(fields)
+        nb = plan.w // 64
+        blocks = F * plan.h * nb
+        # allocation capacity = worst case (white noise), so the encoder
+        # can never overflow; the SHIPPED slice is the compressed size
+        cap = blocks * (2 * (nbits + 1) + 2) + 2
+        key = ("bp64", chunk, fields, nbits, pool_depth)
+        if key not in self._pools:
+            self._pools[key] = [
+                (np.zeros((chunk, cap), np.uint32),
+                 np.zeros((chunk, F, plan.h, nb), np.uint8),
+                 np.zeros((chunk, F, plan.h, nb), np.uint32))
+                for _ in range(pool_depth)]
+        pools = self._pools[key]
+        vmask = np.uint32((1 << nbits) - 1)
+        # the locked ship width survives iterator restarts (replay loops
+        # re-iterate the same capture; downstream jit shapes must not
+        # shrink between passes)
+        ship_key = (fields, nbits)
+        ship: int = self._bp64_ship.get(ship_key, 0)
+        flip = 0
+        for fids, planes, hdrs, ts in self.iter_planar_chunks(
+                chunk, words=words, pool_depth=pool_depth):
+            pay, wid, anc = pools[flip]
+            flip = (flip + 1) % len(pools)
+            m = fids.size
+            max_used = 0
+            for i in range(m):
+                used = native.bp64_encode(
+                    np.ascontiguousarray(planes[i]), bits, nbits,
+                    pay[i], wid[i].reshape(-1), anc[i].reshape(-1))
+                if used == -2:  # no native toolchain: numpy encoder
+                    from ..ops.bp64 import bp64_encode_numpy
+
+                    vals = (planes[i] >> bits[:, None, None].astype(
+                        np.uint32)) & vmask
+                    p, w_, a_ = bp64_encode_numpy(vals, nbits)
+                    used = p.size
+                    pay[i, :used] = p
+                    wid[i] = w_
+                    anc[i] = a_
+                elif used < 0:
+                    raise RuntimeError("bp64 encoder overflow (bug: "
+                                       "capacity is worst-case sized)")
+                pay[i, used:used + 2] = 0  # deterministic decoder slack
+                max_used = max(max_used, used)
+            if max_used + 2 > ship:  # grow-only: stable jit shapes
+                want = (max_used + 2) * 5 // 4
+                ship = min((want + 1023) // 1024 * 1024, cap)
+                self._bp64_ship[ship_key] = ship
+            yield (fids, pay[:m, :ship], wid[:m], anc[:m], hdrs[:m], ts)
+
+    def iter_bp64_chunks_pipelined(
+            self, chunk: int = 8,
+            fields: Tuple[Tuple[int, int], ...] = (),
+            nbits: int = 19, depth: int = 2) -> Iterator[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                  np.ndarray, np.ndarray]]:
+        """iter_bp64_chunks staged on a background thread (the native
+        encode drops the GIL, so compression genuinely overlaps the
+        consumer's h2d + device dispatch)."""
+        return _pipelined(
+            lambda: self.iter_bp64_chunks(chunk, fields, nbits,
+                                          pool_depth=depth + 2),
+            depth)
 
     def iter_packed_chunks_pipelined(
             self, chunk: int = 8,

@@ -132,6 +132,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
             c.c_void_p, c.c_void_p]
+        lib.onat_bp64_encode.restype = c.c_int64
+        lib.onat_bp64_encode.argtypes = [
+            c.c_void_p, c.c_int64, c.c_int64, c.c_int64, c.c_void_p,
+            c.c_int64, c.c_void_p, c.c_int64, c.c_void_p, c.c_void_p]
         _lib = lib
         return _lib
 
@@ -368,3 +372,21 @@ def udp_recv_batch(sock, stride: int, max_msgs: int = 256,
     if n <= 0:
         return None
     return buf[:n], sizes[:n], int(ts[0])
+
+
+def bp64_encode(planes: np.ndarray, field_bits: np.ndarray, nbits: int,
+                payload: np.ndarray, widths: np.ndarray,
+                anchors: np.ndarray) -> int:
+    """BP64-encode one frame's selected word planes (F, h, W) u32 into
+    `payload` (u32, capacity = len(payload)); widths u8 / anchors u32
+    are (F*h*(W//64),) flat. Returns payload words written, or -1 when
+    the capacity is insufficient (caller grows and retries). Format:
+    ops/bp64.py."""
+    lib = get_lib()
+    if lib is None:
+        return -2
+    F, h, W = planes.shape
+    fb = np.ascontiguousarray(field_bits, np.int64)
+    return int(lib.onat_bp64_encode(
+        _ptr(planes), F, h, W, _ptr(fb), nbits,
+        _ptr(payload), payload.size, _ptr(widths), _ptr(anchors)))
