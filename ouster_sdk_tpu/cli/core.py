@@ -1076,53 +1076,52 @@ def _cpu_brand() -> str:
               "mode")
 @click.option("--host", multiple=True,
               help="probe these host[:port]s directly instead of mDNS")
-def discover(timeout, output, probe, host):
+@click.option("--target", multiple=True, metavar="HOST[:PORT]",
+              help="additional unicast mDNS query destinations (e.g. an "
+              "emulator's responder port; default port 5353)")
+def discover(timeout, output, probe, host, target):
     """Discover sensors via mDNS and probe their HTTP control plane
     (ref: plugins/discover.py — text/json output with per-sensor prod
-    line, firmware, serial, mode and udp destination). With --host,
-    skips mDNS and probes the given hosts directly (works without
-    zeroconf, e.g. against the emulator)."""
+    line, firmware, serial, mode and udp destination). mDNS is
+    implemented on raw UDP sockets (sensor/mdns.py) — no zeroconf
+    dependency. With --host, skips mDNS and probes the given hosts
+    directly."""
     found = []
+    txts = {}
     if host:
         found = [(h, [h.rsplit(":", 1)[0]]) for h in host]
     else:
-        try:
-            from zeroconf import ServiceBrowser, Zeroconf
-        except ImportError:
-            click.echo("zeroconf not available in this environment; "
-                       "use `discover --host <addr>` or hostnames/IPs "
-                       "directly", err=True)
-            sys.exit(1)
+        from ..sensor.mdns import discover_sensors
 
-        import time as _time
-
-        class Listener:
-            def add_service(self, zc, type_, name):
-                info = zc.get_service_info(type_, name)
-                if info:
-                    addrs = [a for a in info.parsed_addresses()]
-                    found.append((name, addrs))
-
-            def update_service(self, *a):
-                pass
-
-            def remove_service(self, *a):
-                pass
-
-        zc = Zeroconf()
-        ServiceBrowser(zc, "_roger._tcp.local.", Listener())
-        _time.sleep(timeout)
-        zc.close()
+        targets = []
+        for t in target:
+            if ":" in t:
+                th, tp = t.rsplit(":", 1)
+                targets.append((th, int(tp)))
+            else:
+                targets.append((t, 5353))
+        for rec in discover_sensors(timeout=timeout, targets=targets):
+            found.append((rec.instance, rec.addresses))
+            txts[rec.instance] = {"port": rec.port, "host": rec.host,
+                                  **rec.txt}
 
     results = []
     for name, addrs in found:
         entry = {"name": name, "addresses": addrs}
+        if name in txts:
+            entry["mdns"] = txts[name]
         if probe:
             from ..sensor.http import SensorHttp
 
-            target = name if host else (addrs[0] if addrs else name)
+            if host:
+                probe_target = name
+            else:
+                probe_target = addrs[0] if addrs else name
+                port = entry.get("mdns", {}).get("port", 0)
+                if port and port != 80:  # SRV advertises the HTTP port
+                    probe_target = f"{probe_target}:{port}"
             try:
-                http = SensorHttp.create(target, timeout=3.0)
+                http = SensorHttp.create(probe_target, timeout=3.0)
                 si = http.sensor_info()
                 cfg = http.active_config_params()
                 entry.update({

@@ -41,7 +41,9 @@ class SensorEmulator:
                  http_addr: str = "127.0.0.1",
                  rate: float = 1.0,
                  loop: bool = False,
-                 upgrade_firmware: bool = True):
+                 upgrade_firmware: bool = True,
+                 mdns: bool = False,
+                 mdns_port: int = 5353):
         self.info = info
         self._factory = packets_factory
         self._udp_dest = udp_dest
@@ -64,6 +66,19 @@ class SensorEmulator:
             target=self._http.serve_forever, daemon=True)
         self._send_thread = threading.Thread(target=self._send_loop,
                                              daemon=True)
+        # optional DNS-SD advertisement, like a real sensor's mDNS
+        # announcer (ref: plugins/discover.py service names); answers
+        # PTR queries with SRV pointing at the emulator's HTTP port
+        self._mdns = None
+        if mdns:
+            from .mdns import MDNSResponder
+
+            self._mdns = MDNSResponder(
+                f"os-{info.sn or 122246000000}", port=self.http_port,
+                address=http_addr, bind_port=mdns_port,
+                txt={"pn": info.prod_line or "OS-1-128",
+                     "sn": str(info.sn or "")})
+        self.mdns_port = self._mdns.bound_port if self._mdns else None
 
     # -- control plane ------------------------------------------------------
     def _make_handler(self):
@@ -239,6 +254,8 @@ class SensorEmulator:
     def start(self) -> "SensorEmulator":
         self._http_thread.start()
         self._send_thread.start()
+        if self._mdns is not None:
+            self._mdns.start()
         return self
 
     def join(self, timeout: Optional[float] = None) -> None:
@@ -247,6 +264,8 @@ class SensorEmulator:
 
     def stop(self) -> None:
         self._stop.set()
+        if self._mdns is not None:
+            self._mdns.stop()
         self._http.shutdown()
         self._http.server_close()
 
