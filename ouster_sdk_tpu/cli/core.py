@@ -789,10 +789,17 @@ def source_localize(ctx, map_path, min_range, max_range, voxel_size,
 @click.option("--pause-at", type=int, default=-1,
               help="lidar scan number to pause at (resume with "
                    "SPACE via dispatch_key; ref: source.py --pause-at)")
+@click.option("--backend", type=click.Choice(["software", "gl"]),
+              default="software", show_default=True,
+              help="renderer: numpy rasterizer, or real OpenGL on a "
+              "headless EGL context (viz/gl.py)")
+@click.option("--window", is_flag=True, default=False,
+              help="open an interactive GLFW window (needs pip glfw + "
+              "a display; ref: point_viz.h:207 run())")
 @click.pass_context
 def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
                accum_every, accum_every_m, map_enabled, map_ratio,
-               html_out, html_field, rate, pause_at):
+               html_out, html_field, rate, pause_at, backend, window):
     """Visualize scans (offscreen renderer; ref: plugins/source.py viz,
     sdk/viz/model.py view modes / palettes / AOI). With --html, writes a
     single-file interactive WebGL orbit viewer of the (pose-dewarped)
@@ -835,13 +842,30 @@ def source_viz(ctx, out, every, cloud_mode, palette, aoi, accum_num,
         pipeline.consumers.append(html_consumer)
 
     def consumer(it):
+        if window:
+            from ..viz.core import LidarScanViz
+            from ..viz.gl import GLUnavailable, run_window
+
+            lsv_w = LidarScanViz(ctx.obj.infos)
+
+            def step():
+                for ls_set in it:
+                    lsv_w.update(list(ls_set))
+                    yield
+
+            try:
+                run_window(lsv_w.viz, scan_iter=step())
+            except GLUnavailable as e:
+                raise click.ClickException(str(e))
+            return
         viz = SimpleViz(ctx.obj.infos, snapshot_path=out,
                         snapshot_every=every, accum_num=accum_num,
                         accum_every=accum_every,
                         accum_every_m=accum_every_m,
                         map_enabled=map_enabled, map_ratio=map_ratio,
                         rate=0.0 if rate == "max" else float(rate),
-                        pause_at=pause_at, auto_resume=True)
+                        pause_at=pause_at, auto_resume=True,
+                        backend=backend)
         lsv = viz.scan_viz
         if cloud_mode:
             names = [m.name for m in lsv.cloud_modes[0]]

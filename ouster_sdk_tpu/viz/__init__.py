@@ -58,6 +58,14 @@ from .accumulators import (  # noqa: F401
     TracksAccumulator,
 )
 from .html import export_html  # noqa: F401
+from .gl import (  # noqa: F401
+    GLContext,
+    GLRenderer,
+    GLUnavailable,
+    gl_available,
+    render_offscreen,
+    run_window,
+)
 from .zone_viz import (  # noqa: F401,E402
     precompute_voxel_vertices,
     voxel_style_mesh_from_zone_image_pair,

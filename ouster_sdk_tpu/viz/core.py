@@ -171,16 +171,63 @@ class Cloud:
         self.palette = palette
         self.point_size = point_size
         self.pose = np.eye(4) if pose is None else pose
+        # set by from_range for the GL backend's in-shader projection
+        self.range_image: Optional[np.ndarray] = None
+        self.lut_dir: Optional[np.ndarray] = None
+        self.lut_offset: Optional[np.ndarray] = None
+        self.column_poses: Optional[np.ndarray] = None
+
+    @classmethod
+    def from_range(cls, range_image: np.ndarray, lut,
+                   key: Optional[np.ndarray] = None,
+                   palette: str = "viridis", point_size: int = 1,
+                   pose: Optional[np.ndarray] = None,
+                   column_poses: Optional[np.ndarray] = None) -> "Cloud":
+        """Cloud defined by a range image + XYZ LUT, the reference GPU
+        path (ref: point_viz.h:1098 Cloud::set_range, common.h:221-260):
+        the GL backend uploads range/dir/offset and projects per vertex;
+        the software path precomputes xyz here. `column_poses` (W, 4, 4)
+        dewarps per column like the reference's pose texture."""
+        rng = np.asarray(range_image, dtype=np.float64)
+        h, w = rng.shape
+        xyz = np.where((rng > 0)[..., None],
+                       rng[..., None] * lut.direction + lut.offset, 0.0)
+        # reference transform order col_pose . model . lut
+        # (common.h:246-267: local = model*lut, position = car_pose*local)
+        # is baked into the software xyz; the GL path reproduces it in
+        # the shader from the stored model/column_poses instead.
+        model = np.eye(4) if pose is None else np.asarray(pose,
+                                                          np.float64)
+        xyz = xyz @ model[:3, :3].T + model[:3, 3]
+        if column_poses is not None:
+            cp = np.asarray(column_poses, dtype=np.float64).reshape(
+                w, 4, 4)
+            xyz = np.einsum("wij,hwj->hwi", cp[:, :3, :3], xyz) \
+                + cp[None, :, :3, 3]
+        c = cls(xyz.reshape(-1, 3), key=key, palette=palette,
+                point_size=point_size, pose=None)
+        c.gl_model = model
+        c.range_image = rng
+        c.lut_dir = np.asarray(lut.direction, dtype=np.float64)
+        c.lut_offset = np.asarray(lut.offset, dtype=np.float64)
+        c.column_poses = (None if column_poses is None else
+                          np.asarray(column_poses,
+                                     dtype=np.float64).reshape(w, 4, 4))
+        return c
 
 
 class PointViz:
     """Offscreen renderer (API shape follows point_viz.h:207)."""
 
     def __init__(self, name: str = "ouster-viz", width: int = 1024,
-                 height: int = 768):
+                 height: int = 768, backend: str = "software"):
         self.name = name
         self.width = width
         self.height = height
+        #: "software" (numpy rasterizer) or "gl" (real OpenGL via
+        #: surfaceless EGL; see viz/gl.py)
+        self.backend = backend
+        self._gl_renderer = None
         self.camera = Camera()
         self._clouds: List[Cloud] = []
         self._images: List[Tuple[np.ndarray, float, float]] = []
@@ -213,8 +260,24 @@ class PointViz:
     def add_image_panel(self, rgb: np.ndarray) -> None:
         self._images.append((rgb, 0.0, 0.0))
 
-    def render(self) -> np.ndarray:
-        """Rasterize to (H, W, 3) u8."""
+    def render(self, backend: Optional[str] = None) -> np.ndarray:
+        """Rasterize to (H, W, 3) u8 with the software rasterizer, or
+        on a real OpenGL context when backend (or self.backend) is
+        "gl" (ref: point_viz.h:207 PointViz — the reference always
+        renders through GL; here GL is the accelerated option and
+        numpy the dependency-free default)."""
+        if (backend or self.backend) == "gl":
+            from . import gl as _gl
+
+            if self._gl_renderer is None or \
+                    (self._gl_renderer.ctx.width,
+                     self._gl_renderer.ctx.height) != (self.width,
+                                                       self.height):
+                if self._gl_renderer is not None:
+                    self._gl_renderer.close()
+                self._gl_renderer = _gl.GLRenderer(self.width,
+                                                   self.height)
+            return self._gl_renderer.render(self)
         H, W = self.height, self.width
         frame = np.zeros((H, W, 3), dtype=np.uint8)
         zbuf = np.full((H, W), np.inf, dtype=np.float32)
@@ -645,11 +708,13 @@ class SimpleViz:
                  rate: Optional[float] = None,
                  pause_at: int = -1,
                  buflen: int = 50,
-                 auto_resume: bool = False):
+                 auto_resume: bool = False,
+                 backend: str = "software"):
         from .accumulators import (MapAccumulator, ScansAccumulator,
                                    TracksAccumulator)
 
-        self.scan_viz = LidarScanViz(infos)
+        self.scan_viz = LidarScanViz(infos,
+                                     viz=PointViz(backend=backend))
         self.snapshot_path = snapshot_path
         self.snapshot_every = max(snapshot_every, 1)
         self._infos = list(infos)

@@ -1,0 +1,188 @@
+"""Real-OpenGL viewer backend tests (viz/gl.py).
+
+Runs actual GL 3.3 rendering on a displayless host through EGL's
+surfaceless platform (Mesa software rasterizer) — the closest in-image
+equivalent of the reference's GL viewer tests
+(ref: tests/point_viz_test.cpp, ouster_viz/src/common.h:221-260).
+Skipped wholesale when the host has no EGL/GL stack.
+"""
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu.viz.core import Cloud, PointViz
+from ouster_sdk_tpu.viz import gl as vgl
+
+pytestmark = pytest.mark.skipif(not vgl.gl_available(),
+                                reason="no EGL/OpenGL stack")
+
+
+@pytest.fixture(scope="module")
+def renderer():
+    r = vgl.GLRenderer(320, 240)
+    yield r
+    r.close()
+
+
+def _lit(frame):
+    return frame.sum(axis=2) > 0
+
+
+def test_context_clear_and_readback():
+    ctx = vgl.GLContext(64, 48)
+    try:
+        gl = ctx.gl
+        gl.glClearColor(1.0, 0.0, 0.0, 1.0)
+        gl.glClear(vgl.GL_COLOR_BUFFER_BIT)
+        frame = ctx.read()
+        assert frame.shape == (48, 64, 3)
+        assert (frame[..., 0] == 255).all()
+        assert (frame[..., 1] == 0).all()
+    finally:
+        ctx.close()
+
+
+def test_point_projection_matches_software(renderer):
+    """GL and the numpy rasterizer must agree on where points land."""
+    viz = PointViz(width=320, height=240)
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(3000, 3)) * 5
+    viz.add(Cloud(pts, key=np.linspace(0, 1, 3000), point_size=2))
+    f_gl = renderer.render(viz)
+    f_sw = viz.render()
+    lit_gl, lit_sw = _lit(f_gl), _lit(f_sw)
+    # same overall footprint (not pixel-identical: different rounding)
+    assert abs(lit_gl.sum() - lit_sw.sum()) / lit_sw.sum() < 0.05
+    ys, xs = np.nonzero(lit_gl)
+    ys2, xs2 = np.nonzero(lit_sw)
+    assert abs(xs.mean() - xs2.mean()) < 1.0
+    assert abs(ys.mean() - ys2.mean()) < 1.0
+
+
+def test_range_lut_path_equals_direct_xyz(renderer):
+    """In-shader dir*range+offset projection (the reference GPU path)
+    must land on exactly the same pixels as pre-computed xyz."""
+    H, W = 32, 64
+    rng0 = np.random.default_rng(1)
+    th = np.linspace(0, 2 * np.pi, W, endpoint=False)
+    phi = np.linspace(-0.3, 0.3, H)
+
+    class _Lut:
+        direction = np.stack(np.broadcast_arrays(
+            np.cos(phi)[:, None] * np.cos(th)[None, :],
+            np.cos(phi)[:, None] * np.sin(th)[None, :],
+            np.sin(phi)[:, None] * np.ones((1, W))), axis=-1) * 0.001
+        offset = np.full((H, W, 3), 0.01)
+
+    rimg = rng0.integers(0, 20000, size=(H, W)).astype(np.float64)
+    rimg[::4] = 0  # pixels the shader must discard
+    key = rng0.random(H * W)
+    cp = np.tile(np.eye(4), (W, 1, 1))
+    cp[:, 0, 3] = np.linspace(0, 3, W)  # per-column dewarp
+
+    viz1 = PointViz(width=320, height=240)
+    viz1.add(Cloud.from_range(rimg, _Lut, key=key, column_poses=cp))
+    f_lut = renderer.render(viz1)
+
+    xyz = np.where((rimg > 0)[..., None],
+                   rimg[..., None] * _Lut.direction + _Lut.offset, 0.0)
+    xyz = np.einsum("wij,hwj->hwi", cp[:, :3, :3], xyz) + cp[None, :, :3, 3]
+    valid = (rimg > 0).reshape(-1)
+    viz2 = PointViz(width=320, height=240)
+    viz2.add(Cloud(xyz.reshape(-1, 3)[valid], key=key[valid]))
+    f_xyz = renderer.render(viz2)
+
+    assert (f_lut == f_xyz).all()
+    assert _lit(f_lut).sum() > 100
+
+
+def test_range_zero_discard(renderer):
+    """range == 0 points must not render (common.h:245-249)."""
+    H, W = 8, 8
+
+    class _Lut:
+        direction = np.full((H, W, 3), 0.0)
+        offset = np.zeros((H, W, 3))
+
+    _Lut.direction[..., 0] = 0.001  # all points straight +x
+    rimg = np.zeros((H, W))
+    viz = PointViz(width=320, height=240)
+    viz.camera.target = np.array([5.0, 0, 0])
+    viz.add(Cloud.from_range(rimg, _Lut, point_size=5))
+    frame = renderer.render(viz)
+    assert _lit(frame).sum() == 0  # every range is zero
+    rimg[4, 4] = 5000.0
+    viz.clear()
+    viz.add(Cloud.from_range(rimg, _Lut, point_size=5))
+    frame = renderer.render(viz)
+    assert _lit(frame).sum() > 0  # the one valid point renders
+
+
+def test_scan_fixture_renders(renderer):
+    """A real decoded scan renders through the GL backend with the
+    range+LUT path."""
+    import os
+
+    from ouster_sdk_tpu import open_source
+    from ouster_sdk_tpu.ops.xyzlut import make_xyz_lut
+
+    pcap = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(pcap):
+        pytest.skip("reference pcap fixtures unavailable")
+    src = open_source(pcap)
+    info = src.sensor_info[0]
+    scan = None
+    for ls_set in src:
+        scan = ls_set[0]
+        if scan is not None:
+            break
+    src.close()
+    lut = make_xyz_lut(info)
+    rimg = scan.field("RANGE").astype(np.float64)
+    key = np.clip(scan.field("REFLECTIVITY").astype(np.float64) / 255.0,
+                  0, 1)
+    viz = PointViz(width=320, height=240)
+    viz.add(Cloud.from_range(rimg, lut, key=key.reshape(-1)))
+    frame = renderer.render(viz)
+    assert _lit(frame).sum() > 50
+
+
+def test_pointviz_gl_backend_switch():
+    """PointViz.render(backend='gl') routes through the GL renderer and
+    produces a frame of the right shape."""
+    viz = PointViz(width=160, height=120, backend="gl")
+    viz.add(Cloud(np.array([[5.0, 0, 0], [0, 5.0, 0]]), point_size=3))
+    frame = viz.render()
+    assert frame.shape == (120, 160, 3)
+    sw = viz.render(backend="software")
+    assert sw.shape == (120, 160, 3)
+    if viz._gl_renderer is not None:
+        viz._gl_renderer.close()
+
+
+def test_gl_lines_drawn(renderer):
+    """Segment drawables render through the GL line program."""
+    from ouster_sdk_tpu.viz.drawables import Lines
+
+    viz = PointViz(width=320, height=240)
+    segs = np.array([[[-5.0, 0, 0], [5.0, 0, 0]],
+                     [[0, -5.0, 0], [0, 5.0, 0]]])
+    viz.add(Lines(segs, color=(0, 255, 0)))
+    frame = renderer.render(viz)
+    lit = _lit(frame)
+    assert lit.sum() > 20
+    ys, xs = np.nonzero(lit)
+    assert (frame[ys, xs, 1] > 0).all()  # green channel dominates
+
+
+def test_window_gated_headless():
+    """run_window degrades with a clear GLUnavailable on displayless
+    hosts — whether glfw is missing entirely or importable but unable
+    to open a window (both gates live in viz/gl.py run_window)."""
+    import os
+
+    if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+        pytest.skip("display present; window would actually open")
+    viz = PointViz(width=64, height=48)
+    with pytest.raises(vgl.GLUnavailable, match="glfw"):
+        vgl.run_window(viz)
