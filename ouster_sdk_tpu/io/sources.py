@@ -527,6 +527,7 @@ class ScanSourceOptions:
     do_not_reinitialize: Optional[bool] = None
     no_auto_udp_dest: Optional[bool] = None
     timeout: Optional[float] = None
+    config_timeout: Optional[float] = None
     queue_size: Optional[int] = None
     sensor_info: Optional[List[SensorInfo]] = None
     sensor_config: Optional[Any] = None

@@ -28,15 +28,21 @@ from .client import Client, init_client
 
 
 class ClientError(RuntimeError):
-    """(ref: sensor_packet_source.h:60)"""
+    """(ref: sensor_packet_source.h:43)"""
 
 
 class ClientTimeout(ClientError):
-    pass
+    """No packets/scans within the receive timeout — raised from
+    iteration like the reference's iterator (ref:
+    sensor_packet_source.cpp:820, sensor_scan_source.cpp:69)."""
 
 
 class ClientOverflow(ClientError):
-    pass
+    """Declared for API parity (ref: sensor_packet_source.h:60); the
+    current reference never throws it — buffer overflow is handled by
+    drop-oldest in both implementations (sensor_packet_source.cpp:573,
+    sensor_scan_source.cpp:222); see the dropped_packets /
+    dropped_scans counters."""
 
 
 class Sensor:
@@ -83,11 +89,18 @@ class SensorPacketSource:
         imu_port: Optional[int] = None,
         do_not_reinitialize: bool = False,
         no_auto_udp_dest: bool = False,
-        timeout: float = 60.0,
+        timeout: Optional[float] = 1.0,
+        config_timeout: float = 45.0,
         buffer_time_sec: float = 0.0,
+        buffer_queue_size: int = 4096,
         soft_id_check: bool = False,
         error_handler=None,
     ):
+        """`timeout` is the packet receive timeout: iterating raises
+        ClientTimeout after that many seconds without packets (<= 0 or
+        None disables, matching the reference's iterator_timeout_ > 0
+        gate); `config_timeout` bounds the HTTP configuration handshake
+        (ref: open_source.h:69-74 timeout/config_timeout defaults)."""
         from ..core.error_handler import logging_error_handler
 
         self._soft_id_check = soft_id_check
@@ -95,6 +108,8 @@ class SensorPacketSource:
         self._clients: List[Client] = []
         self._infos: List[SensorInfo] = []
         self.id_error_count = 0
+        self._timeout = timeout
+        self.dropped_packets = 0
 
         configs = configs or [None] * len(hostnames)
         for i, (host, cfg) in enumerate(zip(hostnames, configs)):
@@ -115,14 +130,15 @@ class SensorPacketSource:
                     host, lidar_port or 0, imu_port or 0, config=cfg,
                     do_not_reinitialize=do_not_reinitialize,
                     no_auto_udp_dest=no_auto_udp_dest,
-                    timeout_sec=timeout)
+                    timeout_sec=config_timeout)
             self._clients.append(client)
             self._infos.append(info)
 
         self._formats = [PacketFormat.from_info(i) for i in self._infos]
         self._drained: list = []
         self._stop = threading.Event()
-        self._bufq: "queue.Queue" = queue.Queue(maxsize=4096)
+        self._bufq: "queue.Queue" = queue.Queue(
+            maxsize=max(buffer_queue_size, 1))
         self._thread: Optional[threading.Thread] = None
         if buffer_time_sec > 0:
             self._thread = threading.Thread(target=self._buffer_loop,
@@ -226,13 +242,16 @@ class SensorPacketSource:
             try:
                 self._bufq.put_nowait((idx, pkt))
             except queue.Full:
+                # drop oldest (ref: sensor_packet_source.cpp:573-575)
+                self.dropped_packets += 1
                 try:
-                    self._bufq.get_nowait()  # drop oldest
+                    self._bufq.get_nowait()
                 except queue.Empty:
                     pass
                 self._bufq.put_nowait((idx, pkt))
 
     def __iter__(self) -> Iterator[Tuple[int, Packet]]:
+        last_rx = time.monotonic()
         while not self._stop.is_set():
             try:
                 idx, pkt = self.get_packet()
@@ -240,7 +259,11 @@ class SensorPacketSource:
                 # sockets closed under us (close() from another thread)
                 return
             if pkt is not None:
+                last_rx = time.monotonic()
                 yield idx, pkt
+            elif self._timeout and self._timeout > 0 and \
+                    time.monotonic() - last_rx > self._timeout:
+                raise ClientTimeout("No packets received in timeout.")
 
     def close(self) -> None:
         self._stop.set()
@@ -256,13 +279,19 @@ class SensorScanSource(ScanSource):
 
     def __init__(self, hostnames: List[str], *, queue_size: int = 2,
                  extrinsics=None, extrinsics_file=None, **kw):
+        if queue_size < 1:
+            raise ValueError("The queue_size cannot be less than 1.")
         self._packets = SensorPacketSource(hostnames, **kw)
         infos = self._packets.sensor_info
         populate_extrinsics(infos, extrinsics, extrinsics_file)
         super().__init__(infos)
-        self._queue: "queue.Queue" = queue.Queue(maxsize=max(queue_size, 1))
+        self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self.dropped_scans = 0
+        # per-sensor scan receive watermark for the iteration timeout
+        # (ref: sensor_scan_source.cpp:55-80 last_receive_times_)
+        self._timeout = self._packets._timeout
+        self._last_scan_time = [time.monotonic()] * len(infos)
         self._thread = threading.Thread(target=self._batch_loop, daemon=True)
         self._thread.start()
 
@@ -280,6 +309,7 @@ class SensorScanSource(ScanSource):
             if batchers[idx](pkt, scans[idx]):
                 done = scans[idx]
                 scans[idx] = LidarScan(self.sensor_info[idx])
+                self._last_scan_time[idx] = time.monotonic()
                 try:
                     self._queue.put_nowait((idx, done))
                 except queue.Full:
@@ -299,8 +329,21 @@ class SensorScanSource(ScanSource):
             return None, None
 
     def _iter_scans(self):
+        poll = (min(1.0, self._timeout / 2)
+                if self._timeout and self._timeout > 0 else 1.0)
         while not self._stop.is_set():
-            idx, scan = self.get_scan(timeout_sec=1.0)
+            idx, scan = self.get_scan(timeout_sec=poll)
+            if self._timeout and self._timeout > 0:
+                now = time.monotonic()
+                for i, t in enumerate(self._last_scan_time):
+                    if now - t > self._timeout:
+                        info = self.sensor_info[i]
+                        raise ClientTimeout(
+                            f"No valid scans received within "
+                            f"{self._timeout} from sensor {info.sn} "
+                            f"using udp destination "
+                            f"'{info.config.udp_dest or ''}' on port "
+                            f"{info.config.udp_port_lidar or 0}")
             if scan is not None:
                 yield idx, scan
 

@@ -9,13 +9,18 @@ def _build_sensor_scan_source(source: str, opts: ScanSourceOptions):
 
     cfg = opts.take("sensor_config")
     timeout = opts.take("timeout")
+    config_timeout = opts.take("config_timeout")
     return SensorScanSource(
         [source],
         lidar_port=opts.take("lidar_port"),
         imu_port=opts.take("imu_port"),
         do_not_reinitialize=bool(opts.take("do_not_reinitialize")),
         no_auto_udp_dest=bool(opts.take("no_auto_udp_dest")),
-        timeout=timeout if timeout is not None else 60.0,
+        # receive timeout default 1.0 s / config handshake 45 s
+        # (ref: open_source.h:69-74)
+        timeout=timeout if timeout is not None else 1.0,
+        config_timeout=(config_timeout if config_timeout is not None
+                        else 45.0),
         queue_size=opts.take("queue_size") or 2,
         configs=[cfg] if cfg is not None else None,
         sensor_info=opts.take("sensor_info"),

@@ -1,0 +1,342 @@
+"""Emulator-backed live-path matrix — the in-image stand-in for the
+reference's hardware-in-the-loop suite (ref: tests/hil/test_core.py,
+test_config.py, test_lidar_delay.py; our tests/hil/ runs the same
+surface against real hardware via --sensor).
+
+Covers what the single-sensor loopback tests (test_sensor.py) do not:
+reconfiguration under stream, ClientTimeout exception paths on both the
+packet and scan iterators, drop-oldest under backpressure at both the
+packet buffer and the scan queue, and a multi-sensor same-host port
+matrix.
+"""
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, SensorInfo
+from ouster_sdk_tpu.core.types import UDPProfileLidar
+from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+from ouster_sdk_tpu.sensor.scan_source import (
+    ClientTimeout,
+    SensorPacketSource,
+    SensorScanSource,
+)
+
+
+def _free_ports(n):
+    socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+             for _ in range(n)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+    return ports
+
+
+def _test_info(lidar_port, imu_port, sn=122246000000):
+    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+    info.format.udp_profile_lidar = UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
+    info.config.udp_port_lidar = lidar_port
+    info.config.udp_port_imu = imu_port
+    info.sn = sn
+    return info
+
+
+def _frame_packets(info, frame_id, ts0=0):
+    """One full frame of synthesized lidar packets as emulator items."""
+    pw = PacketWriter(info.format)
+    w = info.format.columns_per_frame
+    cpp = info.format.columns_per_packet
+    rng = np.random.default_rng(frame_id)
+    out = []
+    for p in range(w // cpp):
+        buf = pw.new_packet()
+        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+        pw.set_frame_id(buf, frame_id)
+        m0 = p * cpp
+        pw.set_col_headers(
+            buf, np.arange(cpp, dtype=np.uint64) + 1000 + m0,
+            np.arange(cpp, dtype=np.uint16) + m0,
+            np.ones(cpp, dtype=np.uint32))
+        pw.set_field(buf, ChanField.RANGE,
+                     rng.integers(0, 1 << 19,
+                                  size=(pw.pixels_per_column, cpp)))
+        out.append((ts0 + p * 100_000, "lidar", buf.tobytes()))
+    return out
+
+
+def _frames_factory(info, n_frames, period_ns=100_000_000):
+    def factory():
+        items = []
+        for f in range(n_frames):
+            items.extend(_frame_packets(info, frame_id=f + 1,
+                                        ts0=f * period_ns))
+        return items
+
+    return factory
+
+
+# ---------------------------------------------------------------------------
+# reconfiguration under stream (ref: tests/hil/test_config.py)
+# ---------------------------------------------------------------------------
+
+def test_reconfig_under_stream():
+    """set_config_param while packets are flowing: the stream keeps
+    producing scans and staged config reflects the change without a
+    restart (the emulator stages like real fw pre-reinit)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    with SensorEmulator(info, _frames_factory(info, 40),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=0.0) as emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        src = SensorScanSource([host], sensor_info=[info],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               timeout=5.0)
+        try:
+            idx, first = src.get_scan(timeout_sec=10.0)
+            assert first is not None
+
+            from ouster_sdk_tpu.sensor.http import SensorHttp
+
+            http = SensorHttp.create(host)
+            http.set_config_param("signal_multiplier", 2)
+            staged = http.staged_config_params()
+            assert staged["signal_multiplier"] == 2
+            # active config unchanged until reinitialize
+            active = http.active_config_params()
+            assert active.get("signal_multiplier") != 2
+
+            idx, after = src.get_scan(timeout_sec=10.0)
+            assert after is not None, "stream died across reconfig"
+            assert after.field(ChanField.RANGE).any()
+        finally:
+            src.close()
+
+
+# ---------------------------------------------------------------------------
+# ClientTimeout exception paths (ref: sensor_packet_source.cpp:820,
+# sensor_scan_source.cpp:69)
+# ---------------------------------------------------------------------------
+
+def test_packet_iterator_client_timeout():
+    """A silent sensor raises ClientTimeout from packet iteration."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port,
+                             timeout=0.5)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(ClientTimeout):
+            for _ in src:
+                pytest.fail("no packets were sent")
+        assert 0.4 < time.monotonic() - t0 < 5.0
+    finally:
+        src.close()
+
+
+def test_scan_iterator_client_timeout_names_sensor():
+    """A stalled stream raises ClientTimeout from scan iteration with
+    the sensor serial + port in the message (sensor_scan_source.cpp:69)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port, sn=992240000042)
+    src = SensorScanSource(["127.0.0.1"], sensor_info=[info],
+                           lidar_port=lidar_port, imu_port=imu_port,
+                           timeout=0.6)
+    try:
+        with pytest.raises(ClientTimeout, match="992240000042"):
+            for _ in src:
+                pytest.fail("no scans were produced")
+    finally:
+        src.close()
+
+
+def test_timeout_disabled_never_raises():
+    """timeout=None disables the iteration timeout (reference gate:
+    iterator_timeout_ > 0)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port,
+                             timeout=None)
+    try:
+        got = []
+        t = threading.Thread(
+            target=lambda: [got.append(p) for p in src], daemon=True)
+        t.start()
+        time.sleep(1.5)
+        assert t.is_alive()  # still quietly polling, no exception
+    finally:
+        src.close()
+        t.join(timeout=3)
+
+
+def test_recovery_after_near_timeout():
+    """Packets resuming just before the deadline reset the timer —
+    iteration continues instead of raising."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port,
+                             timeout=3.0)
+    stop = threading.Event()
+
+    def bursty_sender():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        pkts = [p for _, _, p in _frame_packets(info, 1)]
+        for _ in range(3):
+            if stop.is_set():
+                return
+            for p in pkts[:4]:
+                tx.sendto(p, ("127.0.0.1", lidar_port))
+            time.sleep(0.8)  # gap < timeout
+
+    t = threading.Thread(target=bursty_sender, daemon=True)
+    t.start()
+    try:
+        got = 0
+        for idx, pkt in src:
+            got += 1
+            if got >= 10:
+                break
+        assert got >= 10
+    finally:
+        stop.set()
+        src.close()
+        t.join(timeout=3)
+
+
+# ---------------------------------------------------------------------------
+# drop-oldest under backpressure (ref: sensor_packet_source.cpp:573,
+# sensor_scan_source.cpp:222)
+# ---------------------------------------------------------------------------
+
+def test_scan_queue_drop_oldest_backpressure():
+    """With a slow consumer and queue_size=2 the source drops the
+    oldest completed scans but keeps delivering the newest."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames = 12
+    with SensorEmulator(info, _frames_factory(info, n_frames),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=0.0) as emu:
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               sensor_info=[info],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               queue_size=2, timeout=None)
+        try:
+            emu.join(timeout=20)  # blast every frame with no pacing
+            time.sleep(0.5)  # let the batcher thread drain the sockets
+            frame_ids = []
+            while True:
+                idx, scan = src.get_scan(timeout_sec=0.5)
+                if scan is None:
+                    break
+                frame_ids.append(scan.frame_id)
+            # only the queue can survive; everything older was dropped
+            assert 1 <= len(frame_ids) <= 2
+            assert src.dropped_scans > 0
+            # the survivors are the *newest* frames (drop-oldest)
+            assert max(frame_ids) >= n_frames - 2
+        finally:
+            src.close()
+
+
+def test_packet_buffer_drop_oldest():
+    """The buffered packet source counts drops and keeps the newest
+    packets when the bounded buffer overflows."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                             lidar_port=lidar_port, imu_port=imu_port,
+                             buffer_time_sec=1.0, buffer_queue_size=8,
+                             timeout=None)
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        pkts = [p for _, _, p in _frame_packets(info, 1)]
+        # flood without consuming: far more than the 8-slot buffer
+        for rep in range(8):
+            for p in pkts:
+                tx.sendto(p, ("127.0.0.1", lidar_port))
+        deadline = time.time() + 5
+        while src.dropped_packets == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert src.dropped_packets > 0
+        # buffer still serves the most recent packets
+        idx, pkt = src.get_packet(timeout_sec=1.0)
+        assert pkt is not None
+    finally:
+        src.close()
+
+
+def test_queue_size_validation():
+    with pytest.raises(ValueError, match="queue_size"):
+        SensorScanSource(["127.0.0.1"], queue_size=0,
+                         sensor_info=[_test_info(*_free_ports(2))])
+
+
+# ---------------------------------------------------------------------------
+# multi-sensor same-host port matrix (ref: tests/hil multi-sensor +
+# sensor_packet_source.cpp:343-548 fan-in)
+# ---------------------------------------------------------------------------
+
+def test_two_emulated_sensors_distinct_ports_collate():
+    """Two emulators on one host, distinct port pairs: the fan-in
+    keeps streams separate by port and collation pairs them."""
+    p = _free_ports(4)
+    info_a = _test_info(p[0], p[1], sn=122246000001)
+    info_b = _test_info(p[2], p[3], sn=122246000002)
+    with SensorEmulator(info_a, _frames_factory(info_a, 12),
+                        lidar_port=p[0], imu_port=p[1], rate=1.0), \
+         SensorEmulator(info_b, _frames_factory(info_b, 12),
+                        lidar_port=p[2], imu_port=p[3], rate=1.0):
+        src = SensorScanSource(["127.0.0.1", "127.0.0.1"],
+                               sensor_info=[info_a, info_b],
+                               timeout=10.0, queue_size=8)
+        try:
+            seen = {0: 0, 1: 0}
+            deadline = time.time() + 20
+            while (not (seen[0] and seen[1])) and time.time() < deadline:
+                idx, scan = src.get_scan(timeout_sec=1.0)
+                if scan is None:
+                    continue
+                assert scan.sensor_info.sn == \
+                    (info_a if idx == 0 else info_b).sn
+                seen[idx] += 1
+            assert seen[0] > 0 and seen[1] > 0
+        finally:
+            src.close()
+
+
+def test_sets_from_two_sensors():
+    """Iterating the multi-sensor source yields collated LidarScanSets
+    with per-sensor slots filled by the right serial."""
+    p = _free_ports(4)
+    info_a = _test_info(p[0], p[1], sn=122246000003)
+    info_b = _test_info(p[2], p[3], sn=122246000004)
+    with SensorEmulator(info_a, _frames_factory(info_a, 15),
+                        lidar_port=p[0], imu_port=p[1], rate=1.0), \
+         SensorEmulator(info_b, _frames_factory(info_b, 15),
+                        lidar_port=p[2], imu_port=p[3], rate=1.0):
+        src = SensorScanSource(["127.0.0.1", "127.0.0.1"],
+                               sensor_info=[info_a, info_b],
+                               timeout=10.0, queue_size=8)
+        try:
+            filled = [0, 0]
+            for n, ls_set in enumerate(src):
+                for k, s in enumerate(ls_set):
+                    if s is not None:
+                        filled[k] += 1
+                        assert s.sensor_info.sn == \
+                            (info_a, info_b)[k].sn
+                if n >= 5 or (filled[0] > 1 and filled[1] > 1):
+                    break
+            assert filled[0] > 0 and filled[1] > 0
+        finally:
+            src.close()
