@@ -86,6 +86,52 @@ def supports_device_decode(info: SensorInfo,
     return True
 
 
+def materialize_scan(info: SensorInfo, pf: PacketFormat, plan,
+                     host: Dict[str, np.ndarray], k: int, frame_id: int,
+                     pkt_ts_row: np.ndarray, pkt_hdrs_row: np.ndarray,
+                     first_hdr_row: np.ndarray,
+                     field_types=None) -> LidarScan:
+    """Build a LidarScan from one decoded frame: field arrays from the
+    device-decode output dict (slot k) plus headers read from the staged
+    packet-header words — the same population the numpy ScanBatcher does
+    per packet (ref: lidar_scan.cpp:1324-1372, :1546-1552)."""
+    ls = LidarScan(info, field_types=field_types)
+    ls.frame_id = int(frame_id)
+    ls.sensor_info = info
+
+    combined: Dict[str, np.ndarray] = {}
+    multi: Dict[str, List[np.ndarray]] = {}
+    for f in plan.fields:
+        if "#" in f.name:
+            multi.setdefault(f.name.split("#")[0], []).append(
+                host[f.name][k])
+        else:
+            combined[f.name] = host[f.name][k]
+    for name, parts in multi.items():
+        combined[name] = np.stack(parts, axis=-1)
+    for name, arr in combined.items():
+        if ls.has_field(name):
+            ls.field(name)[:] = arr
+
+    ls.timestamp[:] = (host["timestamp_lo"][k].astype(np.uint64)
+                       | host["timestamp_hi"][k].astype(np.uint64)
+                       << np.uint64(32))
+    ls.measurement_id[:] = host["measurement_id"][k]
+    ls.status[:] = host["status"][k]
+    ls.packet_timestamp[:] = pkt_ts_row
+    ls.alert_flags[:] = read_bits(
+        pkt_hdrs_row, pf.geom.alert_flags).astype(np.uint8)
+
+    ls.frame_status = _frame_status(
+        int(read_bits(first_hdr_row, pf.geom.thermal_shutdown)),
+        int(read_bits(first_hdr_row, pf.geom.shot_limiting)))
+    ls.shutdown_countdown = int(
+        read_bits(first_hdr_row, pf.geom.countdown_thermal_shutdown))
+    ls.shot_limiting_countdown = int(
+        read_bits(first_hdr_row, pf.geom.countdown_shot_limiting))
+    return ls
+
+
 class DeviceScanIterator:
     """Iterate LidarScans for ONE sensor from a pcap via device decode.
 
@@ -135,43 +181,10 @@ class DeviceScanIterator:
 
     def _materialize(self, batch, k: int,
                      host: Dict[str, np.ndarray]) -> LidarScan:
-        info, pf = self.info, self.pf
-        ls = LidarScan(info, field_types=self._field_types)
-        ls.frame_id = int(batch.frame_ids[k])
-        ls.sensor_info = info
-
-        combined: Dict[str, np.ndarray] = {}
-        multi: Dict[str, List[np.ndarray]] = {}
-        for f in self.plan.fields:
-            if "#" in f.name:
-                multi.setdefault(f.name.split("#")[0], []).append(
-                    host[f.name][k])
-            else:
-                combined[f.name] = host[f.name][k]
-        for name, parts in multi.items():
-            combined[name] = np.stack(parts, axis=-1)
-        for name, arr in combined.items():
-            if ls.has_field(name):
-                ls.field(name)[:] = arr
-
-        ls.timestamp[:] = (host["timestamp_lo"][k].astype(np.uint64)
-                           | host["timestamp_hi"][k].astype(np.uint64)
-                           << np.uint64(32))
-        ls.measurement_id[:] = host["measurement_id"][k]
-        ls.status[:] = host["status"][k]
-        ls.packet_timestamp[:] = batch.pkt_ts[k]
-        ls.alert_flags[:] = read_bits(
-            batch.pkt_hdrs[k], pf.geom.alert_flags).astype(np.uint8)
-
-        first = batch.first_hdr[k]
-        ls.frame_status = _frame_status(
-            int(read_bits(first, pf.geom.thermal_shutdown)),
-            int(read_bits(first, pf.geom.shot_limiting)))
-        ls.shutdown_countdown = int(
-            read_bits(first, pf.geom.countdown_thermal_shutdown))
-        ls.shot_limiting_countdown = int(
-            read_bits(first, pf.geom.countdown_shot_limiting))
-        return ls
+        return materialize_scan(
+            self.info, self.pf, self.plan, host, k,
+            int(batch.frame_ids[k]), batch.pkt_ts[k], batch.pkt_hdrs[k],
+            batch.first_hdr[k], self._field_types)
 
     def __iter__(self) -> Iterator[LidarScan]:
         import jax
@@ -213,3 +226,157 @@ class DeviceScanIterator:
             if np.any(prev.status & 1):
                 stats["scans"] += 1
                 yield prev
+
+
+class LiveDeviceBatcher:
+    """Frame-batch device handoff for the LIVE path: per-packet host work
+    collapses to a memcpy into a staging slab (plus an 8-byte frame-id /
+    2-byte measurement-id peek); whole frames then decode on the device
+    in one fused dispatch — the live twin of DeviceScanIterator, with
+    ScanBatcher's boundary semantics replicated at the slab level
+    (ref: lidar_scan.cpp:1505-1643 reorder/duplicate/zero-fill,
+    :1605-1617 count-based completion; sensor_scan_source.cpp:185
+    batcher thread).
+
+    push() returns the scans released by this packet (0, 1, or — after a
+    gap — more). Bit-equality with the numpy ScanBatcher on the same
+    packet stream is enforced by tests/test_hil_emulated.py.
+    """
+
+    def __init__(self, info: SensorInfo, field_types=None):
+        self.info = info
+        self.pf = PacketFormat.from_info(info)
+        self.plan = make_decode_plan(info)
+        g = self.pf.geom
+        self._fid_byte, self._fid_shift = divmod(g.frame_id.bit_start, 8)
+        self._fid_mask = (1 << g.frame_id.bit_size) - 1
+        self._mid_byte = self.pf.packet_header_size + \
+            (self.plan.mid_word * 4)
+        self._hw = self.pf.packet_header_size // 4
+        plan = self.plan
+        cap = plan.n_pkts + 8  # one frame + straggler slack
+        self._slab = np.zeros((cap, self.pf.lidar_packet_size), np.uint8)
+        self._offsets = (np.arange(cap, dtype=np.int64)
+                         * self.pf.lidar_packet_size)
+        self._ts = np.zeros(cap, np.uint64)
+        self._n = 0
+        self._cur = -1            # fid of the open frame
+        self._released = -1       # fid of the last released frame
+        self._slots: set = set()  # distinct packet slots with ts != 0
+        self._planes = np.zeros((2, plan.pw, plan.h, plan.w), np.uint32)
+        self._colhdr = np.zeros((2, plan.chw, plan.w), np.uint32)
+        self._fid_out = np.zeros(2, np.int64)
+        self._ts_out = np.zeros(2, np.uint64)
+        self._pkt_ts = np.zeros((2, plan.n_pkts), np.uint64)
+        self._pkt_hdrs = np.zeros((2, plan.n_pkts, self._hw), np.uint32)
+        self._first_hdr = np.zeros((2, self._hw), np.uint32)
+        self._field_types = field_types
+        self._decode = None
+
+    def _make_decode(self):
+        import jax
+
+        from ..ops.unpack import decode_frame_planar_batch
+
+        plan = self.plan
+
+        def decode(planes, hdrs):
+            return decode_frame_planar_batch(planes, hdrs, plan, True)
+
+        return jax.jit(decode)
+
+    def _fid_of(self, buf: np.ndarray) -> int:
+        word = int.from_bytes(
+            buf[self._fid_byte:self._fid_byte + 8].tobytes(), "little")
+        return (word >> self._fid_shift) & self._fid_mask
+
+    def push(self, buf: np.ndarray, host_ts: int) -> List[LidarScan]:
+        """Stage one validated lidar packet; returns released scans."""
+        out: List[LidarScan] = []
+        fid = self._fid_of(buf)
+        m = self._fid_mask
+        if self._cur >= 0 and fid != self._cur:
+            # straggler from the frame just before the open one: drop
+            # (ref: lidar_scan.cpp:1526-1565 reorder window)
+            if fid == (self._cur - 1) & m:
+                return out
+            # duplicate of an already-released frame: drop
+            if self._released >= 0 and (
+                    fid == self._released
+                    or self._released == (fid + 1) & m):
+                return out
+            # boundary: release the open frame, then open the new one
+            out.extend(self._flush())
+        if self._cur < 0:
+            if self._released >= 0 and (
+                    fid == self._released
+                    or self._released == (fid + 1) & m):
+                return out  # late packets of a closed frame
+            self._cur = fid
+        if self._n >= self._slab.shape[0]:
+            # pathological duplicate storm: grow rather than split the
+            # frame (the numpy batcher keeps accumulating too)
+            cap = self._slab.shape[0] * 2
+            slab = np.zeros((cap, self._slab.shape[1]), np.uint8)
+            slab[:self._n] = self._slab[:self._n]
+            self._slab = slab
+            self._offsets = (np.arange(cap, dtype=np.int64)
+                             * self.pf.lidar_packet_size)
+            self._ts = np.concatenate(
+                [self._ts, np.zeros(cap - self._ts.size, np.uint64)])
+        self._slab[self._n, :len(buf)] = buf
+        self._ts[self._n] = host_ts
+        self._n += 1
+        if host_ts:
+            mid0 = int.from_bytes(
+                buf[self._mid_byte:self._mid_byte + 2].tobytes(),
+                "little")
+            self._slots.add(mid0 // self.plan.cpp)
+        # completion mirrors the numpy batcher (lidar_scan.cpp:1605-1617
+        # + _check_scan_complete): enough packets batched AND every
+        # packet slot stamped (duplicates do not complete a frame early)
+        if self._n >= self.plan.n_pkts and \
+                len(self._slots) >= self.plan.n_pkts:
+            out.extend(self._flush())
+        return out
+
+    def _flush(self) -> List[LidarScan]:
+        """Group + device-decode the pending packets (one frame run)."""
+        if self._n == 0:
+            self._cur = -1
+            return []
+        import jax
+
+        if self._decode is None:
+            self._decode = self._make_decode()
+        plan = self.plan
+        res = native.group_frames_planar(
+            self._slab, self._offsets[:self._n], self._ts[:self._n],
+            self.pf.lidar_packet_size, self._fid_byte, self._fid_shift,
+            self._fid_mask, self.pf.packet_header_size, self.pf.col_size,
+            self.pf.col_header_size, plan.mid_word * 4, plan.cpp, plan.h,
+            plan.pw, plan.w, self._planes, self._colhdr, self._fid_out,
+            self._ts_out, out_pkt_ts=self._pkt_ts,
+            out_pkt_hdrs=self._pkt_hdrs, out_first_hdr=self._first_hdr)
+        self._released = self._cur if self._cur >= 0 else self._released
+        self._n = 0
+        self._cur = -1
+        self._slots.clear()
+        if res is None:
+            return []
+        _, nf = res
+        if nf == 0:
+            return []
+        dev = self._decode(jax.device_put(self._planes[:1]),
+                           jax.device_put(self._colhdr[:1]))
+        host = jax.device_get(dev)
+        stats["batches"] += 1
+        scans: List[LidarScan] = []
+        for k in range(min(nf, 1)):
+            scans.append(materialize_scan(
+                self.info, self.pf, plan, host, k,
+                int(self._fid_out[k]), self._pkt_ts[k].copy(),
+                self._pkt_hdrs[k], self._first_hdr[k],
+                self._field_types))
+            stats["scans"] += 1
+        return scans

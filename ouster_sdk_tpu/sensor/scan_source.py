@@ -278,9 +278,17 @@ class SensorScanSource(ScanSource):
     (ref: sensor_scan_source.cpp:128-275)."""
 
     def __init__(self, hostnames: List[str], *, queue_size: int = 2,
-                 extrinsics=None, extrinsics_file=None, **kw):
+                 extrinsics=None, extrinsics_file=None,
+                 engine: str = "auto", **kw):
+        """engine: "numpy" forces per-packet ScanBatcher decode,
+        "device" forces the frame-batch device handoff (per-packet host
+        work = one memcpy; whole-frame fused decode on the accelerator
+        via io.device_engine.LiveDeviceBatcher), "auto" uses the device
+        route on TPU hosts for eligible profiles — the live counterpart
+        of the pcap/OSF device-decode default."""
         if queue_size < 1:
             raise ValueError("The queue_size cannot be less than 1.")
+        self._engine = engine
         self._packets = SensorPacketSource(hostnames, **kw)
         infos = self._packets.sensor_info
         populate_extrinsics(infos, extrinsics, extrinsics_file)
@@ -299,27 +307,48 @@ class SensorScanSource(ScanSource):
     def is_live(self) -> bool:
         return True
 
+    def _emit(self, idx: int, done: LidarScan) -> None:
+        self._last_scan_time[idx] = time.monotonic()
+        try:
+            self._queue.put_nowait((idx, done))
+        except queue.Full:
+            # drop oldest (ref: sensor_scan_source.cpp:222)
+            self.dropped_scans += 1
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._queue.put_nowait((idx, done))
+
     def _batch_loop(self) -> None:
+        from ..io import device_engine as de
+
+        use_device = self._engine == "device" or (
+            self._engine == "auto" and de.device_decode_enabled())
+        stagers = [
+            de.LiveDeviceBatcher(i)
+            if use_device and de.supports_device_decode(i) else None
+            for i in self.sensor_info]
+        self.engine_used = ["device" if s is not None else "numpy"
+                            for s in stagers]
         batchers = [ScanBatcher(i) for i in self.sensor_info]
         scans = [LidarScan(i) for i in self.sensor_info]
         while not self._stop.is_set():
             idx, pkt = self._packets.get_packet(timeout_sec=0.5)
             if pkt is None:
                 continue
+            stager = stagers[idx]
+            if stager is not None:
+                if isinstance(pkt, LidarPacket):
+                    for done in stager.push(pkt.buf, pkt.host_timestamp):
+                        self._emit(idx, done)
+                continue  # imu/zone packets are not scan-batched for
+                # device-eligible profiles (completion is lidar-only
+                # there, see _check_scan_complete)
             if batchers[idx](pkt, scans[idx]):
                 done = scans[idx]
                 scans[idx] = LidarScan(self.sensor_info[idx])
-                self._last_scan_time[idx] = time.monotonic()
-                try:
-                    self._queue.put_nowait((idx, done))
-                except queue.Full:
-                    # drop oldest (ref: sensor_scan_source.cpp:222)
-                    self.dropped_scans += 1
-                    try:
-                        self._queue.get_nowait()
-                    except queue.Empty:
-                        pass
-                    self._queue.put_nowait((idx, done))
+                self._emit(idx, done)
 
     def get_scan(self, timeout_sec: Optional[float] = None
                  ) -> Tuple[Optional[int], Optional[LidarScan]]:

@@ -335,8 +335,108 @@ def test_sets_from_two_sensors():
                         filled[k] += 1
                         assert s.sensor_info.sn == \
                             (info_a, info_b)[k].sn
-                if n >= 5 or (filled[0] > 1 and filled[1] > 1):
+                if filled[0] > 1 and filled[1] > 1:
+                    break
+                if n >= 12:
                     break
             assert filled[0] > 0 and filled[1] > 0
+        finally:
+            src.close()
+
+
+# ---------------------------------------------------------------------------
+# live frame-batch device handoff (io/device_engine.py LiveDeviceBatcher)
+# ---------------------------------------------------------------------------
+
+def _scan_equal(a, b, check_pkt_ts=True):
+    assert a.frame_id == b.frame_id
+    assert sorted(a.fields) == sorted(b.fields)
+    for f in a.fields:
+        np.testing.assert_array_equal(a.field(f), b.field(f), err_msg=f)
+    np.testing.assert_array_equal(a.timestamp, b.timestamp)
+    np.testing.assert_array_equal(a.measurement_id, b.measurement_id)
+    np.testing.assert_array_equal(a.status, b.status)
+    np.testing.assert_array_equal(a.alert_flags, b.alert_flags)
+    if check_pkt_ts:
+        np.testing.assert_array_equal(a.packet_timestamp,
+                                      b.packet_timestamp)
+    assert a.frame_status == b.frame_status
+
+
+def test_live_device_batcher_bit_equal_to_numpy():
+    """The live device handoff produces scans bit-equal to the numpy
+    ScanBatcher for the same packet stream, including a mid-frame
+    duplicate, a straggler after the boundary, and a dropped packet
+    (zero-fill)."""
+    from ouster_sdk_tpu.core.batcher import ScanBatcher
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+    from ouster_sdk_tpu.core.packets import LidarPacket
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+
+    info = _test_info(7502, 7503)
+    frames = {f: [p for _, _, p in _frame_packets(info, f)]
+              for f in (1, 2, 3, 4)}
+    n = len(frames[1])
+
+    # stream with pathologies:
+    stream = []
+    stream += frames[1][: n // 2]
+    stream.append(frames[1][3])            # duplicate mid-frame
+    stream += frames[1][n // 2:]
+    stream.append(frames[1][0])            # straggler after release
+    stream += frames[2][:-1]               # one packet missing
+    stream += frames[3]                    # completes; frame 2 zero-fill
+    stream += frames[4]
+    ts = [1_000_000 * (i + 1) for i in range(len(stream))]
+
+    # numpy ground truth
+    ref_scans = []
+    b, cur = ScanBatcher(info), LidarScan(info)
+    for p, t in zip(stream, ts):
+        if b(LidarPacket(np.frombuffer(p, np.uint8), t), cur):
+            ref_scans.append(cur)
+            cur = LidarScan(info)
+
+    # live device path
+    dev_scans = []
+    stager = LiveDeviceBatcher(info)
+    for p, t in zip(stream, ts):
+        dev_scans.extend(stager.push(np.frombuffer(p, np.uint8), t))
+
+    assert [s.frame_id for s in dev_scans] == \
+        [s.frame_id for s in ref_scans]
+    for a, b_ in zip(dev_scans, ref_scans):
+        _scan_equal(a, b_)
+
+
+def test_live_source_device_engine_end_to_end():
+    """SensorScanSource(engine='device') delivers device-decoded scans
+    from an emulated sensor (stats counters prove the route)."""
+    from ouster_sdk_tpu.io import device_engine as de
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    before = de.stats["batches"]
+    with SensorEmulator(info, _frames_factory(info, 10),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               sensor_info=[info],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               queue_size=8, timeout=10.0,
+                               engine="device")
+        try:
+            got = 0
+            deadline = time.time() + 20
+            while got < 3 and time.time() < deadline:
+                idx, scan = src.get_scan(timeout_sec=1.0)
+                if scan is None:
+                    continue
+                got += 1
+                assert scan.complete()
+                assert scan.field(ChanField.RANGE).any()
+            assert got >= 3
+            assert src.engine_used == ["device"]
+            assert de.stats["batches"] > before
         finally:
             src.close()
