@@ -238,9 +238,9 @@ class LiveDeviceBatcher:
     :1605-1617 count-based completion; sensor_scan_source.cpp:185
     batcher thread).
 
-    push() returns the scans released by this packet (0, 1, or — after a
-    gap — more). Bit-equality with the numpy ScanBatcher on the same
-    packet stream is enforced by tests/test_hil_emulated.py.
+    push() returns the scans released by this packet (0 or 1).
+    Bit-equality with the numpy ScanBatcher on the same packet stream
+    is enforced by tests/test_hil_emulated.py.
     """
 
     def __init__(self, info: SensorInfo, field_types=None):
@@ -263,13 +263,15 @@ class LiveDeviceBatcher:
         self._cur = -1            # fid of the open frame
         self._released = -1       # fid of the last released frame
         self._slots: set = set()  # distinct packet slots with ts != 0
-        self._planes = np.zeros((2, plan.pw, plan.h, plan.w), np.uint32)
-        self._colhdr = np.zeros((2, plan.chw, plan.w), np.uint32)
-        self._fid_out = np.zeros(2, np.int64)
-        self._ts_out = np.zeros(2, np.uint64)
-        self._pkt_ts = np.zeros((2, plan.n_pkts), np.uint64)
-        self._pkt_hdrs = np.zeros((2, plan.n_pkts, self._hw), np.uint32)
-        self._first_hdr = np.zeros((2, self._hw), np.uint32)
+        # single-frame outputs: the slab only ever holds one frame id
+        # (a boundary flush precedes staging a new id)
+        self._planes = np.zeros((1, plan.pw, plan.h, plan.w), np.uint32)
+        self._colhdr = np.zeros((1, plan.chw, plan.w), np.uint32)
+        self._fid_out = np.zeros(1, np.int64)
+        self._ts_out = np.zeros(1, np.uint64)
+        self._pkt_ts = np.zeros((1, plan.n_pkts), np.uint64)
+        self._pkt_hdrs = np.zeros((1, plan.n_pkts, self._hw), np.uint32)
+        self._first_hdr = np.zeros((1, self._hw), np.uint32)
         self._field_types = field_types
         self._decode = None
 
@@ -371,12 +373,9 @@ class LiveDeviceBatcher:
                            jax.device_put(self._colhdr[:1]))
         host = jax.device_get(dev)
         stats["batches"] += 1
-        scans: List[LidarScan] = []
-        for k in range(min(nf, 1)):
-            scans.append(materialize_scan(
-                self.info, self.pf, plan, host, k,
-                int(self._fid_out[k]), self._pkt_ts[k].copy(),
-                self._pkt_hdrs[k], self._first_hdr[k],
-                self._field_types))
-            stats["scans"] += 1
-        return scans
+        scan = materialize_scan(
+            self.info, self.pf, plan, host, 0,
+            int(self._fid_out[0]), self._pkt_ts[0], self._pkt_hdrs[0],
+            self._first_hdr[0], self._field_types)
+        stats["scans"] += 1
+        return [scan]

@@ -296,10 +296,19 @@ class SensorScanSource(ScanSource):
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
         self.dropped_scans = 0
-        # per-sensor scan receive watermark for the iteration timeout
-        # (ref: sensor_scan_source.cpp:55-80 last_receive_times_)
+        # per-sensor scan receive watermark for the iteration timeout,
+        # updated at CONSUME time in _iter_scans like the reference
+        # iterator (ref: sensor_scan_source.cpp:55-80 last_receive_times_)
         self._timeout = self._packets._timeout
         self._last_scan_time = [time.monotonic()] * len(infos)
+        from ..io import device_engine as de
+
+        use_device = self._engine == "device" or (
+            self._engine == "auto" and de.device_decode_enabled())
+        #: per-sensor decode route actually used by the batcher thread
+        self.engine_used = [
+            "device" if use_device and de.supports_device_decode(i)
+            else "numpy" for i in infos]
         self._thread = threading.Thread(target=self._batch_loop, daemon=True)
         self._thread.start()
 
@@ -308,7 +317,6 @@ class SensorScanSource(ScanSource):
         return True
 
     def _emit(self, idx: int, done: LidarScan) -> None:
-        self._last_scan_time[idx] = time.monotonic()
         try:
             self._queue.put_nowait((idx, done))
         except queue.Full:
@@ -323,14 +331,9 @@ class SensorScanSource(ScanSource):
     def _batch_loop(self) -> None:
         from ..io import device_engine as de
 
-        use_device = self._engine == "device" or (
-            self._engine == "auto" and de.device_decode_enabled())
         stagers = [
-            de.LiveDeviceBatcher(i)
-            if use_device and de.supports_device_decode(i) else None
-            for i in self.sensor_info]
-        self.engine_used = ["device" if s is not None else "numpy"
-                            for s in stagers]
+            de.LiveDeviceBatcher(i) if eng == "device" else None
+            for i, eng in zip(self.sensor_info, self.engine_used)]
         batchers = [ScanBatcher(i) for i in self.sensor_info]
         scans = [LidarScan(i) for i in self.sensor_info]
         while not self._stop.is_set():
@@ -360,8 +363,15 @@ class SensorScanSource(ScanSource):
     def _iter_scans(self):
         poll = (min(1.0, self._timeout / 2)
                 if self._timeout and self._timeout > 0 else 1.0)
+        # baseline at iteration start so scans queued before the
+        # consumer attached are delivered, not timed out
+        self._last_scan_time = [time.monotonic()] * len(self.sensor_info)
         while not self._stop.is_set():
             idx, scan = self.get_scan(timeout_sec=poll)
+            if scan is not None:
+                # deliver the in-hand scan before any timeout check
+                self._last_scan_time[idx] = time.monotonic()
+                yield idx, scan
             if self._timeout and self._timeout > 0:
                 now = time.monotonic()
                 for i, t in enumerate(self._last_scan_time):
@@ -373,8 +383,6 @@ class SensorScanSource(ScanSource):
                             f"using udp destination "
                             f"'{info.config.udp_dest or ''}' on port "
                             f"{info.config.udp_port_lidar or 0}")
-            if scan is not None:
-                yield idx, scan
 
     def _iter_sets(self):
         return collate_scans(self._iter_scans(), len(self.sensor_info))

@@ -21,7 +21,10 @@ def _build_sensor_scan_source(source: str, opts: ScanSourceOptions):
         timeout=timeout if timeout is not None else 1.0,
         config_timeout=(config_timeout if config_timeout is not None
                         else 45.0),
-        queue_size=opts.take("queue_size") or 2,
+        # None -> reference default 2; 0 propagates and is rejected
+        # (no silent coercion of invalid sizes)
+        queue_size=(lambda q: 2 if q is None else q)(
+            opts.take("queue_size")),
         configs=[cfg] if cfg is not None else None,
         sensor_info=opts.take("sensor_info"),
         soft_id_check=bool(opts.take("soft_id_check")),

@@ -98,9 +98,11 @@ def _find_lib(*names: str) -> ctypes.CDLL:
 
 
 class _GL:
-    """ctypes binding over the GL entry points we use, resolved via
-    ``eglGetProcAddress`` (Mesa exports everything there) with a libGL
-    dlsym fallback."""
+    """ctypes binding over the GL entry points we use, resolved through
+    a context-appropriate loader (``eglGetProcAddress`` for EGL
+    contexts, ``glfwGetProcAddress`` for GLFW windows — loading EGL
+    dispatch stubs for a GLX context would misroute calls) with a
+    libGL dlsym fallback."""
 
     _PROTOS = {
         "glGetString": (ctypes.c_char_p, [ctypes.c_uint]),
@@ -192,16 +194,19 @@ class _GL:
         "glCheckFramebufferStatus": (ctypes.c_uint, [ctypes.c_uint]),
     }
 
-    def __init__(self, egl: ctypes.CDLL):
-        egl.eglGetProcAddress.restype = ctypes.c_void_p
-        egl.eglGetProcAddress.argtypes = [ctypes.c_char_p]
+    def __init__(self, loader):
+        """`loader(name: str) -> address-or-0` must resolve functions
+        for the CURRENT context's API (EGL vs GLX vs WGL)."""
         try:
             libgl: Optional[ctypes.CDLL] = _find_lib(
                 "libGL.so.1", "libGL.so", "libOpenGL.so.0")
         except GLUnavailable:
             libgl = None
         for name, (res, args) in self._PROTOS.items():
-            addr = egl.eglGetProcAddress(name.encode())
+            try:
+                addr = loader(name)
+            except Exception:
+                addr = None
             if addr:
                 fn = ctypes.CFUNCTYPE(res, *args)(addr)
             elif libgl is not None and hasattr(libgl, name):
@@ -210,6 +215,12 @@ class _GL:
             else:
                 raise GLUnavailable(f"GL entry point {name} not found")
             setattr(self, name, fn)
+
+    @classmethod
+    def from_egl(cls, egl: ctypes.CDLL) -> "_GL":
+        egl.eglGetProcAddress.restype = ctypes.c_void_p
+        egl.eglGetProcAddress.argtypes = [ctypes.c_char_p]
+        return cls(lambda name: egl.eglGetProcAddress(name.encode()))
 
 
 class GLContext:
@@ -259,7 +270,7 @@ class GLContext:
             raise GLUnavailable("eglCreateContext failed")
         self._egl, self._dpy, self._ctx = egl, dpy, ctx
         self.make_current()
-        self.gl = _GL(egl)
+        self.gl = _GL.from_egl(egl)
         self._setup_fbo()
 
     def make_current(self) -> None:
@@ -551,6 +562,10 @@ class GLRenderer:
             for n in ("pos", "rgb")}
         self._lpv = gl.glGetUniformLocation(self.line_prog,
                                             b"proj_view")
+        # (id(cloud), cloud, buffers): buffers are uploaded once per
+        # cloud object and reused across frames (interactive loop); the
+        # strong cloud ref pins the id against reuse until eviction
+        self._cloud_cache: List[Tuple[int, object, _CloudBuffers]] = []
 
     def proj_view(self, viz: PointViz) -> np.ndarray:
         return _perspective(viz.camera, self.ctx.width,
@@ -571,12 +586,28 @@ class GLRenderer:
         gl.glUniform1i(self._uni["pose_tex"], 1)
         gl.glUniform1i(self._uni["palette"], 0)
 
+        # refresh the buffer cache: upload new clouds, evict removed
+        # ones (clouds are immutable once added; scene updates swap in
+        # new Cloud objects)
+        live = {id(c) for c in viz._clouds}
+        kept = []
+        for cid, cloud, bufs in self._cloud_cache:
+            if cid in live:
+                kept.append((cid, cloud, bufs))
+            else:
+                bufs.release()
+        self._cloud_cache = kept
+        cached = {cid: bufs for cid, _, bufs in self._cloud_cache}
+
+        sizes = {"dir": 3, "off": 3, "range": 1, "key": 1,
+                 "col_frac": 1}
         for cloud in viz._clouds:
-            bufs = _CloudBuffers(gl, cloud)
+            bufs = cached.get(id(cloud))
+            if bufs is None:
+                bufs = _CloudBuffers(gl, cloud)
+                self._cloud_cache.append((id(cloud), cloud, bufs))
             _upload_mat4(gl, self._uni["model"], bufs.model)
             gl.glPointSize(bufs.point_size)
-            sizes = {"dir": 3, "off": 3, "range": 1, "key": 1,
-                     "col_frac": 1}
             for vbo, name in zip(bufs.vbos,
                                  ("dir", "off", "range", "key",
                                   "col_frac")):
@@ -592,7 +623,12 @@ class GLRenderer:
             gl.glActiveTexture(GL_TEXTURE0 + 1)
             gl.glBindTexture(GL_TEXTURE_2D, bufs.tex[1])
             gl.glDrawArrays(GL_POINTS, 0, bufs.n)
-            bufs.release()
+        # leave no point-program attrib arrays enabled: the line pass
+        # binds only its own two, and a 3.3 core draw with an enabled
+        # array whose buffer was deleted is GL_INVALID_OPERATION
+        for name in sizes:
+            if self._attr[name] >= 0:
+                gl.glDisableVertexAttribArray(self._attr[name])
 
         # GL line pass for segment-bearing drawables (Lines and friends
         # expose `segments`; Cuboid/Mesh composite via the CPU overlay)
@@ -612,6 +648,9 @@ class GLRenderer:
             rgb = np.ascontiguousarray(np.concatenate(cols))
             gl.glUseProgram(self.line_prog)
             _upload_mat4(gl, self._lpv, PV)
+            # overlay semantics like the software backend's Lines.draw
+            # (writes over the frame, ignoring the z-buffer)
+            gl.glDisable(GL_DEPTH_TEST)
             vbos = (ctypes.c_uint * 2)()
             gl.glGenBuffers(2, vbos)
             for vbo, arr, loc, sz in ((vbos[0], pts, self._lattr["pos"], 3),
@@ -624,7 +663,11 @@ class GLRenderer:
                 gl.glEnableVertexAttribArray(loc)
                 gl.glVertexAttribPointer(loc, sz, GL_FLOAT, 0, 0, None)
             gl.glDrawArrays(GL_LINES, 0, len(pts))
+            for loc in self._lattr.values():
+                if loc >= 0:
+                    gl.glDisableVertexAttribArray(loc)
             gl.glDeleteBuffers(2, vbos)
+            gl.glEnable(GL_DEPTH_TEST)
 
     def render(self, viz: PointViz) -> np.ndarray:
         """Full frame: GPU clouds + GL lines, then CPU compositing of
@@ -652,6 +695,12 @@ class GLRenderer:
         return frame
 
     def close(self) -> None:
+        for _, _, bufs in self._cloud_cache:
+            try:
+                bufs.release()
+            except Exception:
+                pass  # context may already be gone
+        self._cloud_cache = []
         self.ctx.close()
 
 
@@ -715,8 +764,10 @@ def run_window(viz: PointViz, scan_iter=None, title: str = "ouster-viz",
             def __init__(self_inner):
                 self_inner.width, self_inner.height = (viz.width,
                                                        viz.height)
-                self_inner.gl = _GL(_find_lib("libEGL.so.1",
-                                              "libEGL.so"))
+                # glfwGetProcAddress resolves for the window's actual
+                # context API (GLX on X11/NVIDIA, EGL on Wayland, WGL
+                # on Windows) — never mix EGL stubs into a GLX context
+                self_inner.gl = _GL(glfw.get_proc_address)
 
             def make_current(self_inner) -> None:
                 glfw.make_context_current(win)

@@ -186,3 +186,40 @@ def test_window_gated_headless():
     viz = PointViz(width=64, height=48)
     with pytest.raises(vgl.GLUnavailable, match="glfw"):
         vgl.run_window(viz)
+
+
+def test_gl_lines_with_cloud_present(renderer):
+    """Lines must still render when the scene also has a cloud (the
+    point pass leaves no stale attrib arrays bound to deleted VBOs) and
+    draw as overlays on top of cloud points like the software backend."""
+    from ouster_sdk_tpu.viz.drawables import Lines
+
+    viz = PointViz(width=320, height=240)
+    rng = np.random.default_rng(2)
+    viz.add(Cloud(rng.normal(size=(2000, 3)) * 3,
+                  key=np.linspace(0, 1, 2000), point_size=3))
+    segs = np.array([[[-5.0, 0, 0.01], [5.0, 0, 0.01]]])
+    viz.add(Lines(segs, color=(0, 255, 0)))
+    frame = renderer.render(viz)
+    # pure-green overlay pixels must exist even where the cloud is dense
+    green = (frame[..., 1] == 255) & (frame[..., 0] == 0) & \
+        (frame[..., 2] == 0)
+    assert green.sum() > 10
+
+
+def test_gl_buffer_cache_reuse(renderer):
+    """Repeated renders of the same scene reuse cached cloud buffers;
+    swapping the cloud evicts the old entry."""
+    viz = PointViz(width=160, height=120)
+    c1 = Cloud(np.array([[5.0, 0, 0]]), point_size=3)
+    viz.add(c1)
+    renderer.render(viz)
+    n1 = len(renderer._cloud_cache)
+    renderer.render(viz)
+    assert len(renderer._cloud_cache) == n1  # reused, not re-uploaded
+    viz.remove(c1)
+    c2 = Cloud(np.array([[0, 5.0, 0]]), point_size=3)
+    viz.add(c2)
+    renderer.render(viz)
+    ids = [cid for cid, _, _ in renderer._cloud_cache]
+    assert id(c2) in ids and id(c1) not in ids

@@ -17,8 +17,7 @@ import time
 import numpy as np
 import pytest
 
-from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, SensorInfo
-from ouster_sdk_tpu.core.types import UDPProfileLidar
+from ouster_sdk_tpu import ChanField
 from ouster_sdk_tpu.sensor.emulator import SensorEmulator
 from ouster_sdk_tpu.sensor.scan_source import (
     ClientTimeout,
@@ -27,47 +26,17 @@ from ouster_sdk_tpu.sensor.scan_source import (
 )
 
 
-def _free_ports(n):
-    socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-             for _ in range(n)]
-    for s in socks:
-        s.bind(("127.0.0.1", 0))
-    ports = [s.getsockname()[1] for s in socks]
-    for s in socks:
-        s.close()
-    return ports
-
-
-def _test_info(lidar_port, imu_port, sn=122246000000):
-    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
-    info.format.udp_profile_lidar = UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
-    info.config.udp_port_lidar = lidar_port
-    info.config.udp_port_imu = imu_port
-    info.sn = sn
-    return info
+from conftest import (  # noqa: E402
+    free_udp_ports as _free_ports,
+    live_test_info as _test_info,
+    synth_frame_packets,
+)
 
 
 def _frame_packets(info, frame_id, ts0=0):
     """One full frame of synthesized lidar packets as emulator items."""
-    pw = PacketWriter(info.format)
-    w = info.format.columns_per_frame
-    cpp = info.format.columns_per_packet
-    rng = np.random.default_rng(frame_id)
-    out = []
-    for p in range(w // cpp):
-        buf = pw.new_packet()
-        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
-        pw.set_frame_id(buf, frame_id)
-        m0 = p * cpp
-        pw.set_col_headers(
-            buf, np.arange(cpp, dtype=np.uint64) + 1000 + m0,
-            np.arange(cpp, dtype=np.uint16) + m0,
-            np.ones(cpp, dtype=np.uint32))
-        pw.set_field(buf, ChanField.RANGE,
-                     rng.integers(0, 1 << 19,
-                                  size=(pw.pixels_per_column, cpp)))
-        out.append((ts0 + p * 100_000, "lidar", buf.tobytes()))
-    return out
+    return [(ts0 + i * 100_000, "lidar", raw) for i, raw in
+            enumerate(synth_frame_packets(info, frame_id))]
 
 
 def _frames_factory(info, n_frames, period_ns=100_000_000):
@@ -363,6 +332,14 @@ def _scan_equal(a, b, check_pkt_ts=True):
     assert a.frame_status == b.frame_status
 
 
+def _native_available():
+    from ouster_sdk_tpu.utils import native
+
+    return native.get_lib() is not None
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native library unavailable")
 def test_live_device_batcher_bit_equal_to_numpy():
     """The live device handoff produces scans bit-equal to the numpy
     ScanBatcher for the same packet stream, including a mid-frame
@@ -409,6 +386,8 @@ def test_live_device_batcher_bit_equal_to_numpy():
         _scan_equal(a, b_)
 
 
+@pytest.mark.skipif(not _native_available(),
+                    reason="native library unavailable")
 def test_live_source_device_engine_end_to_end():
     """SensorScanSource(engine='device') delivers device-decoded scans
     from an emulated sensor (stats counters prove the route)."""

@@ -13,46 +13,11 @@ from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, SensorInfo
 from ouster_sdk_tpu.core.types import UDPProfileLidar
 
 
-def _test_info(lidar_port, imu_port):
-    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
-    info.format.udp_profile_lidar = UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
-    info.config.udp_port_lidar = lidar_port
-    info.config.udp_port_imu = imu_port
-    return info
-
-
-def _free_ports(n):
-    socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-             for _ in range(n)]
-    for s in socks:
-        s.bind(("127.0.0.1", 0))
-    ports = [s.getsockname()[1] for s in socks]
-    for s in socks:
-        s.close()
-    return ports
-
-
-def _make_frame_packets(info, frame_id):
-    pw = PacketWriter(info.format)
-    pkts = []
-    w = info.format.columns_per_frame
-    cpp = info.format.columns_per_packet
-    rng = np.random.default_rng(frame_id)
-    for p in range(w // cpp):
-        buf = pw.new_packet()
-        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
-        pw.set_frame_id(buf, frame_id)
-        m0 = p * cpp
-        pw.set_col_headers(
-            buf,
-            np.arange(cpp, dtype=np.uint64) + 1000 + m0,
-            np.arange(cpp, dtype=np.uint16) + m0,
-            np.ones(cpp, dtype=np.uint32))
-        pw.set_field(buf, ChanField.RANGE,
-                     rng.integers(0, 1 << 19,
-                                  size=(pw.pixels_per_column, cpp)))
-        pkts.append(buf.tobytes())
-    return pkts
+from conftest import (  # noqa: E402
+    free_udp_ports as _free_ports,
+    live_test_info as _test_info,
+    synth_frame_packets as _make_frame_packets,
+)
 
 
 def test_sensor_packet_source_loopback():
