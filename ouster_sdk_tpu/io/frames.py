@@ -349,6 +349,10 @@ class FrameReader:
         plan = self.plan
         if plan.status_word >= plan.chw:
             raise RuntimeError("packed staging supports eUDP only")
+        if not fields:
+            raise ValueError(
+                "packed staging needs a non-empty `fields` list of "
+                "(pixel_word, bit_offset) pairs")
         if plan.w % 32 or (plan.cpp * nbits) % 8:
             raise RuntimeError("packed staging needs w%32==0 and "
                                "cpp*nbits%8==0")
@@ -430,6 +434,13 @@ class FrameReader:
         plan = self.plan
         if plan.w % 64:
             raise RuntimeError("bp64 staging needs w % 64 == 0")
+        if not fields:
+            # an empty selection would hand zero-sized workspaces to the
+            # native encoder; fail loudly instead (callers build the
+            # list with ops.packed.packed_range_fields)
+            raise ValueError(
+                "bp64 staging needs a non-empty `fields` list of "
+                "(pixel_word, bit_offset) pairs")
         words = tuple(f[0] for f in fields)
         bits = np.asarray([f[1] for f in fields], np.int64)
         F = len(fields)
