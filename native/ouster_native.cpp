@@ -432,10 +432,11 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
                           int64_t cols_per_packet, int64_t n_slots,
                           uint8_t* out_frames, int64_t* out_fids,
                           uint64_t* out_ts, int64_t max_frames,
-                          int64_t* out_nframes) {
+                          int64_t* out_nframes, int64_t* io_released) {
     int64_t frame_bytes = n_slots * pkt_bytes;
     int64_t nf = 0, i = 0;
-    int64_t cur_fid = -1, released = -1;
+    int64_t cur_fid = -1;
+    int64_t released = io_released ? *io_released : -1;
     uint8_t* slab = nullptr;
     for (; i < count; i++) {
         const uint8_t* p = payloads + offsets[i];
@@ -467,6 +468,13 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
         int64_t slot = mid / cols_per_packet;
         if (slot < 0 || slot >= n_slots) continue;
         std::memcpy(slab + slot * pkt_bytes, p, pkt_bytes);
+    }
+    if (io_released) {
+        // same carry-over contract as onat_group_frames_planar: the
+        // frame we stopped inside re-opens next call, so persist the
+        // id released BEFORE it — without this, a chunk boundary
+        // landing on a straggler/duplicate re-admits dropped packets
+        *io_released = released;
     }
     *out_nframes = nf;
     return i;

@@ -1119,7 +1119,13 @@ def discover(timeout, output, probe, host, target):
 
         targets = []
         for t in target:
-            if ":" in t:
+            # host:port split that survives IPv6: [::1]:5353 or a bare
+            # IPv6 address (multiple colons, no brackets -> no port)
+            if t.startswith("["):
+                th, _, rest = t[1:].partition("]")
+                tp = rest.lstrip(":") or "5353"
+                targets.append((th, int(tp)))
+            elif t.count(":") == 1:
                 th, tp = t.rsplit(":", 1)
                 targets.append((th, int(tp)))
             else:
@@ -1143,7 +1149,10 @@ def discover(timeout, output, probe, host, target):
                 probe_target = addrs[0] if addrs else name
                 port = entry.get("mdns", {}).get("port", 0)
                 if port and port != 80:  # SRV advertises the HTTP port
-                    probe_target = f"{probe_target}:{port}"
+                    if ":" in probe_target:  # IPv6 literal needs []
+                        probe_target = f"[{probe_target}]:{port}"
+                    else:
+                        probe_target = f"{probe_target}:{port}"
             try:
                 http = SensorHttp.create(probe_target, timeout=3.0)
                 si = http.sensor_info()

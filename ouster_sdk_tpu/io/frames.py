@@ -290,6 +290,10 @@ class FrameReader:
                 pools.append(entry)
             self._pools[key] = pools
         pools = self._pools[key]
+        if words is not None and len(words) == 0:
+            # n_sel == 0 means "all planes" to the native grouper, but
+            # the pool above was sized for zero planes - heap overflow
+            raise ValueError("words must be a non-empty tuple or None")
         word_sel = np.asarray(words, np.int64) if words is not None \
             else None
         fid_out = np.zeros(chunk, np.int64)
@@ -434,6 +438,9 @@ class FrameReader:
         plan = self.plan
         if plan.w % 64:
             raise RuntimeError("bp64 staging needs w % 64 == 0")
+        if not 1 <= nbits <= 30:
+            # 5-bit block widths: zigzag deltas need up to nbits+1 bits
+            raise ValueError("bp64 staging supports 1 <= nbits <= 30")
         if not fields:
             # an empty selection would hand zero-sized workspaces to the
             # native encoder; fail loudly instead (callers build the
@@ -570,6 +577,7 @@ class FrameReader:
         pools = self._pools[chunk]
         fid_out = np.zeros(chunk, np.int64)
         ts_out = np.zeros(chunk, np.uint64)
+        released = np.full(1, -1, np.int64)
         pos, flip = 0, 0
         while pos < offs.size:
             pool = pools[flip]
@@ -577,7 +585,8 @@ class FrameReader:
             consumed, nf = native.group_frames(
                 payloads, offs[pos:], tss[pos:], pkt_size, fid_byte,
                 fid_shift, fid_mask, mid_byte, self.plan.cpp,
-                self.plan.n_pkts, pool, fid_out, ts_out)
+                self.plan.n_pkts, pool, fid_out, ts_out,
+                io_released=released)
             if nf == 0:
                 break
             pos += consumed
@@ -640,6 +649,10 @@ class FrameReader:
         pools = self._pools[key]
         # word subsetting happens inside the native pack (compacted
         # planes), so subset staging touches n_sel/pw of the bytes
+        if words is not None and len(words) == 0:
+            # n_sel == 0 means "all planes" to the native grouper, but
+            # the pool above was sized for zero planes - heap overflow
+            raise ValueError("words must be a non-empty tuple or None")
         word_sel = np.asarray(words, np.int64) if words is not None \
             else None
         fid_out = np.zeros(chunk, np.int64)

@@ -65,6 +65,11 @@ def bp64_encode_numpy(values: np.ndarray, nbits: int
     Returns (payload u32 (P,), widths u8 (..., w//64) [bit7 = has
     dropout mask], anchors u32 (..., w//64)); payload is the dense
     concatenation of every block in C order of the leading axes."""
+    if not 1 <= nbits <= 30:
+        # widths are 5-bit (WMASK): zigzag deltas of nbits-values need
+        # up to nbits+1 bits, so nbits > 30 would truncate width 32 to
+        # 0 and decode every delta as zero — corrupt, not slow
+        raise ValueError("bp64 supports 1 <= nbits <= 30")
     v = np.ascontiguousarray(values, np.uint32)
     w = v.shape[-1]
     if w % BLOCK:
@@ -189,8 +194,13 @@ def project_bp64_batched(payload: jnp.ndarray, widths: jnp.ndarray,
     padded to a common P); widths (B, n_fields, h, nb) u8; anchors
     (B, n_fields, h, nb) u32; col_hdrs (B, chw, w) u32 supplies the
     status mask like the other stagings."""
-    from .pallas_kernels import _proj_lean
+    from .pallas_kernels import (project_ranges_batched,
+                                 status_valid_mask_batched)
 
+    if len(upshifts) < (2 if dual else 1):
+        raise ValueError(
+            "upshifts needs one entry per bp64 field "
+            f"({2 if dual else 1}); use packed_range_fields(plan, dual)")
     if payload.ndim == 1:
         payload = payload[None]
         widths = widths[None]
@@ -198,11 +208,7 @@ def project_bp64_batched(payload: jnp.ndarray, widths: jnp.ndarray,
         col_hdrs = col_hdrs[None]
     B, F = widths.shape[0], widths.shape[1]
 
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
-    if plan.status_size < 32:
-        status = status & np.uint32((1 << plan.status_size) - 1)
-    vm = jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),
-                   np.uint32(0))[:, None, :]              # (B, 1, w)
+    vm = status_valid_mask_batched(col_hdrs, plan)        # (B, 1, w)
 
     # word offsets restart at each frame's payload row -> vmap over B
     vals = jax.vmap(
@@ -215,24 +221,5 @@ def project_bp64_batched(payload: jnp.ndarray, widths: jnp.ndarray,
             r = r << np.uint32(upshifts[k])
         return r & vm
 
-    def proj(r):
-        return jax.vmap(
-            lambda rr: _proj_lean(rr, lut_stack, precision=precision))(r)
-
-    r1 = field(0)
-    xyz = proj(r1)
-
-    if poses is not None:
-        if dual:
-            raise NotImplementedError("fused dewarp is single-return")
-        if poses.ndim == 3:
-            poses = poses[None]
-        rot = poses[..., :3, :3].astype(jnp.float32)
-        t = poses[..., :3, 3].astype(jnp.float32)
-        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
-            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
-        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
-
-    if not dual:
-        return xyz
-    return xyz, proj(field(1))
+    return project_ranges_batched(field, lut_stack, precision, dual,
+                                  poses)

@@ -61,18 +61,19 @@ def project_packed_batched(packed: jnp.ndarray, col_hdrs: jnp.ndarray,
     (B, n_fields, h, w*nbits//32) with field 0 = RANGE (and field 1 =
     RANGE2 when dual); col_hdrs (B, chw, w) supplies the per-column
     status mask exactly like the planar path."""
-    from .pallas_kernels import _proj_lean
+    from .pallas_kernels import (project_ranges_batched,
+                                 status_valid_mask_batched)
 
+    if len(upshifts) < (2 if dual else 1):
+        raise ValueError(
+            "upshifts needs one entry per packed field "
+            f"({2 if dual else 1}); use packed_range_fields(plan, dual)")
     if packed.ndim == 3:
         packed = packed[None]
         col_hdrs = col_hdrs[None]
     B = packed.shape[0]
 
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
-    if plan.status_size < 32:
-        status = status & np.uint32((1 << plan.status_size) - 1)
-    vm = jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),
-                   np.uint32(0))[:, None, :]              # (B, 1, w)
+    vm = status_valid_mask_batched(col_hdrs, plan)        # (B, 1, w)
 
     def field(k):
         r = unpack_bits(packed[:, k], nbits, plan.w)      # (B, h, w)
@@ -80,27 +81,8 @@ def project_packed_batched(packed: jnp.ndarray, col_hdrs: jnp.ndarray,
             r = r << np.uint32(upshifts[k])
         return r & vm
 
-    def proj(r):
-        return jax.vmap(
-            lambda rr: _proj_lean(rr, lut_stack, precision=precision))(r)
-
-    r1 = field(0)
-    xyz = proj(r1)                                        # (B, 3, h, w)
-
-    if poses is not None:
-        if dual:
-            raise NotImplementedError("fused dewarp is single-return")
-        if poses.ndim == 3:
-            poses = poses[None]
-        rot = poses[..., :3, :3].astype(jnp.float32)
-        t = poses[..., :3, 3].astype(jnp.float32)
-        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
-            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
-        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
-
-    if not dual:
-        return xyz
-    return xyz, proj(field(1))
+    return project_ranges_batched(field, lut_stack, precision, dual,
+                                  poses)
 
 
 def packed_range_fields(plan: DecodePlan, dual: bool

@@ -489,6 +489,51 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
             out2.reshape(B, 3, plan.h, plan.w))
 
 
+def status_valid_mask_batched(col_hdrs: jnp.ndarray, plan: DecodePlan
+                              ) -> jnp.ndarray:
+    """(B, 1, w) u32 mask from the per-column status valid bit — the
+    zero-fill semantics every staging variant (planar/packed/BP64)
+    must apply identically (ref: lidar_scan.cpp:1194 zero_fields)."""
+    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    if plan.status_size < 32:
+        status = status & np.uint32((1 << plan.status_size) - 1)
+    return jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),
+                     np.uint32(0))[:, None, :]
+
+
+def project_ranges_batched(field, lut_stack, precision: str, dual: bool,
+                           poses: Optional[jnp.ndarray]):
+    """Shared projection epilogue for the batched staging variants:
+    `field(k)` returns the k-th masked range image (B, h, w) u32.
+    Returns xyz (B, 3, h, w) [or (xyz, xyz2) when dual], optionally
+    dewarped by per-column poses with no-return pixels kept at zero —
+    one definition so the bit-identical-across-stagings guarantee has
+    a single source of truth."""
+
+    def proj(r):
+        return jax.vmap(
+            lambda rr: _proj_lean(rr, lut_stack, precision=precision))(r)
+
+    r1 = field(0)
+    xyz = proj(r1)                                       # (B, 3, h, w)
+
+    if poses is not None:
+        if dual:
+            raise NotImplementedError("fused dewarp is single-return")
+        if poses.ndim == 3:
+            poses = poses[None]
+        rot = poses[..., :3, :3].astype(jnp.float32)     # (B, w, 3, 3)
+        t = poses[..., :3, 3].astype(jnp.float32)        # (B, w, 3)
+        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
+            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
+        # no-return pixels stay at zero, matching _planar_dewarp_kernel
+        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
+
+    if not dual:
+        return xyz
+    return xyz, proj(field(1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("plan", "precision", "dual", "words"))
 def unpack_project_planar_batched_xla(planes: jnp.ndarray,
@@ -526,42 +571,15 @@ def unpack_project_planar_batched_xla(planes: jnp.ndarray,
                              f"planes carry only {words}")
         return words.index(word)
 
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
-    if plan.status_size < 32:
-        status = status & np.uint32((1 << plan.status_size) - 1)
-    vm = jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),
-                   np.uint32(0))[:, None, :]          # (B, 1, w) over h
+    vm = status_valid_mask_batched(col_hdrs, plan)    # (B, 1, w) over h
 
-    rng_plan = _field_plan(plan, "RANGE")
+    def field(k):
+        fp = _field_plan(plan, "RANGE" if k == 0 else "RANGE2")
+        return _extract_bits(planes[:, wmap(fp.word)], bit=fp.bit,
+                             size=fp.size, upshift=fp.upshift) & vm
 
-    def ranges(word_plane, fp):
-        return _extract_bits(word_plane, bit=fp.bit, size=fp.size,
-                             upshift=fp.upshift) & vm   # (B, h, w)
-
-    def proj(r):
-        return jax.vmap(
-            lambda rr: _proj_lean(rr, lut_stack, precision=precision))(r)
-
-    r1 = ranges(planes[:, wmap(rng_plan.word)], rng_plan)
-    xyz = proj(r1)                                      # (B, 3, h, w)
-
-    if poses is not None:
-        if dual:
-            raise NotImplementedError("fused dewarp is single-return")
-        if poses.ndim == 3:
-            poses = poses[None]
-        rot = poses[..., :3, :3].astype(jnp.float32)      # (B, w, 3, 3)
-        t = poses[..., :3, 3].astype(jnp.float32)         # (B, w, 3)
-        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
-            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
-        # no-return pixels stay at zero, matching _planar_dewarp_kernel
-        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
-
-    if not dual:
-        return xyz
-    rng2_plan = _field_plan(plan, "RANGE2")
-    xyz2 = proj(ranges(planes[:, wmap(rng2_plan.word)], rng2_plan))
-    return xyz, xyz2
+    return project_ranges_batched(field, lut_stack, precision, dual,
+                                  poses)
 
 
 def unpack_project(frame_words, lut, plan: DecodePlan, *,

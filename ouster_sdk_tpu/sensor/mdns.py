@@ -104,8 +104,9 @@ class ServiceRecord:
 
 
 def build_query(services, qu: bool = True) -> bytes:
+    services = tuple(services)  # a generator must survive two uses
     flags = 0
-    head = struct.pack(">HHHHHH", 0, flags, len(tuple(services)), 0, 0, 0)
+    head = struct.pack(">HHHHHH", 0, flags, len(services), 0, 0, 0)
     body = b"".join(
         _encode_name(s) + struct.pack(
             ">HH", TYPE_PTR, CLASS_IN | (QU_BIT if qu else 0))
@@ -247,7 +248,12 @@ def discover_sensors(timeout: float = 2.0,
             except socket.timeout:
                 continue
             except OSError:
-                break
+                # transient (e.g. ICMP port-unreachable surfaced for a
+                # dead unicast target): keep listening for the rest of
+                # the window instead of returning partial results; the
+                # sleep bounds the spin if the socket is truly broken
+                time.sleep(0.01)
+                continue
             _merge_response(msg, src, services, found)
         return list(found.values())
     finally:

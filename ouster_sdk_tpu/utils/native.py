@@ -115,7 +115,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
             c.c_int64, c.c_int, c.c_uint64, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64,
-            c.c_void_p]
+            c.c_void_p, c.c_void_p]
         lib.onat_group_frames_planar.restype = c.c_int64
         lib.onat_group_frames_planar.argtypes = [
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
@@ -238,13 +238,15 @@ def group_frames(payloads: np.ndarray, offsets: np.ndarray,
                  ts: Optional[np.ndarray], pkt_bytes: int, fid_byte: int,
                  fid_shift: int, fid_mask: int, mid_byte: int,
                  cols_per_packet: int, n_slots: int, out_frames: np.ndarray,
-                 out_fids: np.ndarray, out_ts: np.ndarray
+                 out_fids: np.ndarray, out_ts: np.ndarray,
+                 io_released: Optional[np.ndarray] = None
                  ) -> Optional[Tuple[int, int]]:
     """Group consecutive same-frame-id packets into zeroed frame slabs
     (one native pass). Returns (packets_consumed, n_frames) or None when
     the native library is unavailable. out_frames must be a C-contiguous
     (max_frames, n_slots, pkt_bytes//4) uint32 buffer (reused across
-    calls)."""
+    calls). io_released (1,) i64 carries the released-frame id across
+    resumed calls so boundary drop rules survive chunk breaks."""
     lib = get_lib()
     if lib is None:
         return None
@@ -256,7 +258,8 @@ def group_frames(payloads: np.ndarray, offsets: np.ndarray,
         else None,
         offsets.size, pkt_bytes, fid_byte, fid_shift, fid_mask, mid_byte,
         cols_per_packet, n_slots, _ptr(out_frames), _ptr(out_fids),
-        _ptr(out_ts), out_frames.shape[0], _ptr(nframes))
+        _ptr(out_ts), out_frames.shape[0], _ptr(nframes),
+        _ptr(io_released) if io_released is not None else None)
     return int(consumed), int(nframes[0])
 
 

@@ -301,3 +301,41 @@ def test_pipelined_planar_iter_matches_serial():
     it = fr_c.iter_planar_chunks_pipelined(1, depth=1)
     next(it)
     it.close()
+
+
+def test_iter_chunks_released_state_survives_chunk_boundary(tmp_path):
+    """Boundary drop rules must persist across resumed grouper calls:
+    a straggler/duplicate of the just-released frame arriving exactly
+    at a chunk break must NOT reopen a spurious frame — iter_chunks and
+    iter_planar_chunks must return the same frame-id sequence for the
+    same capture (native io_released carry-over)."""
+    from conftest import live_test_info, synth_frame_packets
+
+    from ouster_sdk_tpu.io.frames import FrameReader
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native toolchain")
+    info = live_test_info(7502, 7503)
+    f1 = synth_frame_packets(info, 1)
+    f2 = synth_frame_packets(info, 2)
+    f3 = synth_frame_packets(info, 3)
+    # stream: frame1 | first pkt of frame2 (releases 1 -> chunk=1
+    # resumes HERE) | straggler of frame1 | rest of frame2 | frame3
+    stream = f1 + [f2[0], f1[3]] + f2[1:] + f3
+    path = str(tmp_path / "straggler.pcap")
+    with PcapWriter(path) as w:
+        for i, p in enumerate(stream):
+            w.write(p, "127.0.0.1", "127.0.0.1", 7502, 7502,
+                    1_000_000 * (i + 1))
+
+    fr = FrameReader(path, info=info)
+    fids_chunked = [int(f) for fids, _, _ in fr.iter_chunks(chunk=1)
+                    for f in fids]
+    fr2 = FrameReader(path, info=info)
+    fids_planar = [int(f) for fids, _, _, _ in
+                   fr2.iter_planar_chunks(chunk=1) for f in fids]
+    assert fids_chunked == fids_planar
+    assert 1 not in fids_chunked[1:], \
+        "straggler of released frame 1 reopened a spurious frame"
