@@ -59,20 +59,16 @@ def supports_device_decode(info: SensorInfo,
                            field_names: Optional[List[str]] = None,
                            raw_headers: bool = False,
                            raw_fields: bool = False) -> bool:
-    """Static eligibility: the device route covers the lidar-only eUDP
-    decode the planar staging understands. Everything else (LEGACY
-    footer-status packets, NMEA-IMU / zone-monitoring scans that need
-    non-lidar packets batched in, RAW_HEADERS/RAW32 side-channels) stays
-    on the numpy batcher."""
+    """Static eligibility: the device route covers eUDP lidar decode;
+    NMEA-IMU and zone-monitoring scans run HYBRID (lidar fields decode
+    on device, aux packets batch host-side into the matching scan by
+    frame id — see _AuxApplier). Only LEGACY footer-status packets and
+    RAW_HEADERS/RAW32 side-channels stay on the numpy batcher."""
     if native.get_lib() is None:
         return False
     fmt = info.format
     if fmt.udp_profile_lidar in (UDPProfileLidar.LEGACY,
                                  UDPProfileLidar.OFF):
-        return False
-    if fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA:
-        return False
-    if getattr(fmt, "zone_monitoring_enabled", False):
         return False
     if raw_headers or raw_fields:
         return False
@@ -132,6 +128,36 @@ def materialize_scan(info: SensorInfo, pf: PacketFormat, plan,
     return ls
 
 
+class _AuxApplier:
+    """Host-side half of the HYBRID device route: applies IMU/zone
+    packets to a device-decoded scan with the numpy batcher's own field
+    writers, so aux population is definitionally identical to the
+    ScanBatcher path (ref: lidar_scan.cpp:1374 batch_imu_packet, :1458
+    batch_zone_packet)."""
+
+    def __init__(self, info: SensorInfo):
+        from ..core.batcher import ScanBatcher
+
+        self._b = ScanBatcher(info)
+        self.expected_imu = self._b._expected_imu_packets
+        self.expected_zone = self._b._expected_zone_packets
+
+    @staticmethod
+    def wanted(info: SensorInfo) -> bool:
+        fmt = info.format
+        return (fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA
+                or getattr(fmt, "zone_monitoring_enabled", False))
+
+    def apply(self, kind: str, buf: np.ndarray, host_ts: int,
+              ls: LidarScan) -> None:
+        from ..core.packets import ImuPacket, ZonePacket
+
+        if kind == "imu":
+            self._b._batch_imu_packet(ImuPacket(buf, host_ts), ls)
+        else:
+            self._b._batch_zone_packet(ZonePacket(buf, host_ts), ls)
+
+
 class DeviceScanIterator:
     """Iterate LidarScans for ONE sensor from a pcap via device decode.
 
@@ -159,6 +185,14 @@ class DeviceScanIterator:
         self.plan = make_decode_plan(info, field_names=names)
         self._field_types = field_types
         self._decode = None  # jit, built lazily on first batch
+        # hybrid aux route: imu/zone packets keyed by frame id, merged
+        # into the device-decoded scan at materialization
+        self._aux = _AuxApplier(info)
+        self._aux_by_fid: Dict[int, List] = {}
+        if _AuxApplier.wanted(info):
+            for kind, fid, buf, ts in self._reader.aux_packets():
+                self._aux_by_fid.setdefault(fid, []).append(
+                    (kind, buf, ts))
 
     @property
     def id_error_count(self) -> int:
@@ -181,10 +215,14 @@ class DeviceScanIterator:
 
     def _materialize(self, batch, k: int,
                      host: Dict[str, np.ndarray]) -> LidarScan:
-        return materialize_scan(
+        ls = materialize_scan(
             self.info, self.pf, self.plan, host, k,
             int(batch.frame_ids[k]), batch.pkt_ts[k], batch.pkt_hdrs[k],
             batch.first_hdr[k], self._field_types)
+        if self._aux_by_fid:
+            for kind, buf, ts in self._aux_by_fid.pop(ls.frame_id, ()):
+                self._aux.apply(kind, buf, ts, ls)
+        return ls
 
     def __iter__(self) -> Iterator[LidarScan]:
         import jax
@@ -274,6 +312,10 @@ class LiveDeviceBatcher:
         self._first_hdr = np.zeros((1, self._hw), np.uint32)
         self._field_types = field_types
         self._decode = None
+        # hybrid aux route (NMEA imu / zone packets for the open frame)
+        self._aux = _AuxApplier(info)
+        self._aux_pending: List[Tuple[str, np.ndarray, int]] = []
+        self._aux_counts = {"imu": 0, "zone": 0}
 
     def _make_decode(self):
         import jax
@@ -287,6 +329,51 @@ class LiveDeviceBatcher:
 
         return jax.jit(decode)
 
+    def _admit(self, fid: int) -> Optional[List[LidarScan]]:
+        """Shared boundary logic: returns scans released by a frame-id
+        change, or None when the packet must be dropped
+        (straggler/duplicate rules, ref: lidar_scan.cpp:1526-1565)."""
+        out: List[LidarScan] = []
+        m = self._fid_mask
+        if self._cur >= 0 and fid != self._cur:
+            if fid == (self._cur - 1) & m:
+                return None
+            if self._released >= 0 and (
+                    fid == self._released
+                    or self._released == (fid + 1) & m):
+                return None
+            out.extend(self._flush())
+        if self._cur < 0:
+            if self._released >= 0 and (
+                    fid == self._released
+                    or self._released == (fid + 1) & m):
+                return None
+            self._cur = fid
+        return out
+
+    def _complete(self) -> bool:
+        """Count-based completion incl. aux, mirroring
+        _check_scan_complete (lidar_scan.cpp:1605-1617)."""
+        return (self._n >= self.plan.n_pkts
+                and len(self._slots) >= self.plan.n_pkts
+                and self._aux_counts["imu"] >= self._aux.expected_imu
+                and self._aux_counts["zone"] >= self._aux.expected_zone)
+
+    def push_aux(self, kind: str, buf: np.ndarray, host_ts: int
+                 ) -> List[LidarScan]:
+        """Stage one IMU/zone packet for the open frame (hybrid route):
+        applied to the device-decoded scan at release with the numpy
+        batcher's own writers."""
+        fid = self._fid_of(buf)
+        out = self._admit(fid)
+        if out is None:
+            return []
+        self._aux_pending.append((kind, buf.copy(), host_ts))
+        self._aux_counts[kind] += 1
+        if self._complete():
+            out.extend(self._flush())
+        return out
+
     def _fid_of(self, buf: np.ndarray) -> int:
         word = int.from_bytes(
             buf[self._fid_byte:self._fid_byte + 8].tobytes(), "little")
@@ -294,27 +381,10 @@ class LiveDeviceBatcher:
 
     def push(self, buf: np.ndarray, host_ts: int) -> List[LidarScan]:
         """Stage one validated lidar packet; returns released scans."""
-        out: List[LidarScan] = []
         fid = self._fid_of(buf)
-        m = self._fid_mask
-        if self._cur >= 0 and fid != self._cur:
-            # straggler from the frame just before the open one: drop
-            # (ref: lidar_scan.cpp:1526-1565 reorder window)
-            if fid == (self._cur - 1) & m:
-                return out
-            # duplicate of an already-released frame: drop
-            if self._released >= 0 and (
-                    fid == self._released
-                    or self._released == (fid + 1) & m):
-                return out
-            # boundary: release the open frame, then open the new one
-            out.extend(self._flush())
-        if self._cur < 0:
-            if self._released >= 0 and (
-                    fid == self._released
-                    or self._released == (fid + 1) & m):
-                return out  # late packets of a closed frame
-            self._cur = fid
+        out = self._admit(fid)
+        if out is None:
+            return []
         if self._n >= self._slab.shape[0]:
             # pathological duplicate storm: grow rather than split the
             # frame (the numpy batcher keeps accumulating too)
@@ -337,16 +407,32 @@ class LiveDeviceBatcher:
         # completion mirrors the numpy batcher (lidar_scan.cpp:1605-1617
         # + _check_scan_complete): enough packets batched AND every
         # packet slot stamped (duplicates do not complete a frame early)
-        if self._n >= self.plan.n_pkts and \
-                len(self._slots) >= self.plan.n_pkts:
+        # AND the expected aux (imu/zone) packets arrived
+        if self._complete():
             out.extend(self._flush())
         return out
 
     def _flush(self) -> List[LidarScan]:
-        """Group + device-decode the pending packets (one frame run)."""
+        """Group + device-decode the pending packets (one frame run),
+        then merge the pending aux packets (hybrid route)."""
+        aux = self._aux_pending
+        self._aux_pending = []
+        self._aux_counts = {"imu": 0, "zone": 0}
         if self._n == 0:
+            # aux-only frame released at a boundary: the numpy batcher
+            # emits it with zeroed lidar fields; mirror that
+            if not aux or self._cur < 0:
+                self._cur = -1
+                return []
+            ls = LidarScan(self.info, field_types=self._field_types)
+            ls.frame_id = self._cur
+            ls.sensor_info = self.info
+            for kind, buf, ts in aux:
+                self._aux.apply(kind, buf, ts, ls)
+            self._released = self._cur
             self._cur = -1
-            return []
+            stats["scans"] += 1
+            return [ls]
         import jax
 
         if self._decode is None:
@@ -377,5 +463,7 @@ class LiveDeviceBatcher:
             self.info, self.pf, plan, host, 0,
             int(self._fid_out[0]), self._pkt_ts[0], self._pkt_hdrs[0],
             self._first_hdr[0], self._field_types)
+        for kind, buf, ts in aux:
+            self._aux.apply(kind, buf, ts, scan)
         stats["scans"] += 1
         return [scan]

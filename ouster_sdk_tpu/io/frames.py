@@ -177,6 +177,44 @@ class FrameReader:
                 lidar = lidar & pm
         return lidar
 
+    def aux_packets(self) -> List[Tuple[str, int, np.ndarray, int]]:
+        """(kind, frame_id, payload, host_ts) for this sensor's IMU and
+        zone datagrams, in capture order — the host-side half of the
+        hybrid device route (lidar fields decode on device; aux packets
+        batch into the matching scan by the frame id their eUDP header
+        carries, like ScanBatcher's fid dispatch
+        (ref: lidar_scan.cpp:1505 f_id read for every packet type)."""
+        from ..core.types import UDPProfileIMU
+
+        res = self._native_scan() if native.get_lib() is not None else None
+        if res is None:
+            return []
+        payloads, offsets, sizes, ts, ports, ips = res
+        pf, fmt = self.pf, self.info.format
+        wanted = []
+        if fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA:
+            wanted.append(("imu", pf.imu_packet_size,
+                           self.info.config.udp_port_imu or 0))
+        if getattr(fmt, "zone_monitoring_enabled", False) and \
+                pf.zone_packet_size:
+            wanted.append(("zone", pf.zone_packet_size,
+                           self.info.config.udp_port_zm or 0))
+        out: List[Tuple[str, int, np.ndarray, int]] = []
+        for kind, size, port in wanted:
+            if not size:
+                continue
+            m = sizes == size
+            if port:
+                pm = (ports & np.uint32(0xFFFF)) == np.uint32(port)
+                if (m & pm).any():
+                    m = m & pm
+            for idx in np.nonzero(m)[0]:
+                buf = payloads[offsets[idx]:offsets[idx] + size].copy()
+                out.append((kind, int(pf.frame_id(buf)), buf,
+                            int(ts[idx])))
+        out.sort(key=lambda t: t[3])  # capture order across kinds
+        return out
+
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         for fids, frames, tss in self.iter_chunks():
             for k in range(fids.size):

@@ -345,9 +345,19 @@ class SensorScanSource(ScanSource):
                 if isinstance(pkt, LidarPacket):
                     for done in stager.push(pkt.buf, pkt.host_timestamp):
                         self._emit(idx, done)
-                continue  # imu/zone packets are not scan-batched for
-                # device-eligible profiles (completion is lidar-only
-                # there, see _check_scan_complete)
+                elif isinstance(pkt, ZonePacket):
+                    for done in stager.push_aux("zone", pkt.buf,
+                                                pkt.host_timestamp):
+                        self._emit(idx, done)
+                elif isinstance(pkt, ImuPacket) and \
+                        stager._aux.expected_imu:
+                    # NMEA-imu profiles batch imu packets into scans
+                    # (hybrid route); legacy imu packets are not part
+                    # of frames
+                    for done in stager.push_aux("imu", pkt.buf,
+                                                pkt.host_timestamp):
+                        self._emit(idx, done)
+                continue
             if batchers[idx](pkt, scans[idx]):
                 done = scans[idx]
                 scans[idx] = LidarScan(self.sensor_info[idx])

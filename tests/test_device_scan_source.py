@@ -224,3 +224,165 @@ def test_policy_resolution(monkeypatch):
     assert device_engine.device_decode_enabled()
     monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "0")
     assert not device_engine.device_decode_enabled()
+
+
+# ---------------------------------------------------------------------------
+# HYBRID device route: NMEA-imu / zone profiles — lidar fields decode on
+# device, aux packets batch host-side by frame id (device_engine._AuxApplier)
+# ---------------------------------------------------------------------------
+
+_ZM_PCAP = "/root/reference/tests/pcaps/imu_zm_no_lidar.pcap"
+_ZM_META = "/root/reference/tests/pcaps/imu_zm_no_lidar_0.json"
+
+
+def _hybrid_fixture(tmp_path):
+    """Synthesize a capture mixing lidar frames with the fixture's REAL
+    imu/zone packets (frame ids patched to the enclosing frame)."""
+    import numpy as np
+
+    from _live_helpers import synth_frame_packets
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+
+    with open(_ZM_META) as f:
+        info = sensor_info_from_metadata(f.read())
+    # the fixture recorded with the lidar stream off; re-enable the
+    # ZONE16 pixel profile its config advertises so frames carry data
+    info.format.udp_profile_lidar = \
+        UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_ZONE16
+    info.config.udp_port_lidar = 7512
+
+    aux_raw = [(p.type().value.lower(), p.buf.copy())
+               for _, p in PcapPacketSource(_ZM_PCAP,
+                                            metadata_paths=[_ZM_META])]
+    assert len(aux_raw) == 9  # 8 imu + 1 zone
+
+    def patched(buf, fid):
+        b = buf.copy()
+        b[2:4] = np.frombuffer(np.uint16(fid).tobytes(), np.uint8)
+        return b
+
+    # frames 1..3; frame 2 carries every aux packet
+    stream = []  # (kind, payload, ts)
+    t = [0]
+
+    def add(kind, payload):
+        t[0] += 1_000_00
+        stream.append((kind, payload, t[0]))
+
+    for p in synth_frame_packets(info, 1):
+        add("lidar", np.frombuffer(p, np.uint8))
+    f2 = [np.frombuffer(p, np.uint8)
+          for p in synth_frame_packets(info, 2)]
+    add("lidar", f2[0])
+    for kind, buf in aux_raw:
+        add(kind, patched(buf, 2))
+    for p in f2[1:]:
+        add("lidar", p)
+    for p in synth_frame_packets(info, 3):
+        add("lidar", np.frombuffer(p, np.uint8))
+
+    path = str(tmp_path / "hybrid.pcap")
+    ports = {"lidar": 7512, "imu": info.config.udp_port_imu or 7513,
+             "zone": info.config.udp_port_zm or 7514}
+    with PcapWriter(path) as w:
+        for kind, payload, ts in stream:
+            w.write(payload.tobytes(), "127.0.0.1", "127.0.0.1",
+                    ports[kind], ports[kind], ts)
+    return info, stream, path
+
+
+def _numpy_scans(info, stream, trailing_flush=True):
+    from ouster_sdk_tpu import LidarScan, ScanBatcher
+    from ouster_sdk_tpu.core.packets import (ImuPacket, LidarPacket,
+                                             ZonePacket)
+
+    import numpy as np
+
+    cls = {"lidar": LidarPacket, "imu": ImuPacket, "zone": ZonePacket}
+    b, out = ScanBatcher(info), []
+    cur = LidarScan(info)
+    for kind, payload, ts in stream:
+        if b(cls[kind](payload, ts), cur):
+            out.append(cur)
+            cur = LidarScan(info)
+    # trailing flush like PcapScanSource (pcap_scan_source.py:118-121);
+    # the live path has no EOF, so its ground truth skips it
+    if trailing_flush and cur.frame_id != -1 and np.any(cur.status & 1):
+        out.append(cur)
+    return out
+
+
+def _assert_scans_equal(a, b):
+    import numpy as np
+
+    assert a.frame_id == b.frame_id
+    assert sorted(a.fields) == sorted(b.fields)
+    for f in sorted(a.fields):
+        av, bv = a.field(f), b.field(f)
+        if av.dtype.names:  # structured (ZONE_STATES)
+            for n in av.dtype.names:
+                np.testing.assert_array_equal(av[n], bv[n], err_msg=f)
+        else:
+            np.testing.assert_array_equal(av, bv, err_msg=f)
+    np.testing.assert_array_equal(a.timestamp, b.timestamp)
+    np.testing.assert_array_equal(a.status, b.status)
+    np.testing.assert_array_equal(a.packet_timestamp, b.packet_timestamp)
+
+
+def test_hybrid_pcap_device_route_bit_equal(tmp_path):
+    import os
+
+    import pytest
+
+    from ouster_sdk_tpu.io.device_engine import (DeviceScanIterator,
+                                                 supports_device_decode)
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    if not (os.path.exists(_ZM_PCAP) and os.path.exists(_ZM_META)):
+        pytest.skip("fixture missing")
+    info, stream, path = _hybrid_fixture(tmp_path)
+    assert supports_device_decode(info), \
+        "NMEA+zone profile should be hybrid-eligible"
+
+    ref = _numpy_scans(info, stream)
+    dev = list(DeviceScanIterator(path, info))
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)
+    # the aux content actually landed (frame 2 carries imu + zone)
+    s2 = next(s for s in dev if s.frame_id == 2)
+    assert (s2.field("IMU_TIMESTAMP") > 0).any()
+    assert s2.field("ZONE_TIMESTAMP")[0] > 0
+
+
+def test_hybrid_live_stager_bit_equal(tmp_path):
+    import os
+
+    import pytest
+
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    if not (os.path.exists(_ZM_PCAP) and os.path.exists(_ZM_META)):
+        pytest.skip("fixture missing")
+    info, stream, _ = _hybrid_fixture(tmp_path)
+
+    ref = _numpy_scans(info, stream, trailing_flush=False)
+    stager = LiveDeviceBatcher(info)
+    dev = []
+    for kind, payload, ts in stream:
+        if kind == "lidar":
+            dev.extend(stager.push(payload, ts))
+        else:
+            dev.extend(stager.push_aux(kind, payload, ts))
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)

@@ -309,7 +309,7 @@ def test_iter_chunks_released_state_survives_chunk_boundary(tmp_path):
     at a chunk break must NOT reopen a spurious frame — iter_chunks and
     iter_planar_chunks must return the same frame-id sequence for the
     same capture (native io_released carry-over)."""
-    from conftest import live_test_info, synth_frame_packets
+    from _live_helpers import live_test_info, synth_frame_packets
 
     from ouster_sdk_tpu.io.frames import FrameReader
     from ouster_sdk_tpu.io.pcap import PcapWriter

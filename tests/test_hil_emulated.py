@@ -26,7 +26,7 @@ from ouster_sdk_tpu.sensor.scan_source import (
 )
 
 
-from conftest import (  # noqa: E402
+from _live_helpers import (  # noqa: E402
     free_udp_ports as _free_ports,
     live_test_info as _test_info,
     synth_frame_packets,

@@ -13,7 +13,7 @@ from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, SensorInfo
 from ouster_sdk_tpu.core.types import UDPProfileLidar
 
 
-from conftest import (  # noqa: E402
+from _live_helpers import (  # noqa: E402
     free_udp_ports as _free_ports,
     live_test_info as _test_info,
     synth_frame_packets as _make_frame_packets,
