@@ -148,6 +148,22 @@ class _AuxApplier:
         return (fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA
                 or getattr(fmt, "zone_monitoring_enabled", False))
 
+    def counts(self, kind: str, buf: np.ndarray) -> bool:
+        """Whether this packet increments the batcher's completion
+        counter: _batch_imu_packet rejects malformed measurement ids /
+        degenerate metadata WITHOUT counting (batcher.py:321-328), so a
+        corrupt packet must not complete a frame early here either.
+        Zone packets always count (no early return in the writer)."""
+        if kind != "imu":
+            return True
+        pf, w = self._b.pf, self._b.w
+        ippf = pf.imu_packets_per_frame
+        mpp = pf.imu_measurements_per_packet
+        if ippf <= 0 or mpp <= 0 or w < ippf:
+            return False
+        _, m_id, _ = pf.imu_measurement_headers(buf)
+        return 0 <= int(m_id[0]) // (w // ippf) < ippf
+
     def apply(self, kind: str, buf: np.ndarray, host_ts: int,
               ls: LidarScan) -> None:
         from ..core.packets import ImuPacket, ZonePacket
@@ -156,6 +172,101 @@ class _AuxApplier:
             self._b._batch_imu_packet(ImuPacket(buf, host_ts), ls)
         else:
             self._b._batch_zone_packet(ZonePacket(buf, host_ts), ls)
+
+
+def _read_opener(pf: PacketFormat, buf: np.ndarray) -> Tuple[int, int, int]:
+    """(frame_status, shutdown_countdown, shot_limiting_countdown) from a
+    frame-OPENING packet's header — the batcher populates these from
+    whichever packet starts the scan, lidar or aux alike
+    (ref: lidar_scan.cpp:1546-1552; batcher.py:115-118)."""
+    return (_frame_status(pf.thermal_shutdown(buf), pf.shot_limiting(buf)),
+            pf.countdown_thermal_shutdown(buf),
+            pf.countdown_shot_limiting(buf))
+
+
+class _FrameInstance:
+    """One frame the admission simulation released: which aux packets
+    the batcher would have admitted to it, whether any lidar packets
+    opened/filled it, the opener header when an AUX packet opened it,
+    and whether it was released at a boundary (vs left open at EOF)."""
+
+    __slots__ = ("fid", "has_lidar", "aux", "opener", "boundary",
+                 "lidar_n", "slots", "counts")
+
+    def __init__(self, fid: int, opener):
+        self.fid = fid
+        self.has_lidar = False
+        self.aux: List[Tuple[str, np.ndarray, int]] = []
+        self.opener = opener          # (fs, sd, sl) or None (lidar opener)
+        self.boundary = True
+        self.lidar_n = 0
+        self.slots: set = set()
+        self.counts = {"imu": 0, "zone": 0}
+
+
+class _AuxRouter:
+    """Replays the ScanBatcher admission state machine (batcher.py:97-139,
+    ref: lidar_scan.cpp:1505-1591) over the capture's interleaved
+    lidar/aux event order, so the pcap hybrid route assigns aux packets
+    to frames EXACTLY as the oracle does: reordered stragglers and
+    post-release duplicates drop, aux-only frames are emitted in release
+    order, the frame-opening packet's header supplies frame_status, and
+    count-based completion (incl. the malformed-imu no-count rule)
+    releases frames at the same packet the oracle would. Frame-id wraps
+    are instance-scoped, not dict-by-fid, so hour-long captures can't
+    alias aux across the 16-bit fid period."""
+
+    def __init__(self, aux: _AuxApplier, plan, pf: PacketFormat,
+                 events) -> None:
+        m = pf.max_frame_id
+        exp_l = plan.n_pkts
+        instances: List[_FrameInstance] = []
+        cur: Optional[_FrameInstance] = None
+        finished = -1
+
+        def release(inst: _FrameInstance, boundary: bool) -> int:
+            inst.boundary = boundary
+            instances.append(inst)
+            return inst.fid
+
+        for ev in events:
+            kind, fid = ev[0], ev[1]
+            if cur is None:
+                if finished >= 0 and (finished == fid
+                                      or finished == (fid + 1) & m):
+                    continue  # duplicate / reorder past a released frame
+                cur = _FrameInstance(
+                    fid, None if kind == "lidar"
+                    else _read_opener(pf, ev[2]))
+            elif cur.fid == (fid + 1) & m:
+                continue      # reordered packet from the previous frame
+            elif cur.fid != fid:
+                # boundary: release, then the cached packet opens the new
+                # frame (its drop rules vs the just-released id cannot
+                # fire: fid != cur and cur != (fid+1)&m were checked)
+                finished = release(cur, True)
+                cur = _FrameInstance(
+                    fid, None if kind == "lidar"
+                    else _read_opener(pf, ev[2]))
+            if kind == "lidar":
+                cur.has_lidar = True
+                cur.lidar_n += 1
+                slot, ts = ev[2], ev[3]
+                if ts and 0 <= slot < exp_l:
+                    cur.slots.add(slot)
+            else:
+                buf, ts = ev[2], ev[3]
+                cur.aux.append((kind, buf, ts))
+                if aux.counts(kind, buf):
+                    cur.counts[kind] += 1
+            if (cur.lidar_n >= exp_l and len(cur.slots) >= exp_l
+                    and cur.counts["imu"] >= aux.expected_imu
+                    and cur.counts["zone"] >= aux.expected_zone):
+                finished = release(cur, True)
+                cur = None
+        if cur is not None:
+            release(cur, False)   # left open at EOF (trailing)
+        self.instances = instances
 
 
 class DeviceScanIterator:
@@ -185,14 +296,17 @@ class DeviceScanIterator:
         self.plan = make_decode_plan(info, field_names=names)
         self._field_types = field_types
         self._decode = None  # jit, built lazily on first batch
-        # hybrid aux route: imu/zone packets keyed by frame id, merged
-        # into the device-decoded scan at materialization
-        self._aux = _AuxApplier(info)
-        self._aux_by_fid: Dict[int, List] = {}
+        # hybrid aux route: replay the batcher's admission over the
+        # interleaved lidar/aux capture order once, so aux assignment,
+        # straggler drops and aux-only frame emission match the oracle
+        self._aux: Optional[_AuxApplier] = None
+        self._instances: List[_FrameInstance] = []
         if _AuxApplier.wanted(info):
-            for kind, fid, buf, ts in self._reader.aux_packets():
-                self._aux_by_fid.setdefault(fid, []).append(
-                    (kind, buf, ts))
+            self._aux = _AuxApplier(info)
+            self._instances = _AuxRouter(
+                self._aux, self.plan, self.pf,
+                self._reader.hybrid_events(soft_id_check=soft_id_check)
+            ).instances
 
     @property
     def id_error_count(self) -> int:
@@ -215,14 +329,47 @@ class DeviceScanIterator:
 
     def _materialize(self, batch, k: int,
                      host: Dict[str, np.ndarray]) -> LidarScan:
-        ls = materialize_scan(
+        return materialize_scan(
             self.info, self.pf, self.plan, host, k,
             int(batch.frame_ids[k]), batch.pkt_ts[k], batch.pkt_hdrs[k],
             batch.first_hdr[k], self._field_types)
-        if self._aux_by_fid:
-            for kind, buf, ts in self._aux_by_fid.pop(ls.frame_id, ()):
-                self._aux.apply(kind, buf, ts, ls)
+
+    def _aux_only_scan(self, inst: _FrameInstance) -> LidarScan:
+        """A frame the batcher opened on an aux packet and released at a
+        boundary with no lidar packets: emitted with zeroed lidar fields,
+        like the oracle (a scan opened by ANY packet releases at the next
+        frame boundary — batcher.py:123-126)."""
+        ls = LidarScan(self.info, field_types=self._field_types)
+        ls.frame_id = inst.fid
+        ls.sensor_info = self.info
+        for kind, buf, ts in inst.aux:
+            self._aux.apply(kind, buf, ts, ls)
+        ls.frame_status, ls.shutdown_countdown, \
+            ls.shot_limiting_countdown = inst.opener
         return ls
+
+    def _attach_aux(self, ls: LidarScan, ptr: int
+                    ) -> Tuple[int, Optional[bool]]:
+        """Advance the instance pointer past this lidar frame: yields-via-
+        side-list any aux-only instances released before it, applies the
+        matching instance's aux packets and opener header to `ls`, and
+        returns (new ptr, boundary flag of the matched instance or None
+        when the simulation and the native grouping disagree)."""
+        inst = self._instances
+        while ptr < len(inst) and not inst[ptr].has_lidar:
+            if inst[ptr].boundary:
+                stats["scans"] += 1
+                self._aux_ready.append(self._aux_only_scan(inst[ptr]))
+            ptr += 1
+        if ptr < len(inst) and inst[ptr].fid == ls.frame_id:
+            cur = inst[ptr]
+            for kind, buf, ts in cur.aux:
+                self._aux.apply(kind, buf, ts, ls)
+            if cur.opener is not None:
+                ls.frame_status, ls.shutdown_countdown, \
+                    ls.shot_limiting_countdown = cur.opener
+            return ptr + 1, cur.boundary
+        return ptr, None
 
     def __iter__(self) -> Iterator[LidarScan]:
         import jax
@@ -237,7 +384,11 @@ class DeviceScanIterator:
             batches = self._reader.iter_scan_batches(
                 B, soft_id_check=self._soft)
 
-        prev: Optional[Tuple] = None  # (batch-meta, host-dict, k) lookahead
+        ptr = 0
+        self._aux_ready: List[LidarScan] = []
+        # one-scan lookahead: only the FINAL scan (left open at EOF) gets
+        # the batcher's trailing validity filter
+        prev: Optional[Tuple[LidarScan, Optional[bool]]] = None
         for batch in batches:
             nf = batch.frame_ids.size
             planes, hdrs = batch.planes, batch.col_hdrs
@@ -255,15 +406,32 @@ class DeviceScanIterator:
             for k in range(nf):
                 if prev is not None:
                     stats["scans"] += 1
-                    yield prev
-                prev = self._materialize(batch, k, host)
+                    yield prev[0]
+                ls = self._materialize(batch, k, host)
+                boundary: Optional[bool] = None
+                if self._aux is not None:
+                    ptr, boundary = self._attach_aux(ls, ptr)
+                # aux-only frames released before this one come first
+                for ready in self._aux_ready:
+                    yield ready
+                self._aux_ready.clear()
+                prev = (ls, boundary)
         if prev is not None:
+            ls, boundary = prev
             # trailing-scan validity filter: the batcher only flushes a
             # final partial scan that has at least one valid column
-            # (ref: pcap_scan_source flush; PcapScanSource._iter_scans)
-            if np.any(prev.status & 1):
+            # (ref: pcap_scan_source flush; PcapScanSource._iter_scans).
+            # A frame the simulation saw released at a BOUNDARY (aux-only
+            # frames follow it) is not trailing and always emits.
+            if boundary or np.any(ls.status & 1):
                 stats["scans"] += 1
-                yield prev
+                yield ls
+        # aux-only frames released after the last lidar frame (the one
+        # still open at EOF is trailing-invalid and never emits)
+        for inst in self._instances[ptr:]:
+            if not inst.has_lidar and inst.boundary:
+                stats["scans"] += 1
+                yield self._aux_only_scan(inst)
 
 
 class LiveDeviceBatcher:
@@ -312,10 +480,15 @@ class LiveDeviceBatcher:
         self._first_hdr = np.zeros((1, self._hw), np.uint32)
         self._field_types = field_types
         self._decode = None
-        # hybrid aux route (NMEA imu / zone packets for the open frame)
-        self._aux = _AuxApplier(info)
+        # hybrid aux route (NMEA imu / zone packets for the open frame);
+        # the applier (a full ScanBatcher) exists only for profiles that
+        # carry aux streams
+        self._aux = _AuxApplier(info) if _AuxApplier.wanted(info) else None
         self._aux_pending: List[Tuple[str, np.ndarray, int]] = []
         self._aux_counts = {"imu": 0, "zone": 0}
+        # frame-opening packet's header feeds frame_status/countdowns
+        # (batcher.py:115-118) — an aux packet can open the frame
+        self._opener = (0, 0, 0)
 
     def _make_decode(self):
         import jax
@@ -329,47 +502,62 @@ class LiveDeviceBatcher:
 
         return jax.jit(decode)
 
-    def _admit(self, fid: int) -> Optional[List[LidarScan]]:
-        """Shared boundary logic: returns scans released by a frame-id
-        change, or None when the packet must be dropped
-        (straggler/duplicate rules, ref: lidar_scan.cpp:1526-1565)."""
-        out: List[LidarScan] = []
+    @property
+    def expected_imu_packets(self) -> int:
+        return self._aux.expected_imu if self._aux is not None else 0
+
+    @property
+    def expected_zone_packets(self) -> int:
+        return self._aux.expected_zone if self._aux is not None else 0
+
+    def _admit(self, fid: int, buf: np.ndarray
+               ) -> Tuple[List[LidarScan], bool]:
+        """Shared boundary logic: returns (scans released by a frame-id
+        change, whether the packet is admitted). A packet from a NEW
+        frame always releases the open one first — the oracle finalizes
+        and caches the packet, then re-runs the drop rules against the
+        JUST-released id, never a stale one (batcher.py:97-126,
+        ref: lidar_scan.cpp:1526-1565)."""
         m = self._fid_mask
-        if self._cur >= 0 and fid != self._cur:
+        if self._cur >= 0:
+            if fid == self._cur:
+                return [], True
             if fid == (self._cur - 1) & m:
-                return None
-            if self._released >= 0 and (
-                    fid == self._released
-                    or self._released == (fid + 1) & m):
-                return None
-            out.extend(self._flush())
-        if self._cur < 0:
-            if self._released >= 0 and (
-                    fid == self._released
-                    or self._released == (fid + 1) & m):
-                return None
-            self._cur = fid
-        return out
+                return [], False  # reordered from the previous frame
+            out = self._flush()
+        else:
+            out = []
+        if self._released >= 0 and (fid == self._released
+                                    or self._released == (fid + 1) & m):
+            return out, False     # duplicate / reorder past a release
+        self._cur = fid
+        self._opener = _read_opener(self.pf, buf)
+        return out, True
 
     def _complete(self) -> bool:
         """Count-based completion incl. aux, mirroring
         _check_scan_complete (lidar_scan.cpp:1605-1617)."""
         return (self._n >= self.plan.n_pkts
                 and len(self._slots) >= self.plan.n_pkts
-                and self._aux_counts["imu"] >= self._aux.expected_imu
-                and self._aux_counts["zone"] >= self._aux.expected_zone)
+                and self._aux_counts["imu"] >= self.expected_imu_packets
+                and self._aux_counts["zone"] >= self.expected_zone_packets)
 
     def push_aux(self, kind: str, buf: np.ndarray, host_ts: int
                  ) -> List[LidarScan]:
         """Stage one IMU/zone packet for the open frame (hybrid route):
         applied to the device-decoded scan at release with the numpy
-        batcher's own writers."""
-        fid = self._fid_of(buf)
-        out = self._admit(fid)
-        if out is None:
+        batcher's own writers. Malformed packets the oracle's writer
+        rejects are staged (the writer will no-op on them identically)
+        but do NOT count toward completion (batcher.py:321-328)."""
+        if self._aux is None:
             return []
+        fid = self._fid_of(buf)
+        out, ok = self._admit(fid, buf)
+        if not ok:
+            return out
         self._aux_pending.append((kind, buf.copy(), host_ts))
-        self._aux_counts[kind] += 1
+        if self._aux.counts(kind, buf):
+            self._aux_counts[kind] += 1
         if self._complete():
             out.extend(self._flush())
         return out
@@ -382,9 +570,9 @@ class LiveDeviceBatcher:
     def push(self, buf: np.ndarray, host_ts: int) -> List[LidarScan]:
         """Stage one validated lidar packet; returns released scans."""
         fid = self._fid_of(buf)
-        out = self._admit(fid)
-        if out is None:
-            return []
+        out, ok = self._admit(fid, buf)
+        if not ok:
+            return out
         if self._n >= self._slab.shape[0]:
             # pathological duplicate storm: grow rather than split the
             # frame (the numpy batcher keeps accumulating too)
@@ -403,7 +591,11 @@ class LiveDeviceBatcher:
             mid0 = int.from_bytes(
                 buf[self._mid_byte:self._mid_byte + 2].tobytes(),
                 "little")
-            self._slots.add(mid0 // self.plan.cpp)
+            slot = mid0 // self.plan.cpp
+            if 0 <= slot < self.plan.n_pkts:
+                # out-of-range slots never stamp packet_timestamp in the
+                # oracle (batcher.py:177) so they must not complete here
+                self._slots.add(slot)
         # completion mirrors the numpy batcher (lidar_scan.cpp:1605-1617
         # + _check_scan_complete): enough packets batched AND every
         # packet slot stamped (duplicates do not complete a frame early)
@@ -422,6 +614,8 @@ class LiveDeviceBatcher:
             # aux-only frame released at a boundary: the numpy batcher
             # emits it with zeroed lidar fields; mirror that
             if not aux or self._cur < 0:
+                if self._cur >= 0:
+                    self._released = self._cur
                 self._cur = -1
                 return []
             ls = LidarScan(self.info, field_types=self._field_types)
@@ -429,6 +623,8 @@ class LiveDeviceBatcher:
             ls.sensor_info = self.info
             for kind, buf, ts in aux:
                 self._aux.apply(kind, buf, ts, ls)
+            ls.frame_status, ls.shutdown_countdown, \
+                ls.shot_limiting_countdown = self._opener
             self._released = self._cur
             self._cur = -1
             stats["scans"] += 1
@@ -463,6 +659,11 @@ class LiveDeviceBatcher:
             self.info, self.pf, plan, host, 0,
             int(self._fid_out[0]), self._pkt_ts[0], self._pkt_hdrs[0],
             self._first_hdr[0], self._field_types)
+        # frame_status/countdowns come from the frame-OPENING packet —
+        # which may be an aux packet, not the first lidar packet the
+        # staged first_hdr carries (batcher.py:115-118)
+        scan.frame_status, scan.shutdown_countdown, \
+            scan.shot_limiting_countdown = self._opener
         for kind, buf, ts in aux:
             self._aux.apply(kind, buf, ts, scan)
         stats["scans"] += 1

@@ -164,18 +164,45 @@ class FrameReader:
         return res
 
 
+    def _stream_mask(self, sizes: np.ndarray, ports: np.ndarray,
+                     size: int, port: int, strict: bool) -> np.ndarray:
+        """Datagrams of one of this sensor's streams: packet size plus the
+        metadata's destination port (ports pack src<<16 | dst). `strict`
+        applies a configured port unconditionally — the numpy route's
+        classification rule (pcap_source.py _classify: port in
+        (0, dst_port)); non-strict keeps the lidar stream's leniency for
+        relocated captures whose metadata port never appears."""
+        m = sizes == size
+        if port:
+            pm = (ports & np.uint32(0xFFFF)) == np.uint32(port)
+            if strict or (m & pm).any():
+                m = m & pm
+        return m
+
     def _lidar_mask(self, sizes: np.ndarray, ports: np.ndarray) -> np.ndarray:
         """Datagrams belonging to THIS sensor's lidar stream: packet size
         plus, when the capture actually carries it, the metadata's
-        udp_port_lidar (multi-sensor captures share packet sizes; ports
-        pack src<<16 | dst)."""
-        lidar = sizes == self.pf.lidar_packet_size
-        port = self.info.config.udp_port_lidar or 0
-        if port:
-            pm = (ports & np.uint32(0xFFFF)) == np.uint32(port)
-            if (lidar & pm).any():
-                lidar = lidar & pm
-        return lidar
+        udp_port_lidar (multi-sensor captures share packet sizes)."""
+        return self._stream_mask(sizes, ports, self.pf.lidar_packet_size,
+                                 self.info.config.udp_port_lidar or 0,
+                                 strict=False)
+
+    def _aux_streams(self) -> List[Tuple[str, int, int]]:
+        """(kind, packet_size, port) for the aux streams this sensor's
+        profile carries (hybrid device route)."""
+        from ..core.types import UDPProfileIMU
+
+        pf, fmt = self.pf, self.info.format
+        wanted = []
+        if fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA and \
+                pf.imu_packet_size:
+            wanted.append(("imu", pf.imu_packet_size,
+                           self.info.config.udp_port_imu or 0))
+        if getattr(fmt, "zone_monitoring_enabled", False) and \
+                pf.zone_packet_size:
+            wanted.append(("zone", pf.zone_packet_size,
+                           self.info.config.udp_port_zm or 0))
+        return wanted
 
     def aux_packets(self) -> List[Tuple[str, int, np.ndarray, int]]:
         """(kind, frame_id, payload, host_ts) for this sensor's IMU and
@@ -183,37 +210,69 @@ class FrameReader:
         hybrid device route (lidar fields decode on device; aux packets
         batch into the matching scan by the frame id their eUDP header
         carries, like ScanBatcher's fid dispatch
-        (ref: lidar_scan.cpp:1505 f_id read for every packet type)."""
-        from ..core.types import UDPProfileIMU
-
+        (ref: lidar_scan.cpp:1505 f_id read for every packet type)).
+        Port classification is strict, like the numpy route's
+        (pcap_source.py _classify)."""
         res = self._native_scan() if native.get_lib() is not None else None
         if res is None:
             return []
         payloads, offsets, sizes, ts, ports, ips = res
-        pf, fmt = self.pf, self.info.format
-        wanted = []
-        if fmt.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA:
-            wanted.append(("imu", pf.imu_packet_size,
-                           self.info.config.udp_port_imu or 0))
-        if getattr(fmt, "zone_monitoring_enabled", False) and \
-                pf.zone_packet_size:
-            wanted.append(("zone", pf.zone_packet_size,
-                           self.info.config.udp_port_zm or 0))
-        out: List[Tuple[str, int, np.ndarray, int]] = []
-        for kind, size, port in wanted:
-            if not size:
-                continue
-            m = sizes == size
-            if port:
-                pm = (ports & np.uint32(0xFFFF)) == np.uint32(port)
-                if (m & pm).any():
-                    m = m & pm
+        pf = self.pf
+        out: List[Tuple[int, str, int, np.ndarray, int]] = []
+        for kind, size, port in self._aux_streams():
+            m = self._stream_mask(sizes, ports, size, port, strict=True)
             for idx in np.nonzero(m)[0]:
                 buf = payloads[offsets[idx]:offsets[idx] + size].copy()
-                out.append((kind, int(pf.frame_id(buf)), buf,
+                out.append((int(idx), kind, int(pf.frame_id(buf)), buf,
                             int(ts[idx])))
-        out.sort(key=lambda t: t[3])  # capture order across kinds
-        return out
+        out.sort(key=lambda t: t[0])  # capture (datagram) order
+        return [t[1:] for t in out]
+
+    def hybrid_events(self, soft_id_check: bool = False) -> List[Tuple]:
+        """The capture's packet stream reduced to admission events, in
+        datagram order, for the hybrid route's ScanBatcher-admission
+        simulation (device_engine._AuxRouter): ("lidar", fid, packet_slot,
+        host_ts) for every lidar datagram that survives the same port/id
+        filters iter_scan_batches applies, and (kind, fid, payload,
+        host_ts) for every aux datagram. The lidar events carry just the
+        8 bytes of header the state machine needs (frame id + packet
+        slot), extracted vectorized — no per-packet Python parse."""
+        res = self._native_scan() if native.get_lib() is not None else None
+        if res is None:
+            return []
+        payloads, offsets, sizes, ts, ports, ips = res
+        pf, plan = self.pf, self.plan
+        g = pf.geom
+
+        lidar = self._lidar_mask(sizes, ports)
+        lidx = np.nonzero(lidar)[0]
+        offs = offsets[lidar]
+        if lidx.size:
+            idmask = self.id_check_mask(payloads, offs)
+            if not soft_id_check and not idmask.all():
+                lidx, offs = lidx[idmask], offs[idmask]
+        events: List[Tuple[int, Tuple]] = []
+        if lidx.size:
+            fids = self._vec_header_field(payloads, offs, g.frame_id)
+            mid_off = pf.packet_header_size + plan.mid_word * 4
+            mids = (payloads[offs[:, None] + mid_off
+                             + np.arange(2)].astype(np.uint16)
+                    * np.array([1, 256], np.uint16)).sum(axis=1)
+            slots = mids.astype(np.int64) // plan.cpp
+            ltss = ts[lidx]
+            for k in range(lidx.size):
+                events.append((int(lidx[k]),
+                               ("lidar", int(fids[k]), int(slots[k]),
+                                int(ltss[k]))))
+        for kind, size, port in self._aux_streams():
+            m = self._stream_mask(sizes, ports, size, port, strict=True)
+            for idx in np.nonzero(m)[0]:
+                buf = payloads[offsets[idx]:offsets[idx] + size].copy()
+                events.append((int(idx),
+                               (kind, int(pf.frame_id(buf)), buf,
+                                int(ts[idx]))))
+        events.sort(key=lambda t: t[0])
+        return [e for _, e in events]
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         for fids, frames, tss in self.iter_chunks():

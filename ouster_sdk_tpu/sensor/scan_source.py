@@ -350,7 +350,7 @@ class SensorScanSource(ScanSource):
                                                 pkt.host_timestamp):
                         self._emit(idx, done)
                 elif isinstance(pkt, ImuPacket) and \
-                        stager._aux.expected_imu:
+                        stager.expected_imu_packets:
                     # NMEA-imu profiles batch imu packets into scans
                     # (hybrid route); legacy imu packets are not part
                     # of frames

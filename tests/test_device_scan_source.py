@@ -331,6 +331,9 @@ def _assert_scans_equal(a, b):
     np.testing.assert_array_equal(a.timestamp, b.timestamp)
     np.testing.assert_array_equal(a.status, b.status)
     np.testing.assert_array_equal(a.packet_timestamp, b.packet_timestamp)
+    assert a.frame_status == b.frame_status
+    assert a.shutdown_countdown == b.shutdown_countdown
+    assert a.shot_limiting_countdown == b.shot_limiting_countdown
 
 
 def test_hybrid_pcap_device_route_bit_equal(tmp_path):
@@ -384,5 +387,371 @@ def test_hybrid_live_stager_bit_equal(tmp_path):
         else:
             dev.extend(stager.push_aux(kind, payload, ts))
     assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid-route admission conformance: the device routes must replicate the
+# ScanBatcher state machine (batcher.py:97-139) for aux packets too —
+# aux-only frames, stragglers, malformed-imu completion, opener headers,
+# frame-id reuse and strict port classification.
+# ---------------------------------------------------------------------------
+
+
+def _require_hybrid():
+    import os
+
+    import pytest
+
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    if not (os.path.exists(_ZM_PCAP) and os.path.exists(_ZM_META)):
+        pytest.skip("fixture missing")
+
+
+def _write_stream(tmp_path, info, stream, name):
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    path = str(tmp_path / name)
+    ports = {"lidar": info.config.udp_port_lidar or 7512,
+             "imu": info.config.udp_port_imu or 7513,
+             "zone": info.config.udp_port_zm or 7514}
+    with PcapWriter(path) as w:
+        for kind, payload, ts in stream:
+            w.write(payload.tobytes(), "127.0.0.1", "127.0.0.1",
+                    ports[kind], ports[kind], ts)
+    return path
+
+
+def _run_live(info, stream):
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+
+    stager = LiveDeviceBatcher(info)
+    dev = []
+    for kind, payload, ts in stream:
+        if kind == "lidar":
+            dev.extend(stager.push(payload, ts))
+        else:
+            dev.extend(stager.push_aux(kind, payload, ts))
+    return dev
+
+
+def _check_both(tmp_path, info, stream, name):
+    """Both device routes (pcap + live) must be bit-equal to the oracle
+    on this stream; returns the pcap-route scans for content asserts."""
+    from ouster_sdk_tpu.io.device_engine import DeviceScanIterator
+
+    ref = _numpy_scans(info, stream)
+    path = _write_stream(tmp_path, info, stream, name)
+    dev = list(DeviceScanIterator(path, info))
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref], "pcap"
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)
+
+    ref_l = _numpy_scans(info, stream, trailing_flush=False)
+    dev_l = _run_live(info, stream)
+    assert [s.frame_id for s in dev_l] == \
+        [s.frame_id for s in ref_l], "live"
+    for a, b in zip(dev_l, ref_l):
+        _assert_scans_equal(a, b)
+    return dev
+
+
+def _hybrid_parts(tmp_path):
+    """(info, aux_raw, add/stream builder) for scenario streams."""
+    import numpy as np
+
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+
+    with open(_ZM_META) as f:
+        info = sensor_info_from_metadata(f.read())
+    info.format.udp_profile_lidar = \
+        UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_ZONE16
+    info.config.udp_port_lidar = 7512
+    aux_raw = [(p.type().value.lower(), p.buf.copy())
+               for _, p in PcapPacketSource(_ZM_PCAP,
+                                            metadata_paths=[_ZM_META])]
+    return info, aux_raw
+
+
+def _patched(buf, fid):
+    import numpy as np
+
+    b = buf.copy()
+    b[2:4] = np.frombuffer(np.uint16(fid).tobytes(), np.uint8)
+    return b
+
+
+def _stream_builder():
+    stream, t = [], [0]
+
+    def add(kind, payload):
+        t[0] += 100_000
+        stream.append((kind, payload, t[0]))
+    return stream, add
+
+
+def _lidar_frames(info, *fids):
+    import numpy as np
+
+    return {fid: [np.frombuffer(p, np.uint8)
+                  for p in synth_frame_packets_cached(info, fid)]
+            for fid in fids}
+
+
+_synth_cache = {}
+
+
+def synth_frame_packets_cached(info, fid):
+    from _live_helpers import synth_frame_packets
+
+    key = (id(info), fid)
+    if key not in _synth_cache:
+        _synth_cache[key] = synth_frame_packets(info, fid)
+    return _synth_cache[key]
+
+
+def test_hybrid_aux_only_frame_midstream(tmp_path):
+    """A frame whose packets are ALL aux must be emitted with zeroed
+    lidar fields in release order, like the oracle (batcher.py:123-126),
+    not silently discarded."""
+    _require_hybrid()
+    info, aux_raw = _hybrid_parts(tmp_path)
+    frames = _lidar_frames(info, 1, 3)
+    stream, add = _stream_builder()
+    for p in frames[1]:
+        add("lidar", p)
+    for kind, buf in aux_raw:
+        add(kind, _patched(buf, 2))
+    for p in frames[3]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "aux_only.pcap")
+    assert [s.frame_id for s in dev] == [1, 2, 3]
+    s2 = dev[1]
+    assert (s2.field("RANGE") == 0).all()
+    assert (s2.field("IMU_TIMESTAMP") > 0).any()
+    assert s2.field("ZONE_TIMESTAMP")[0] > 0
+
+
+def test_hybrid_straggler_aux_dropped(tmp_path):
+    """An aux packet of frame N arriving after frame N+1 opened is a
+    reordered straggler the oracle drops (batcher.py:120-121); the pcap
+    route must not preload it into scan N."""
+    _require_hybrid()
+    import numpy as np
+
+    info, aux_raw = _hybrid_parts(tmp_path)
+    zone = next(b for k, b in aux_raw if k == "zone")
+    straggler = _patched(zone, 1)
+    mid = straggler.size // 2
+    straggler[mid:mid + 8] ^= np.uint8(0xFF)  # distinct zone content
+    frames = _lidar_frames(info, 1, 2, 3)
+    stream, add = _stream_builder()
+    for p in frames[1][:-1]:
+        add("lidar", p)
+    add("zone", _patched(zone, 1))            # in-frame zone for frame 1
+    add("lidar", frames[1][-1])
+    add("lidar", frames[2][0])                # frame 2 opens
+    add("zone", straggler)                    # straggler: must drop
+    for p in frames[2][1:]:
+        add("lidar", p)
+    for p in frames[3]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "straggler.pcap")
+    assert [s.frame_id for s in dev] == [1, 2, 3]
+
+
+def test_hybrid_malformed_imu_does_not_complete(tmp_path):
+    """An imu packet whose measurement id is corrupt is rejected by the
+    oracle's writer WITHOUT counting toward completion
+    (batcher.py:321-328): the frame must stay open for the genuine
+    packet that follows."""
+    _require_hybrid()
+    import numpy as np
+
+    from ouster_sdk_tpu.ops.packet_format import PacketFormat
+
+    info, aux_raw = _hybrid_parts(tmp_path)
+    pf = PacketFormat.from_info(info)
+    imus = [b for k, b in aux_raw if k == "imu"]
+    zone = next(b for k, b in aux_raw if k == "zone")
+    assert len(imus) == pf.imu_packets_per_frame == 8
+
+    bad = _patched(imus[-1], 2)
+    off = pf.geom.imu_measurement_offset + 8   # measurement 0's m_id
+    bad[off:off + 2] = 0xFF                    # packet_id out of range
+    frames = _lidar_frames(info, 2, 3)
+    stream, add = _stream_builder()
+    for p in frames[2]:
+        add("lidar", p)
+    add("zone", _patched(zone, 2))
+    for b in imus[:-1]:
+        add("imu", _patched(b, 2))
+    add("imu", bad)                            # must NOT complete frame 2
+    add("imu", _patched(imus[-1], 2))          # completes frame 2
+    for p in frames[3]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "malformed.pcap")
+    assert [s.frame_id for s in dev] == [2, 3]
+    # the genuine final imu packet's samples landed
+    ref = _numpy_scans(info, stream)
+    assert (dev[0].field("IMU_TIMESTAMP")
+            == ref[0].field("IMU_TIMESTAMP")).all()
+
+
+def test_hybrid_aux_opener_frame_status(tmp_path):
+    """When an aux packet OPENS the frame, its header supplies
+    frame_status / countdowns (batcher.py:115-118) — not the first lidar
+    packet's."""
+    _require_hybrid()
+    import numpy as np
+
+    from ouster_sdk_tpu.ops.packet_format import PacketFormat
+
+    info, aux_raw = _hybrid_parts(tmp_path)
+    pf = PacketFormat.from_info(info)
+    zone = _patched(next(b for k, b in aux_raw if k == "zone"), 2)
+
+    def set_bits(buf, finfo, value):
+        byte, shift = divmod(finfo.bit_start, 8)
+        word = int.from_bytes(buf[byte:byte + 8].tobytes(), "little")
+        mask = ((1 << finfo.bit_size) - 1) << shift
+        word = (word & ~mask) | ((value << shift) & mask)
+        buf[byte:byte + 8] = np.frombuffer(
+            word.to_bytes(8, "little"), np.uint8)
+
+    set_bits(zone, pf.geom.shot_limiting, 3)
+    set_bits(zone, pf.geom.countdown_shot_limiting, 77)
+    frames = _lidar_frames(info, 1, 2, 3)
+    stream, add = _stream_builder()
+    for p in frames[1]:
+        add("lidar", p)
+    add("zone", zone)                          # OPENS frame 2
+    for p in frames[2]:
+        add("lidar", p)
+    for p in frames[3]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "opener.pcap")
+    s2 = next(s for s in dev if s.frame_id == 2)
+    assert s2.frame_status != 0
+    assert s2.shot_limiting_countdown == 77
+
+
+def test_hybrid_foreign_port_imu_rejected(tmp_path):
+    """imu-size datagrams on a port other than the configured
+    udp_port_imu must be rejected, like the numpy route's strict
+    classification (pcap_source.py _classify) — no size-only fallback."""
+    _require_hybrid()
+    import numpy as np
+
+    from ouster_sdk_tpu.io.device_engine import DeviceScanIterator
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    info, aux_raw = _hybrid_parts(tmp_path)
+    assert info.config.udp_port_imu, "fixture should configure imu port"
+    frames = _lidar_frames(info, 1, 2)
+    stream, add = _stream_builder()
+    for p in frames[1]:
+        add("lidar", p)
+    for p in frames[2]:
+        add("lidar", p)
+    # oracle stream: lidar only (classify rejects the foreign datagrams)
+    ref = _numpy_scans(info, stream)
+
+    path = str(tmp_path / "foreign.pcap")
+    lp = info.config.udp_port_lidar
+    foreign = info.config.udp_port_imu + 1
+    with PcapWriter(path) as w:
+        k = 0
+        for kind, payload, ts in stream:
+            w.write(payload.tobytes(), "127.0.0.1", "127.0.0.1", lp, lp,
+                    ts)
+            if k % 16 == 0:  # interleave imu-size datagrams, wrong port
+                imu = _patched(dict(aux_raw)["imu"], 1)
+                w.write(imu.tobytes(), "127.0.0.1", "127.0.0.1",
+                        foreign, foreign, ts + 1)
+            k += 1
+    dev = list(DeviceScanIterator(path, info))
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)
+    assert all((s.field("IMU_TIMESTAMP") == 0).all() for s in dev)
+
+
+def test_hybrid_fid_reuse_binds_by_instance(tmp_path):
+    """Two frames sharing a frame id (wrap/reuse) must each get only the
+    aux packets the capture carries INSIDE them — keying aux by bare fid
+    would hand the second frame's packets to the first."""
+    _require_hybrid()
+    info, aux_raw = _hybrid_parts(tmp_path)
+    frames = _lidar_frames(info, 1, 5)
+    stream, add = _stream_builder()
+    for p in frames[1]:
+        add("lidar", p)
+    for p in frames[5]:
+        add("lidar", p)
+    for p in frames[1]:                        # fid 1 again
+        add("lidar", p)
+    for kind, buf in aux_raw:                  # aux inside SECOND fid-1
+        add(kind, _patched(buf, 1))
+    # close the second fid-1 frame so it isn't trailing-filtered on the
+    # oracle side only
+    for p in frames[5]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "fid_reuse.pcap")
+    assert [s.frame_id for s in dev] == [1, 5, 1, 5]
+    first, second = dev[0], dev[2]
+    assert (first.field("IMU_TIMESTAMP") == 0).all()
+    assert first.field("ZONE_TIMESTAMP")[0] == 0
+    assert (second.field("IMU_TIMESTAMP") > 0).any()
+    assert second.field("ZONE_TIMESTAMP")[0] > 0
+
+
+def test_live_admit_releases_before_stale_drop_rules():
+    """A packet that closes the open frame must flush it even when the
+    PREVIOUSLY released frame's drop rules match the new id — the oracle
+    re-runs drop rules against the just-released id, never a stale one
+    (batcher.py:97-126). Sequence 5*, 10, 4*, 11* must emit
+    [5, 10, 4, 11]: released=5 matching (4+1) must NOT drop frame 4."""
+    import pytest
+
+    from _live_helpers import free_udp_ports, live_test_info
+    from ouster_sdk_tpu.io.device_engine import (LiveDeviceBatcher,
+                                                 supports_device_decode)
+    from ouster_sdk_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    lp, ip = free_udp_ports(2)
+    info = live_test_info(lp, ip)
+    assert supports_device_decode(info)
+    import numpy as np
+
+    stream = []
+    for fid in (5,):
+        for p in synth_frame_packets_cached(info, fid):
+            stream.append(("lidar", np.frombuffer(p, np.uint8), 1))
+    stream.append(
+        ("lidar",
+         np.frombuffer(synth_frame_packets_cached(info, 10)[0], np.uint8),
+         2))
+    for fid in (4, 11):
+        for p in synth_frame_packets_cached(info, fid):
+            stream.append(("lidar", np.frombuffer(p, np.uint8), 3))
+
+    ref = _numpy_scans(info, stream, trailing_flush=False)
+    dev = _run_live(info, stream)
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref] == \
+        [5, 10, 4, 11]
     for a, b in zip(dev, ref):
         _assert_scans_equal(a, b)
