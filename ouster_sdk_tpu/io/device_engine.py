@@ -185,88 +185,162 @@ def _read_opener(pf: PacketFormat, buf: np.ndarray) -> Tuple[int, int, int]:
 
 
 class _FrameInstance:
-    """One frame the admission simulation released: which aux packets
-    the batcher would have admitted to it, whether any lidar packets
-    opened/filled it, the opener header when an AUX packet opened it,
-    and whether it was released at a boundary (vs left open at EOF)."""
+    """One frame the admission simulation released: the datagram indices
+    of the lidar packets the batcher admitted to it, which aux packets,
+    the opener header when an AUX packet opened it, and whether it was
+    released at a boundary (vs left open at EOF)."""
 
-    __slots__ = ("fid", "has_lidar", "aux", "opener", "boundary",
-                 "lidar_n", "slots", "counts")
+    __slots__ = ("fid", "aux", "opener", "boundary", "lidar_n", "slots",
+                 "counts", "pkt_idx_parts")
 
     def __init__(self, fid: int, opener):
         self.fid = fid
-        self.has_lidar = False
         self.aux: List[Tuple[str, np.ndarray, int]] = []
         self.opener = opener          # (fs, sd, sl) or None (lidar opener)
         self.boundary = True
         self.lidar_n = 0
         self.slots: set = set()
         self.counts = {"imu": 0, "zone": 0}
+        self.pkt_idx_parts: List[np.ndarray] = []
+
+    @property
+    def has_lidar(self) -> bool:
+        return self.lidar_n > 0
+
+    @property
+    def pkt_idx(self) -> np.ndarray:
+        return (np.concatenate(self.pkt_idx_parts)
+                if self.pkt_idx_parts else np.zeros(0, np.int64))
 
 
 class _AuxRouter:
     """Replays the ScanBatcher admission state machine (batcher.py:97-139,
-    ref: lidar_scan.cpp:1505-1591) over the capture's interleaved
-    lidar/aux event order, so the pcap hybrid route assigns aux packets
-    to frames EXACTLY as the oracle does: reordered stragglers and
-    post-release duplicates drop, aux-only frames are emitted in release
-    order, the frame-opening packet's header supplies frame_status, and
-    count-based completion (incl. the malformed-imu no-count rule)
-    releases frames at the same packet the oracle would. Frame-id wraps
-    are instance-scoped, not dict-by-fid, so hour-long captures can't
-    alias aux across the 16-bit fid period."""
+    ref: lidar_scan.cpp:1505-1617) over the capture's interleaved
+    lidar/aux packet order, producing the exact frame instances the
+    oracle would release: which lidar packets each admits (reordered
+    stragglers and post-release duplicates drop), which aux packets,
+    aux-only frames in release order, the frame-opening packet's header
+    for frame_status, and count-based completion (incl. the
+    malformed-imu no-count rule) releasing at the same packet the oracle
+    would. The instance list then DRIVES the staging
+    (FrameReader.iter_instance_batches), so the native lidar grouping
+    cannot diverge from the simulation. Frame-id wraps are
+    instance-scoped, so hour-long captures can't alias aux across the
+    16-bit fid period.
+
+    Lidar packets are processed as vectorized same-fid runs (numpy
+    segmentation), not per-packet Python — aux packets (a handful per
+    frame) get the per-packet path."""
 
     def __init__(self, aux: _AuxApplier, plan, pf: PacketFormat,
-                 events) -> None:
-        m = pf.max_frame_id
-        exp_l = plan.n_pkts
-        instances: List[_FrameInstance] = []
-        cur: Optional[_FrameInstance] = None
-        finished = -1
+                 lidar, aux_events) -> None:
+        self._aux = aux
+        self._m = pf.max_frame_id
+        self._pf = pf
+        self._n_pkts = plan.n_pkts
+        self.instances: List[_FrameInstance] = []
+        self._cur: Optional[_FrameInstance] = None
+        self._finished = -1
 
-        def release(inst: _FrameInstance, boundary: bool) -> int:
-            inst.boundary = boundary
-            instances.append(inst)
-            return inst.fid
-
-        for ev in events:
-            kind, fid = ev[0], ev[1]
-            if cur is None:
-                if finished >= 0 and (finished == fid
-                                      or finished == (fid + 1) & m):
-                    continue  # duplicate / reorder past a released frame
-                cur = _FrameInstance(
-                    fid, None if kind == "lidar"
-                    else _read_opener(pf, ev[2]))
-            elif cur.fid == (fid + 1) & m:
-                continue      # reordered packet from the previous frame
-            elif cur.fid != fid:
-                # boundary: release, then the cached packet opens the new
-                # frame (its drop rules vs the just-released id cannot
-                # fire: fid != cur and cur != (fid+1)&m were checked)
-                finished = release(cur, True)
-                cur = _FrameInstance(
-                    fid, None if kind == "lidar"
-                    else _read_opener(pf, ev[2]))
-            if kind == "lidar":
-                cur.has_lidar = True
-                cur.lidar_n += 1
-                slot, ts = ev[2], ev[3]
-                if ts and 0 <= slot < exp_l:
-                    cur.slots.add(slot)
+        lidx, lfid, lslot, lts = lidar
+        a_ptr, l_pos, nL = 0, 0, lidx.size
+        while l_pos < nL or a_ptr < len(aux_events):
+            nxt = aux_events[a_ptr][0] if a_ptr < len(aux_events) else None
+            if l_pos < nL and (nxt is None or lidx[l_pos] < nxt):
+                seg_end = nL if nxt is None else l_pos + int(
+                    np.searchsorted(lidx[l_pos:], nxt))
+                f = lfid[l_pos:seg_end]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], f[1:] != f[:-1]))) + l_pos
+                ends = np.append(starts[1:], seg_end)
+                for s, e in zip(starts, ends):
+                    self._lidar_run(int(lfid[s]), lidx[s:e], lslot[s:e],
+                                    lts[s:e])
+                l_pos = seg_end
             else:
-                buf, ts = ev[2], ev[3]
-                cur.aux.append((kind, buf, ts))
-                if aux.counts(kind, buf):
-                    cur.counts[kind] += 1
-            if (cur.lidar_n >= exp_l and len(cur.slots) >= exp_l
-                    and cur.counts["imu"] >= aux.expected_imu
-                    and cur.counts["zone"] >= aux.expected_zone):
-                finished = release(cur, True)
-                cur = None
-        if cur is not None:
-            release(cur, False)   # left open at EOF (trailing)
-        self.instances = instances
+                _, kind, fid, buf, ts = aux_events[a_ptr]
+                a_ptr += 1
+                self._aux_packet(kind, fid, buf, ts)
+        if self._cur is not None:
+            self._release(False)      # left open at EOF (trailing)
+
+    def _release(self, boundary: bool) -> None:
+        self._cur.boundary = boundary
+        self.instances.append(self._cur)
+        self._finished = self._cur.fid
+        self._cur = None
+
+    def _admit(self, fid: int, opener) -> bool:
+        """Boundary/drop rules for one packet (or a same-fid run — drops
+        don't mutate state, so the decision is uniform across a run)."""
+        m = self._m
+        if self._cur is not None:
+            if self._cur.fid == fid:
+                return True
+            if self._cur.fid == (fid + 1) & m:
+                return False   # reordered from the previous frame
+            self._release(True)
+        if self._finished >= 0 and (
+                self._finished == fid
+                or self._finished == (fid + 1) & m):
+            return False       # duplicate / reorder past a release
+        self._cur = _FrameInstance(fid, opener)
+        return True
+
+    def _aux_ok(self) -> bool:
+        return (self._cur.counts["imu"] >= self._aux.expected_imu
+                and self._cur.counts["zone"] >= self._aux.expected_zone)
+
+    def _lidar_run(self, fid: int, idxs: np.ndarray, slots: np.ndarray,
+                   tss: np.ndarray) -> None:
+        if not self._admit(fid, None):
+            return
+        cur, n_pkts = self._cur, self._n_pkts
+        take = idxs.size
+        # distinct NEW slots per position (oracle counts nonzero
+        # packet_timestamp stamps, batcher.py:386-392): sentinel out
+        # invalid/zero-ts slots, first-occurrence-in-run minus already-
+        # stamped slots
+        sl = np.where((slots >= 0) & (slots < n_pkts) & (tss != 0),
+                      slots, n_pkts)
+        if self._aux_ok() and cur.lidar_n + take >= n_pkts:
+            seen = np.zeros(n_pkts + 1, bool)
+            if cur.slots:
+                seen[np.fromiter(cur.slots, np.int64,
+                                 len(cur.slots))] = True
+            seen[n_pkts] = True
+            uniq, first = np.unique(sl, return_index=True)
+            new_mask = np.zeros(take, bool)
+            new_mask[first[~seen[uniq]]] = True
+            distinct = len(cur.slots) + np.cumsum(new_mask)
+            count = cur.lidar_n + np.arange(1, take + 1)
+            done = (count >= n_pkts) & (distinct >= n_pkts)
+            if done.any():
+                # completion mid-run: admit through the completing
+                # packet, release; the rest are post-release duplicates
+                # the oracle drops (finished == fid)
+                p = int(np.argmax(done)) + 1
+                cur.lidar_n += p
+                cur.slots.update(int(v) for v in np.unique(sl[:p])
+                                 if v < n_pkts)
+                cur.pkt_idx_parts.append(idxs[:p])
+                self._release(True)
+                return
+        cur.lidar_n += take
+        cur.slots.update(int(v) for v in np.unique(sl) if v < n_pkts)
+        cur.pkt_idx_parts.append(idxs)
+
+    def _aux_packet(self, kind: str, fid: int, buf: np.ndarray,
+                    ts: int) -> None:
+        if not self._admit(fid, _read_opener(self._pf, buf)):
+            return
+        cur = self._cur
+        cur.aux.append((kind, buf, ts))
+        if self._aux.counts(kind, buf):
+            cur.counts[kind] += 1
+        if (cur.lidar_n >= self._n_pkts
+                and len(cur.slots) >= self._n_pkts and self._aux_ok()):
+            self._release(True)
 
 
 class DeviceScanIterator:
@@ -297,15 +371,17 @@ class DeviceScanIterator:
         self._field_types = field_types
         self._decode = None  # jit, built lazily on first batch
         # hybrid aux route: replay the batcher's admission over the
-        # interleaved lidar/aux capture order once, so aux assignment,
-        # straggler drops and aux-only frame emission match the oracle
+        # interleaved lidar/aux capture order once; the resulting frame
+        # instances drive BOTH the aux assignment and the lidar staging
+        # (iter_instance_batches), so the two cannot diverge
         self._aux: Optional[_AuxApplier] = None
         self._instances: List[_FrameInstance] = []
         if _AuxApplier.wanted(info):
             self._aux = _AuxApplier(info)
+            lidar_ev, aux_ev = self._reader.hybrid_streams(
+                soft_id_check=soft_id_check)
             self._instances = _AuxRouter(
-                self._aux, self.plan, self.pf,
-                self._reader.hybrid_events(soft_id_check=soft_id_check)
+                self._aux, self.plan, self.pf, lidar_ev, aux_ev
             ).instances
 
     @property
@@ -348,47 +424,11 @@ class DeviceScanIterator:
             ls.shot_limiting_countdown = inst.opener
         return ls
 
-    def _attach_aux(self, ls: LidarScan, ptr: int
-                    ) -> Tuple[int, Optional[bool]]:
-        """Advance the instance pointer past this lidar frame: yields-via-
-        side-list any aux-only instances released before it, applies the
-        matching instance's aux packets and opener header to `ls`, and
-        returns (new ptr, boundary flag of the matched instance or None
-        when the simulation and the native grouping disagree)."""
-        inst = self._instances
-        while ptr < len(inst) and not inst[ptr].has_lidar:
-            if inst[ptr].boundary:
-                stats["scans"] += 1
-                self._aux_ready.append(self._aux_only_scan(inst[ptr]))
-            ptr += 1
-        if ptr < len(inst) and inst[ptr].fid == ls.frame_id:
-            cur = inst[ptr]
-            for kind, buf, ts in cur.aux:
-                self._aux.apply(kind, buf, ts, ls)
-            if cur.opener is not None:
-                ls.frame_status, ls.shutdown_countdown, \
-                    ls.shot_limiting_countdown = cur.opener
-            return ptr + 1, cur.boundary
-        return ptr, None
-
-    def __iter__(self) -> Iterator[LidarScan]:
+    def _decoded_scans(self, batches) -> Iterator[LidarScan]:
+        """Decode staged batches to LidarScans, in order."""
         import jax
 
-        if self._decode is None:
-            self._decode = self._make_decode()
         B = self._batch
-        if self._pipelined:
-            batches = self._reader.iter_scan_batches_pipelined(
-                B, soft_id_check=self._soft)
-        else:
-            batches = self._reader.iter_scan_batches(
-                B, soft_id_check=self._soft)
-
-        ptr = 0
-        self._aux_ready: List[LidarScan] = []
-        # one-scan lookahead: only the FINAL scan (left open at EOF) gets
-        # the batcher's trailing validity filter
-        prev: Optional[Tuple[LidarScan, Optional[bool]]] = None
         for batch in batches:
             nf = batch.frame_ids.size
             planes, hdrs = batch.planes, batch.col_hdrs
@@ -404,34 +444,72 @@ class DeviceScanIterator:
             host = jax.device_get(dev)
             stats["batches"] += 1
             for k in range(nf):
-                if prev is not None:
+                yield self._materialize(batch, k, host)
+
+    def _iter_hybrid(self) -> Iterator[LidarScan]:
+        """Walk the admission simulation's frame instances in release
+        order: lidar-carrying instances decode on device from exactly the
+        packets the oracle admitted; aux-only instances emit zero-lidar
+        scans; the instance left open at EOF gets the trailing validity
+        filter. Alignment with the staging is by construction — the
+        instance list IS the staging plan."""
+        inst = self._instances
+        groups = [i.pkt_idx for i in inst if i.has_lidar]
+        B = self._batch
+        if self._pipelined:
+            batches = self._reader.iter_instance_batches_pipelined(
+                groups, B)
+        else:
+            batches = self._reader.iter_instance_batches(groups, B)
+        scans = self._decoded_scans(batches)
+        last = len(inst) - 1
+        for j, i in enumerate(inst):
+            trailing = j == last and not i.boundary
+            if not i.has_lidar:
+                # aux-only frame: released at a boundary like any other
+                # (batcher.py:123-126); the EOF-open one never emits
+                # (no valid column, PcapScanSource flush filter)
+                if not trailing:
                     stats["scans"] += 1
-                    yield prev[0]
-                ls = self._materialize(batch, k, host)
-                boundary: Optional[bool] = None
-                if self._aux is not None:
-                    ptr, boundary = self._attach_aux(ls, ptr)
-                # aux-only frames released before this one come first
-                for ready in self._aux_ready:
-                    yield ready
-                self._aux_ready.clear()
-                prev = (ls, boundary)
+                    yield self._aux_only_scan(i)
+                continue
+            ls = next(scans)
+            for kind, buf, ts in i.aux:
+                self._aux.apply(kind, buf, ts, ls)
+            if i.opener is not None:
+                ls.frame_status, ls.shutdown_countdown, \
+                    ls.shot_limiting_countdown = i.opener
+            if trailing and not np.any(ls.status & 1):
+                continue
+            stats["scans"] += 1
+            yield ls
+
+    def __iter__(self) -> Iterator[LidarScan]:
+        if self._decode is None:
+            self._decode = self._make_decode()
+        if self._aux is not None:
+            yield from self._iter_hybrid()
+            return
+        B = self._batch
+        if self._pipelined:
+            batches = self._reader.iter_scan_batches_pipelined(
+                B, soft_id_check=self._soft)
+        else:
+            batches = self._reader.iter_scan_batches(
+                B, soft_id_check=self._soft)
+        prev: Optional[LidarScan] = None  # one-scan lookahead
+        for ls in self._decoded_scans(batches):
+            if prev is not None:
+                stats["scans"] += 1
+                yield prev
+            prev = ls
         if prev is not None:
-            ls, boundary = prev
             # trailing-scan validity filter: the batcher only flushes a
             # final partial scan that has at least one valid column
-            # (ref: pcap_scan_source flush; PcapScanSource._iter_scans).
-            # A frame the simulation saw released at a BOUNDARY (aux-only
-            # frames follow it) is not trailing and always emits.
-            if boundary or np.any(ls.status & 1):
+            # (ref: pcap_scan_source flush; PcapScanSource._iter_scans)
+            if np.any(prev.status & 1):
                 stats["scans"] += 1
-                yield ls
-        # aux-only frames released after the last lidar frame (the one
-        # still open at EOF is trailing-invalid and never emits)
-        for inst in self._instances[ptr:]:
-            if not inst.has_lidar and inst.boundary:
-                stats["scans"] += 1
-                yield self._aux_only_scan(inst)
+                yield prev
 
 
 class LiveDeviceBatcher:
@@ -509,6 +587,15 @@ class LiveDeviceBatcher:
     @property
     def expected_zone_packets(self) -> int:
         return self._aux.expected_zone if self._aux is not None else 0
+
+    @property
+    def wants_imu(self) -> bool:
+        """Whether live imu packets should run the admission state
+        machine: the oracle only rejects ImuPackets for non-NMEA
+        profiles (batcher.py:79-81) — with NMEA metadata declaring
+        imu_packets_per_frame == 0 they still open/release frames and
+        supply opener headers, so gate on the profile, not the count."""
+        return self.pf.udp_profile_imu == UDPProfileIMU.ACCEL32_GYRO32_NMEA
 
     def _admit(self, fid: int, buf: np.ndarray
                ) -> Tuple[List[LidarScan], bool]:

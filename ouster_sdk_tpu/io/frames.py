@@ -204,75 +204,126 @@ class FrameReader:
                            self.info.config.udp_port_zm or 0))
         return wanted
 
-    def aux_packets(self) -> List[Tuple[str, int, np.ndarray, int]]:
-        """(kind, frame_id, payload, host_ts) for this sensor's IMU and
-        zone datagrams, in capture order — the host-side half of the
-        hybrid device route (lidar fields decode on device; aux packets
-        batch into the matching scan by the frame id their eUDP header
-        carries, like ScanBatcher's fid dispatch
-        (ref: lidar_scan.cpp:1505 f_id read for every packet type)).
-        Port classification is strict, like the numpy route's
-        (pcap_source.py _classify)."""
-        res = self._native_scan() if native.get_lib() is not None else None
-        if res is None:
-            return []
-        payloads, offsets, sizes, ts, ports, ips = res
-        pf = self.pf
-        out: List[Tuple[int, str, int, np.ndarray, int]] = []
-        for kind, size, port in self._aux_streams():
-            m = self._stream_mask(sizes, ports, size, port, strict=True)
-            for idx in np.nonzero(m)[0]:
-                buf = payloads[offsets[idx]:offsets[idx] + size].copy()
-                out.append((int(idx), kind, int(pf.frame_id(buf)), buf,
-                            int(ts[idx])))
-        out.sort(key=lambda t: t[0])  # capture (datagram) order
-        return [t[1:] for t in out]
+    def hybrid_streams(self, soft_id_check: bool = False) -> Tuple[
+            Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+            List[Tuple[int, str, int, np.ndarray, int]]]:
+        """The capture's packet stream reduced to the two halves of the
+        hybrid route's admission simulation (device_engine._AuxRouter),
+        both in datagram order:
 
-    def hybrid_events(self, soft_id_check: bool = False) -> List[Tuple]:
-        """The capture's packet stream reduced to admission events, in
-        datagram order, for the hybrid route's ScanBatcher-admission
-        simulation (device_engine._AuxRouter): ("lidar", fid, packet_slot,
-        host_ts) for every lidar datagram that survives the same port/id
-        filters iter_scan_batches applies, and (kind, fid, payload,
-        host_ts) for every aux datagram. The lidar events carry just the
-        8 bytes of header the state machine needs (frame id + packet
-        slot), extracted vectorized — no per-packet Python parse."""
+        - lidar: (idx, fid, packet_slot, host_ts) parallel numpy arrays
+          for every lidar datagram that survives the same port/id filters
+          iter_scan_batches applies — vectorized header gathers, no
+          per-packet Python work;
+        - aux: [(idx, kind, fid, payload, host_ts), ...] for every IMU /
+          zone datagram (few per frame), strict port classification like
+          the numpy route's (pcap_source.py _classify).
+
+        `idx` is the datagram's position in the native scan output, the
+        index iter_instance_batches stages packets by."""
+        empty = (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                 np.zeros(0, np.int64), np.zeros(0, np.uint64))
         res = self._native_scan() if native.get_lib() is not None else None
         if res is None:
-            return []
+            return empty, []
         payloads, offsets, sizes, ts, ports, ips = res
         pf, plan = self.pf, self.plan
-        g = pf.geom
 
         lidar = self._lidar_mask(sizes, ports)
         lidx = np.nonzero(lidar)[0]
         offs = offsets[lidar]
         if lidx.size:
             idmask = self.id_check_mask(payloads, offs)
-            if not soft_id_check and not idmask.all():
+            self.id_error_count = int((~idmask).sum())
+            if not soft_id_check and self.id_error_count:
                 lidx, offs = lidx[idmask], offs[idmask]
-        events: List[Tuple[int, Tuple]] = []
         if lidx.size:
-            fids = self._vec_header_field(payloads, offs, g.frame_id)
-            mid_off = pf.packet_header_size + plan.mid_word * 4
-            mids = (payloads[offs[:, None] + mid_off
-                             + np.arange(2)].astype(np.uint16)
-                    * np.array([1, 256], np.uint16)).sum(axis=1)
-            slots = mids.astype(np.int64) // plan.cpp
-            ltss = ts[lidx]
-            for k in range(lidx.size):
-                events.append((int(lidx[k]),
-                               ("lidar", int(fids[k]), int(slots[k]),
-                                int(ltss[k]))))
+            fids = self._vec_header_field(
+                payloads, offs, pf.geom.frame_id).astype(np.int64)
+            slots = (self._vec_first_mid(payloads, offs).astype(np.int64)
+                     // plan.cpp)
+            lidar_ev = (lidx, fids, slots, ts[lidx])
+        else:
+            lidar_ev = empty
+        aux_ev: List[Tuple[int, str, int, np.ndarray, int]] = []
         for kind, size, port in self._aux_streams():
             m = self._stream_mask(sizes, ports, size, port, strict=True)
             for idx in np.nonzero(m)[0]:
                 buf = payloads[offsets[idx]:offsets[idx] + size].copy()
-                events.append((int(idx),
-                               (kind, int(pf.frame_id(buf)), buf,
-                                int(ts[idx]))))
-        events.sort(key=lambda t: t[0])
-        return [e for _, e in events]
+                aux_ev.append((int(idx), kind, int(pf.frame_id(buf)),
+                               buf, int(ts[idx])))
+        aux_ev.sort(key=lambda t: t[0])
+        return lidar_ev, aux_ev
+
+    def iter_instance_batches(self, groups: List[np.ndarray],
+                              chunk: int = 4,
+                              pool_depth: int = 2
+                              ) -> Iterator[PlanarBatch]:
+        """Stage explicit per-frame packet groups as planar scan batches:
+        slot k of each yielded PlanarBatch is the k-th group (a numpy
+        array of datagram indices), packed by one single-frame native
+        call per group. The hybrid device route uses this so the
+        ScanBatcher-admission simulation — which has already decided
+        exactly which lidar packets belong to which frame instance —
+        drives the staging; re-deriving boundaries from the lidar stream
+        alone cannot see aux-induced boundaries or aux-gated completion
+        (ref: lidar_scan.cpp:1505-1617). Pool contract matches
+        iter_scan_batches."""
+        if self.plan.status_word >= self.plan.chw:
+            raise RuntimeError(
+                "planar staging supports eUDP profiles only")
+        res = self._native_scan() if native.get_lib() is not None else None
+        if res is None:
+            raise RuntimeError("scan batches need the native library")
+        payloads, offsets, sizes, ts, ports, ips = res
+
+        plan = self.plan
+        g = self.pf.geom
+        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
+        fid_mask = (1 << g.frame_id.bit_size) - 1
+        hw = self.pf.packet_header_size // 4
+        key = ("inst", chunk, pool_depth)
+        if key not in self._pools:
+            self._pools[key] = [(
+                np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
+                np.zeros((chunk, plan.chw, plan.w), np.uint32),
+                np.zeros((chunk, plan.n_pkts), np.uint64),
+                np.zeros((chunk, plan.n_pkts, hw), np.uint32),
+                np.zeros((chunk, hw), np.uint32),
+            ) for _ in range(pool_depth)]
+        pools = self._pools[key]
+        fid_out = np.zeros(chunk, np.int64)
+        ts_out = np.zeros(chunk, np.uint64)
+        flip = 0
+        for base in range(0, len(groups), chunk):
+            sel = groups[base:base + chunk]
+            planes, hdrs, pkt_ts, pkt_hdrs, first_hdr = pools[flip]
+            flip = (flip + 1) % len(pools)
+            for k, grp in enumerate(sel):
+                native.group_frames_planar(
+                    payloads, offsets[grp], ts[grp],
+                    self.pf.lidar_packet_size, fid_byte, fid_shift,
+                    fid_mask, self.pf.packet_header_size,
+                    self.pf.col_size, self.pf.col_header_size,
+                    plan.mid_word * 4, plan.cpp, plan.h, plan.pw, plan.w,
+                    planes[k:k + 1], hdrs[k:k + 1], fid_out[k:k + 1],
+                    ts_out[k:k + 1], out_pkt_ts=pkt_ts[k:k + 1],
+                    out_pkt_hdrs=pkt_hdrs[k:k + 1],
+                    out_first_hdr=first_hdr[k:k + 1])
+            n = len(sel)
+            yield PlanarBatch(fid_out[:n].copy(), planes[:n], hdrs[:n],
+                              ts_out[:n].copy(), pkt_ts[:n],
+                              pkt_hdrs[:n], first_hdr[:n])
+
+    def iter_instance_batches_pipelined(
+            self, groups: List[np.ndarray], chunk: int = 4,
+            depth: int = 2) -> Iterator[PlanarBatch]:
+        """iter_instance_batches staged on a background thread (same
+        overlap contract as iter_scan_batches_pipelined)."""
+        return _pipelined(
+            lambda: self.iter_instance_batches(groups, chunk,
+                                               pool_depth=depth + 2),
+            depth)
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         for fids, frames, tss in self.iter_chunks():
@@ -316,6 +367,15 @@ class FrameReader:
         if finfo.bit_size < 64:
             v &= np.uint64((1 << finfo.bit_size) - 1)
         return v
+
+    def _vec_first_mid(self, payloads: np.ndarray, offs: np.ndarray
+                       ) -> np.ndarray:
+        """First column's measurement id for every packet at `offs`
+        (vectorized 2-byte little-endian gather, u16)."""
+        mid_off = self.pf.packet_header_size + self.plan.mid_word * 4
+        return (payloads[offs[:, None] + mid_off
+                         + np.arange(2)].astype(np.uint16)
+                * np.array([1, 256], np.uint16)).sum(axis=1)
 
     def id_check_mask(self, payloads: np.ndarray, offs: np.ndarray
                       ) -> np.ndarray:
@@ -470,10 +530,7 @@ class FrameReader:
         offs, tss = offsets[lidar], ts[lidar]
         # alignment pre-check, vectorized (like the id check): first
         # column's measurement id per packet
-        mid_off = self.pf.packet_header_size + plan.mid_word * 4
-        mids = (payloads[offs[:, None] + mid_off
-                         + np.arange(2)].astype(np.uint16)
-                * np.array([1, 256], np.uint16)).sum(axis=1)
+        mids = self._vec_first_mid(payloads, offs)
         if (mids % plan.cpp).any():
             raise RuntimeError("capture has non-aligned packets")
 

@@ -349,8 +349,7 @@ class SensorScanSource(ScanSource):
                     for done in stager.push_aux("zone", pkt.buf,
                                                 pkt.host_timestamp):
                         self._emit(idx, done)
-                elif isinstance(pkt, ImuPacket) and \
-                        stager.expected_imu_packets:
+                elif isinstance(pkt, ImuPacket) and stager.wants_imu:
                     # NMEA-imu profiles batch imu packets into scans
                     # (hybrid route); legacy imu packets are not part
                     # of frames

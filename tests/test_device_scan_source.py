@@ -755,3 +755,101 @@ def test_live_admit_releases_before_stale_drop_rules():
         [5, 10, 4, 11]
     for a, b in zip(dev, ref):
         _assert_scans_equal(a, b)
+
+
+def test_hybrid_aux_boundary_splits_lidar_frame(tmp_path):
+    """An aux packet of the NEXT frame closes the current one: lidar
+    packets of the old frame arriving after it are reordered stragglers
+    the oracle drops (batcher.py:120-121). The staging must honor the
+    aux-induced boundary — grouping the lidar stream alone would merge
+    the straggler back into the frame."""
+    _require_hybrid()
+    info, aux_raw = _hybrid_parts(tmp_path)
+    imu = next(b for k, b in aux_raw if k == "imu")
+    frames = _lidar_frames(info, 1, 2, 3)
+    stream, add = _stream_builder()
+    for p in frames[1][:-1]:
+        add("lidar", p)                    # frame 1, last packet missing
+    add("imu", _patched(imu, 2))           # frame 2 opens: releases 1
+    add("lidar", frames[1][-1])            # late straggler: must drop
+    for p in frames[2]:
+        add("lidar", p)
+    for p in frames[3]:
+        add("lidar", p)
+
+    dev = _check_both(tmp_path, info, stream, "aux_boundary.pcap")
+    assert [s.frame_id for s in dev] == [1, 2, 3]
+    # the straggler's columns stayed zero-filled in scan 1
+    s1 = dev[0]
+    import numpy as np
+
+    cpp = info.format.columns_per_packet
+    assert (s1.status[-cpp:] == 0).all()
+    assert (s1.field("RANGE")[:, -cpp:] == 0).all()
+
+
+def test_hybrid_survives_transient_fid_glitch(tmp_path):
+    """A glitched frame id mid-capture (aux-only instance + one stray
+    lidar packet) must not poison aux attachment for the rest of the
+    capture: the instance list drives the staging, so later frames keep
+    their aux and the oracle's scan sequence is preserved."""
+    _require_hybrid()
+    import numpy as np
+
+    info, aux_raw = _hybrid_parts(tmp_path)
+    imu = next(b for k, b in aux_raw if k == "imu")
+    frames = _lidar_frames(info, 5, 8, 9, 10)
+    stray = np.frombuffer(
+        synth_frame_packets_cached(info, 4)[0], np.uint8)
+    stream, add = _stream_builder()
+    for p in frames[5]:
+        add("lidar", p)
+    add("imu", _patched(imu, 7))           # aux-only frame 7: releases 5
+    add("lidar", stray)                    # lidar frame 4: releases 7
+    for fid in (8, 9, 10):
+        for p in frames[fid][:-1]:
+            add("lidar", p)
+        for kind, buf in aux_raw:
+            add(kind, _patched(buf, fid))
+        add("lidar", frames[fid][-1])
+
+    dev = _check_both(tmp_path, info, stream, "glitch.pcap")
+    assert [s.frame_id for s in dev] == [5, 7, 4, 8, 9, 10]
+    for s in dev[3:]:
+        assert (s.field("IMU_TIMESTAMP") > 0).any(), s.frame_id
+        assert s.field("ZONE_TIMESTAMP")[0] > 0, s.frame_id
+
+
+def test_live_nmea_imu_admission_with_zero_expected():
+    """NMEA metadata declaring imu_packets_per_frame == 0: imu packets
+    still run the admission state machine (the oracle only rejects them
+    for non-NMEA profiles, batcher.py:79-81) — an imu packet with a new
+    frame id releases the open scan and supplies its opener header."""
+    _require_hybrid()
+    import numpy as np
+
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+
+    info, aux_raw = _hybrid_parts(None)
+    info.format.imu_packets_per_frame = 0
+    imu = next(b for k, b in aux_raw if k == "imu")
+    frames = _lidar_frames(info, 1, 2, 3)
+    stream, add = _stream_builder()
+    for p in frames[1]:
+        add("lidar", p)
+    add("imu", _patched(imu, 2))           # opens frame 2, releases 1
+    for p in frames[2]:
+        add("lidar", p)
+    for p in frames[3]:
+        add("lidar", p)                    # releases frame 2
+
+    stager = LiveDeviceBatcher(info)
+    assert stager.wants_imu
+    ref = _numpy_scans(info, stream, trailing_flush=False)
+    dev = _run_live(info, stream)
+    # frame 3 stays open at EOF (zone packet still expected; live has no
+    # flush) — the point is frames 1/2 released at the right packets
+    assert [s.frame_id for s in dev] == [s.frame_id for s in ref] == \
+        [1, 2]
+    for a, b in zip(dev, ref):
+        _assert_scans_equal(a, b)
