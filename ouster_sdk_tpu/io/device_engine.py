@@ -370,19 +370,18 @@ class DeviceScanIterator:
         self.plan = make_decode_plan(info, field_names=names)
         self._field_types = field_types
         self._decode = None  # jit, built lazily on first batch
-        # hybrid aux route: replay the batcher's admission over the
-        # interleaved lidar/aux capture order once; the resulting frame
-        # instances drive BOTH the aux assignment and the lidar staging
-        # (iter_instance_batches), so the two cannot diverge
-        self._aux: Optional[_AuxApplier] = None
-        self._instances: List[_FrameInstance] = []
-        if _AuxApplier.wanted(info):
-            self._aux = _AuxApplier(info)
-            lidar_ev, aux_ev = self._reader.hybrid_streams(
-                soft_id_check=soft_id_check)
-            self._instances = _AuxRouter(
-                self._aux, self.plan, self.pf, lidar_ev, aux_ev
-            ).instances
+        # Replay the batcher's admission over the interleaved lidar/aux
+        # capture order once; the resulting frame instances drive BOTH
+        # the aux assignment and the lidar staging
+        # (iter_instance_batches), so the two cannot diverge — and give
+        # O(1)-memory random access (DeviceScanIndex). For plain lidar
+        # profiles the aux half is empty and the replay reduces to the
+        # batcher's frame-id boundary/duplicate semantics.
+        self._aux = _AuxApplier(info)
+        lidar_ev, aux_ev = self._reader.hybrid_streams(
+            soft_id_check=soft_id_check)
+        self._instances: List[_FrameInstance] = _AuxRouter(
+            self._aux, self.plan, self.pf, lidar_ev, aux_ev).instances
 
     @property
     def id_error_count(self) -> int:
@@ -446,13 +445,26 @@ class DeviceScanIterator:
             for k in range(nf):
                 yield self._materialize(batch, k, host)
 
-    def _iter_hybrid(self) -> Iterator[LidarScan]:
+    def _finish_scan(self, ls: LidarScan, inst: _FrameInstance
+                     ) -> LidarScan:
+        """Apply an instance's aux packets and opener header to its
+        device-decoded scan."""
+        for kind, buf, ts in inst.aux:
+            self._aux.apply(kind, buf, ts, ls)
+        if inst.opener is not None:
+            ls.frame_status, ls.shutdown_countdown, \
+                ls.shot_limiting_countdown = inst.opener
+        return ls
+
+    def __iter__(self) -> Iterator[LidarScan]:
         """Walk the admission simulation's frame instances in release
         order: lidar-carrying instances decode on device from exactly the
         packets the oracle admitted; aux-only instances emit zero-lidar
         scans; the instance left open at EOF gets the trailing validity
         filter. Alignment with the staging is by construction — the
         instance list IS the staging plan."""
+        if self._decode is None:
+            self._decode = self._make_decode()
         inst = self._instances
         groups = [i.pkt_idx for i in inst if i.has_lidar]
         B = self._batch
@@ -473,43 +485,87 @@ class DeviceScanIterator:
                     stats["scans"] += 1
                     yield self._aux_only_scan(i)
                 continue
-            ls = next(scans)
-            for kind, buf, ts in i.aux:
-                self._aux.apply(kind, buf, ts, ls)
-            if i.opener is not None:
-                ls.frame_status, ls.shutdown_countdown, \
-                    ls.shot_limiting_countdown = i.opener
+            ls = self._finish_scan(next(scans), i)
             if trailing and not np.any(ls.status & 1):
                 continue
             stats["scans"] += 1
             yield ls
 
-    def __iter__(self) -> Iterator[LidarScan]:
-        if self._decode is None:
-            self._decode = self._make_decode()
-        if self._aux is not None:
-            yield from self._iter_hybrid()
-            return
-        B = self._batch
-        if self._pipelined:
-            batches = self._reader.iter_scan_batches_pipelined(
-                B, soft_id_check=self._soft)
+
+class DeviceScanIndex:
+    """Random access over a pcap's scans WITHOUT materializing them: the
+    admission simulation's frame-instance list is the index (which
+    datagrams belong to scan j), and `scan_at(j)` stages + device-decodes
+    just that frame on demand, LRU-caching a few results. This is the
+    O(1)-memory equivalent of the reference's IndexedPcapReader frame
+    index {file offset, sensor idx, timestamp} + seek-and-rebatch
+    (ref: indexed_pcap_reader.h:28-101), with the decode running on the
+    accelerator. Scans are identical to iterating the DeviceScanIterator
+    (same instances, same decode)."""
+
+    def __init__(self, it: DeviceScanIterator, cache_scans: int = 8):
+        self._it = it
+        self._cache_cap = max(1, cache_scans)
+        self._cache: "Dict[int, LidarScan]" = {}
+        self._order: List[int] = []
+        inst = it._instances
+        emitted: List[int] = []
+        last = len(inst) - 1
+        for j, i in enumerate(inst):
+            trailing = j == last and not i.boundary
+            if trailing:
+                if not i.has_lidar:
+                    continue
+                # EOF-open lidar frame: emitted only when it has a valid
+                # column (PcapScanSource flush filter) — decode once now
+                # to decide; the scan lands in the LRU for reuse
+                ls = self._decode_instance(j)
+                if not np.any(ls.status & 1):
+                    continue
+            emitted.append(j)
+        self._emitted = emitted
+
+    def __len__(self) -> int:
+        return len(self._emitted)
+
+    @property
+    def frame_ids(self) -> List[int]:
+        return [self._it._instances[j].fid for j in self._emitted]
+
+    def _decode_instance(self, j: int) -> LidarScan:
+        if j in self._cache:
+            return self._cache[j]
+        it = self._it
+        inst = it._instances[j]
+        if not inst.has_lidar:
+            ls = it._aux_only_scan(inst)
         else:
-            batches = self._reader.iter_scan_batches(
-                B, soft_id_check=self._soft)
-        prev: Optional[LidarScan] = None  # one-scan lookahead
-        for ls in self._decoded_scans(batches):
-            if prev is not None:
-                stats["scans"] += 1
-                yield prev
-            prev = ls
-        if prev is not None:
-            # trailing-scan validity filter: the batcher only flushes a
-            # final partial scan that has at least one valid column
-            # (ref: pcap_scan_source flush; PcapScanSource._iter_scans)
-            if np.any(prev.status & 1):
-                stats["scans"] += 1
-                yield prev
+            if it._decode is None:
+                it._decode = it._make_decode()
+            batch = next(it._reader.iter_instance_batches(
+                [inst.pkt_idx], chunk=1))
+            ls = it._finish_scan(
+                next(it._decoded_scans(iter([batch]))), inst)
+        self._cache[j] = ls
+        self._order.append(j)
+        if len(self._order) > self._cache_cap:
+            self._cache.pop(self._order.pop(0), None)
+        return ls
+
+    def scan_at(self, i: int) -> LidarScan:
+        """The i-th scan the source would emit, decoded on demand."""
+        return self._decode_instance(self._emitted[i])
+
+    def timestamps(self) -> List[int]:
+        """Per-scan index timestamps (first valid packet host ts, falling
+        back to the first valid column ts), computed WITHOUT retaining
+        scans — one streaming pass on first call."""
+        out: List[int] = []
+        for i in range(len(self._emitted)):
+            s = self.scan_at(i)
+            out.append(int(s.first_valid_packet_timestamp()
+                           or s.first_valid_column_timestamp()))
+        return out
 
 
 class LiveDeviceBatcher:

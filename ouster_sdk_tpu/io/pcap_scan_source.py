@@ -75,14 +75,17 @@ class PcapScanSource(ScanSource):
                 info, self._field_names, self._raw_headers,
                 self._raw_fields):
             return None
-        try:
-            it = de.DeviceScanIterator(
-                self._path, info,
-                field_names=self._field_names,
-                soft_id_check=self._packets._soft_id_check,
-                field_types=self._field_types(info))
-        except Exception:
-            return None
+        if self._lazy_index is not None:
+            it = self._lazy._it  # share the index's staged capture
+        else:
+            try:
+                it = de.DeviceScanIterator(
+                    self._path, info,
+                    field_names=self._field_names,
+                    soft_id_check=self._packets._soft_id_check,
+                    field_types=self._field_types(info))
+            except Exception:
+                return None
 
         def run():
             for scan in it:
@@ -158,10 +161,35 @@ class PcapScanSource(ScanSource):
 
     # -- indexing ----------------------------------------------------------
     def _build_index(self) -> None:
-        """Materialize all scans (fixtures are small; a file-offset index
-        like the reference's comes with the native reader). Indexed sets
-        use the SAME time collation as iteration, so source[i] equals
-        the i-th iterated set even when a sensor drops a frame."""
+        """Build the frame index for random access. Single-sensor
+        device-eligible captures get the LAZY index: the admission
+        simulation's per-frame datagram groups are the index, `source[i]`
+        stages + device-decodes just that frame on demand (O(1) memory,
+        like the reference's file-offset seek-and-rebatch —
+        indexed_pcap_reader.h:28-101). Multi-sensor / ineligible captures
+        fall back to materializing scans (collation grouping needs the
+        full stream; these are the minority path). Indexed access equals
+        iteration bit-for-bit: both walk the same instances (lazy) or the
+        same collation (materialized)."""
+        from . import device_engine as de
+
+        self._lazy: Optional[de.DeviceScanIndex] = None
+        if len(self.sensor_info) == 1:
+            info = self.sensor_info[0]
+            if de.device_decode_enabled() and de.supports_device_decode(
+                    info, self._field_names, self._raw_headers,
+                    self._raw_fields):
+                try:
+                    it = de.DeviceScanIterator(
+                        self._path, info,
+                        field_names=self._field_names,
+                        soft_id_check=self._packets._soft_id_check,
+                        field_types=self._field_types(info))
+                    self._lazy = de.DeviceScanIndex(it)
+                    self._index = [self._lazy.frame_ids]
+                    return
+                except Exception:
+                    self._lazy = None
         sets = [list(ls_set) for ls_set in collate_scans(
             self._iter_scans(), len(self.sensor_info))]
         self._set_cache = sets
@@ -173,13 +201,19 @@ class PcapScanSource(ScanSource):
         self._scan_cache = cache
         self._index = [[s.frame_id for s in lst] for lst in cache]
 
+    @property
+    def _lazy_index(self):
+        return getattr(self, "_lazy", None)
+
     def __len__(self) -> int:
+        if self._lazy_index is not None:
+            return len(self._lazy)
         if self._scan_cache is None:
             raise TypeError("source is not indexed")
         return len(self._set_cache)
 
     def __getitem__(self, i) -> LidarScanSet:
-        if self._scan_cache is None:
+        if self._lazy_index is None and self._scan_cache is None:
             raise TypeError("source is not indexed")
         n = len(self)
         if isinstance(i, slice):
@@ -190,9 +224,13 @@ class PcapScanSource(ScanSource):
             i += n
         if not 0 <= i < n:
             raise IndexError(i)
+        if self._lazy_index is not None:
+            return LidarScanSet([self._lazy.scan_at(i)])
         return LidarScanSet(self._set_cache[i])
 
     def scans_num(self) -> List[int]:
+        if self._lazy_index is not None:
+            return [len(self._lazy)]
         if self._scan_cache is None:
             raise TypeError("source is not indexed")
         return [len(c) for c in self._scan_cache]
@@ -200,6 +238,9 @@ class PcapScanSource(ScanSource):
     def full_index(self) -> List[List[Tuple[int, int]]]:
         """Per-sensor (timestamp, scan_index) pairs
         (ref: indexed_pcap_reader.h:28-101 frame index)."""
+        if self._lazy_index is not None:
+            return [[(ts, i)
+                     for i, ts in enumerate(self._lazy.timestamps())]]
         if self._scan_cache is None:
             raise TypeError("source is not indexed")
         return [[(int(s.first_valid_packet_timestamp()

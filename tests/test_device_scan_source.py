@@ -853,3 +853,44 @@ def test_live_nmea_imu_admission_with_zero_expected():
         [1, 2]
     for a, b in zip(dev, ref):
         _assert_scans_equal(a, b)
+
+
+def test_lazy_device_index(monkeypatch):
+    """index=True on a device-eligible capture builds the LAZY frame
+    index (admission instances + decode-on-demand, O(1) memory) and its
+    random access is bit-equal to iteration and to the numpy-indexed
+    route (ref: indexed_pcap_reader.h:28-101)."""
+    if not FIXTURES:
+        pytest.skip("no fixtures")
+    pcap = FIXTURES[0]
+    for p in FIXTURES:
+        if device_engine.supports_device_decode(
+                PcapScanSource(p).sensor_info[0]):
+            pcap = p
+            break
+    else:
+        pytest.skip("no device-eligible fixture")
+
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "1")
+    src = PcapScanSource(pcap, index=True)
+    assert src.is_indexed
+    assert src._lazy_index is not None, "lazy index should engage"
+    assert src._scan_cache is None, "no materialized scan cache"
+
+    iterated = [s for _, s in src._iter_scans()]
+    n = len(src)
+    assert n == len(iterated) > 0
+    for i in (0, n // 2, n - 1, -1):
+        got = src[i][0]
+        _assert_scan_equal(got, iterated[i if i >= 0 else n + i],
+                           f"lazy[{i}]")
+    assert len(src._lazy._cache) <= src._lazy._cache_cap
+
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "0")
+    ref = PcapScanSource(pcap, index=True)
+    assert ref._lazy_index is None, "numpy route materializes"
+    assert len(ref) == n
+    assert ref.scans_num() == src.scans_num()
+    assert ref.full_index() == src.full_index()
+    for i in (0, n - 1):
+        _assert_scan_equal(src[i][0], ref[i][0], f"vs-numpy[{i}]")
