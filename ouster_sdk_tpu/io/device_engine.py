@@ -9,11 +9,12 @@ numpy ScanBatcher remains the streaming/fallback decoder and the semantic
 oracle: scans produced here are bit-equal to it (enforced by
 tests/test_device_scan_source.py and the digest conformance suite).
 
-Pipeline per batch: native pcap scan + IPv4 reassembly + word-planar pack
-with batcher frame-boundary semantics (FrameReader.iter_scan_batches, on
-a background staging thread) -> one h2d upload -> fused XLA bit-decode of
-every field (ops/unpack.decode_frame_planar_batch) -> one d2h download ->
-LidarScan materialization.
+Pipeline per batch: native pcap scan + IPv4 reassembly + an admission
+replay of the ScanBatcher state machine (_AuxRouter) whose frame
+instances drive the word-planar pack (FrameReader.iter_instance_batches,
+on a background staging thread) -> one h2d upload -> fused XLA
+bit-decode of every field (ops/unpack.decode_frame_planar_batch) -> one
+d2h download -> LidarScan materialization.
 """
 
 from __future__ import annotations
@@ -360,6 +361,12 @@ class DeviceScanIterator:
                  pipelined: bool = True):
         from .frames import FrameReader
 
+        if native.get_lib() is None:
+            # fail loudly: without the native scanner the admission
+            # replay sees zero packets and the iterator would silently
+            # yield nothing (callers normally gate on
+            # supports_device_decode, which checks this)
+            raise RuntimeError("device decode needs the native library")
         self.info = info
         self.pf = PacketFormat.from_info(info)
         self._reader = FrameReader(path, info=info)
@@ -423,11 +430,14 @@ class DeviceScanIterator:
             ls.shot_limiting_countdown = inst.opener
         return ls
 
-    def _decoded_scans(self, batches) -> Iterator[LidarScan]:
-        """Decode staged batches to LidarScans, in order."""
+    def _decoded_scans(self, batches, pad_to: Optional[int] = None
+                       ) -> Iterator[LidarScan]:
+        """Decode staged batches to LidarScans, in order. `pad_to`
+        overrides the dispatch batch size (random access passes 1 so a
+        single-frame lookup doesn't pay the full batch's decode)."""
         import jax
 
-        B = self._batch
+        B = pad_to or self._batch
         for batch in batches:
             nf = batch.frame_ids.size
             planes, hdrs = batch.planes, batch.col_hdrs
@@ -496,18 +506,21 @@ class DeviceScanIndex:
     """Random access over a pcap's scans WITHOUT materializing them: the
     admission simulation's frame-instance list is the index (which
     datagrams belong to scan j), and `scan_at(j)` stages + device-decodes
-    just that frame on demand, LRU-caching a few results. This is the
-    O(1)-memory equivalent of the reference's IndexedPcapReader frame
-    index {file offset, sensor idx, timestamp} + seek-and-rebatch
-    (ref: indexed_pcap_reader.h:28-101), with the decode running on the
-    accelerator. Scans are identical to iterating the DeviceScanIterator
-    (same instances, same decode)."""
+    just that frame on demand, LRU-caching a few results. The decoded-
+    scan memory is O(LRU), the capture bytes stay file-backed (memmap) —
+    the one anonymous file-sized buffer is the reassembled-payload
+    workspace. This is the equivalent of the reference's
+    IndexedPcapReader frame index {file offset, sensor idx, timestamp} +
+    seek-and-rebatch (ref: indexed_pcap_reader.h:28-101), with the
+    decode running on the accelerator. Scans are identical to iterating
+    the DeviceScanIterator (same instances, same decode)."""
 
     def __init__(self, it: DeviceScanIterator, cache_scans: int = 8):
         self._it = it
         self._cache_cap = max(1, cache_scans)
         self._cache: "Dict[int, LidarScan]" = {}
         self._order: List[int] = []
+        self._timestamps: Optional[List[int]] = None
         inst = it._instances
         emitted: List[int] = []
         last = len(inst) - 1
@@ -534,6 +547,8 @@ class DeviceScanIndex:
 
     def _decode_instance(self, j: int) -> LidarScan:
         if j in self._cache:
+            self._order.remove(j)      # LRU: refresh recency on hit
+            self._order.append(j)
             return self._cache[j]
         it = self._it
         inst = it._instances[j]
@@ -545,7 +560,7 @@ class DeviceScanIndex:
             batch = next(it._reader.iter_instance_batches(
                 [inst.pkt_idx], chunk=1))
             ls = it._finish_scan(
-                next(it._decoded_scans(iter([batch]))), inst)
+                next(it._decoded_scans(iter([batch]), pad_to=1)), inst)
         self._cache[j] = ls
         self._order.append(j)
         if len(self._order) > self._cache_cap:
@@ -558,14 +573,17 @@ class DeviceScanIndex:
 
     def timestamps(self) -> List[int]:
         """Per-scan index timestamps (first valid packet host ts, falling
-        back to the first valid column ts), computed WITHOUT retaining
-        scans — one streaming pass on first call."""
-        out: List[int] = []
-        for i in range(len(self._emitted)):
-            s = self.scan_at(i)
-            out.append(int(s.first_valid_packet_timestamp()
-                           or s.first_valid_column_timestamp()))
-        return out
+        back to the first valid column ts): one streaming decode pass on
+        first call, memoized after (scans themselves are not retained
+        beyond the LRU)."""
+        if self._timestamps is None:
+            out: List[int] = []
+            for i in range(len(self._emitted)):
+                s = self.scan_at(i)
+                out.append(int(s.first_valid_packet_timestamp()
+                               or s.first_valid_column_timestamp()))
+            self._timestamps = out
+        return self._timestamps
 
 
 class LiveDeviceBatcher:

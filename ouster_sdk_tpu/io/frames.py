@@ -59,8 +59,10 @@ def _pipelined(make_iter, depth: int) -> Iterator:
     err: List[BaseException] = []
 
     def produce():
+        it = None
         try:
-            for item in make_iter():
+            it = make_iter()
+            for item in it:
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.2)
@@ -72,6 +74,10 @@ def _pipelined(make_iter, depth: int) -> Iterator:
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
+            if it is not None:
+                # deterministic close so the producer's finally blocks
+                # (pool check-in, etc.) run now, not at GC
+                getattr(it, "close", lambda: None)()
             while not stop.is_set():
                 try:
                     q.put(done, timeout=0.2)
@@ -137,12 +143,13 @@ class FrameReader:
             # host pass
             return cached[1]
         size = st.st_size
-        fbuf = self._pools.get("file")
-        if fbuf is None or fbuf.size < size:
-            fbuf = self._pools["file"] = np.empty(size, np.uint8)
-        data = fbuf[:size]
-        with open(self._path, "rb") as f:
-            f.readinto(memoryview(data))
+        # map the file instead of copying it: the native scan reads it
+        # once sequentially (OS readahead), and the resident cost of the
+        # capture bytes stays file-backed/evictable — the payload
+        # workspace (reassembled datagrams) is the only anonymous
+        # file-sized buffer a long-lived indexed source keeps
+        data = np.memmap(self._path, np.uint8, mode="r") if size else \
+            np.zeros(0, np.uint8)
         if size < 24:
             return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
                     np.zeros(0, np.int64), np.zeros(0, np.uint64),
@@ -213,7 +220,8 @@ class FrameReader:
 
         - lidar: (idx, fid, packet_slot, host_ts) parallel numpy arrays
           for every lidar datagram that survives the same port/id filters
-          iter_scan_batches applies — vectorized header gathers, no
+          iter_instance_batches' staging applies — vectorized header
+          gathers, no
           per-packet Python work;
         - aux: [(idx, kind, fid, payload, host_ts), ...] for every IMU /
           zone datagram (few per frame), strict port classification like
@@ -267,8 +275,10 @@ class FrameReader:
         exactly which lidar packets belong to which frame instance —
         drives the staging; re-deriving boundaries from the lidar stream
         alone cannot see aux-induced boundaries or aux-gated completion
-        (ref: lidar_scan.cpp:1505-1617). Pool contract matches
-        iter_scan_batches."""
+        (ref: lidar_scan.cpp:1505-1617). Pool buffers are checked out
+        per iterator and returned on close; a yielded batch's arrays
+        stay valid for pool_depth-1 further iterations of the SAME
+        iterator."""
         if self.plan.status_word >= self.plan.chw:
             raise RuntimeError(
                 "planar staging supports eUDP profiles only")
@@ -282,44 +292,51 @@ class FrameReader:
         fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
         fid_mask = (1 << g.frame_id.bit_size) - 1
         hw = self.pf.packet_header_size // 4
+        # pools are CHECKED OUT per iterator and returned on close, so
+        # concurrent iterations of the same reader (an indexed source
+        # iterated twice at once) never write into each other's yielded
+        # views; a freelist keeps the steady state fault-free
         key = ("inst", chunk, pool_depth)
-        if key not in self._pools:
-            self._pools[key] = [(
-                np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
-                np.zeros((chunk, plan.chw, plan.w), np.uint32),
-                np.zeros((chunk, plan.n_pkts), np.uint64),
-                np.zeros((chunk, plan.n_pkts, hw), np.uint32),
-                np.zeros((chunk, hw), np.uint32),
-            ) for _ in range(pool_depth)]
-        pools = self._pools[key]
-        fid_out = np.zeros(chunk, np.int64)
-        ts_out = np.zeros(chunk, np.uint64)
-        flip = 0
-        for base in range(0, len(groups), chunk):
-            sel = groups[base:base + chunk]
-            planes, hdrs, pkt_ts, pkt_hdrs, first_hdr = pools[flip]
-            flip = (flip + 1) % len(pools)
-            for k, grp in enumerate(sel):
-                native.group_frames_planar(
-                    payloads, offsets[grp], ts[grp],
-                    self.pf.lidar_packet_size, fid_byte, fid_shift,
-                    fid_mask, self.pf.packet_header_size,
-                    self.pf.col_size, self.pf.col_header_size,
-                    plan.mid_word * 4, plan.cpp, plan.h, plan.pw, plan.w,
-                    planes[k:k + 1], hdrs[k:k + 1], fid_out[k:k + 1],
-                    ts_out[k:k + 1], out_pkt_ts=pkt_ts[k:k + 1],
-                    out_pkt_hdrs=pkt_hdrs[k:k + 1],
-                    out_first_hdr=first_hdr[k:k + 1])
-            n = len(sel)
-            yield PlanarBatch(fid_out[:n].copy(), planes[:n], hdrs[:n],
-                              ts_out[:n].copy(), pkt_ts[:n],
-                              pkt_hdrs[:n], first_hdr[:n])
+        free = self._pools.setdefault(key, [])
+        pools = free.pop() if free else [(
+            np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
+            np.zeros((chunk, plan.chw, plan.w), np.uint32),
+            np.zeros((chunk, plan.n_pkts), np.uint64),
+            np.zeros((chunk, plan.n_pkts, hw), np.uint32),
+            np.zeros((chunk, hw), np.uint32),
+        ) for _ in range(pool_depth)]
+        try:
+            fid_out = np.zeros(chunk, np.int64)
+            ts_out = np.zeros(chunk, np.uint64)
+            flip = 0
+            for base in range(0, len(groups), chunk):
+                sel = groups[base:base + chunk]
+                planes, hdrs, pkt_ts, pkt_hdrs, first_hdr = pools[flip]
+                flip = (flip + 1) % len(pools)
+                for k, grp in enumerate(sel):
+                    native.group_frames_planar(
+                        payloads, offsets[grp], ts[grp],
+                        self.pf.lidar_packet_size, fid_byte, fid_shift,
+                        fid_mask, self.pf.packet_header_size,
+                        self.pf.col_size, self.pf.col_header_size,
+                        plan.mid_word * 4, plan.cpp, plan.h, plan.pw,
+                        plan.w, planes[k:k + 1], hdrs[k:k + 1],
+                        fid_out[k:k + 1], ts_out[k:k + 1],
+                        out_pkt_ts=pkt_ts[k:k + 1],
+                        out_pkt_hdrs=pkt_hdrs[k:k + 1],
+                        out_first_hdr=first_hdr[k:k + 1])
+                n = len(sel)
+                yield PlanarBatch(fid_out[:n].copy(), planes[:n],
+                                  hdrs[:n], ts_out[:n].copy(), pkt_ts[:n],
+                                  pkt_hdrs[:n], first_hdr[:n])
+        finally:
+            free.append(pools)
 
     def iter_instance_batches_pipelined(
             self, groups: List[np.ndarray], chunk: int = 4,
             depth: int = 2) -> Iterator[PlanarBatch]:
         """iter_instance_batches staged on a background thread (same
-        overlap contract as iter_scan_batches_pipelined)."""
+        overlap contract as iter_planar_chunks_pipelined)."""
         return _pipelined(
             lambda: self.iter_instance_batches(groups, chunk,
                                                pool_depth=depth + 2),
@@ -397,96 +414,6 @@ class FrameReader:
                                          self.pf.geom.prod_sn)
             ok &= (pkt == 0) | (pkt == np.uint64(self.info.sn))
         return ok
-
-    def iter_scan_batches(self, chunk: int = 4,
-                          words: Optional[Tuple[int, ...]] = None,
-                          soft_id_check: bool = False,
-                          pool_depth: int = 2) -> Iterator[PlanarBatch]:
-        """Planar staging with full scan headers: yields PlanarBatch
-        chunks carrying per-packet host timestamps, per-packet header
-        words and the frame-opening packet's header, grouped with the
-        batcher's frame-boundary drop semantics (native io_released state)
-        — the host half of the device-decode ScanSource route. Packets
-        failing the init_id/serial check are dropped (counted in
-        self.id_error_count) unless soft_id_check. Buffers are pooled:
-        a yielded batch's arrays stay valid for pool_depth-1 further
-        iterations."""
-        if self.plan.status_word >= self.plan.chw:
-            raise RuntimeError(
-                "planar staging supports eUDP profiles only")
-        res = self._native_scan() if native.get_lib() is not None else None
-        if res is None:
-            raise RuntimeError("scan batches need the native library")
-        payloads, offsets, sizes, ts, ports, ips = res
-        lidar = self._lidar_mask(sizes, ports)
-        if not lidar.any():
-            return
-        offs, tss = offsets[lidar], ts[lidar]
-        idmask = self.id_check_mask(payloads, offs)
-        self.id_error_count = int((~idmask).sum())
-        if not soft_id_check and self.id_error_count:
-            offs, tss = offs[idmask], tss[idmask]
-
-        plan = self.plan
-        g = self.pf.geom
-        fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
-        fid_mask = (1 << g.frame_id.bit_size) - 1
-        hw = self.pf.packet_header_size // 4
-        key = ("scan", chunk, words, pool_depth)
-        n_planes = len(words) if words is not None else plan.pw
-        if key not in self._pools:
-            pools = []
-            for _ in range(pool_depth):
-                entry = (
-                    np.zeros((chunk, n_planes, plan.h, plan.w), np.uint32),
-                    np.zeros((chunk, plan.chw, plan.w), np.uint32),
-                    np.zeros((chunk, plan.n_pkts), np.uint64),
-                    np.zeros((chunk, plan.n_pkts, hw), np.uint32),
-                    np.zeros((chunk, hw), np.uint32),
-                )
-                pools.append(entry)
-            self._pools[key] = pools
-        pools = self._pools[key]
-        if words is not None and len(words) == 0:
-            # n_sel == 0 means "all planes" to the native grouper, but
-            # the pool above was sized for zero planes - heap overflow
-            raise ValueError("words must be a non-empty tuple or None")
-        word_sel = np.asarray(words, np.int64) if words is not None \
-            else None
-        fid_out = np.zeros(chunk, np.int64)
-        ts_out = np.zeros(chunk, np.uint64)
-        released = np.full(1, -1, np.int64)
-        pos, flip = 0, 0
-        while pos < offs.size:
-            planes, hdrs, pkt_ts, pkt_hdrs, first_hdr = pools[flip]
-            flip = (flip + 1) % len(pools)
-            consumed, nf = native.group_frames_planar(
-                payloads, offs[pos:], tss[pos:],
-                self.pf.lidar_packet_size, fid_byte, fid_shift, fid_mask,
-                self.pf.packet_header_size, self.pf.col_size,
-                self.pf.col_header_size, plan.mid_word * 4, plan.cpp,
-                plan.h, plan.pw, plan.w, planes, hdrs, fid_out, ts_out,
-                word_sel=word_sel, out_pkt_ts=pkt_ts,
-                out_pkt_hdrs=pkt_hdrs, out_first_hdr=first_hdr,
-                io_released=released)
-            if nf == 0:
-                break
-            pos += consumed
-            yield PlanarBatch(fid_out[:nf].copy(), planes[:nf], hdrs[:nf],
-                              ts_out[:nf].copy(), pkt_ts[:nf],
-                              pkt_hdrs[:nf], first_hdr[:nf])
-
-    def iter_scan_batches_pipelined(
-            self, chunk: int = 4,
-            words: Optional[Tuple[int, ...]] = None,
-            soft_id_check: bool = False,
-            depth: int = 2) -> Iterator[PlanarBatch]:
-        """iter_scan_batches staged on a background thread (same overlap
-        contract as iter_planar_chunks_pipelined)."""
-        return _pipelined(
-            lambda: self.iter_scan_batches(chunk, words, soft_id_check,
-                                           pool_depth=depth + 2),
-            depth)
 
     def iter_packed_chunks(self, chunk: int = 8,
                            fields: Tuple[Tuple[int, int], ...] = (),

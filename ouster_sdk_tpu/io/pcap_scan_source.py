@@ -235,6 +235,14 @@ class PcapScanSource(ScanSource):
             raise TypeError("source is not indexed")
         return [len(c) for c in self._scan_cache]
 
+    def individual_index(self) -> List[List[int]]:
+        """Per-sensor set positions; the lazy index is single-sensor with
+        one scan per set, so this is the identity — answering it must not
+        decode the capture (the base-class fallback loops `self[i]`)."""
+        if self._lazy_index is not None:
+            return [list(range(len(self._lazy)))]
+        return super().individual_index()
+
     def full_index(self) -> List[List[Tuple[int, int]]]:
         """Per-sensor (timestamp, scan_index) pairs
         (ref: indexed_pcap_reader.h:28-101 frame index)."""

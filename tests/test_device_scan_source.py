@@ -894,3 +894,37 @@ def test_lazy_device_index(monkeypatch):
     assert ref.full_index() == src.full_index()
     for i in (0, n - 1):
         _assert_scan_equal(src[i][0], ref[i][0], f"vs-numpy[{i}]")
+
+
+def test_lazy_index_concurrent_iteration(monkeypatch):
+    """Two simultaneous iterations of an indexed source share the staged
+    capture but must not share staging pools — interleaved consumption
+    must still produce bit-equal scans (pool check-out per iterator)."""
+    if not FIXTURES:
+        pytest.skip("no fixtures")
+    for pcap in FIXTURES:
+        if device_engine.supports_device_decode(
+                PcapScanSource(pcap).sensor_info[0]):
+            break
+    else:
+        pytest.skip("no device-eligible fixture")
+
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "1")
+    src = PcapScanSource(pcap, index=True)
+    ref = [s for _, s in src._iter_scans()]
+    a, b = src._iter_scans(), src._iter_scans()
+    out_a, out_b = [], []
+    done_a = done_b = False
+    while not (done_a and done_b):
+        try:
+            out_a.append(next(a)[1])
+        except StopIteration:
+            done_a = True
+        try:
+            out_b.append(next(b)[1])
+        except StopIteration:
+            done_b = True
+    assert len(out_a) == len(out_b) == len(ref)
+    for k, r in enumerate(ref):
+        _assert_scan_equal(out_a[k], r, f"concurrent-a[{k}]")
+        _assert_scan_equal(out_b[k], r, f"concurrent-b[{k}]")
