@@ -511,6 +511,11 @@ int64_t onat_group_frames(const uint8_t* payloads, const int64_t* offsets,
 //   out_first_hdr (max_frames, hw_words) u32 — header of the packet that
 //       OPENED the frame in arrival order (frame_status + countdowns come
 //       from it, ref: lidar_scan.cpp:1546-1552)
+//
+// ftr_words: LEGACY support — also stage the last ftr_words u32 of each
+// column block (the col FOOTER, where LEGACY keeps its 32-bit status,
+// ref: parsing.cpp:516-530) into colhdr rows [chw, chw+ftr_words); the
+// staged colhdr layout is then (chw + ftr_words, W) u32 per frame.
 int64_t onat_group_frames_planar(
     const uint8_t* payloads, const int64_t* offsets, const uint64_t* ts_in,
     int64_t count, int64_t pkt_bytes, int64_t fid_byte, int fid_shift,
@@ -520,11 +525,11 @@ int64_t onat_group_frames_planar(
     uint64_t* out_ts, int64_t max_frames, int64_t* out_nframes,
     const int64_t* word_sel, int64_t n_sel,
     uint64_t* out_pkt_ts, uint8_t* out_pkt_hdrs, uint8_t* out_first_hdr,
-    int64_t* io_released) {
+    int64_t* io_released, int64_t ftr_words) {
     const int64_t pw_out = (word_sel && n_sel > 0) ? n_sel : pw;
     const int64_t plane_bytes = (int64_t)pw_out * h * W * 4;
-    const int64_t colhdr_bytes = (int64_t)(chw_bytes / 4) * W * 4;
     const int64_t chw = chw_bytes / 4;
+    const int64_t colhdr_bytes = (chw + ftr_words) * W * 4;
     const int64_t n_pkts = W / cpp;
     int64_t nf = 0, i = 0;
     int64_t cur_fid = -1;
@@ -583,6 +588,9 @@ int64_t onat_group_frames_planar(
             if (mid >= W) continue;
             for (int64_t q = 0; q < chw; q++)
                 std::memcpy(colhdr + (q * W + mid) * 4, col + q * 4, 4);
+            for (int64_t q = 0; q < ftr_words; q++)
+                std::memcpy(colhdr + ((chw + q) * W + mid) * 4,
+                            col + cw_bytes - (ftr_words - q) * 4, 4);
         }
         // pixel planes: (k, p, c) order -> 4 B * cpp contiguous column
         // runs would need per-column mid; columns in a packet are

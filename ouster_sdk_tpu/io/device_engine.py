@@ -60,22 +60,21 @@ def supports_device_decode(info: SensorInfo,
                            field_names: Optional[List[str]] = None,
                            raw_headers: bool = False,
                            raw_fields: bool = False) -> bool:
-    """Static eligibility: the device route covers eUDP lidar decode;
-    NMEA-IMU and zone-monitoring scans run HYBRID (lidar fields decode
-    on device, aux packets batch host-side into the matching scan by
-    frame id — see _AuxApplier). Only LEGACY footer-status packets and
-    RAW_HEADERS/RAW32 side-channels stay on the numpy batcher."""
+    """Static eligibility: the device route covers every lidar profile —
+    eUDP decodes planar, LEGACY ships its column-FOOTER status as one
+    extra staged col-header row (plan.schw), and NMEA-IMU /
+    zone-monitoring scans run HYBRID (lidar fields decode on device, aux
+    packets batch host-side into the matching scan by frame id — see
+    _AuxApplier). Only RAW_HEADERS/RAW32 side-channels stay on the
+    numpy batcher."""
     if native.get_lib() is None:
         return False
     fmt = info.format
-    if fmt.udp_profile_lidar in (UDPProfileLidar.LEGACY,
-                                 UDPProfileLidar.OFF):
+    if fmt.udp_profile_lidar == UDPProfileLidar.OFF:
         return False
     if raw_headers or raw_fields:
         return False
     plan = make_decode_plan(info)
-    if plan.status_word >= plan.chw:
-        return False
     if field_names is not None:
         decodable = {f.name.split("#")[0] for f in plan.fields}
         if not set(field_names) <= decodable:
@@ -192,7 +191,11 @@ class _FrameInstance:
     released at a boundary (vs left open at EOF)."""
 
     __slots__ = ("fid", "aux", "opener", "boundary", "lidar_n", "slots",
-                 "counts", "pkt_idx_parts")
+                 "counts", "pkt_idx_parts", "released_at")
+
+    # EOF-flush sentinel: orders after every real datagram index so the
+    # multi-sensor merge flushes partials last, like the numpy route
+    EOF_RELEASE = 1 << 62
 
     def __init__(self, fid: int, opener):
         self.fid = fid
@@ -203,6 +206,11 @@ class _FrameInstance:
         self.slots: set = set()
         self.counts = {"imu": 0, "zone": 0}
         self.pkt_idx_parts: List[np.ndarray] = []
+        # datagram index of the event that RELEASED this frame — the
+        # position the numpy route would yield the scan at (completion
+        # packet, or the new-fid packet that closed it); the multi-sensor
+        # device route merges per-sensor streams by this key
+        self.released_at = self.EOF_RELEASE
 
     @property
     def has_lidar(self) -> bool:
@@ -259,28 +267,32 @@ class _AuxRouter:
                                     lts[s:e])
                 l_pos = seg_end
             else:
-                _, kind, fid, buf, ts = aux_events[a_ptr]
+                idx, kind, fid, buf, ts = aux_events[a_ptr]
                 a_ptr += 1
-                self._aux_packet(kind, fid, buf, ts)
+                self._aux_packet(kind, fid, buf, ts, idx)
         if self._cur is not None:
-            self._release(False)      # left open at EOF (trailing)
+            self._release(False, _FrameInstance.EOF_RELEASE)  # open at EOF
 
-    def _release(self, boundary: bool) -> None:
+    def _release(self, boundary: bool, at: int) -> None:
         self._cur.boundary = boundary
+        self._cur.released_at = at
         self.instances.append(self._cur)
         self._finished = self._cur.fid
         self._cur = None
 
-    def _admit(self, fid: int, opener) -> bool:
+    def _admit(self, fid: int, opener, at: int) -> bool:
         """Boundary/drop rules for one packet (or a same-fid run — drops
-        don't mutate state, so the decision is uniform across a run)."""
+        don't mutate state, so the decision is uniform across a run).
+        `at` is the packet's datagram index: a new fid releases the open
+        frame AT this packet, exactly where the oracle's operator() would
+        return true (ref: lidar_scan.cpp:1526-1565 cached-replay)."""
         m = self._m
         if self._cur is not None:
             if self._cur.fid == fid:
                 return True
             if self._cur.fid == (fid + 1) & m:
                 return False   # reordered from the previous frame
-            self._release(True)
+            self._release(True, at)
         if self._finished >= 0 and (
                 self._finished == fid
                 or self._finished == (fid + 1) & m):
@@ -294,7 +306,7 @@ class _AuxRouter:
 
     def _lidar_run(self, fid: int, idxs: np.ndarray, slots: np.ndarray,
                    tss: np.ndarray) -> None:
-        if not self._admit(fid, None):
+        if not self._admit(fid, None, int(idxs[0])):
             return
         cur, n_pkts = self._cur, self._n_pkts
         take = idxs.size
@@ -325,15 +337,15 @@ class _AuxRouter:
                 cur.slots.update(int(v) for v in np.unique(sl[:p])
                                  if v < n_pkts)
                 cur.pkt_idx_parts.append(idxs[:p])
-                self._release(True)
+                self._release(True, int(idxs[p - 1]))
                 return
         cur.lidar_n += take
         cur.slots.update(int(v) for v in np.unique(sl) if v < n_pkts)
         cur.pkt_idx_parts.append(idxs)
 
     def _aux_packet(self, kind: str, fid: int, buf: np.ndarray,
-                    ts: int) -> None:
-        if not self._admit(fid, _read_opener(self._pf, buf)):
+                    ts: int, idx: int) -> None:
+        if not self._admit(fid, _read_opener(self._pf, buf), idx):
             return
         cur = self._cur
         cur.aux.append((kind, buf, ts))
@@ -341,7 +353,7 @@ class _AuxRouter:
             cur.counts[kind] += 1
         if (cur.lidar_n >= self._n_pkts
                 and len(cur.slots) >= self._n_pkts and self._aux_ok()):
-            self._release(True)
+            self._release(True, idx)
 
 
 class DeviceScanIterator:
@@ -467,12 +479,19 @@ class DeviceScanIterator:
         return ls
 
     def __iter__(self) -> Iterator[LidarScan]:
+        for _, ls in self.iter_released():
+            yield ls
+
+    def iter_released(self) -> Iterator[Tuple[int, LidarScan]]:
         """Walk the admission simulation's frame instances in release
-        order: lidar-carrying instances decode on device from exactly the
-        packets the oracle admitted; aux-only instances emit zero-lidar
-        scans; the instance left open at EOF gets the trailing validity
-        filter. Alignment with the staging is by construction — the
-        instance list IS the staging plan."""
+        order, yielding (released_at, scan): lidar-carrying instances
+        decode on device from exactly the packets the oracle admitted;
+        aux-only instances emit zero-lidar scans; the instance left open
+        at EOF gets the trailing validity filter. Alignment with the
+        staging is by construction — the instance list IS the staging
+        plan. `released_at` is the datagram index the numpy route would
+        have yielded the scan at (EOF_RELEASE for the trailing flush) —
+        the multi-sensor merge key."""
         if self._decode is None:
             self._decode = self._make_decode()
         inst = self._instances
@@ -493,13 +512,13 @@ class DeviceScanIterator:
                 # (no valid column, PcapScanSource flush filter)
                 if not trailing:
                     stats["scans"] += 1
-                    yield self._aux_only_scan(i)
+                    yield i.released_at, self._aux_only_scan(i)
                 continue
             ls = self._finish_scan(next(scans), i)
             if trailing and not np.any(ls.status & 1):
                 continue
             stats["scans"] += 1
-            yield ls
+            yield i.released_at, ls
 
 
 class DeviceScanIndex:
@@ -624,7 +643,7 @@ class LiveDeviceBatcher:
         # single-frame outputs: the slab only ever holds one frame id
         # (a boundary flush precedes staging a new id)
         self._planes = np.zeros((1, plan.pw, plan.h, plan.w), np.uint32)
-        self._colhdr = np.zeros((1, plan.chw, plan.w), np.uint32)
+        self._colhdr = np.zeros((1, plan.schw, plan.w), np.uint32)
         self._fid_out = np.zeros(1, np.int64)
         self._ts_out = np.zeros(1, np.uint64)
         self._pkt_ts = np.zeros((1, plan.n_pkts), np.uint64)
@@ -802,7 +821,8 @@ class LiveDeviceBatcher:
             self.pf.col_header_size, plan.mid_word * 4, plan.cpp, plan.h,
             plan.pw, plan.w, self._planes, self._colhdr, self._fid_out,
             self._ts_out, out_pkt_ts=self._pkt_ts,
-            out_pkt_hdrs=self._pkt_hdrs, out_first_hdr=self._first_hdr)
+            out_pkt_hdrs=self._pkt_hdrs, out_first_hdr=self._first_hdr,
+            ftr_words=plan.schw - plan.chw)
         self._released = self._cur if self._cur >= 0 else self._released
         self._n = 0
         self._cur = -1

@@ -279,9 +279,6 @@ class FrameReader:
         per iterator and returned on close; a yielded batch's arrays
         stay valid for pool_depth-1 further iterations of the SAME
         iterator."""
-        if self.plan.status_word >= self.plan.chw:
-            raise RuntimeError(
-                "planar staging supports eUDP profiles only")
         res = self._native_scan() if native.get_lib() is not None else None
         if res is None:
             raise RuntimeError("scan batches need the native library")
@@ -300,7 +297,7 @@ class FrameReader:
         free = self._pools.setdefault(key, [])
         pools = free.pop() if free else [(
             np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
-            np.zeros((chunk, plan.chw, plan.w), np.uint32),
+            np.zeros((chunk, plan.schw, plan.w), np.uint32),
             np.zeros((chunk, plan.n_pkts), np.uint64),
             np.zeros((chunk, plan.n_pkts, hw), np.uint32),
             np.zeros((chunk, hw), np.uint32),
@@ -324,7 +321,8 @@ class FrameReader:
                         fid_out[k:k + 1], ts_out[k:k + 1],
                         out_pkt_ts=pkt_ts[k:k + 1],
                         out_pkt_hdrs=pkt_hdrs[k:k + 1],
-                        out_first_hdr=first_hdr[k:k + 1])
+                        out_first_hdr=first_hdr[k:k + 1],
+                        ftr_words=plan.schw - plan.chw)
                 n = len(sel)
                 yield PlanarBatch(fid_out[:n].copy(), planes[:n],
                                   hdrs[:n], ts_out[:n].copy(), pkt_ts[:n],
@@ -688,13 +686,11 @@ class FrameReader:
         dim becomes len(words), in the given order): projection-only
         consumers need just the range word(s), cutting host->device bytes
         to 1/pw (single-return) or 2/pw (dual) — pass the same tuple to
-        unpack_project_planar_batched(words=...)."""
-        if self.plan.status_word >= self.plan.chw:
-            # LEGACY keeps column status in the footer, outside the
-            # captured header words
-            raise RuntimeError(
-                "planar staging supports eUDP profiles only; use "
-                "iter_chunks")
+        unpack_project_planar_batched(words=...).
+
+        LEGACY captures stage too: the native grouper ships the column
+        FOOTER status word as one extra col-header row (col_hdrs is
+        (m, plan.schw, W); schw = chw + 1 for LEGACY)."""
         res = self._native_scan() if native.get_lib() is not None else None
         if res is None:
             raise RuntimeError(
@@ -721,7 +717,8 @@ class FrameReader:
         if key not in self._pools:
             pools = [(np.empty((chunk, n_planes, plan.h, plan.w),
                                dtype=np.uint32),
-                      np.empty((chunk, plan.chw, plan.w), dtype=np.uint32))
+                      np.empty((chunk, plan.schw, plan.w),
+                               dtype=np.uint32))
                      for _ in range(pool_depth)]
             for planes, hdrs in pools:
                 planes.fill(0)
@@ -747,7 +744,8 @@ class FrameReader:
                 fid_shift, fid_mask, self.pf.packet_header_size,
                 self.pf.col_size, self.pf.col_header_size,
                 plan.mid_word * 4, plan.cpp, plan.h, plan.pw, plan.w,
-                planes, hdrs, fid_out, ts_out, word_sel=word_sel)
+                planes, hdrs, fid_out, ts_out, word_sel=word_sel,
+                ftr_words=plan.schw - plan.chw)
             if nf == 0:
                 break
             pos += consumed
@@ -770,7 +768,13 @@ class FrameReader:
             planes = np.transpose(pix, (0, 3, 2, 1))   # (B, pw, h, w)
             if words is not None:
                 planes = planes[:, list(words)]
-            hdrs = np.transpose(cols[:, :, :plan.chw], (0, 2, 1))
+            hdr_cols = cols[:, :, :plan.chw]
+            if plan.schw > plan.chw:
+                # LEGACY: append the column-footer status word(s)
+                hdr_cols = np.concatenate(
+                    [hdr_cols, cols[:, :, plan.cw - (plan.schw - plan.chw):
+                                    plan.cw]], axis=2)
+            hdrs = np.transpose(hdr_cols, (0, 2, 1))
             yield (fids, np.ascontiguousarray(planes),
                    np.ascontiguousarray(hdrs), tss)
 
@@ -859,13 +863,11 @@ class PlanarStreamAssembler:
         self.info = info
         self.pf = PacketFormat.from_info(info)
         self.plan = make_decode_plan(info)
-        if self.plan.status_word >= self.plan.chw:
-            raise RuntimeError("planar staging supports eUDP profiles only")
         if native.get_lib() is None:
             raise RuntimeError("planar staging needs the native library")
         p = self.plan
         self._pools = [(np.zeros((1, p.pw, p.h, p.w), np.uint32),
-                        np.zeros((1, p.chw, p.w), np.uint32))
+                        np.zeros((1, p.schw, p.w), np.uint32))
                        for _ in range(2)]
         self._flip = 0
         self._cur_fid: Optional[int] = None
@@ -888,7 +890,8 @@ class PlanarStreamAssembler:
             fid_shift, (1 << g.frame_id.bit_size) - 1,
             self.pf.packet_header_size, self.pf.col_size,
             self.pf.col_header_size, p.mid_word * 4, p.cpp, p.h, p.pw,
-            p.w, planes, hdrs, fid_out, ts_out)
+            p.w, planes, hdrs, fid_out, ts_out,
+            ftr_words=p.schw - p.chw)
         out = (int(fid_out[0]), planes[0], hdrs[0], self._ts)
         self._bufs = []
         return out

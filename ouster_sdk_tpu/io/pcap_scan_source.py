@@ -64,44 +64,125 @@ class PcapScanSource(ScanSource):
 
     def _device_iter(self) -> Optional[Iterator[Tuple[int, LidarScan]]]:
         """The device-decode route (ref: VERDICT r2 — the hot path must be
-        the user path): engaged for single-sensor eligible captures when
-        a device policy allows. Returns None to use the numpy batcher."""
+        the user path): engaged for eligible captures when a device
+        policy allows. Returns None to use the numpy batcher.
+
+        Multi-sensor captures run one per-sensor device iterator each and
+        merge by release position (the datagram index the numpy batcher
+        would have yielded each scan at), so the interleaved yield order
+        is identical to the packet-order batcher route; EOF partials
+        flush in sensor order (same sentinel ordering)."""
         from . import device_engine as de
 
-        if len(self.sensor_info) != 1:
-            return None  # multi-sensor interleaving stays on the batcher
-        info = self.sensor_info[0]
-        if not de.device_decode_enabled() or not de.supports_device_decode(
-                info, self._field_names, self._raw_headers,
-                self._raw_fields):
+        if not de.device_decode_enabled():
             return None
-        if self._lazy_index is not None:
-            it = self._lazy._it  # share the index's staged capture
+        if any(not de.supports_device_decode(
+                info, self._field_names, self._raw_headers,
+                self._raw_fields) for info in self.sensor_info):
+            return None
+        if self._device_ambiguous():
+            return None
+        if len(self.sensor_info) == 1 and self._lazy_index is not None:
+            its = [self._lazy._it]  # share the index's staged capture
         else:
             try:
-                it = de.DeviceScanIterator(
+                its = [de.DeviceScanIterator(
                     self._path, info,
                     field_names=self._field_names,
                     soft_id_check=self._packets._soft_id_check,
                     field_types=self._field_types(info))
+                    for info in self.sensor_info]
             except Exception:
                 return None
 
         def run():
-            for scan in it:
-                yield 0, scan
-            if it.id_error_count:
+            streams = [it.iter_released() for it in its]
+            heads = []
+            for si, st in enumerate(streams):
+                nxt = next(st, None)
+                if nxt is not None:
+                    heads.append((nxt[0], si, nxt[1]))
+            import heapq
+
+            heapq.heapify(heads)
+            while heads:
+                _, si, scan = heapq.heappop(heads)
+                yield si, scan
+                nxt = next(streams[si], None)
+                if nxt is not None:
+                    heapq.heappush(heads, (nxt[0], si, nxt[1]))
+            errs = sum(it.id_error_count for it in its)
+            if errs:
                 from ..core.error_handler import Severity
 
-                self._packets.id_error_count = it.id_error_count
+                self._packets.id_error_count = errs
                 self._packets._error_handler(
                     Severity.WARNING,
-                    f"{self._path}: {it.id_error_count} lidar packets "
+                    f"{self._path}: {errs} lidar packets "
                     f"with mismatched init_id/serial"
                     + (" (passed through: soft_id_check)"
                        if self._packets._soft_id_check else " (dropped)"))
 
         return run()
+
+    def _device_ambiguous(self) -> bool:
+        """Whether any two sensors' streams collide on (packet size,
+        effective port): the numpy route disambiguates such datagrams
+        per-packet by init_id/serial (pcap_source.py _classify), which
+        the independent per-sensor device readers cannot replicate —
+        those captures stay on the batcher. Port 0 is a wildcard."""
+        from ..ops.packet_format import PacketFormat
+
+        from ..core.types import UDPProfileIMU
+
+        def collide(pa, pb):
+            return pa == 0 or pb == 0 or pa == pb
+
+        infos = self.sensor_info
+        pfs = [PacketFormat.from_info(i) for i in infos]
+
+        def scan_affecting_imu(k):
+            # an imu packet misrouted between sensors only changes scans
+            # when a sensor's profile batches imu into its scans
+            return (infos[k].format.udp_profile_imu
+                    == UDPProfileIMU.ACCEL32_GYRO32_NMEA)
+
+        def scan_affecting_zone(k):
+            return bool(getattr(infos[k].format,
+                                "zone_monitoring_enabled", False))
+
+        for i in range(len(infos)):
+            for j in range(i + 1, len(infos)):
+                ci, cj = infos[i].config, infos[j].config
+                if pfs[i].lidar_packet_size == pfs[j].lidar_packet_size \
+                        and collide(ci.udp_port_lidar or 0,
+                                    cj.udp_port_lidar or 0):
+                    return True
+                for sz_i, sz_j, pi, pj, affects in (
+                        (pfs[i].imu_packet_size, pfs[j].imu_packet_size,
+                         ci.udp_port_imu or 0, cj.udp_port_imu or 0,
+                         scan_affecting_imu(i) or scan_affecting_imu(j)),
+                        (pfs[i].zone_packet_size, pfs[j].zone_packet_size,
+                         ci.udp_port_zm or 0, cj.udp_port_zm or 0,
+                         scan_affecting_zone(i) or scan_affecting_zone(j))):
+                    if affects and sz_i and sz_i == sz_j \
+                            and collide(pi, pj):
+                        return True
+        # cross-type: a datagram matching sensor i's lidar stream AND any
+        # sensor's aux stream is resolved by _classify's candidate order
+        # in the numpy route; the device readers' independent masks would
+        # double-assign it
+        for i in range(len(infos)):
+            for j in range(len(infos)):
+                ci, cj = infos[i].config, infos[j].config
+                ls, lp = pfs[i].lidar_packet_size, ci.udp_port_lidar or 0
+                if pfs[j].imu_packet_size == ls and \
+                        collide(lp, cj.udp_port_imu or 0):
+                    return True
+                if pfs[j].zone_packet_size == ls and \
+                        collide(lp, cj.udp_port_zm or 0):
+                    return True
+        return False
 
     def _iter_scans(self) -> Iterator[Tuple[int, LidarScan]]:
         dev = self._device_iter()

@@ -389,7 +389,7 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
 
     # validity row: status plane is a contiguous slice of the planar
     # col headers (no lane-strided gather)
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    status = col_hdrs[:, plan.staged_status_word, :] >> np.uint32(plan.status_bit)
     if plan.status_size < 32:
         status = status & np.uint32((1 << plan.status_size) - 1)
     valid = (status & np.uint32(1)).astype(jnp.uint32)
@@ -494,7 +494,7 @@ def status_valid_mask_batched(col_hdrs: jnp.ndarray, plan: DecodePlan
     """(B, 1, w) u32 mask from the per-column status valid bit — the
     zero-fill semantics every staging variant (planar/packed/BP64)
     must apply identically (ref: lidar_scan.cpp:1194 zero_fields)."""
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    status = col_hdrs[:, plan.staged_status_word, :] >> np.uint32(plan.status_bit)
     if plan.status_size < 32:
         status = status & np.uint32((1 << plan.status_size) - 1)
     return jnp.where((status & np.uint32(1)) != 0, np.uint32(0xFFFFFFFF),

@@ -452,7 +452,7 @@ def unpack_project_lutfree_planar(planes: jnp.ndarray,
         col_hdrs = col_hdrs[None]
     B = planes.shape[0]
 
-    status = col_hdrs[:, plan.status_word, :] >> np.uint32(plan.status_bit)
+    status = col_hdrs[:, plan.staged_status_word, :] >> np.uint32(plan.status_bit)
     if plan.status_size < 32:
         status = status & np.uint32((1 << plan.status_size) - 1)
     valid = (status & np.uint32(1)).astype(jnp.uint32).reshape(1, -1)

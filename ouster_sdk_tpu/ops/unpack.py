@@ -59,11 +59,16 @@ class DecodePlan:
     pw: int                  # pixel block words
     legacy: bool
     fields: Tuple[FieldPlan, ...]
-    status_word: int
+    status_word: int         # within the full column block (packet layout)
     status_bit: int
     status_size: int
     mid_word: int
     mid_bit: int
+    # planar staging layout: LEGACY keeps status in the column FOOTER, so
+    # the native grouper stages it as extra col-header row(s) after the
+    # chw real header words (schw = chw + footer words staged)
+    schw: int = 0
+    staged_status_word: int = 0
 
 
 def make_decode_plan(info_or_format, field_names: Optional[Tuple[str, ...]]
@@ -101,11 +106,17 @@ def make_decode_plan(info_or_format, field_names: Optional[Tuple[str, ...]]
         ))
 
     if geom.legacy:
-        # status is the last word of the column block
+        # status is the last word of the column block (the col footer,
+        # ref: parsing.cpp:516-530); planar staging ships it as one
+        # extra col-header row after the 4 real header words
         status_word = geom.col_size // 4 - 1
         status_bit, status_size = 0, 32
+        schw = geom.col_header_size // 4 + 1
+        staged_status_word = geom.col_header_size // 4
     else:
         status_word, status_bit, status_size = 2, 16, 16
+        schw = geom.col_header_size // 4
+        staged_status_word = status_word
 
     return DecodePlan(
         profile=fmt.udp_profile_lidar.value
@@ -126,6 +137,8 @@ def make_decode_plan(info_or_format, field_names: Optional[Tuple[str, ...]]
         status_bit=status_bit,
         status_size=status_size,
         mid_word=2, mid_bit=0,
+        schw=schw,
+        staged_status_word=staged_status_word,
     )
 
 
@@ -239,8 +252,10 @@ def decode_frame_planar(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     contiguous plane index + shift/mask — XLA fuses the whole decode with
     no strided selects or transposes, unlike the packet-layout
     decode_frame. Output dict matches decode_frame's dense path.
+    col_hdrs has plan.schw rows: the chw real header words plus, for
+    LEGACY, the staged column-footer status word.
     """
-    status = _extract(col_hdrs.T, plan.status_word, plan.status_bit,
+    status = _extract(col_hdrs.T, plan.staged_status_word, plan.status_bit,
                       plan.status_size)
     m_id = _extract(col_hdrs.T, plan.mid_word, plan.mid_bit, 16)
     ts_lo = col_hdrs[0]

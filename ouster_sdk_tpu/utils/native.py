@@ -123,7 +123,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             c.c_int64, c.c_int64, c.c_int64, c.c_int64, c.c_int64,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,
             c.c_int64, c.c_void_p, c.c_void_p, c.c_int64,
-            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p]
+            c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64]
         lib.onat_group_frames_packed.restype = c.c_int64
         lib.onat_group_frames_packed.argtypes = [
             c.c_void_p, c.c_void_p, c.c_void_p, c.c_int64, c.c_int64,
@@ -275,12 +275,15 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
                         out_pkt_ts: Optional[np.ndarray] = None,
                         out_pkt_hdrs: Optional[np.ndarray] = None,
                         out_first_hdr: Optional[np.ndarray] = None,
-                        io_released: Optional[np.ndarray] = None
+                        io_released: Optional[np.ndarray] = None,
+                        ftr_words: int = 0
                         ) -> Optional[Tuple[int, int]]:
     """Word-planar grouping: out_planes (max_frames, pw, h, w) u32 and
-    out_colhdr (max_frames, chw, w) u32, both reused across calls.
-    `word_sel` (i64 array of packet-word indices) stages only those
-    planes, compacted — out_planes then has len(word_sel) planes.
+    out_colhdr (max_frames, chw + ftr_words, w) u32, both reused across
+    calls. `word_sel` (i64 array of packet-word indices) stages only
+    those planes, compacted — out_planes then has len(word_sel) planes.
+    `ftr_words` also stages the last N u32 of each column block (the
+    LEGACY status footer) into colhdr rows [chw, chw+N).
     Optional scan-header outputs (see native docs): out_pkt_ts
     (max_frames, n_pkts) u64, out_pkt_hdrs (max_frames, n_pkts, hw) u32,
     out_first_hdr (max_frames, hw) u32, io_released (1,) i64 carrying the
@@ -306,7 +309,8 @@ def group_frames_planar(payloads: np.ndarray, offsets: np.ndarray,
         _ptr(out_pkt_ts) if out_pkt_ts is not None else None,
         _ptr(out_pkt_hdrs) if out_pkt_hdrs is not None else None,
         _ptr(out_first_hdr) if out_first_hdr is not None else None,
-        _ptr(io_released) if io_released is not None else None)
+        _ptr(io_released) if io_released is not None else None,
+        ftr_words)
     return int(consumed), int(nframes[0])
 
 

@@ -928,3 +928,167 @@ def test_lazy_index_concurrent_iteration(monkeypatch):
     for k, r in enumerate(ref):
         _assert_scan_equal(out_a[k], r, f"concurrent-a[{k}]")
         _assert_scan_equal(out_b[k], r, f"concurrent-b[{k}]")
+
+
+@pytest.mark.conformance
+def test_legacy_profile_device_eligible(monkeypatch):
+    """LEGACY captures must run the device route (the column-FOOTER
+    status ships as an extra staged col-header row, plan.schw), not
+    fall back — and stay bit-equal to the numpy batcher. Guards the
+    eligibility gate: test_device_route_matches_batcher would still
+    pass on a silent fallback."""
+    legacy = [p for p in FIXTURES
+              if PcapScanSource(p).sensor_info[0].format.udp_profile_lidar
+              .name == "LEGACY"]
+    if not legacy:
+        pytest.skip("no single-sensor LEGACY fixtures")
+    for pcap in legacy:
+        info = PcapScanSource(pcap).sensor_info[0]
+        assert device_engine.supports_device_decode(info), pcap
+        device_engine.stats["batches"] = 0
+        dev = _iter_scans(pcap, "1")
+        assert device_engine.stats["batches"] > 0, \
+            f"{pcap}: device decode did not execute"
+        ref = _iter_scans(pcap, "0")
+        assert len(dev) == len(ref)
+        for k, (a, b) in enumerate(zip(dev, ref)):
+            _assert_scan_equal(a, b, f"legacy:{os.path.basename(pcap)}[{k}]")
+
+
+def _open_same_ports_pair():
+    """The reference same_ports fixture pair, imu-deconflicted the same
+    way the reference's own multi-sensor tests do."""
+    import json
+
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+
+    path = os.path.join(PCAP_DIR, "same_ports.pcap")
+    metas = [os.path.join(PCAP_DIR, "same_ports.1.json"),
+             os.path.join(PCAP_DIR, "same_ports.2.json")]
+    if not all(map(os.path.exists, [path] + metas)):
+        return None, None
+    infos = []
+    for m, port in zip(metas, [7503, None]):
+        d = json.load(open(m))
+        if port is not None:
+            d["config_params"]["udp_port_imu"] = port
+        infos.append(sensor_info_from_metadata(d))
+    return path, infos
+
+
+def _assert_streams_equal(dev, ref, tag):
+    assert len(dev) == len(ref), tag
+    for k, ((ia, a), (ib, b)) in enumerate(zip(dev, ref)):
+        assert ia == ib, f"{tag}: yield order diverges at {k} ({ia}!={ib})"
+        _assert_scan_equal(a, b, f"{tag}[{k}]")
+
+
+def _iter_idx_scans(path, force, **kw):
+    old = os.environ.get("OUSTER_SDK_TPU_DEVICE_DECODE")
+    os.environ["OUSTER_SDK_TPU_DEVICE_DECODE"] = force
+    try:
+        return [(i, s) for i, s in PcapScanSource(path, **kw)._iter_scans()]
+    finally:
+        if old is None:
+            os.environ.pop("OUSTER_SDK_TPU_DEVICE_DECODE", None)
+        else:
+            os.environ["OUSTER_SDK_TPU_DEVICE_DECODE"] = old
+
+
+@pytest.mark.conformance
+def test_multi_sensor_device_route_same_ports():
+    """Two sensors sharing a lidar port (disambiguated by packet size):
+    the device route must engage (one device iterator per sensor, merged
+    by release position) and be bit-equal to the numpy route including
+    the interleaved (sensor_idx, scan) yield order."""
+    path, infos = _open_same_ports_pair()
+    if path is None:
+        pytest.skip("same_ports fixtures missing")
+    src = PcapScanSource(path, sensor_infos=infos)
+    assert not src._device_ambiguous()
+    device_engine.stats["batches"] = 0
+    dev = _iter_idx_scans(path, "1", sensor_infos=infos)
+    assert device_engine.stats["batches"] > 0, "device route did not engage"
+    ref = _iter_idx_scans(path, "0", sensor_infos=infos)
+    _assert_streams_equal(dev, ref, "same_ports")
+
+
+@pytest.mark.conformance
+def test_multi_sensor_device_route_synthesized(tmp_path):
+    """Interleaved two-sensor capture with staggered frame boundaries:
+    the release-position merge must reproduce the numpy route's exact
+    yield order across several frames per sensor."""
+    from test_batcher_semantics import _info, _packets
+
+    from ouster_sdk_tpu.core.types import LidarMode, UDPProfileLidar
+    from ouster_sdk_tpu.core.types import SensorInfo
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    a = _info()
+    a.config.udp_port_lidar = 7502
+    b = SensorInfo.from_default(LidarMode.from_string("1024x10"))
+    b.format.udp_profile_lidar = UDPProfileLidar.RNG15_RFL8_NIR8
+    b.config.udp_port_lidar = 7512
+    b.init_id = a.init_id + 1
+    b.sn = a.sn + 1
+
+    pkts = []   # (port, LidarPacket), staggered interleave
+    sa = [_packets(a, fid, base_ts=1000 * fid) for fid in (5, 6, 7)]
+    sb = [_packets(b, fid, base_ts=1000 * fid) for fid in (20, 21)]
+    fa = [p for f in sa for p in f]
+    fb = [p for f in sb for p in f]
+    ia = ib = 0
+    rr = 0
+    while ia < len(fa) or ib < len(fb):
+        # 2:3 interleave so frame boundaries land at different offsets
+        take_a = rr % 5 < 2
+        rr += 1
+        if take_a and ia < len(fa) or ib >= len(fb):
+            if ia < len(fa):
+                pkts.append((7502, fa[ia])); ia += 1
+        elif ib < len(fb):
+            pkts.append((7512, fb[ib])); ib += 1
+    path = str(tmp_path / "two.pcap")
+    with PcapWriter(path) as w:
+        ts = 10 ** 9
+        for port, p in pkts:
+            w.write(p.buf.tobytes(), "10.0.0.1", "10.0.0.2", port, port, ts)
+            ts += 10 ** 5
+    infos = [a, b]
+
+    src = PcapScanSource(path, sensor_infos=infos)
+    assert not src._device_ambiguous()
+    device_engine.stats["batches"] = 0
+    dev = _iter_idx_scans(path, "1", sensor_infos=infos)
+    assert device_engine.stats["batches"] > 0
+    ref = _iter_idx_scans(path, "0", sensor_infos=infos)
+    assert len(ref) == 5  # 3 + 2 (trailing partials flush)
+    _assert_streams_equal(dev, ref, "synth-two-sensor")
+
+
+def test_multi_sensor_device_gate_ambiguous():
+    """Same lidar size AND port (serial-disambiguated in the numpy
+    route): the device route must decline — per-sensor readers cannot
+    replicate _classify's per-packet serial assignment."""
+    import json
+
+    from ouster_sdk_tpu.core.metadata import sensor_info_from_metadata
+
+    path = os.path.join(PCAP_DIR, "same_ports_nonlegacy.pcap")
+    metas = [os.path.join(PCAP_DIR, "same_ports_nonlegacy.1.json"),
+             os.path.join(PCAP_DIR, "same_ports_nonlegacy.2.json")]
+    if not all(map(os.path.exists, [path] + metas)):
+        pytest.skip("fixture missing")
+    infos = []
+    for m, port in zip(metas, [7503, None]):
+        d = json.load(open(m))
+        if port is not None:
+            d["config_params"]["udp_port_imu"] = port
+        infos.append(sensor_info_from_metadata(d))
+    src = PcapScanSource(path, sensor_infos=infos)
+    assert src._device_ambiguous()
+    device_engine.stats["batches"] = 0
+    dev = _iter_idx_scans(path, "1", sensor_infos=infos)
+    assert device_engine.stats["batches"] == 0, "must fall back"
+    ref = _iter_idx_scans(path, "0", sensor_infos=infos)
+    _assert_streams_equal(dev, ref, "ambiguous-fallback")
