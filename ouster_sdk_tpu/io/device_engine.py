@@ -65,14 +65,15 @@ def supports_device_decode(info: SensorInfo,
     extra staged col-header row (plan.schw), and NMEA-IMU /
     zone-monitoring scans run HYBRID (lidar fields decode on device, aux
     packets batch host-side into the matching scan by frame id — see
-    _AuxApplier). Only RAW_HEADERS/RAW32 side-channels stay on the
-    numpy batcher."""
+    _AuxApplier). RAW32 side-channels decode on device too (each is one
+    staged plane); only RAW_HEADERS — which needs the unstaged packet
+    FOOTER bytes — stays on the numpy batcher."""
     if native.get_lib() is None:
         return False
     fmt = info.format
     if fmt.udp_profile_lidar == UDPProfileLidar.OFF:
         return False
-    if raw_headers or raw_fields:
+    if raw_headers:
         return False
     plan = make_decode_plan(info)
     if field_names is not None:
@@ -370,7 +371,8 @@ class DeviceScanIterator:
                  soft_id_check: bool = False,
                  batch: int = 4,
                  field_types=None,
-                 pipelined: bool = True):
+                 pipelined: bool = True,
+                 raw_fields: bool = False):
         from .frames import FrameReader
 
         if native.get_lib() is None:
@@ -386,7 +388,8 @@ class DeviceScanIterator:
         self._batch = batch
         self._pipelined = pipelined
         names = tuple(field_names) if field_names is not None else None
-        self.plan = make_decode_plan(info, field_names=names)
+        self.plan = make_decode_plan(info, field_names=names,
+                                     raw_fields=raw_fields)
         self._field_types = field_types
         self._decode = None  # jit, built lazily on first batch
         # Replay the batcher's admission over the interleaved lidar/aux

@@ -90,7 +90,8 @@ class PcapScanSource(ScanSource):
                     self._path, info,
                     field_names=self._field_names,
                     soft_id_check=self._packets._soft_id_check,
-                    field_types=self._field_types(info))
+                    field_types=self._field_types(info),
+                    raw_fields=self._raw_fields)
                     for info in self.sensor_info]
             except Exception:
                 return None
@@ -265,7 +266,8 @@ class PcapScanSource(ScanSource):
                         self._path, info,
                         field_names=self._field_names,
                         soft_id_check=self._packets._soft_id_check,
-                        field_types=self._field_types(info))
+                        field_types=self._field_types(info),
+                        raw_fields=self._raw_fields)
                     self._lazy = de.DeviceScanIndex(it)
                     self._index = [self._lazy.frame_ids]
                     return

@@ -72,19 +72,29 @@ class DecodePlan:
 
 
 def make_decode_plan(info_or_format, field_names: Optional[Tuple[str, ...]]
-                     = None) -> DecodePlan:
+                     = None, raw_fields: bool = False) -> DecodePlan:
     fmt: DataFormat = (info_or_format.format
                        if isinstance(info_or_format, SensorInfo)
                        else info_or_format)
     geom = make_packet_geometry(fmt)
     entry = lookup_profile_entry(fmt.udp_profile_lidar)
     scan_fields = dict(lookup_scan_fields(fmt.udp_profile_lidar))
+    if raw_fields:
+        # RAW32_WORDk side-channels: the raw u32 words of each pixel
+        # block (ref: open_source.h raw_fields); they ride the planar
+        # staging for free — each is exactly one staged plane
+        for name, finfo in entry.fields.items():
+            if name.startswith("RAW32_WORD") and name not in scan_fields:
+                scan_fields[name] = np.dtype(np.uint32)
 
     plans = []
     for name, finfo in sorted(entry.fields.items()):
         if name not in scan_fields:
             continue
-        if field_names is not None and name not in field_names:
+        if field_names is not None and name not in field_names \
+                and not (raw_fields and name.startswith("RAW32_WORD")):
+            # raw_fields adds RAW32 side-channels ON TOP of a field_names
+            # subset (matching PcapScanSource._field_types)
             continue
         if finfo.num_elements > 1:
             # RGB-style multi-element: emit one plan per element

@@ -1092,3 +1092,26 @@ def test_multi_sensor_device_gate_ambiguous():
     assert device_engine.stats["batches"] == 0, "must fall back"
     ref = _iter_idx_scans(path, "0", sensor_infos=infos)
     _assert_streams_equal(dev, ref, "ambiguous-fallback")
+
+
+@pytest.mark.conformance
+def test_raw_fields_device_route():
+    """raw_fields (RAW32_WORDk side-channels) must ride the device route
+    — each raw word is exactly one staged plane — and stay bit-equal to
+    the batcher, on eUDP and LEGACY profiles alike."""
+    ran = 0
+    for pcap in FIXTURES[:4]:
+        info = PcapScanSource(pcap).sensor_info[0]
+        if not device_engine.supports_device_decode(info, raw_fields=True):
+            continue
+        device_engine.stats["batches"] = 0
+        dev = _iter_scans(pcap, "1", raw_fields=True)
+        assert device_engine.stats["batches"] > 0, pcap
+        ref = _iter_scans(pcap, "0", raw_fields=True)
+        assert len(dev) == len(ref)
+        for k, (a, b) in enumerate(zip(dev, ref)):
+            assert any(f.startswith("RAW32") for f in b.fields), pcap
+            _assert_scan_equal(a, b, f"raw:{os.path.basename(pcap)}[{k}]")
+        ran += 1
+    if ran == 0:
+        pytest.skip("no eligible fixtures")
