@@ -579,10 +579,18 @@ class DeviceScanIndex:
         else:
             if it._decode is None:
                 it._decode = it._make_decode()
-            batch = next(it._reader.iter_instance_batches(
-                [inst.pkt_idx], chunk=1))
-            ls = it._finish_scan(
-                next(it._decoded_scans(iter([batch]), pad_to=1)), inst)
+            # hold the staging generator open until the decode has read
+            # the pooled buffers — closing it returns the pool, and a
+            # concurrent lookup could otherwise overwrite the views
+            gen = it._reader.iter_instance_batches([inst.pkt_idx],
+                                                   chunk=1)
+            try:
+                batch = next(gen)
+                ls = it._finish_scan(
+                    next(it._decoded_scans(iter([batch]), pad_to=1)),
+                    inst)
+            finally:
+                gen.close()
         self._cache[j] = ls
         self._order.append(j)
         if len(self._order) > self._cache_cap:

@@ -1115,3 +1115,43 @@ def test_raw_fields_device_route():
         ran += 1
     if ran == 0:
         pytest.skip("no eligible fixtures")
+
+
+@pytest.mark.conformance
+def test_legacy_live_stager_bit_equal():
+    """LEGACY packets through the live frame-batch stager
+    (LiveDeviceBatcher) must equal the numpy ScanBatcher — the footer
+    status row and header-less packet geometry ride the same staging as
+    the pcap route."""
+    from ouster_sdk_tpu.core.batcher import ScanBatcher
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+    from ouster_sdk_tpu.io.pcap_source import PcapPacketSource
+
+    legacy = [p for p in FIXTURES
+              if PcapScanSource(p).sensor_info[0].format.udp_profile_lidar
+              .name == "LEGACY"]
+    if not legacy:
+        pytest.skip("no LEGACY fixtures")
+    for pcap in legacy[:1]:
+        src = PcapPacketSource(pcap)
+        info = src.sensor_info[0]
+        pkts = [(p.buf, p.host_timestamp) for _, p in src
+                if p.type().value == "Lidar"]
+        # close the stream with a fabricated next-frame packet so both
+        # paths release the final frame the same way
+        b, cur = ScanBatcher(info), LidarScan(info)
+        ref = []
+        for buf, ts in pkts:
+            from ouster_sdk_tpu.core.packets import LidarPacket
+
+            if b(LidarPacket(buf, host_timestamp=ts), cur):
+                ref.append(cur)
+                cur = LidarScan(info)
+        stager = LiveDeviceBatcher(info)
+        dev = []
+        for buf, ts in pkts:
+            dev.extend(stager.push(buf, ts))
+        assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
+        for k, (a, b2) in enumerate(zip(dev, ref)):
+            _assert_scan_equal(a, b2, f"legacy-live[{k}]")
