@@ -311,12 +311,35 @@ class _AuxRouter:
             return
         cur, n_pkts = self._cur, self._n_pkts
         take = idxs.size
+        valid = (slots >= 0) & (slots < n_pkts)
+        if bool((tss[valid] == 0).any()):
+            # a zero-host-ts write UN-stamps a slot: the oracle writes
+            # packet_timestamp unconditionally and completion counts the
+            # NONZERO entries (batcher.py:177,:386-392), so a zero-ts
+            # duplicate of an already-stamped slot reopens the count.
+            # Set-based tracking can't express that vectorized — replay
+            # this (rare: synthetic/zero-ts captures only) run per packet.
+            for t in range(take):
+                if valid[t]:
+                    s = int(slots[t])
+                    if tss[t]:
+                        cur.slots.add(s)
+                    else:
+                        cur.slots.discard(s)
+                if (self._aux_ok() and cur.lidar_n + t + 1 >= n_pkts
+                        and len(cur.slots) >= n_pkts):
+                    cur.lidar_n += t + 1
+                    cur.pkt_idx_parts.append(idxs[:t + 1])
+                    self._release(True, int(idxs[t]))
+                    return
+            cur.lidar_n += take
+            cur.pkt_idx_parts.append(idxs)
+            return
         # distinct NEW slots per position (oracle counts nonzero
         # packet_timestamp stamps, batcher.py:386-392): sentinel out
         # invalid/zero-ts slots, first-occurrence-in-run minus already-
         # stamped slots
-        sl = np.where((slots >= 0) & (slots < n_pkts) & (tss != 0),
-                      slots, n_pkts)
+        sl = np.where(valid & (tss != 0), slots, n_pkts)
         if self._aux_ok() and cur.lidar_n + take >= n_pkts:
             seen = np.zeros(n_pkts + 1, bool)
             if cur.slots:
@@ -383,7 +406,11 @@ class DeviceScanIterator:
             raise RuntimeError("device decode needs the native library")
         self.info = info
         self.pf = PacketFormat.from_info(info)
-        self._reader = FrameReader(path, info=info)
+        # strict ports: the numpy oracle classifies by the CONFIGURED
+        # port unconditionally (pcap_source._classify) — the lenient
+        # fallback could claim another sensor's size-matching stream
+        # when this sensor's packets are absent from the capture
+        self._reader = FrameReader(path, info=info, strict_ports=True)
         self._soft = soft_id_check
         self._batch = batch
         self._pipelined = pipelined
@@ -607,12 +634,14 @@ class DeviceScanIndex:
         first call, memoized after (scans themselves are not retained
         beyond the LRU)."""
         if self._timestamps is None:
-            out: List[int] = []
-            for i in range(len(self._emitted)):
-                s = self.scan_at(i)
-                out.append(int(s.first_valid_packet_timestamp()
-                               or s.first_valid_column_timestamp()))
-            self._timestamps = out
+            # one batched, pipelined decode pass — iter_released emits
+            # exactly the _emitted instances in order; per-frame scan_at
+            # would pay a single-frame stage + dispatch + d2h round-trip
+            # per scan with nothing retained past the LRU
+            self._timestamps = [
+                int(s.first_valid_packet_timestamp()
+                    or s.first_valid_column_timestamp())
+                for _, s in self._it.iter_released()]
         return self._timestamps
 
 
@@ -778,15 +807,19 @@ class LiveDeviceBatcher:
         self._slab[self._n, :len(buf)] = buf
         self._ts[self._n] = host_ts
         self._n += 1
-        if host_ts:
-            mid0 = int.from_bytes(
-                buf[self._mid_byte:self._mid_byte + 2].tobytes(),
-                "little")
-            slot = mid0 // self.plan.cpp
-            if 0 <= slot < self.plan.n_pkts:
-                # out-of-range slots never stamp packet_timestamp in the
-                # oracle (batcher.py:177) so they must not complete here
+        mid0 = int.from_bytes(
+            buf[self._mid_byte:self._mid_byte + 2].tobytes(), "little")
+        slot = mid0 // self.plan.cpp
+        if 0 <= slot < self.plan.n_pkts:
+            # out-of-range slots never stamp packet_timestamp in the
+            # oracle (batcher.py:177) so they must not complete here;
+            # and the oracle's write is UNCONDITIONAL, so a zero-ts
+            # duplicate un-stamps a previously stamped slot
+            # (completion counts nonzero entries, batcher.py:386-392)
+            if host_ts:
                 self._slots.add(slot)
+            else:
+                self._slots.discard(slot)
         # completion mirrors the numpy batcher (lidar_scan.cpp:1605-1617
         # + _check_scan_complete): enough packets batched AND every
         # packet slot stamped (duplicates do not complete a frame early)

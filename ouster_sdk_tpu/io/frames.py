@@ -41,7 +41,7 @@ class PlanarBatch:
     first_hdr: np.ndarray   # (m, hw) u32 — opening packet's header
 
 
-def _pipelined(make_iter, depth: int) -> Iterator:
+def _pipelined(make_iter, depth: int, on_close=None) -> Iterator:
     """Run `make_iter()` on a background staging thread, queueing up to
     `depth` items ahead of the consumer. The producer's native pack is a
     ctypes call that drops the GIL, so staging genuinely overlaps the
@@ -49,7 +49,10 @@ def _pipelined(make_iter, depth: int) -> Iterator:
     of the reference's thread-per-role design
     (ref: sensor_packet_source.cpp:550, async_writer.cpp). Exceptions
     surface on the consumer side; closing the generator joins the
-    producer."""
+    producer. `on_close` runs in the CONSUMER's finally, after the join —
+    resource check-in (pool freelists) must happen there, not in the
+    producer's finally: when the producer exhausts, up to `depth` yielded
+    items whose arrays view those pools are still queued unread."""
     import queue
     import threading
 
@@ -98,6 +101,8 @@ def _pipelined(make_iter, depth: int) -> Iterator:
         finally:
             stop.set()
             t.join()
+            if on_close is not None:
+                on_close()
         if err:
             raise err[0]
 
@@ -110,7 +115,8 @@ class FrameReader:
 
     def __init__(self, pcap_path: str,
                  info: Optional[SensorInfo] = None,
-                 metadata_path: Optional[str] = None):
+                 metadata_path: Optional[str] = None,
+                 strict_ports: bool = False):
         if info is None:
             from ..core.metadata import sensor_info_from_metadata
 
@@ -125,6 +131,13 @@ class FrameReader:
         self.pf = PacketFormat.from_info(info)
         self.plan: DecodePlan = make_decode_plan(info)
         self._path = pcap_path
+        # strict: a configured udp_port_lidar filters unconditionally —
+        # the numpy route's classification rule (pcap_source._classify),
+        # required when staging must match that oracle (device ScanSource
+        # route). Non-strict (default, direct FrameReader/bench use)
+        # keeps the relocated-capture leniency: the port filter only
+        # applies when the capture actually carries that dst port.
+        self._strict_ports = strict_ports
         self.id_error_count = 0
         # staging pools reused across iter_chunks calls (first-touch page
         # faults are expensive on virtualized hosts; reuse keeps the steady
@@ -188,11 +201,11 @@ class FrameReader:
 
     def _lidar_mask(self, sizes: np.ndarray, ports: np.ndarray) -> np.ndarray:
         """Datagrams belonging to THIS sensor's lidar stream: packet size
-        plus, when the capture actually carries it, the metadata's
-        udp_port_lidar (multi-sensor captures share packet sizes)."""
+        plus the metadata's udp_port_lidar (multi-sensor captures share
+        packet sizes). Strictness per the ctor's `strict_ports`."""
         return self._stream_mask(sizes, ports, self.pf.lidar_packet_size,
                                  self.info.config.udp_port_lidar or 0,
-                                 strict=False)
+                                 strict=self._strict_ports)
 
     def _aux_streams(self) -> List[Tuple[str, int, int]]:
         """(kind, packet_size, port) for the aux streams this sensor's
@@ -263,9 +276,27 @@ class FrameReader:
         aux_ev.sort(key=lambda t: t[0])
         return lidar_ev, aux_ev
 
+    def _checkout_inst_pools(self, chunk: int, pool_depth: int):
+        """Check out (key, pools) for an instance-batch iteration; check
+        back in with `self._pools[key].append(pools)` once no yielded
+        view can be read anymore."""
+        hw = self.pf.packet_header_size // 4
+        plan = self.plan
+        key = ("inst", chunk, pool_depth)
+        free = self._pools.setdefault(key, [])
+        pools = free.pop() if free else [(
+            np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
+            np.zeros((chunk, plan.schw, plan.w), np.uint32),
+            np.zeros((chunk, plan.n_pkts), np.uint64),
+            np.zeros((chunk, plan.n_pkts, hw), np.uint32),
+            np.zeros((chunk, hw), np.uint32),
+        ) for _ in range(pool_depth)]
+        return key, pools
+
     def iter_instance_batches(self, groups: List[np.ndarray],
                               chunk: int = 4,
-                              pool_depth: int = 2
+                              pool_depth: int = 2,
+                              _pools=None
                               ) -> Iterator[PlanarBatch]:
         """Stage explicit per-frame packet groups as planar scan batches:
         slot k of each yielded PlanarBatch is the k-th group (a numpy
@@ -278,7 +309,10 @@ class FrameReader:
         (ref: lidar_scan.cpp:1505-1617). Pool buffers are checked out
         per iterator and returned on close; a yielded batch's arrays
         stay valid for pool_depth-1 further iterations of the SAME
-        iterator."""
+        iterator. When `_pools` is passed, the CALLER owns the pools'
+        lifetime (the pipelined wrapper checks them back in from the
+        consumer side — this generator exhausts while yielded views are
+        still queued)."""
         res = self._native_scan() if native.get_lib() is not None else None
         if res is None:
             raise RuntimeError("scan batches need the native library")
@@ -288,20 +322,15 @@ class FrameReader:
         g = self.pf.geom
         fid_byte, fid_shift = divmod(g.frame_id.bit_start, 8)
         fid_mask = (1 << g.frame_id.bit_size) - 1
-        hw = self.pf.packet_header_size // 4
         # pools are CHECKED OUT per iterator and returned on close, so
         # concurrent iterations of the same reader (an indexed source
         # iterated twice at once) never write into each other's yielded
         # views; a freelist keeps the steady state fault-free
-        key = ("inst", chunk, pool_depth)
-        free = self._pools.setdefault(key, [])
-        pools = free.pop() if free else [(
-            np.zeros((chunk, plan.pw, plan.h, plan.w), np.uint32),
-            np.zeros((chunk, plan.schw, plan.w), np.uint32),
-            np.zeros((chunk, plan.n_pkts), np.uint64),
-            np.zeros((chunk, plan.n_pkts, hw), np.uint32),
-            np.zeros((chunk, hw), np.uint32),
-        ) for _ in range(pool_depth)]
+        owns = _pools is None
+        if owns:
+            key, pools = self._checkout_inst_pools(chunk, pool_depth)
+        else:
+            pools = _pools
         try:
             fid_out = np.zeros(chunk, np.int64)
             ts_out = np.zeros(chunk, np.uint64)
@@ -328,17 +357,23 @@ class FrameReader:
                                   hdrs[:n], ts_out[:n].copy(), pkt_ts[:n],
                                   pkt_hdrs[:n], first_hdr[:n])
         finally:
-            free.append(pools)
+            if owns:
+                self._pools[key].append(pools)
 
     def iter_instance_batches_pipelined(
             self, groups: List[np.ndarray], chunk: int = 4,
             depth: int = 2) -> Iterator[PlanarBatch]:
         """iter_instance_batches staged on a background thread (same
-        overlap contract as iter_planar_chunks_pipelined)."""
+        overlap contract as iter_planar_chunks_pipelined). The pools
+        check back in when the CONSUMER closes — the producer exhausts
+        while up to `depth` yielded batches still view them."""
+        key, pools = self._checkout_inst_pools(chunk, depth + 2)
         return _pipelined(
             lambda: self.iter_instance_batches(groups, chunk,
-                                               pool_depth=depth + 2),
-            depth)
+                                               pool_depth=depth + 2,
+                                               _pools=pools),
+            depth,
+            on_close=lambda: self._pools[key].append(pools))
 
     def __iter__(self) -> Iterator[Tuple[int, np.ndarray, int]]:
         for fids, frames, tss in self.iter_chunks():

@@ -183,6 +183,22 @@ class PcapScanSource(ScanSource):
                 if pfs[j].zone_packet_size == ls and \
                         collide(lp, cj.udp_port_zm or 0):
                     return True
+        # aux-vs-aux cross-kind: a datagram matching sensor i's imu
+        # stream AND sensor j's zone stream (j may be i — _classify's
+        # elif chain classifies it once, as imu) would be double-assigned
+        # by the device route's independent strict per-kind masks. Only
+        # streams the device readers actually route matter: imu when the
+        # profile batches NMEA into scans, zone when monitoring is on.
+        for i in range(len(infos)):
+            if not scan_affecting_imu(i) or not pfs[i].imu_packet_size:
+                continue
+            for j in range(len(infos)):
+                if not scan_affecting_zone(j):
+                    continue
+                if pfs[i].imu_packet_size == pfs[j].zone_packet_size and \
+                        collide(infos[i].config.udp_port_imu or 0,
+                                infos[j].config.udp_port_zm or 0):
+                    return True
         return False
 
     def _iter_scans(self) -> Iterator[Tuple[int, LidarScan]]:
@@ -260,7 +276,7 @@ class PcapScanSource(ScanSource):
             info = self.sensor_info[0]
             if de.device_decode_enabled() and de.supports_device_decode(
                     info, self._field_names, self._raw_headers,
-                    self._raw_fields):
+                    self._raw_fields) and not self._device_ambiguous():
                 try:
                     it = de.DeviceScanIterator(
                         self._path, info,

@@ -1155,3 +1155,227 @@ def test_legacy_live_stager_bit_equal():
         assert [s.frame_id for s in dev] == [s.frame_id for s in ref]
         for k, (a, b2) in enumerate(zip(dev, ref)):
             _assert_scan_equal(a, b2, f"legacy-live[{k}]")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review fixes: zero-ts un-stamp, strict ports, ambiguity gates,
+# pipelined pool lifetime
+# ---------------------------------------------------------------------------
+
+def _write_pcap(path, seq, port):
+    """Write [(LidarPacket-or-buf, host_ts), ...] at the given port."""
+    from ouster_sdk_tpu.io.pcap import PcapWriter
+
+    with PcapWriter(path) as w:
+        for p, ts in seq:
+            buf = p.buf if hasattr(p, "buf") else p
+            w.write(buf.tobytes(), "10.0.0.1", "10.0.0.2", port, port, ts)
+
+
+@pytest.mark.conformance
+def test_zero_ts_duplicate_unstamps_slot(tmp_path):
+    """The oracle writes packet_timestamp unconditionally and counts the
+    NONZERO entries for completion (batcher.py:177,:386-392): a zero-ts
+    duplicate of an already-stamped slot reopens the frame until the slot
+    restamps. Device route and numpy route must agree on the release
+    point and every header array."""
+    from test_batcher_semantics import _info, _packets
+
+    info = _info()
+    info.config.udp_port_lidar = 7502
+    f1 = _packets(info, 10)
+    f2 = _packets(info, 11)
+    T, dt = 10 ** 9, 10 ** 5
+    seq = [(p, T + k * dt) for k, p in enumerate(f1[:-1])]
+    seq.append((f1[0], 0))             # zero-ts duplicate: UN-stamps slot 0
+    seq.append((f1[-1], 2 * T))        # stamps the last slot
+    # broken slot tracking releases at the previous packet and drops this
+    # restamp as a post-release duplicate (packet_timestamp[0] stays 0)
+    seq.append((f1[0], 3 * T))         # restamp slot 0 -> oracle releases
+    seq += [(p, 4 * T + k * dt) for k, p in enumerate(f2)]
+    path = str(tmp_path / "zero_ts.pcap")
+    _write_pcap(path, seq, 7502)
+    meta = str(tmp_path / "zero_ts.json")
+    with open(meta, "w") as f:
+        f.write(info.to_json_string())
+
+    device_engine.stats["batches"] = 0
+    dev = _iter_scans(path, "1", meta=[meta])
+    assert device_engine.stats["batches"] > 0
+    ref = _iter_scans(path, "0", meta=[meta])
+    assert [s.frame_id for s in ref] == [10, 11]
+    assert len(dev) == len(ref)
+    assert int(ref[0].packet_timestamp[0]) == 3 * T
+    for k, (a, b) in enumerate(zip(dev, ref)):
+        _assert_scan_equal(a, b, f"zero-ts[{k}]")
+
+    # live stager: same stream, same oracle equality
+    from ouster_sdk_tpu.core.batcher import ScanBatcher
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+    from ouster_sdk_tpu.core.packets import LidarPacket
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+
+    b, cur, ref_live = ScanBatcher(info), LidarScan(info), []
+    for p, ts in seq:
+        if b(LidarPacket(p.buf.tobytes(), host_timestamp=ts), cur):
+            ref_live.append(cur)
+            cur = LidarScan(info)
+    stager = LiveDeviceBatcher(info)
+    dev_live = []
+    for p, ts in seq:
+        dev_live.extend(stager.push(
+            np.frombuffer(p.buf.tobytes(), np.uint8), ts))
+    assert [s.frame_id for s in dev_live] == \
+        [s.frame_id for s in ref_live] == [10, 11]
+    for k, (a, b2) in enumerate(zip(dev_live, ref_live)):
+        _assert_scan_equal(a, b2, f"zero-ts-live[{k}]")
+
+
+@pytest.mark.conformance
+def test_multi_sensor_absent_stream_strict_ports(tmp_path):
+    """A two-sensor source over a capture carrying only sensor B's
+    stream: sensor A's device reader must NOT claim B's size-matching
+    datagrams via a lenient port fallback — the numpy oracle classifies
+    strictly by the configured port (pcap_source._classify)."""
+    import copy
+
+    from test_batcher_semantics import _info, _packets
+
+    a = _info()
+    a.config.udp_port_lidar = 7502
+    b = copy.deepcopy(a)
+    b.config.udp_port_lidar = 7512
+    b.init_id = a.init_id + 1
+    b.sn = a.sn + 1
+    seq = [(p, 10 ** 9 + k * 10 ** 5) for k, p in enumerate(
+        [p for fid in (20, 21) for p in _packets(b, fid)])]
+    path = str(tmp_path / "absent.pcap")
+    _write_pcap(path, seq, 7512)   # only B's stream is in the capture
+    infos = [a, b]
+
+    src = PcapScanSource(path, sensor_infos=infos)
+    assert not src._device_ambiguous()
+    device_engine.stats["batches"] = 0
+    dev = _iter_idx_scans(path, "1", sensor_infos=infos)
+    assert device_engine.stats["batches"] > 0
+    ref = _iter_idx_scans(path, "0", sensor_infos=infos)
+    assert all(idx == 1 for idx, _ in ref)
+    _assert_streams_equal(dev, ref, "absent-stream")
+
+
+def test_lazy_index_respects_ambiguity_gate(tmp_path, monkeypatch):
+    """_build_index must apply the same _device_ambiguous gate iteration
+    does: an ambiguous capture indexes via the materialized batcher route
+    so source[i] equals iteration (the docstring's invariant)."""
+    from test_batcher_semantics import _info, _packets
+
+    info = _info()
+    info.config.udp_port_lidar = 7502
+    seq = [(p, 10 ** 9 + k * 10 ** 5) for k, p in enumerate(
+        [p for fid in (5, 6) for p in _packets(info, fid)])]
+    path = str(tmp_path / "amb.pcap")
+    _write_pcap(path, seq, 7502)
+    meta = str(tmp_path / "amb.json")
+    with open(meta, "w") as f:
+        f.write(info.to_json_string())
+
+    monkeypatch.setenv("OUSTER_SDK_TPU_DEVICE_DECODE", "1")
+    monkeypatch.setattr(PcapScanSource, "_device_ambiguous",
+                        lambda self: True)
+    src = PcapScanSource(path, meta=[meta], index=True)
+    assert src._lazy_index is None, \
+        "ambiguous capture must not take the lazy device index"
+    it = [s for _, s in src._iter_scans()]
+    assert len(src) == len(it) == 2
+    for i, s in enumerate(it):
+        _assert_scan_equal(src[i][0], s, f"amb[{i}]")
+
+
+def test_device_gate_imu_zone_cross_kind(monkeypatch):
+    """A datagram matching one sensor's NMEA-imu stream and another's
+    (or its own) zone stream is classified once by the oracle's elif
+    chain but double-assigned by the device route's per-kind masks —
+    _device_ambiguous must catch imu-vs-zone collisions."""
+    import types
+
+    from test_batcher_semantics import _info
+
+    from ouster_sdk_tpu.core.types import UDPProfileIMU
+    from ouster_sdk_tpu.ops import packet_format as pfmod
+
+    def stub_from_info(info):
+        return types.SimpleNamespace(
+            lidar_packet_size=1000 + (info.init_id or 0),
+            imu_packet_size=500, zone_packet_size=500)
+
+    monkeypatch.setattr(pfmod.PacketFormat, "from_info",
+                        staticmethod(stub_from_info))
+
+    def ambiguous(infos):
+        stub = types.SimpleNamespace(sensor_info=infos)
+        return PcapScanSource._device_ambiguous(stub)
+
+    a = _info()
+    a.init_id = 1
+    a.format.udp_profile_imu = UDPProfileIMU.ACCEL32_GYRO32_NMEA
+    a.config.udp_port_imu = 7503
+    a.config.udp_port_zm = 7605
+    b = _info()
+    b.init_id = 2
+    b.format.zone_monitoring_enabled = True
+    b.config.udp_port_zm = 7503
+    b.config.udp_port_imu = 7604
+    assert ambiguous([a, b])          # cross-sensor imu-vs-zone
+    b.config.udp_port_zm = 7603
+    assert not ambiguous([a, b])      # distinct ports: fine
+
+    c = _info()
+    c.init_id = 3
+    c.format.udp_profile_imu = UDPProfileIMU.ACCEL32_GYRO32_NMEA
+    c.format.zone_monitoring_enabled = True
+    c.config.udp_port_imu = 7503
+    c.config.udp_port_zm = 7503
+    assert ambiguous([c])             # same-sensor imu-vs-zone
+
+    d = _info()                        # neither stream batches into scans
+    d.init_id = 4
+    d.config.udp_port_imu = 7503
+    d.config.udp_port_zm = 7503
+    assert not ambiguous([d])
+
+
+def test_pipelined_pool_checkin_deferred(tmp_path):
+    """Pools must not return to the freelist while yielded batches still
+    sit in the pipelined queue: iterations started after the producer
+    exhausted (but before the consumer drained) must stage into DIFFERENT
+    buffers."""
+    import time
+
+    from test_batcher_semantics import _info, _packets
+
+    from ouster_sdk_tpu.io.frames import FrameReader
+
+    info = _info()
+    info.config.udp_port_lidar = 7502
+    seq = [(p, 10 ** 9 + k * 10 ** 5) for k, p in enumerate(
+        [p for fid in (5, 6, 7) for p in _packets(info, fid)])]
+    path = str(tmp_path / "pool.pcap")
+    _write_pcap(path, seq, 7502)
+
+    fr = FrameReader(path, info=info, strict_ports=True)
+    lidar_ev, _ = fr.hybrid_streams()
+    lidx, lfid = lidar_ev[0], lidar_ev[1]
+    groups = [lidx[lfid == fid] for fid in (5, 6, 7)]
+
+    it_a = fr.iter_instance_batches_pipelined(groups, chunk=1, depth=4)
+    time.sleep(0.5)  # let A's producer stage everything and exhaust
+    # two more passes while A's batches are still queued unread
+    expected = [b.planes.copy() for b in
+                fr.iter_instance_batches(groups, chunk=1)]
+    got_b = [b.planes.copy() for b in
+             fr.iter_instance_batches_pipelined(groups, chunk=1, depth=4)]
+    got_a = [b.planes.copy() for b in it_a]
+    assert len(got_a) == len(got_b) == len(expected) == 3
+    for k in range(3):
+        np.testing.assert_array_equal(got_b[k], expected[k], f"B[{k}]")
+        np.testing.assert_array_equal(got_a[k], expected[k], f"A[{k}]")
