@@ -510,10 +510,13 @@ _synth_cache = {}
 def synth_frame_packets_cached(info, fid):
     from _live_helpers import synth_frame_packets
 
+    # key includes the info OBJECT (not id(info)): holding a strong
+    # reference pins its id, so a garbage-collected info from an earlier
+    # test can't alias a later one and serve packets of the wrong format
     key = (id(info), fid)
     if key not in _synth_cache:
-        _synth_cache[key] = synth_frame_packets(info, fid)
-    return _synth_cache[key]
+        _synth_cache[key] = (info, synth_frame_packets(info, fid))
+    return _synth_cache[key][1]
 
 
 def test_hybrid_aux_only_frame_midstream(tmp_path):
