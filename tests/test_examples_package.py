@@ -110,3 +110,64 @@ def test_event_and_zone_states_examples(pcap, capsys):
     assert clicks and clicks[0][2]   # center click lands inside
     zone_states_example(pcap, 2)
     assert "zone 1" in capsys.readouterr().out
+
+
+def test_reference_projection_matches_xyzlut(pcap):
+    """The from-the-manual example math agrees with the production
+    XYZLut path (ref: examples/reference.py's role as the auditable
+    ground truth)."""
+    from ouster_sdk_tpu import XYZLut, destagger, open_source
+    from ouster_sdk_tpu.examples import reference as ref
+
+    src = open_source(pcap, sensor_idx=0)
+    info = src.sensor_info[0]
+    scan = next(iter(src))
+
+    xyz = XYZLut(info)(scan.field("RANGE"))
+    manual = ref.xyz_proj_beam_to_sensor_transform(info, scan)
+    assert np.allclose(manual, xyz, atol=1e-8)
+
+    legacy = ref.xyz_proj_origin_to_origin_mm(info, scan)
+    # legacy scalar-offset manual formula: same geometry to ~cm wherever
+    # a return exists (beam_to_lidar differs from the scalar by design)
+    valid = scan.field("RANGE") > 0
+    assert np.linalg.norm((legacy - xyz)[valid], axis=-1).max() < 0.05
+
+    f = scan.field("REFLECTIVITY").astype(np.float64)
+    assert np.array_equal(
+        ref.destagger(info.format.pixel_shift_by_row, f),
+        destagger(info, f))
+
+
+def test_zone_emulation_example(pcap, tmp_path):
+    """The importable zone-emulation example runs end-to-end from a
+    ZoneSet zip and writes the emulated fields back into each scan."""
+    from ouster_sdk_tpu.examples.zone_monitor_emulation_example import \
+        emulate
+    from ouster_sdk_tpu.zone import Zone, ZoneSet
+
+    zs = ZoneSet([Zone.box(1, (5, 0, 0), (4, 4, 4))])
+    zip_path = tmp_path / "zones.zip"
+    zip_path.write_bytes(zs.to_zip_blob())
+
+    out = list(emulate(pcap, str(zip_path), max_scans=1))
+    assert out
+    scan, triggers = out[0]
+    assert scan.has_field("ZONE_OCCUPANCY")
+    assert scan.field("ZONE_STATES").shape == (16,)
+    assert scan.field("ZONE_PACKET_TIMESTAMP")[0] > 0
+    assert triggers and triggers[0][0] == 1
+
+
+def test_open3d_example_import_gated():
+    """The module imports without open3d; the gate raises with install
+    guidance only when open3d-specific work is requested."""
+    import importlib
+
+    mod = importlib.import_module(
+        "ouster_sdk_tpu.examples.open3d_example")
+    try:
+        import open3d  # type: ignore  # noqa: F401
+    except ModuleNotFoundError:
+        with pytest.raises(ModuleNotFoundError, match="open3d"):
+            mod.require_open3d()
