@@ -210,8 +210,39 @@ class LidarScan:
 
         self._fields: Dict[str, np.ndarray] = {}
         self._field_types: Dict[str, FieldType] = {}
+        # device-projected XYZ cache (attach_xyz_cache): does not
+        # participate in equality/serialization
+        self._xyz_cache: Dict = {}
         for ft in field_types:
             self.add_field(ft)
+
+    # -- device-projected XYZ cache ----------------------------------------
+    def attach_xyz_cache(self, return_idx: int, use_extrinsics: bool,
+                         xyz: np.ndarray, rng_snapshot: np.ndarray) -> None:
+        """Attach a device-projected point cloud for this scan's CURRENT
+        range content (the OSF device route stores its fused-projection
+        output here; XYZLutFactory serves it instead of re-projecting on
+        the host). `rng_snapshot` is the exact range image the projection
+        consumed — retrieval compares it against the live field, so a
+        later in-place mutation of RANGE can never serve stale points."""
+        if not hasattr(self, "_xyz_cache"):  # copied/unpickled instances
+            self._xyz_cache = {}
+        self._xyz_cache[(int(return_idx), bool(use_extrinsics))] = (
+            np.asarray(xyz), np.asarray(rng_snapshot))
+
+    def cached_xyz(self, return_idx: int, use_extrinsics: bool,
+                   rng: np.ndarray):
+        """The device-projected XYZ for (return, frame) if one is attached
+        AND the scan's range content is unchanged since projection; else
+        None (callers fall back to the host path)."""
+        hit = getattr(self, "_xyz_cache", {}).get(
+            (int(return_idx), bool(use_extrinsics)))
+        if hit is None:
+            return None
+        xyz, snap = hit
+        if not np.array_equal(np.asarray(rng), snap):
+            return None
+        return xyz
 
     # -- field management -------------------------------------------------
     def add_field(self, ft, data: Optional[np.ndarray] = None,

@@ -33,7 +33,9 @@ def scan_to_geometry(info, scan, o3d=None):
     refl = np.asarray(scan.field(ChanField.REFLECTIVITY),
                       dtype=np.float64).reshape(-1)
     keep = np.linalg.norm(xyz, axis=1) > 0
-    key = np.clip(refl[keep] / max(refl.max(), 1.0), 0.0, 1.0)
+    # calibrated reflectivity has a fixed 0-255 scale; normalizing by the
+    # per-scan max would make colors flicker frame to frame
+    key = np.clip(refl[keep] / 255.0, 0.0, 1.0)
     pc = o3d.geometry.PointCloud()
     pc.points = o3d.utility.Vector3dVector(xyz[keep])
     pc.colors = o3d.utility.Vector3dVector(
@@ -71,7 +73,8 @@ def view(source_url: str, rate_hz: float = 10.0) -> None:
             if not vis.poll_events():
                 break
             vis.update_renderer()
-            time.sleep(1.0 / rate_hz)
+            if rate_hz > 0:  # rate 0 = free-running (no frame sleep)
+                time.sleep(1.0 / rate_hz)
     finally:
         vis.destroy_window()
 

@@ -98,7 +98,12 @@ def destagger(pixel_shift_by_row, field: np.ndarray) -> np.ndarray:
     (the image-like representation). Reference semantics for
     `ouster_sdk_tpu.destagger`.
     """
-    out = np.empty_like(np.asarray(field, dtype=np.float64))
+    field = np.asarray(field, dtype=np.float64)
+    if len(pixel_shift_by_row) != field.shape[0]:
+        raise ValueError(
+            f"pixel_shift_by_row has {len(pixel_shift_by_row)} entries "
+            f"for a {field.shape[0]}-row field")
+    out = np.empty_like(field)
     for u, shift in enumerate(pixel_shift_by_row):
         out[u] = np.roll(field[u], int(shift))
     return out

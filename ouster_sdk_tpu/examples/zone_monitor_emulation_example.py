@@ -20,7 +20,11 @@ def emulate(source_url: str, zone_set_path=None, max_scans=None):
     from .. import ChanField, FieldClass, LidarScan, open_source
     from ..zone import EmulatedZoneMon, ZoneSet
 
-    source = open_source(source_url)
+    # sensor_idx=0: the monitor below is built from sensor 0's geometry
+    # and keeps per-zone trigger hysteresis, so it must only ever see
+    # that sensor's scans (a multi-sensor set would feed sensors 1+ into
+    # the wrong zone LUT and advance the hysteresis once per sensor)
+    source = open_source(source_url, sensor_idx=0)
     info = source.sensor_info[0]
     if zone_set_path is None:
         zone_set = info.zone_set

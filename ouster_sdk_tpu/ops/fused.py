@@ -136,7 +136,8 @@ class ScanPipeline:
         no in-VMEM transpose, no XLA strided prep (2x the packet-layout
         kernel; see ops/pallas_kernels.py). Returns (B, 3, h, w) XYZ
         (sensor frame, or world frame when per-column poses are given;
-        a pair of arrays for dual-return profiles without poses).
+        a pair of arrays for dual-return profiles — both returns dewarp
+        with the column's shared pose, ref: pose_util.h:44-67).
 
         `words` declares a word-subset staging (see
         FrameReader.iter_planar_chunks). `engine` picks the lowering:
@@ -156,7 +157,7 @@ class ScanPipeline:
         if engine == "auto":
             engine = planar_engine_default()
         kw = dict(precision=self.cfg.precision,
-                  dual=self.cfg.dual and poses is None, poses=poses,
+                  dual=self.cfg.dual, poses=poses,
                   words=words)
         if engine == "xla":
             return unpack_project_planar_batched_xla(

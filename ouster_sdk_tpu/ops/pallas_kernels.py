@@ -274,14 +274,14 @@ def _valid_mask_u32(v_ref):
     return jnp.where(v_ref[:] != 0, np.uint32(0xFFFFFFFF), np.uint32(0))
 
 
-def _dewarp_tile(xyz, pose_ref):
-    """Per-column SE(3): pose planes (12, TW) = row-major R (9) + t (3);
+def _dewarp_tile(xyz, P):
+    """Per-column SE(3): pose planes P (12, TW) = row-major R (9) + t (3);
     xyz (3, h, TW) -> world (3, h, TW) (ref: pose_util.h:44 dewarp)."""
     rows = []
     for i in range(3):
-        acc = pose_ref[9 + i][None] + pose_ref[3 * i][None] * xyz[0]
+        acc = P[9 + i][None] + P[3 * i][None] * xyz[0]
         for k in range(1, 3):
-            acc = acc + pose_ref[3 * i + k][None] * xyz[k]
+            acc = acc + P[3 * i + k][None] * xyz[k]
         rows.append(acc)                             # (h, TW) each
     return jnp.stack(rows, axis=0)                   # (3, h, TW)
 
@@ -303,6 +303,44 @@ def _planar_dewarp_kernel(rng_ref, v_ref, pose_ref, lut_ref, xyz_ref, *,
     # keep no-return pixels at zero (dewarp would move them to the pose
     # translation otherwise)
     xyz_ref[:] = jnp.where((r != 0)[None], world, jnp.float32(0))
+
+
+def _planar_dual_dewarp_kernel(rw_ref, v_ref, pose_ref, lut_ref, xyz_ref,
+                               xyz2_ref, *, bit: int, size: int,
+                               upshift: int, bit2: int, size2: int,
+                               upshift2: int, precision: str):
+    """Dual-return fused unpack -> xyz -> dewarp: both returns share the
+    column's pose (dewarp is per-column, return-agnostic —
+    ref: pose_util.h:44-67 applies pose w to every point of column w)."""
+    vm = _valid_mask_u32(v_ref)
+    L = lut_ref[:]
+    P = pose_ref[:]
+    r1 = _extract_bits(rw_ref[0], bit=bit, size=size, upshift=upshift) & vm
+    r2 = _extract_bits(rw_ref[1], bit=bit2, size=size2,
+                       upshift=upshift2) & vm
+    w1 = _dewarp_tile(_proj_lean(r1, L, precision=precision), P)
+    w2 = _dewarp_tile(_proj_lean(r2, L, precision=precision), P)
+    xyz_ref[:] = jnp.where((r1 != 0)[None], w1, jnp.float32(0))
+    xyz2_ref[:] = jnp.where((r2 != 0)[None], w2, jnp.float32(0))
+
+
+def _planar_dual_split_dewarp_kernel(rng_ref, rng2_ref, v_ref, pose_ref,
+                                     lut_ref, xyz_ref, xyz2_ref, *,
+                                     bit: int, size: int, upshift: int,
+                                     bit2: int, size2: int, upshift2: int,
+                                     precision: str):
+    """Split-plane variant of _planar_dual_dewarp_kernel (profiles whose
+    range words can't ride one (2, h, TW) block)."""
+    vm = _valid_mask_u32(v_ref)
+    L = lut_ref[:]
+    P = pose_ref[:]
+    r1 = _extract_bits(rng_ref[0], bit=bit, size=size, upshift=upshift) & vm
+    r2 = _extract_bits(rng2_ref[0], bit=bit2, size=size2,
+                       upshift=upshift2) & vm
+    w1 = _dewarp_tile(_proj_lean(r1, L, precision=precision), P)
+    w2 = _dewarp_tile(_proj_lean(r2, L, precision=precision), P)
+    xyz_ref[:] = jnp.where((r1 != 0)[None], w1, jnp.float32(0))
+    xyz2_ref[:] = jnp.where((r2 != 0)[None], w2, jnp.float32(0))
 
 
 def _planar_dual_kernel(rw_ref, v_ref, lut_ref, xyz_ref, xyz2_ref, *,
@@ -352,7 +390,9 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
 
     With poses (B, w, 4, 4) f32, the per-column SE(3) dewarp fuses into
     the same kernel (the north-star unpack -> xyz -> dewarp chain,
-    ref: SURVEY §3.3) and the output is world-frame (single-return only).
+    ref: SURVEY §3.3) and the output is world-frame; dual-return profiles
+    dewarp both returns with the column's shared pose (dewarp is
+    return-agnostic, ref: pose_util.h:44-67).
 
     The host stages frames word-planar (io/frames.py iter_planar_chunks /
     native onat_group_frames_planar), so this kernel does NO transpose and
@@ -423,9 +463,8 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
     out_spec = spec((3, plan.h, tile_w), lambda i, b: (b, 0, i))
     out_shape = jax.ShapeDtypeStruct((B * 3, plan.h, plan.w), jnp.float32)
 
+    pose_rows = pose_spec = None
     if poses is not None:
-        if dual:
-            raise NotImplementedError("fused dewarp is single-return")
         # pose planes: (B, w, 4, 4) -> (B*12, w): rows 0-8 = R row-major,
         # 9-11 = t, matching _dewarp_tile
         if poses.ndim == 3:
@@ -435,6 +474,8 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
         pose_rows = jnp.concatenate([R, t], axis=-1).astype(jnp.float32)
         pose_rows = jnp.moveaxis(pose_rows, -1, 1).reshape(B * 12, plan.w)
         pose_spec = spec((12, tile_w), lambda i, b: (b, i))
+
+    if poses is not None and not dual:
         kernel = functools.partial(
             _planar_dewarp_kernel, bit=rng_plan.bit, size=rng_plan.size,
             upshift=rng_plan.upshift, precision=precision)
@@ -469,22 +510,43 @@ def unpack_project_planar_batched(planes: jnp.ndarray, col_hdrs: jnp.ndarray,
         rw_spec = spec(
             (2, plan.h, tile_w),
             lambda i, b: ((b * pw + w1) // 2, 0, i))
-        out1, out2 = pl.pallas_call(
-            functools.partial(_planar_dual_kernel, **statics), grid=grid,
-            in_specs=[rw_spec, valid_spec, lut_spec],
-            out_specs=(out_spec, out_spec),
-            out_shape=(out_shape, out_shape), interpret=interpret,
-        )(rows, valid, lut_stack)
+        if poses is not None:
+            out1, out2 = pl.pallas_call(
+                functools.partial(_planar_dual_dewarp_kernel, **statics),
+                grid=grid,
+                in_specs=[rw_spec, valid_spec, pose_spec, lut_spec],
+                out_specs=(out_spec, out_spec),
+                out_shape=(out_shape, out_shape), interpret=interpret,
+            )(rows, valid, pose_rows, lut_stack)
+        else:
+            out1, out2 = pl.pallas_call(
+                functools.partial(_planar_dual_kernel, **statics),
+                grid=grid,
+                in_specs=[rw_spec, valid_spec, lut_spec],
+                out_specs=(out_spec, out_spec),
+                out_shape=(out_shape, out_shape), interpret=interpret,
+            )(rows, valid, lut_stack)
         return (out1.reshape(B, 3, plan.h, plan.w),
                 out2.reshape(B, 3, plan.h, plan.w))
 
-    out1, out2 = pl.pallas_call(
-        functools.partial(_planar_dual_split_kernel, **statics), grid=grid,
-        in_specs=[word_spec(rng_plan.word), word_spec(rng2_plan.word),
-                  valid_spec, lut_spec],
-        out_specs=(out_spec, out_spec),
-        out_shape=(out_shape, out_shape), interpret=interpret,
-    )(rows, rows, valid, lut_stack)
+    if poses is not None:
+        out1, out2 = pl.pallas_call(
+            functools.partial(_planar_dual_split_dewarp_kernel, **statics),
+            grid=grid,
+            in_specs=[word_spec(rng_plan.word), word_spec(rng2_plan.word),
+                      valid_spec, pose_spec, lut_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape), interpret=interpret,
+        )(rows, rows, valid, pose_rows, lut_stack)
+    else:
+        out1, out2 = pl.pallas_call(
+            functools.partial(_planar_dual_split_kernel, **statics),
+            grid=grid,
+            in_specs=[word_spec(rng_plan.word), word_spec(rng2_plan.word),
+                      valid_spec, lut_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=(out_shape, out_shape), interpret=interpret,
+        )(rows, rows, valid, lut_stack)
     return (out1.reshape(B, 3, plan.h, plan.w),
             out2.reshape(B, 3, plan.h, plan.w))
 
@@ -518,16 +580,23 @@ def project_ranges_batched(field, lut_stack, precision: str, dual: bool,
     xyz = proj(r1)                                       # (B, 3, h, w)
 
     if poses is not None:
-        if dual:
-            raise NotImplementedError("fused dewarp is single-return")
         if poses.ndim == 3:
             poses = poses[None]
         rot = poses[..., :3, :3].astype(jnp.float32)     # (B, w, 3, 3)
         t = poses[..., :3, 3].astype(jnp.float32)        # (B, w, 3)
-        world = jnp.einsum("bwij,bjhw->bihw", rot, xyz) \
-            + jnp.moveaxis(t, -1, 1)[:, :, None, :]
-        # no-return pixels stay at zero, matching _planar_dewarp_kernel
-        return jnp.where((r1 != 0)[:, None], world, jnp.float32(0))
+
+        def dewarp(pts, r):
+            world = jnp.einsum("bwij,bjhw->bihw", rot, pts) \
+                + jnp.moveaxis(t, -1, 1)[:, :, None, :]
+            # no-return pixels stay at zero, matching the Pallas kernels
+            return jnp.where((r != 0)[:, None], world, jnp.float32(0))
+
+        if not dual:
+            return dewarp(xyz, r1)
+        r2 = field(1)
+        # both returns share the column's pose (return-agnostic dewarp,
+        # ref: pose_util.h:44-67)
+        return dewarp(xyz, r1), dewarp(proj(r2), r2)
 
     if not dual:
         return xyz

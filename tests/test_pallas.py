@@ -185,3 +185,64 @@ def test_planar_words_requires_needed_word():
             jnp.asarray(planes[None][:, 2:3].copy()),
             jnp.asarray(hdrs[None].copy()), lut.stack, plan,
             dual=True, interpret=True, tile_w=128, words=(2,))
+
+
+@pytest.mark.parametrize("profile", [
+    "RNG19_RFL8_SIG16_NIR16_DUAL",      # aligned: merged 2-word block
+    "RNG19_RFL8_SIG16_NIR16_RGB16_DUAL",  # odd pw=5: split fallback
+])
+def test_planar_dual_fused_dewarp_matches_host(profile):
+    """Dual-return fused unpack -> xyz -> dewarp (both kernel layouts):
+    each return dewarps with the column's shared pose and matches the
+    f64 host path within f32 representability; the XLA twin agrees
+    bit-for-bit with itself across stagings (ref: pose_util.h:44-67 —
+    dewarp is return-agnostic)."""
+    from ouster_sdk_tpu import ChanField, PacketFormat
+    from ouster_sdk_tpu.ops.pallas_kernels import (
+        PlanarLut, unpack_project_planar_batched,
+        unpack_project_planar_batched_xla)
+    from ouster_sdk_tpu.ops.unpack import make_decode_plan
+    from ouster_sdk_tpu.utils.pose_util import exp_pose6
+
+    info, frame = _synth_profile_frame(profile)
+    plan = make_decode_plan(info)
+    planes, hdrs = _stage_planar(frame, plan)
+    lut64 = make_xyz_lut(info)
+    lut = PlanarLut(lut64)
+    rng = np.random.default_rng(7)
+    poses = np.stack([
+        exp_pose6(np.concatenate([rng.normal(0, 1, 3),
+                                  rng.normal(0, 0.1, 3)]))
+        for _ in range(plan.w)]).astype(np.float32)
+
+    o1, o2 = unpack_project_planar_batched(
+        jnp.asarray(planes[None].copy()), jnp.asarray(hdrs[None].copy()),
+        lut.stack, plan, dual=True, interpret=True, tile_w=128,
+        poses=jnp.asarray(poses[None]))
+
+    # XLA twin dewarps both returns too (same mask semantics; its einsum
+    # accumulation order differs from the kernel's manual sum, so it gets
+    # its own f64 bound rather than bitwise equality with the kernel)
+    x1, x2 = unpack_project_planar_batched_xla(
+        jnp.asarray(planes[None].copy()), jnp.asarray(hdrs[None].copy()),
+        lut.stack, plan, dual=True, poses=jnp.asarray(poses[None]))
+
+    pf = PacketFormat.from_info(info)
+    bufs = np.ascontiguousarray(frame).view(np.uint8)
+    for out, xout, field in ((o1, x1, ChanField.RANGE),
+                             (o2, x2, ChanField.RANGE2)):
+        r = pf.packet_field_all(field, bufs)
+        r = np.concatenate(list(r), axis=1)[:, :plan.w].astype(np.uint32)
+        world = np.einsum("wij,hwj->hwi",
+                          poses[:, :3, :3].astype(np.float64),
+                          lut64(r)) + poses[None, :, :3, 3]
+        world[r == 0] = 0
+        norm = np.linalg.norm(world, axis=-1)[..., None]
+        ulp = np.spacing(norm.astype(np.float32)).astype(np.float64)
+        for tag, o in (("pallas", out), ("xla", xout)):
+            xyz = np.moveaxis(np.asarray(o[0]), 0, -1)
+            err = np.abs(xyz - world)
+            assert (err <= np.maximum(4 * ulp, 1e-6)).all(), \
+                f"{profile}/{field}/{tag}: max err {err.max()}"
+            # no-return pixels stay at the origin, not the translation
+            assert (xyz[r == 0] == 0).all()

@@ -232,6 +232,35 @@ def main():
         print(f"fused dewarp ok (max err {err_w.max():.2e} m)",
               file=sys.stderr)
 
+    # ---- 2d-dual. fused dewarp, dual-return (both kernel layouts ride
+    # the 128x1024-dual planar staging from 2b; both returns share the
+    # column's pose — ref: pose_util.h:44-67 is return-agnostic) --------
+    poses_d = np.stack([
+        exp_pose6(np.concatenate([rng_gen.normal(0, 1, 3),
+                                  rng_gen.normal(0, 0.1, 3)]))
+        for _ in range(plan_p.w)]).astype(np.float32)
+    od1, od2 = jax.jit(lambda p, h2, po: unpack_project_planar_batched(
+        p, h2, lutp.stack, plan_p, dual=True, poses=po))(
+            jnp2.asarray(planes[None]), jnp2.asarray(hdrs[None]),
+            jnp2.asarray(poses_d[None]))
+    rng2_p = pf_p.packet_field_all(
+        ChanField.RANGE2, np.ascontiguousarray(frame_p).view(np.uint8))
+    rng2_p = np.concatenate(list(rng2_p), axis=1)[:, :plan_p.w]
+    for out_k, r_img, tag in ((od1, rng_p, "ret1"), (od2, rng2_p, "ret2")):
+        sens = lut64p(r_img.astype(np.uint32))
+        wref = np.einsum("wij,hwj->hwi",
+                         poses_d[:, :3, :3].astype(np.float64), sens) \
+            + poses_d[None, :, :3, 3]
+        wref[r_img == 0] = 0
+        xyz_k = np.moveaxis(np.asarray(out_k[0]), 0, -1)
+        errd = np.abs(xyz_k - wref)
+        if errd.max() > 2e-4 or not (xyz_k[r_img == 0] == 0).all():
+            failures.append(f"dual fused dewarp {tag}: "
+                            f"max err {errd.max()}")
+        else:
+            print(f"dual fused dewarp ok [{tag}] "
+                  f"(max err {errd.max():.2e} m)", file=sys.stderr)
+
     # ---- 2e. planar Pallas under a device mesh (ScanPipeline.sharded) ----
     # shard_map over the real chip(s): same kernel as 2b, batch-sharded.
     # CPU-mesh equality runs in tests/test_parallel.py; this proves the
