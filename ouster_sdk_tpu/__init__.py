@@ -119,14 +119,28 @@ from .utils.pose_util import (  # noqa: F401
 def XYZLutFactory(info, use_extrinsics: bool = False):
     """Reference-compatible LUT constructor returning a callable that maps a
     scan or range image to (H, W, 3) points (ref: sdk/core/data.py:129
-    XYZLut)."""
+    XYZLut).
+
+    Scans produced by the OSF device route carry a device-projected XYZ
+    cache (dd-precision, <= 0.5 f32 ulp of this host f64 path, inside the
+    SDK-wide 1e-5 m contract); when a SCAN is passed and its range
+    content is unchanged since projection, the cache is served instead of
+    re-projecting on the host. OUSTER_SDK_TPU_DEVICE_XYZ=0 disables
+    serving (always recompute in f64)."""
     lut = make_xyz_lut(info, use_extrinsics)
 
     def project(scan_or_range):
+        import os as _os
+
         import numpy as _np
 
         if hasattr(scan_or_range, "field"):
             rng = scan_or_range.field(ChanField.RANGE)
+            if hasattr(scan_or_range, "cached_xyz") and \
+                    _os.environ.get("OUSTER_SDK_TPU_DEVICE_XYZ") != "0":
+                hit = scan_or_range.cached_xyz(0, use_extrinsics, rng)
+                if hit is not None:
+                    return hit.astype(_np.float64)
         else:
             rng = _np.asarray(scan_or_range)
         return lut(rng)

@@ -227,8 +227,11 @@ class LidarScan:
         later in-place mutation of RANGE can never serve stale points."""
         if not hasattr(self, "_xyz_cache"):  # copied/unpickled instances
             self._xyz_cache = {}
+        # snapshot must be an independent copy: np.asarray of the live
+        # field aliases it, and an aliased snapshot tracks every mutation
+        # (defeating the staleness guard)
         self._xyz_cache[(int(return_idx), bool(use_extrinsics))] = (
-            np.asarray(xyz), np.asarray(rng_snapshot))
+            np.asarray(xyz), np.array(rng_snapshot, copy=True))
 
     def cached_xyz(self, return_idx: int, use_extrinsics: bool,
                    rng: np.ndarray):

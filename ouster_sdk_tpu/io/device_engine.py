@@ -34,7 +34,7 @@ from ..utils import native
 #: Introspection counters (reset freely in tests): proof of which engine
 #: actually decoded (the CLI test asserts batches > 0 after `source ...
 #: stats` with the device route forced).
-stats = {"batches": 0, "scans": 0}
+stats = {"batches": 0, "scans": 0, "osf_batches": 0}
 
 
 def device_decode_enabled() -> bool:
@@ -893,3 +893,143 @@ class LiveDeviceBatcher:
             self._aux.apply(kind, buf, ts, scan)
         stats["scans"] += 1
         return [scan]
+
+
+def supports_osf_device_projection(info: SensorInfo,
+                                   field_names) -> bool:
+    """Static eligibility for the OSF device route: the file must carry
+    RANGE (projection input), and the sensor must have projection
+    geometry. OSF field decompression itself is inherently host-side
+    (PNG/zstd, like the reference's libpng path) — the device half of
+    OSF replay is the projection (ref: osf_scan_source.h:29 — OSF is a
+    first-class ScanSource on the same hot path as pcap)."""
+    if field_names is not None and "RANGE" not in field_names:
+        return False
+    try:
+        return (info.format.pixels_per_column > 0
+                and info.format.columns_per_frame > 0
+                and len(info.beam_altitude_angles or []) > 0)
+    except Exception:
+        return False
+
+
+class OsfDeviceProjector:
+    """Device half of OSF replay: host-decoded RANGE/RANGE2 planes batch
+    to the device, the fused dd-precision projection runs there (the
+    same _proj_lean math as every packet staging variant, <= 0.5 f32 ulp
+    of the f64 host LUT), and each scan gets an exact-snapshot-guarded
+    XYZ cache that XYZLutFactory serves in place of the host f64
+    re-projection. PNG/zstd decompression stays on the host, exactly
+    like the reference (ref: stream_lidar_scan.h:204 decode_msg;
+    osf_scan_source.cpp iteration)."""
+
+    def __init__(self, infos: List[SensorInfo], batch: int = 4):
+        self._infos = infos
+        self._batch = max(1, batch)
+        self._per_sensor = [None] * len(infos)  # lazy (luts, jit, dual)
+
+    def _sensor_ctx(self, si: int):
+        ctx = self._per_sensor[si]
+        if ctx is None:
+            import functools
+
+            import jax
+            import jax.numpy as jnp
+
+            from ..ops.pallas_kernels import PlanarLut, _proj_lean
+            from ..ops.xyzlut import make_xyz_lut
+
+            info = self._infos[si]
+            variants = [False]
+            ext = np.asarray(info.extrinsic, np.float64)
+            identity_ext = np.allclose(ext, np.eye(4))
+            if not identity_ext:
+                variants.append(True)
+            luts = jnp.stack([PlanarLut(make_xyz_lut(info, v)).stack
+                              for v in variants])       # (V, 18, h, w)
+
+            @jax.jit
+            def proj(rngs, L):
+                # rngs (B, h, w) u32 -> (V, B, 3, h, w) f32, one fused
+                # dispatch for every LUT variant and batched range image
+                return jax.vmap(lambda Lv: jax.vmap(
+                    lambda r: _proj_lean(r, Lv, precision="dd"))(rngs))(L)
+
+            ctx = (variants, identity_ext, luts, proj)
+            self._per_sensor[si] = ctx
+        return ctx
+
+    def attach(self, entries: List[Tuple[int, "LidarScan"]]) -> None:
+        """Project a window of (sensor_idx, scan) pairs: one device
+        dispatch per sensor present (returns ride the batch axis), XYZ
+        caches attached in place."""
+        import jax
+
+        by_sensor: Dict[int, List[Tuple["LidarScan", int, np.ndarray]]] = {}
+        for si, ls in entries:
+            if ls is None or not ls.has_field("RANGE"):
+                continue
+            info = self._infos[si]
+            if not supports_osf_device_projection(info, None):
+                continue
+            rng = np.asarray(ls.field("RANGE"), np.uint32)
+            if rng.shape != (info.format.pixels_per_column,
+                             info.format.columns_per_frame):
+                continue
+            by_sensor.setdefault(si, []).append((ls, 0, rng))
+            if ls.has_field("RANGE2"):
+                by_sensor[si].append(
+                    (ls, 1, np.asarray(ls.field("RANGE2"), np.uint32)))
+        for si, items in by_sensor.items():
+            variants, identity_ext, luts, proj = self._sensor_ctx(si)
+            rngs = np.stack([r for _, _, r in items])
+            B = rngs.shape[0]
+            pad = -B % self._batch
+            if pad:  # stable jit shapes across windows
+                rngs = np.concatenate(
+                    [rngs, np.broadcast_to(rngs[-1:],
+                                           (pad,) + rngs.shape[1:])])
+            out = np.asarray(jax.device_get(
+                proj(jax.device_put(rngs), luts)))    # (V, B+, 3, h, w)
+            stats["batches"] += 1
+            stats["osf_batches"] = stats.get("osf_batches", 0) + 1
+            for k, (ls, ret, r) in enumerate(items):
+                for v, use_ext in enumerate(variants):
+                    xyz = np.moveaxis(out[v, k], 0, -1)   # (h, w, 3)
+                    ls.attach_xyz_cache(ret, use_ext, xyz, r)
+                    if identity_ext:
+                        # identity extrinsic: sensor frame IS the
+                        # extrinsics frame — serve both keys
+                        ls.attach_xyz_cache(ret, True, xyz, r)
+
+    def wrap(self, it: Iterator[Tuple[int, "LidarScan"]]
+             ) -> Iterator[Tuple[int, "LidarScan"]]:
+        """Stream (sensor_idx, scan) through the projector in windows of
+        `batch` items (yield order unchanged; latency bounded by the
+        window)."""
+        window: List[Tuple[int, "LidarScan"]] = []
+        for item in it:
+            window.append(item)
+            if len(window) >= self._batch:
+                self.attach(window)
+                yield from window
+                window = []
+        if window:
+            self.attach(window)
+            yield from window
+
+
+def make_osf_projector(infos: List[SensorInfo], field_names
+                       ) -> Optional[OsfDeviceProjector]:
+    """The OSF device projector when policy + eligibility allow, else
+    None (host-only iteration, like the numpy pcap fallback)."""
+    if not device_decode_enabled():
+        return None
+    if not any(supports_osf_device_projection(i, field_names)
+               for i in infos):
+        return None
+    try:
+        import jax  # noqa: F401
+    except Exception:
+        return None
+    return OsfDeviceProjector(infos)

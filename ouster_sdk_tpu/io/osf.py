@@ -97,6 +97,9 @@ _METADATA_ENTRY_COLLATION_STREAM = "ouster/v1/os_sensor/CollationStream"
 #: (ref: collation_stream.h:97 INVALID_SCAN_ID)
 INVALID_SCAN_ID: Tuple[int, int] = (0xFFFF, 0)
 
+#: lazy-resolution sentinel (None is a meaningful "policy off" value)
+_UNSET = object()
+
 # ScanID struct: u32 sensor_id @0, u64 scan_idx @8 (size 16, align 8)
 # (ref: fb/os_sensor/collation_stream.fbs:5-8)
 _SCAN_ID_NP = np.dtype({"names": ["sensor_id", "scan_idx"],
@@ -1142,11 +1145,26 @@ class OsfScanSource(ScanSource):
             [[] for _ in self.sensor_info]
         for idx, msg in self._msg_index:
             self._per_sensor[idx].append(msg)
+        self._device_proj = _UNSET  # resolved lazily (see _projector)
 
     def is_collated(self) -> bool:
         """True when the file records explicit scan groupings
         (ref: osf_scan_source.cpp:564)."""
         return len(self._collation_index) > 0
+
+    def _projector(self):
+        """The OSF device route (lazy): PNG/zstd decode stays host-side
+        (like the reference's libpng path), then decoded RANGE/RANGE2
+        planes batch through the fused device projection and each scan
+        carries a snapshot-guarded XYZ cache XYZLutFactory serves
+        (device_engine.OsfDeviceProjector). None on hosts where the
+        device policy is off."""
+        if self._device_proj is _UNSET:
+            from . import device_engine as de
+
+            self._device_proj = de.make_osf_projector(
+                self.sensor_info, self._field_names)
+        return self._device_proj
 
     def _resolve_collation(self, msg: MessageRef) -> LidarScanSet:
         scan_ids, set_fields = decode_collation_msg(msg.buffer)
@@ -1160,6 +1178,10 @@ class OsfScanSource(ScanSource):
             if scan_idx >= len(lst):
                 raise IndexError("Tried accessing scan beyond index range")
             scans.append(lst[scan_idx].decode(self._field_names))
+        proj = self._projector()
+        if proj is not None:
+            proj.attach([(sid, s)
+                         for (sid, _), s in zip(scan_ids, scans)])
         out = LidarScanSet(scans)
         for name, arr in set_fields.items():
             out.add_field(name, arr)
@@ -1170,6 +1192,14 @@ class OsfScanSource(ScanSource):
         return True
 
     def _iter_scans(self):
+        it = self._iter_scans_host()
+        proj = self._projector()
+        if proj is not None:
+            yield from proj.wrap(it)
+        else:
+            yield from it
+
+    def _iter_scans_host(self):
         for idx, msg in self._msg_index:
             scan = msg.decode(self._field_names)
             if scan is not None:
@@ -1204,9 +1234,12 @@ class OsfScanSource(ScanSource):
             raise IndexError(i)
         if self.is_collated():
             return self._resolve_collation(self._collation_index[i])
-        return LidarScanSet([
-            lst[i].decode(self._field_names) if i < len(lst) else None
-            for lst in self._per_sensor])
+        scans = [lst[i].decode(self._field_names) if i < len(lst) else None
+                 for lst in self._per_sensor]
+        proj = self._projector()
+        if proj is not None:
+            proj.attach(list(enumerate(scans)))
+        return LidarScanSet(scans)
 
     def scans_num(self) -> List[int]:
         counts = [0] * len(self.sensor_info)
