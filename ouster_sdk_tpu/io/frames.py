@@ -109,6 +109,85 @@ def _pipelined(make_iter, depth: int, on_close=None) -> Iterator:
     return consume()
 
 
+class ChunkFuser:
+    """Pack one staged chunk's arrays into ONE pooled contiguous u32
+    upload buffer, so the consumer issues a single `device_put` per
+    chunk.
+
+    Why (measured on this tunneled TPU attachment): (a) multi-array h2d
+    exhibits rare 100-700 ms per-call stalls that a single contiguous
+    transfer never hits, and (b) strided pool views (e.g. the BP64
+    payload's `pay[:m, :ship]` slice) serialize at ~40 MB/s where a
+    contiguous buffer rides ~GB/s. Worst-pass replay throughput — the
+    number that matters for "sustained" (BASELINE.md) — is set by those
+    tails, not the medians. The pack itself is a few host memcpys that
+    run on the STAGING thread (overlapped with the consumer's upload +
+    dispatch). Device-side twin: ops.packed.unfuse_words.
+
+    Layouts are (offset_words, shape, dtype) tuples, hashable so jit can
+    treat them as static. u8 arrays pad to a word multiple; u64 split in
+    words. Pool ring semantics match the other stagings: a yielded
+    buffer stays valid for pool_depth-1 further packs."""
+
+    _DT = {"uint8": np.uint8, "uint16": np.uint16, "uint32": np.uint32,
+           "uint64": np.uint64, "int64": np.int64, "float32": np.float32}
+
+    def __init__(self, pool_depth: int = 4):
+        self._pools: List[np.ndarray] = []
+        self._depth = max(2, pool_depth)
+        self._flip = 0
+        self._words = 0
+
+    @staticmethod
+    def layout_of(arrays) -> Tuple[Tuple[int, Tuple[int, ...], str], ...]:
+        out = []
+        off = 0
+        for a in arrays:
+            nbytes = int(np.prod(a.shape)) * a.dtype.itemsize
+            words = (nbytes + 3) // 4
+            out.append((off, tuple(a.shape), a.dtype.name))
+            off += words
+        return tuple(out)
+
+    def pack(self, arrays) -> Tuple[np.ndarray,
+                                    Tuple[Tuple[int, Tuple[int, ...], str],
+                                          ...]]:
+        layout = self.layout_of(arrays)
+        total = layout[-1][0] + (
+            int(np.prod(layout[-1][1]))
+            * np.dtype(layout[-1][2]).itemsize + 3) // 4
+        if total > self._words or not self._pools:
+            self._words = total
+            self._pools = [np.zeros(total, np.uint32)
+                           for _ in range(self._depth)]
+            self._flip = 0
+        buf = self._pools[self._flip]
+        self._flip = (self._flip + 1) % len(self._pools)
+        for (off, shape, dt), a in zip(layout, arrays):
+            flat = np.ascontiguousarray(a).reshape(-1).view(np.uint8)
+            dst = buf[off:off + (flat.size + 3) // 4].view(np.uint8)
+            dst[:flat.size] = flat
+            if flat.size % 4:
+                dst[flat.size:] = 0
+        return buf[:total], layout
+
+
+def fused_pipelined(make_iter, select, depth: int = 2) -> Iterator:
+    """Pipelined staging with a PRODUCER-side ChunkFuser: `select(item)
+    -> (meta, arrays)`; yields (meta, fused_u32, layout). The pack runs
+    on the staging thread, so its memcpys overlap the consumer's single
+    device_put + dispatch."""
+    fuser = ChunkFuser(pool_depth=depth + 2)
+
+    def gen():
+        for item in make_iter():
+            meta, arrays = select(item)
+            fused, layout = fuser.pack(arrays)
+            yield meta, fused, layout
+
+    return _pipelined(gen, depth)
+
+
 class FrameReader:
     """Iterate (frame_id, (n_pkts, pkt_words) u32, host_ts) frames for one
     sensor from a pcap."""

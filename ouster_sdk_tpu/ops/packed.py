@@ -26,6 +26,41 @@ import numpy as np
 from .unpack import DecodePlan
 
 
+def unfuse_words(fused: jnp.ndarray,
+                 layout: Tuple[Tuple[int, Tuple[int, ...], str], ...]):
+    """Device-side twin of io.frames.ChunkFuser.pack: slice one fused
+    u32 upload buffer back into its arrays (static offsets/shapes, so
+    XLA sees plain slices — free next to the transfer they replace).
+    u8/u16 entries are re-derived from the u32 words with static shifts
+    (TPU-friendly; no bitcast of sub-word types needed). Supported
+    dtypes: u8/u16/u32/f32 — 64-bit values (frame ids, timestamps)
+    belong in host-side metadata, not the upload buffer."""
+    out = []
+    for off, shape, dt in layout:
+        n = 1
+        for s in shape:
+            n *= s
+        if dt == "uint32":
+            out.append(jax.lax.slice(fused, (off,), (off + n,))
+                       .reshape(shape))
+        elif dt == "float32":
+            w = jax.lax.slice(fused, (off,), (off + n,))
+            out.append(jax.lax.bitcast_convert_type(w, jnp.float32)
+                       .reshape(shape))
+        elif dt in ("uint8", "uint16"):
+            per = 4 if dt == "uint8" else 2
+            nw = (n + per - 1) // per
+            w = jax.lax.slice(fused, (off,), (off + nw,))
+            parts = [(w >> np.uint32(8 * (4 // per) * k))
+                     & np.uint32((1 << (32 // per)) - 1)
+                     for k in range(per)]
+            v = jnp.stack(parts, axis=-1).reshape(-1)[:n]
+            out.append(v.astype(dt).reshape(shape))
+        else:
+            raise ValueError(f"unfuse_words: unsupported dtype {dt}")
+    return out
+
+
 def unpack_bits(packed: jnp.ndarray, nbits: int, w: int) -> jnp.ndarray:
     """(..., w*nbits//32) u32 dense LSB-first bitstream -> (..., w) u32
     values. Static-shift 32-pixel block pattern; w % 32 == 0."""
