@@ -234,7 +234,7 @@ def main():
     pending_accs = []  # device scalars from BOTH e2e configs; one readback
 
     def e2e_run(e2e_info, tag, n_frames, dual, codec="bp64", scene=True,
-                pcap_override=None, repeats=1):
+                pcap_override=None, repeats=1, batch=None):
         """One e2e config: pcap -> host scan/reassembly/encode+pack ->
         ONE h2d upload per chunk -> fused device decode+projection.
         codec='bp64' ships the BP64 delta/bit-packed range streams
@@ -268,20 +268,26 @@ def main():
             return acc + jnp.sum(out)
 
         steps = {}
+        # the LUT stack MUST ride as a jit ARGUMENT, never a closure:
+        # jit tracing materializes a closed-over device array as a host
+        # constant via a hidden d2h readback, and one d2h permanently
+        # downgrades this tunnel's h2d to ~20 MB/s (the bug that capped
+        # every replay pass through round 3 — see module docstring)
+        stack_dev = e2e_lut.stack
 
         def make_step(layout):
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def step(fused, acc):
+            @functools.partial(jax.jit, donate_argnums=(2,))
+            def step(fused, lut_stack, acc):
                 parts = unfuse_words(fused, layout)
                 if codec == "bp64":
                     pay_, wid_, anc_, hd_ = parts
                     out = project_bp64_batched(
-                        pay_, wid_, anc_, hd_, e2e_lut.stack, e2e_plan,
+                        pay_, wid_, anc_, hd_, lut_stack, e2e_plan,
                         nbits, upshifts=upshifts, dual=dual)
                 else:
                     pk_, hd_ = parts
                     out = project_packed_batched(
-                        pk_, hd_, e2e_lut.stack, e2e_plan, nbits,
+                        pk_, hd_, lut_stack, e2e_plan, nbits,
                         upshifts=upshifts, dual=dual)
                 return reduce_out(out, acc)
 
@@ -305,11 +311,13 @@ def main():
 
         e2e_reader = FrameReader(pcap_path, info=e2e_info)
 
-        def pad_tail(arrs, n):
-            pad = E2E_BATCH - n
+        def pad_tail(arrs, n, to):
+            pad = to - n
             return [np.concatenate(
                 [a, np.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
                 for a in arrs]
+
+        B = batch or E2E_BATCH
 
         def select(item):
             # runs on the STAGING thread: pad the tail chunk to the
@@ -320,8 +328,8 @@ def main():
             else:
                 fids, pks, hds, _ts = item
                 arrs = [pks, hds]
-            if fids.size < E2E_BATCH:
-                arrs = pad_tail(arrs, fids.size)
+            if fids.size < B:
+                arrs = pad_tail(arrs, fids.size, B)
             return fids.size, arrs
 
         def one_pass(limit=None):
@@ -335,28 +343,31 @@ def main():
             t0 = time.perf_counter()
             acc = jnp.float32(0.0)
             n_scans = 0
-            if codec == "bp64":
-                def base():
-                    return e2e_reader.iter_bp64_chunks(
-                        E2E_BATCH, fields=fields, nbits=nbits,
-                        pool_depth=2)
-            else:
-                def base():
-                    return e2e_reader.iter_packed_chunks(
-                        E2E_BATCH, fields=fields, nbits=nbits,
-                        pool_depth=2)
-            for _rep in range(repeats):  # >1 loops short real captures
-                for n_item, fused, layout in fused_pipelined(
-                        base, select, depth=2):
-                    n_scans += n_item
-                    step = steps.get(layout)
-                    if step is None:
-                        step = steps[layout] = make_step(layout)
-                    # ONE device_put per chunk; async dispatch overlaps
-                    # the next staged+packed chunk
-                    acc = step(jax.device_put(fused), acc)
-                    if limit is not None and n_scans >= limit:
-                        break
+
+            def base():
+                # repeats > 1 loops short real captures INSIDE one
+                # pipelined iterator (one staging thread per pass)
+                def chained():
+                    for _rep in range(repeats):
+                        if codec == "bp64":
+                            yield from e2e_reader.iter_bp64_chunks(
+                                B, fields=fields, nbits=nbits,
+                                pool_depth=2)
+                        else:
+                            yield from e2e_reader.iter_packed_chunks(
+                                B, fields=fields, nbits=nbits,
+                                pool_depth=2)
+                return chained()
+
+            for n_item, fused, layout in fused_pipelined(
+                    base, select, depth=2):
+                n_scans += n_item
+                step = steps.get(layout)
+                if step is None:
+                    step = steps[layout] = make_step(layout)
+                # ONE device_put per chunk; async dispatch overlaps
+                # the next staged+packed chunk
+                acc = step(jax.device_put(fused), stack_dev, acc)
                 if limit is not None and n_scans >= limit:
                     break
             jax.block_until_ready(acc)  # completion fence, not a readback
@@ -367,7 +378,7 @@ def main():
         # populate the FrameReader scan cache + lock the BP64 ship width)
         # and one cheap chunk
         one_pass()
-        one_pass(limit=E2E_BATCH)
+        one_pass(limit=B)
 
         passes = []
         for k in range(5):
@@ -424,7 +435,7 @@ def main():
                 real_info, "OS-2-128_real_fixture", 0,
                 dual="DUAL" in str(
                     real_info.format.udp_profile_lidar),
-                pcap_override=real_pcap, repeats=16)
+                pcap_override=real_pcap, repeats=64, batch=1)
         except Exception as e:  # fixture-dependent; never kill the bench
             print(f"real-fixture e2e skipped: {e}", file=sys.stderr)
 
@@ -452,9 +463,12 @@ def main():
     assert all(np.isfinite(t) for t in totals), totals
     print(f"e2e accumulators finite: {len(totals)} passes", file=sys.stderr)
 
-    def project(planes, hdrs):
+    def project(planes, hdrs, lut_stack):
+        # lut_stack is an ARGUMENT, not a closure: jit tracing reads a
+        # closed-over device array back to the host (hidden d2h), and one
+        # d2h permanently poisons this tunnel's h2d (see e2e make_step)
         return unpack_project_planar_batched(
-            planes, hdrs, lut.stack, plan, dual=True)
+            planes, hdrs, lut_stack, plan, dual=True)
 
     # ---- parity gate: device kernel vs numpy-f64 host reference ---------
     # The reference path decodes the ORIGINAL packet bytes with the
@@ -468,7 +482,8 @@ def main():
     fids_w, frames_w, _ = next(reader.iter_chunks(1))
     ref_xyz, ref_rng = _host_reference_xyz(info, frames_w[0])
     assert list(fids_w) == list(fids_p)
-    xyz_dev = np.asarray(jax.jit(project)(planes0_dev, hdrs0_dev)[0][0])
+    xyz_dev = np.asarray(jax.jit(project)(planes0_dev, hdrs0_dev,
+                                          lut.stack)[0][0])
     xyz_dev = np.moveaxis(xyz_dev, 0, -1)  # -> (H, W, 3)
     err = np.abs(xyz_dev - ref_xyz)
     ulp = np.spacing(np.abs(ref_xyz).astype(np.float32)).astype(np.float64)
@@ -494,25 +509,25 @@ def main():
     # reads a thin output slice (the full-array reduction is not part of
     # the measured pipeline; correctness is covered by the parity gate).
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(rows, salt):
+    def step(rows, hdrs, lut_stack, salt):
         patch = (rows[3:4, 0:1, 0:8] ^ salt).astype(jnp.uint32)
         rows = jax.lax.dynamic_update_slice(rows, patch, (3, 0, 0))
-        xyz, xyz2 = project(rows.reshape(B, pw, H, W), hdrs_dev)
+        xyz, xyz2 = project(rows.reshape(B, pw, H, W), hdrs, lut_stack)
         s = jnp.sum(xyz[:, :, :, :8]) + jnp.sum(xyz2[:, :, :, :8])
         salt2 = ((s.astype(jnp.int32) & np.int32(0x7)).astype(jnp.uint32)
                  + np.uint32(1))
         return rows, salt2
 
     salt = jnp.uint32(1)                   # rows uploaded above, pre-poison
-    rows, salt = step(rows, salt)          # compile
+    rows, salt = step(rows, hdrs_dev, lut.stack, salt)   # compile
     for _ in range(10):                    # warm (cold-dispatch penalty)
-        rows, salt = step(rows, salt)
+        rows, salt = step(rows, hdrs_dev, lut.stack, salt)
     jax.block_until_ready(salt)
 
     iters = 30
     t0 = time.perf_counter()
     for _ in range(iters):
-        rows, salt = step(rows, salt)
+        rows, salt = step(rows, hdrs_dev, lut.stack, salt)
     jax.block_until_ready(salt)
     dt = time.perf_counter() - t0
     mpts = B * H * W * iters / dt / 1e6
@@ -520,6 +535,110 @@ def main():
     print(f"device={jax.devices()[0].device_kind} B={B} iters={iters} "
           f"dt={dt:.3f}s ({dt / iters * 1e3:.2f} ms/dispatch) "
           f"kernel salt={int(salt)}", file=sys.stderr)
+
+    # ---- live path: emulator-paced UDP through SensorScanSource ---------
+    # Real-time loopback republish through the LIVE pipeline with the
+    # frame-batch device handoff (LiveDeviceBatcher) engaged — the twin of
+    # the reference's `util benchmark-sensor` harness
+    # (ref: python/src/ouster/cli/core/util.py:313-368). Runs LAST: scan
+    # materialization does one device_get per frame (d2h), and d2h is the
+    # transfer direction that may degrade this tunnel.
+    def live_run(mode, dual, n_frames=40):
+        from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, \
+            SensorInfo
+        from ouster_sdk_tpu.core.types import UDPProfileLidar
+        from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+        from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
+
+        import socket
+
+        socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                 for _ in range(2)]
+        for s in socks:
+            s.bind(("127.0.0.1", 0))
+        lidar_port, imu_port = [s.getsockname()[1] for s in socks]
+        for s in socks:
+            s.close()
+        live_info = SensorInfo.from_default(LidarMode.from_string(mode))
+        live_info.format.udp_profile_lidar = \
+            UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_DUAL if dual else \
+            UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
+        live_info.config.udp_port_lidar = lidar_port
+        live_info.config.udp_port_imu = imu_port
+        live_info.sn = 122246000042
+        fps = int(mode.split("x")[1])
+        period_ns = 10 ** 9 // fps
+
+        pwr = PacketWriter(live_info.format)
+        w_cols = live_info.format.columns_per_frame
+        cpp = live_info.format.columns_per_packet
+        n_pkts = w_cols // cpp
+        rng = np.random.default_rng(5)
+        base_bufs = []
+        for p in range(n_pkts):
+            buf = pwr.new_packet()
+            pwr.set_packet_header(buf, init_id=live_info.init_id,
+                                  prod_sn=live_info.sn)
+            m0 = p * cpp
+            pwr.set_col_headers(
+                buf, np.arange(cpp, dtype=np.uint64) + 1000 + m0,
+                np.arange(cpp, dtype=np.uint16) + m0,
+                np.ones(cpp, dtype=np.uint32))
+            pwr.set_field(buf, ChanField.RANGE, rng.integers(
+                0, 1 << 19, size=(pwr.pixels_per_column, cpp)))
+            if dual:
+                pwr.set_field(buf, ChanField.RANGE2, rng.integers(
+                    0, 1 << 19, size=(pwr.pixels_per_column, cpp)))
+            base_bufs.append(buf)
+
+        def factory():
+            items = []
+            for f in range(n_frames):
+                ts0 = f * period_ns
+                for p, buf in enumerate(base_bufs):
+                    b = bytearray(buf.tobytes())
+                    pwr.set_frame_id(
+                        np.frombuffer(b, np.uint8), f + 1)
+                    items.append(
+                        (ts0 + p * (period_ns // (n_pkts + 1)),
+                         "lidar", bytes(b)))
+            return items
+
+        with SensorEmulator(live_info, factory, lidar_port=lidar_port,
+                            imu_port=imu_port, rate=1.0) as emu:
+            src = SensorScanSource(
+                [f"127.0.0.1:{emu.http_port}"], sensor_info=[live_info],
+                lidar_port=lidar_port, imu_port=imu_port, timeout=5.0)
+            try:
+                engine = src.engine_used[0]
+                got = 0
+                t_first = t_last = None
+                deadline = time.monotonic() + n_frames / fps + 8.0
+                while got < n_frames - 1 and time.monotonic() < deadline:
+                    _, scan = src.get_scan(timeout_sec=1.0)
+                    if scan is None:
+                        if emu.passes_completed:
+                            break
+                        continue
+                    now = time.monotonic()
+                    t_first = t_first or now
+                    t_last = now
+                    got += 1
+                drops = src.dropped_scans
+            finally:
+                src.close()
+        sps = (got - 1) / (t_last - t_first) if got > 1 and \
+            t_last > t_first else 0.0
+        print(f"live [{mode}{'-dual' if dual else ''}/{engine}]: "
+              f"{got}/{n_frames - 1} scans at {sps:.1f} scans/s "
+              f"(sensor rate {fps} Hz = {sps / fps:.2f}x real-time), "
+              f"drops={drops}", file=sys.stderr)
+        return sps, drops, engine, fps
+
+    live_sps, live_drops, live_engine, live_fps = live_run("1024x10",
+                                                           dual=False)
+    live2_sps, live2_drops, live2_engine, live2_fps = live_run(
+        "2048x10", dual=True)
 
     print(json.dumps({
         "metric": "packet_to_xyz_throughput_128x2048_dual",
@@ -551,8 +670,20 @@ def main():
         "e2e_real_fixture_scans_per_s_min": round(real_min, 1),
         "e2e_real_fixture_scans_per_s_med": round(real_med, 1),
         "e2e_real_fixture_config": "OS-2-128-U1 v2.3.0 1024x10 reference "
-                                   "capture, bp64 wire codec, x16 loops "
+                                   "capture, bp64 wire codec, x64 loops "
                                    "per pass",
+        "live_scans_per_s": round(live_sps, 1),
+        "live_realtime_x": round(live_sps / live_fps, 2),
+        "live_drops": live_drops,
+        "live_engine": live_engine,
+        "live_config": "1024x10 single, emulator-paced loopback UDP "
+                       "through SensorScanSource (LiveDeviceBatcher)",
+        "live_heavy_scans_per_s": round(live2_sps, 1),
+        "live_heavy_realtime_x": round(live2_sps / live2_fps, 2),
+        "live_heavy_drops": live2_drops,
+        "live_heavy_engine": live2_engine,
+        "live_heavy_config": "2048x10 dual, emulator-paced loopback UDP "
+                             "through SensorScanSource",
     }))
 
 
