@@ -374,9 +374,11 @@ def main():
             pending_accs.append(acc)
             return n_scans, time.perf_counter() - t0
 
-        # warm: one full pass (compile + fault in every ring buffer +
-        # populate the FrameReader scan cache + lock the BP64 ship width)
-        # and one cheap chunk
+        # warm: two full passes (compile + fault in every ring buffer +
+        # populate the FrameReader scan cache + lock the BP64 ship width;
+        # the SECOND absorbs the config-transition cold costs that
+        # otherwise land on the first timed pass) and one cheap chunk
+        one_pass()
         one_pass()
         one_pass(limit=B)
 
