@@ -592,3 +592,156 @@ def parse_collation_msg(buf: bytes) -> dict:
         data = f.vector_np(4, np.uint8)
         fields[f.string(0)] = _decode_custom_field(bytes(data), tag, shape)
     return {"scan_ids": ids, "fields": fields}
+
+
+# ---------------------------------------------------------------------------
+# Reference Reader STREAMING-ORDER oracle
+# ---------------------------------------------------------------------------
+# The full C++ `ouster_osf` Reader cannot be compiled in this image (no
+# flatc / no flatbuffers C++ headers to generate against), so this
+# re-implements its Streaming Layout traversal EXACTLY as reader.cpp does,
+# against the same StreamingInfo/Chunk structures, using the pip
+# flatbuffers-style Tab reader above:
+#   - per-stream chunk cursors from the StreamingInfo ChunkInfo mapping,
+#     in Metadata.chunks start_ts order
+#     (ref: reader.cpp:551-614 MessagesStreamingIter ctor,
+#     chunk.cpp:98-112 get_by_lower_bound_ts: first chunk whose
+#     end_ts >= start_ts);
+#   - every chunk CRC-verified before use (ref: reader.cpp verify_chunk);
+#   - a min-heap on each cursor's CURRENT message ts
+#     (ref: reader.cpp:534-537 greater_chunk_type — ties by ts only, so
+#     equal-ts cross-stream order is heap-internal; compare with
+#     assert_streaming_equivalent below);
+#   - within-stream non-decreasing ts ENFORCED like the reference's
+#     "Can't have decreasing by timestamp messages in StreamingLayout"
+#     (ref: reader.cpp:698-720);
+#   - range [start_ts, end_ts) exclusive; Reader::messages(a, b) maps to
+#     [a, b+1) (ref: reader.cpp:755-758 MessagesStreamingRange::begin).
+
+
+def streaming_order(path: str, start_ts=None, end_ts=None,
+                    stream_ids=None):
+    """(ts, stream_id) sequence in the reference Reader's Streaming
+    Layout order over [start_ts, end_ts) (defaults: the whole file,
+    end-inclusive like Reader::messages())."""
+    import heapq
+
+    assert HAVE_FB, "pip flatbuffers unavailable"
+    with open(path, "rb") as f:
+        data = f.read()
+    hdr_block = _block_at(data, 0)
+    hdr = _root(hdr_block, b"OSF$")
+    m_off = hdr.scalar(2, "u64", 1)
+    meta = _root(_block_at(data, m_off), b"OSF#")
+    chunks_base = len(hdr_block)
+    chunk_offsets = np.frombuffer(
+        meta.vector_struct_bytes(3, 24), np.uint64).reshape(-1, 3)
+    span = {int(off): (int(s), int(e)) for s, e, off in chunk_offsets}
+
+    if start_ts is None:
+        start_ts = int(meta.scalar(1, "u64"))
+    if end_ts is None:
+        end_ts = int(meta.scalar(2, "u64")) + 1  # messages() inclusive
+    else:
+        end_ts = int(end_ts) + 1
+
+    # StreamingInfo: per-stream chunk offsets. The reference REQUIRES it
+    # for streaming iteration (reader.cpp:684 throws without chunk info).
+    stream_chunks = {}
+    for j in range(meta.vector_len(4)):
+        e = meta.vector_table(4, j)
+        if e.string(1) != "ouster/v1/streaming/StreamingInfo":
+            continue
+        si = _root(e.vector_np(2, np.uint8).tobytes(), None, framed=False)
+        for k in range(si.vector_len(0)):
+            ci = si.vector_table(0, k)
+            off, sid = ci.scalar(0, "u64"), ci.scalar(1, "u32")
+            stream_chunks.setdefault(sid, []).append(int(off))
+            # ChunkInfo.message_count must match the chunk's actual
+            # message vector length
+            chunk = _root(_block_at(data, chunks_base + int(off)), b"OSF!")
+            assert ci.scalar(2, "u32") == chunk.vector_len(0), \
+                "StreamingInfo message_count != chunk contents"
+    assert stream_chunks, "no StreamingInfo entry (streaming needs one)"
+    for sid in stream_chunks:
+        stream_chunks[sid].sort(key=lambda o: span[o][0])
+
+    if stream_ids is None:
+        stream_ids = sorted(stream_chunks)
+
+    def chunk_msgs(off):
+        block = _block_at(data, chunks_base + off)  # CRC verify_chunk
+        chunk = _root(block, b"OSF!")
+        out = []
+        for j in range(chunk.vector_len(0)):
+            m = chunk.vector_table(0, j)
+            out.append((m.scalar(0, "u64"), m.scalar(1, "u32")))
+        return out
+
+    # open the first valid cursor per stream (ctor semantics)
+    heap = []
+    seq = 0
+    for sid in stream_ids:
+        offs = stream_chunks.get(sid, [])
+        # lower bound: first chunk whose end_ts >= start_ts
+        ci = 0
+        while ci < len(offs) and span[offs[ci]][1] < start_ts:
+            ci += 1
+        while ci < len(offs) and span[offs[ci]][0] < end_ts:
+            msgs = chunk_msgs(offs[ci])
+            found = False
+            for mi, (ts, _) in enumerate(msgs):
+                if start_ts <= ts < end_ts:
+                    heap.append((ts, seq, sid, ci, mi, msgs))
+                    seq += 1
+                    found = True
+                    break
+            if found:
+                break
+            ci += 1
+    heapq.heapify(heap)
+
+    out = []
+    curr_ts = start_ts
+    while heap:
+        ts, _, sid, ci, mi, msgs = heapq.heappop(heap)
+        assert ts >= curr_ts, \
+            "decreasing ts in StreamingLayout (reference Reader throws)"
+        curr_ts = ts
+        out.append((ts, sid))
+        if mi + 1 < len(msgs):
+            if msgs[mi + 1][0] < end_ts:
+                heapq.heappush(heap, (msgs[mi + 1][0], seq, sid, ci,
+                                      mi + 1, msgs))
+                seq += 1
+            continue
+        offs = stream_chunks[sid]
+        ci += 1
+        if ci < len(offs) and span[offs[ci]][0] < end_ts:
+            nmsgs = chunk_msgs(offs[ci])
+            for nmi, (nts, _) in enumerate(nmsgs):
+                assert nts >= curr_ts, \
+                    "decreasing ts across stream chunks (Reader throws)"
+                if nts < end_ts:
+                    heapq.heappush(heap, (nts, seq, sid, ci, nmi, nmsgs))
+                    seq += 1
+                    break
+    return out
+
+
+def assert_streaming_equivalent(got, oracle):
+    """Compare a reader's (ts, stream_id) order against the oracle's:
+    identical non-decreasing ts sequence, and the same multiset of
+    stream ids at every timestamp (the reference's heap breaks equal-ts
+    ties by internal order, so cross-stream order WITHIN one timestamp
+    is not part of the contract — reader.cpp:534-537 compares ts only)."""
+    assert len(got) == len(oracle), (len(got), len(oracle))
+    assert [t for t, _ in got] == [t for t, _ in oracle], "ts order"
+    from collections import Counter
+
+    by_ts_got, by_ts_oracle = {}, {}
+    for t, s in got:
+        by_ts_got.setdefault(t, Counter())[s] += 1
+    for t, s in oracle:
+        by_ts_oracle.setdefault(t, Counter())[s] += 1
+    assert by_ts_got == by_ts_oracle, "per-ts stream multiset"

@@ -173,3 +173,91 @@ def test_written_multisensor_collation_invalid_slots(tmp_path):
         [(0, 0), tuple(INVALID_SCAN_ID)]
     assert parsed["collations"][1]["scan_ids"] == \
         [tuple(INVALID_SCAN_ID), (1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Reference Reader STREAMING-ORDER semantics (reader.h:884,
+# reader.cpp:551-758) — the full C++ Reader can't be compiled here
+# (no flatc / flatbuffers C++ headers in the image), so the oracle
+# re-implements its exact traversal; see osf_oracle.streaming_order.
+# ---------------------------------------------------------------------------
+
+def _multi_stream_file(tmp_path, n_frames=6):
+    """Two sensors with interleaved, partially TIED timestamps and small
+    chunks, so streaming iteration must genuinely k-way merge across
+    per-stream chunk runs."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _make_info
+
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+
+    infos = [_make_info(w=512, h=32, dual=False),
+             _make_info(w=512, h=32, dual=False)]
+    infos[1].sn = infos[1].sn + 1
+    out = str(tmp_path / "multistream.osf")
+    rng = np.random.default_rng(2)
+    expect = []
+    # small chunk_size forces one chunk per message -> many chunks per
+    # stream -> the merge crosses chunk boundaries constantly
+    with Writer(out, chunk_size=1) as w:
+        idxs = [w.add_sensor(i, None) for i in infos]
+        for k in range(n_frames):
+            for si in (0, 1):
+                s = LidarScan(infos[si])
+                s.frame_id = k + 1
+                s.status[:] = 1
+                s.field(ChanField.RANGE)[:] = rng.integers(
+                    0, 1 << 19, s.field(ChanField.RANGE).shape,
+                    dtype=np.uint32)
+                # sensor 1 ties sensor 0's ts on even frames, lags odd
+                ts = 1000 + 10 * k + (0 if si == 0 or k % 2 == 0 else 3)
+                w.save(idxs[si], s, ts=ts)
+                expect.append(ts)
+    return out, sorted(expect)
+
+
+def test_streaming_order_matches_reference_traversal(tmp_path):
+    """Our Reader.messages() yields the same streaming order the
+    reference Reader's MessagesStreamingRange would (oracle traversal),
+    including equal-ts interleave up to the reference's own tie
+    freedom."""
+    out, expect_ts = _multi_stream_file(tmp_path)
+    want = oracle.streaming_order(out)
+    assert [t for t, _ in want] == expect_ts  # non-decreasing, complete
+    got = [(m.ts, m.id) for m in Reader(out).messages()]
+    oracle.assert_streaming_equivalent(got, want)
+
+
+def test_streaming_range_queries_match(tmp_path):
+    """Time-range iteration (Reader::messages(a, b), END-INCLUSIVE per
+    reader.cpp:755 begin() = [a, b+1)) matches the oracle for interior,
+    boundary, tied-ts, and empty ranges."""
+    out, expect_ts = _multi_stream_file(tmp_path)
+    lo, hi = expect_ts[0], expect_ts[-1]
+    cases = [(lo, hi), (lo + 5, hi - 5), (1010, 1033), (1013, 1013),
+             (hi + 1, hi + 50), (0, lo - 1)]
+    r = Reader(out)
+    for a, b in cases:
+        got = [(m.ts, m.id) for m in r.messages(a, b)]
+        want = oracle.streaming_order(out, a, b)
+        oracle.assert_streaming_equivalent(got, want)
+
+
+def test_streaming_order_reference_fixture():
+    """The reference's own capture iterates identically through our
+    Reader and the oracle traversal (read-compat direction)."""
+    if not os.path.exists(FIXTURE):
+        pytest.skip("fixture missing")
+    want = oracle.streaming_order(FIXTURE)
+    got = [(m.ts, m.id) for m in Reader(FIXTURE).messages()]
+    oracle.assert_streaming_equivalent(got, want)
+
+
+def test_streaming_info_chunk_counts(tmp_path):
+    """Every written ChunkInfo.message_count matches the chunk body (the
+    oracle asserts while walking StreamingInfo) and every chunk is
+    CRC-valid (oracle _block_at verifies)."""
+    out, _ = _multi_stream_file(tmp_path)
+    assert oracle.streaming_order(out)  # assertions run inside
