@@ -577,12 +577,15 @@ def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
                 compression_level, use_png, chunk_size, split_mb, ros2,
                 cloud_field, decimate, voxel_size, min_z, max_z,
                 pts_per_file, ascii_out):
-    """Save the stream to .osf/.pcap/.bag/.db3/.mcap/.csv/.ply/.pcd/.las
-    (ref: plugins/source_save.py option surface)."""
+    """Save the stream to .osf/.pcap/.bag/.db3/.mcap/.csv/.ply/.pcd/.las,
+    or .png for a per-scan/per-field 8-bit image series
+    (ref: plugins/source_save.py option surface, :454 source_save_png)."""
     if prefix or out_dir:
         path = os.path.join(out_dir or ".", prefix + os.path.basename(path))
     ext = os.path.splitext(path)[1].lower()
-    if os.path.exists(path) and not overwrite:
+    # .png is a per-scan/per-field image SERIES: `path` is the name stem,
+    # never written itself — per-file existence is checked at write time
+    if ext != ".png" and os.path.exists(path) and not overwrite:
         raise click.ClickException(
             f"{path} already exists; use --overwrite to replace it")
     pipeline = ctx.obj
@@ -596,6 +599,7 @@ def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
                        compression_level=compression_level,
                        encoder="png" if use_png else "zpng",
                        ts_mode=ts_mode, ros2=ros2, split_mb=split_mb,
+                       overwrite=overwrite,
                        cloud_opts=dict(
                            field=cloud_field, decimate=decimate,
                            voxel_size=voxel_size, min_z=min_z,

@@ -73,7 +73,8 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
                ts_mode: str = "packet",
                ros2: bool = False,
                split_mb: Optional[int] = None,
-               cloud_opts: Optional[dict] = None) -> int:
+               cloud_opts: Optional[dict] = None,
+               overwrite: bool = True) -> int:
     """Dispatch on extension; returns number of scans written.
 
     Option surface mirrors the reference save command
@@ -104,7 +105,58 @@ def save_scans(path: str, infos: List[SensorInfo], scan_sets: Iterable,
     if ext in (".csv", ".ply", ".pcd", ".las"):
         return _save_points(path, infos, scan_sets, ext[1:],
                             **(cloud_opts or {}))
+    if ext == ".png":
+        return _save_png(path, infos, scan_sets, fields,
+                         overwrite=overwrite)
     raise ValueError(f"unsupported save format {ext}")
+
+
+def _save_png(path, infos, scan_sets, fields, *, overwrite=True) -> int:
+    """Per-scan per-field 8-bit normalized destaggered image series
+    (ref: plugins/source_save.py:454-520 source_save_png): each written
+    file is `{stem}_{sn}_{frame_id}_{field}.png` beside `path` (min-max
+    normalized to the 8-bit range, like the reference). 2-D pixel fields
+    write grayscale; (h, w, 3) fields write RGB; non-pixel-shaped fields
+    (IMU/zone scan fields) are skipped."""
+    from ..ops.destagger import destagger
+    from ..utils.png import encode
+
+    out_dir = os.path.dirname(path)
+    stem = os.path.splitext(os.path.basename(path))[0]
+    n = 0
+    for ls_set in scan_sets:
+        # LidarScanSet also exposes field(); frame_id marks a bare scan
+        scans = [ls_set] if hasattr(ls_set, "frame_id") else ls_set
+        for k, scan in enumerate(scans):
+            if scan is None:
+                continue
+            info = scan.sensor_info or infos[min(k, len(infos) - 1)]
+            h = info.format.pixels_per_column
+            w = info.format.columns_per_frame
+            for name in (fields or list(scan.fields)):
+                img = np.asarray(scan.field(name))
+                if img.shape[:2] != (h, w) or img.ndim > 3:
+                    continue
+                img = destagger(info, img)
+                lo, hi = img.min(), img.max()
+                norm = np.zeros_like(img, np.float64) if hi == lo else \
+                    (img.astype(np.float64) - lo) / float(hi - lo)
+                img8 = (norm * 255).astype(np.uint8)
+                if img.ndim == 3 and img.shape[2] == 3:
+                    data = encode(img8, color_type=2, sample_depth=8)
+                elif img.ndim == 2:
+                    data = encode(img8, color_type=0, sample_depth=8)
+                else:
+                    continue
+                fname = f"{stem}_{info.sn}_{scan.frame_id}_{name}.png"
+                fpath = os.path.join(out_dir, fname) if out_dir else fname
+                if os.path.isfile(fpath) and not overwrite:
+                    raise FileExistsError(
+                        f"{fpath} already exists; pass --overwrite")
+                with open(fpath, "wb") as f:
+                    f.write(data)
+            n += 1
+    return n
 
 
 def _save_osf(path, infos, scan_sets, fields, *, chunk_size=2 * 1024 * 1024,
