@@ -61,3 +61,31 @@ def synth_frame_packets(info, frame_id):
                                   size=(pw.pixels_per_column, cpp)))
         out.append(buf.tobytes())
     return out
+
+
+def delay_stats(arrivals_ns, schedule_ns, warmup=2):
+    """Per-packet latency vs a paced schedule, baseline-subtracted: the
+    emulated analog of the reference HIL delay metric (host arrival
+    minus sensor timestamp, tests/hil/test_lidar_delay.py:121-125 —
+    there PTP makes the clocks common; here the emulator's stream start
+    is the unknown offset, estimated as the minimum observed
+    arrival-minus-schedule). Returns (avg_ms, p95_ms) over the samples
+    past `warmup`."""
+    import numpy as np
+
+    arr = np.asarray(arrivals_ns, np.int64)
+    sch = np.asarray(schedule_ns, np.int64)
+    assert arr.size == sch.size and arr.size > warmup
+    rel = arr - sch
+    rel = rel - rel.min()          # fastest packet defines time zero
+    rel = rel[warmup:] * 1e-6      # -> ms
+    return float(rel.mean()), float(np.percentile(rel, 95))
+
+
+def legacy_imu_packet(ts_ns):
+    """48-byte LEGACY imu packet (3 x u64 ts + 6 x f32) with all three
+    timestamps set to ts_ns (ref: parsing.cpp:564-577)."""
+    import struct
+
+    return struct.pack("<QQQ", ts_ns, ts_ns, ts_ns) + \
+        struct.pack("<6f", 0.0, 0.0, 9.81, 0.0, 0.0, 0.0)

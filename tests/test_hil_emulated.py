@@ -419,3 +419,144 @@ def test_live_source_device_engine_end_to_end():
             assert de.stats["batches"] > before
         finally:
             src.close()
+
+
+# ---------------------------------------------------------------------------
+# Emulator-timed DELAY analogs of the reference HIL suite
+# (ref: tests/hil/test_lidar_delay.py, test_imu_delay.py — there PTP
+# makes sensor and host clocks common and the bound is an absolute
+# 20 ms / 5 ms average; here the emulator paces by schedule and the
+# unknown stream-start offset is baseline-subtracted, so the bound
+# covers pacing + transport + parse latency). The same measurement
+# helper (_live_helpers.delay_stats) runs against real hardware in
+# tests/hil/test_delay.py.
+# ---------------------------------------------------------------------------
+
+from _live_helpers import delay_stats, legacy_imu_packet  # noqa: E402
+
+
+def _paced_factory(info, n_frames, period_ns=100_000_000, imu_hz=100):
+    """Lidar frames + LEGACY imu packets on one paced schedule."""
+    def factory():
+        items = []
+        for f in range(n_frames):
+            items.extend(_frame_packets(info, frame_id=f + 1,
+                                        ts0=f * period_ns))
+        imu_period = 10 ** 9 // imu_hz
+        for k in range(n_frames * period_ns // imu_period):
+            ts = k * imu_period + 137  # offset off the lidar grid
+            items.append((ts, "imu", legacy_imu_packet(ts)))
+        items.sort(key=lambda t: t[0])
+        return items
+
+    return factory
+
+
+def test_lidar_packet_delay_emulated():
+    """Average paced-lidar-packet latency stays under 50 ms (reference
+    HIL bound is 20 ms on PTP-synced hardware; the emulated analog adds
+    loopback + Python-receive overhead on a 1-CPU host)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames = 12
+    with SensorEmulator(info, _paced_factory(info, n_frames),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorPacketSource(
+            [f"127.0.0.1:{emu.http_port}"], sensor_info=[info],
+            lidar_port=lidar_port, imu_port=imu_port, timeout=5.0)
+        try:
+            sched = _paced_factory(info, n_frames)()
+            lidar_sched = [t for t, k, _ in sched if k == "lidar"]
+            arrivals = []
+            while len(arrivals) < len(lidar_sched):
+                idx, pkt = src.get_packet(timeout_sec=2.0)
+                if pkt is None:
+                    break
+                if pkt.type().value == "Lidar":
+                    arrivals.append(pkt.host_timestamp)
+        finally:
+            src.close()
+    n = min(len(arrivals), len(lidar_sched))
+    assert n >= len(lidar_sched) * 3 // 4, f"lost too many packets ({n})"
+    avg_ms, p95_ms = delay_stats(arrivals[:n], lidar_sched[:n])
+    assert 0.0 <= avg_ms < 50.0, (avg_ms, p95_ms)
+
+
+def test_imu_vs_lidar_arrival_skew_emulated():
+    """IMU and lidar packets sharing one paced schedule arrive with
+    bounded relative skew (the emulated analog of the imu-delay bound:
+    both stream kinds ride the same socket pair and neither may stall
+    behind the other)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames = 12
+    with SensorEmulator(info, _paced_factory(info, n_frames),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorPacketSource(
+            [f"127.0.0.1:{emu.http_port}"], sensor_info=[info],
+            lidar_port=lidar_port, imu_port=imu_port, timeout=5.0)
+        try:
+            sched = _paced_factory(info, n_frames)()
+            want = {"lidar": [t for t, k, _ in sched if k == "lidar"],
+                    "imu": [t for t, k, _ in sched if k == "imu"]}
+            got = {"lidar": [], "imu": []}
+            total = sum(len(v) for v in want.values())
+            seen = 0
+            while seen < total:
+                idx, pkt = src.get_packet(timeout_sec=2.0)
+                if pkt is None:
+                    break
+                kind = "lidar" if pkt.type().value == "Lidar" else \
+                    "imu" if pkt.type().value == "Imu" else None
+                if kind:
+                    got[kind].append(pkt.host_timestamp)
+                    seen += 1
+        finally:
+            src.close()
+    stats = {}
+    for kind in ("lidar", "imu"):
+        n = min(len(got[kind]), len(want[kind]))
+        assert n >= len(want[kind]) * 3 // 4, (kind, n)
+        stats[kind] = delay_stats(got[kind][:n], want[kind][:n])
+    skew_ms = abs(stats["lidar"][0] - stats["imu"][0])
+    assert skew_ms < 25.0, (stats, skew_ms)
+
+
+def test_packet_to_scan_latency_emulated():
+    """Frame completion -> scan release latency through the full
+    SensorScanSource pipeline stays bounded: the paced schedule gives
+    each frame's LAST packet time; the released scan must surface within
+    150 ms of it (batcher thread + queue hop on a 1-CPU host)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames = 10
+    period = 100_000_000
+    with SensorEmulator(info, _frames_factory(info, n_frames,
+                                              period_ns=period),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorScanSource(
+            [f"127.0.0.1:{emu.http_port}"], sensor_info=[info],
+            lidar_port=lidar_port, imu_port=imu_port, timeout=5.0)
+        try:
+            n_pkts = info.format.columns_per_frame // \
+                info.format.columns_per_packet
+            # frame f's last packet is scheduled at
+            # f*period + (n_pkts-1)*100us (see _frame_packets)
+            sched, releases = [], []
+            import time as _time
+
+            while len(releases) < n_frames - 1:
+                idx, scan = src.get_scan(timeout_sec=2.0)
+                if scan is None:
+                    break
+                releases.append(_time.time_ns())
+                f = len(releases) - 1
+                sched.append(f * period + (n_pkts - 1) * 100_000)
+        finally:
+            src.close()
+    assert len(releases) >= n_frames * 3 // 4, len(releases)
+    avg_ms, p95_ms = delay_stats(releases, sched)
+    assert 0.0 <= avg_ms < 150.0, (avg_ms, p95_ms)
