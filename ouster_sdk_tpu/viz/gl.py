@@ -731,6 +731,46 @@ def gl_available() -> bool:
 # Interactive window (import-gated on pip `glfw`)
 # ---------------------------------------------------------------------------
 
+class WindowEventBridge:
+    """The window's event wiring, factored out of :func:`run_window` so
+    the full interactive scene graph — orbit/dolly camera mutation plus
+    event-registry dispatch — is drivable without a display (ref:
+    point_viz.cpp GLFW callbacks; point_viz.h:~600-745 handler stacks).
+
+    ``press`` is the toolkit's PRESS action constant and ``cursor_pos``
+    maps a window handle to the pointer position (``glfw.get_cursor_pos``
+    under a real window; any stub in headless tests). The methods have
+    exact GLFW callback signatures so :func:`run_window` installs them
+    unwrapped."""
+
+    def __init__(self, viz: PointViz, press, cursor_pos,
+                 orbit_gain: float = 0.3):
+        self.viz = viz
+        self._press = press
+        self._cursor_pos = cursor_pos
+        self._gain = orbit_gain
+        self.drag = {"on": False, "x": 0.0, "y": 0.0}
+
+    def on_mouse(self, win, button, action, mods) -> None:
+        self.drag["on"] = action == self._press
+        self.drag["x"], self.drag["y"] = self._cursor_pos(win)
+        self.viz.dispatch_mouse_button(button, action, mods)
+
+    def on_move(self, win, x, y) -> None:
+        if self.drag["on"]:
+            self.viz.camera.orbit((x - self.drag["x"]) * self._gain,
+                                  -(y - self.drag["y"]) * self._gain)
+            self.drag["x"], self.drag["y"] = x, y
+
+    def on_scroll(self, win, dx, dy) -> None:
+        self.viz.camera.dolly(dy)
+        self.viz.dispatch_scroll(dx, dy)
+
+    def on_key(self, win, key, scancode, action, mods) -> None:
+        if action == self._press:
+            self.viz.dispatch_key(key, mods)
+
+
 def run_window(viz: PointViz, scan_iter=None, title: str = "ouster-viz",
                fps: float = 60.0) -> None:
     """Interactive GLFW window over the same GL scene — the reference's
@@ -777,31 +817,11 @@ def run_window(viz: PointViz, scan_iter=None, title: str = "ouster-viz",
 
         renderer = GLRenderer(context=_WindowCtx())  # type: ignore
 
-        drag = {"on": False, "x": 0.0, "y": 0.0}
-
-        def on_mouse(w, button, action, mods):
-            drag["on"] = action == glfw.PRESS
-            drag["x"], drag["y"] = glfw.get_cursor_pos(w)
-            viz.dispatch_mouse_button(button, action, mods)
-
-        def on_move(w, x, y):
-            if drag["on"]:
-                viz.camera.orbit((x - drag["x"]) * 0.3,
-                                 -(y - drag["y"]) * 0.3)
-                drag["x"], drag["y"] = x, y
-
-        def on_scroll(w, dx, dy):
-            viz.camera.dolly(dy)
-            viz.dispatch_scroll(dx, dy)
-
-        def on_key(w, key, scancode, action, mods):
-            if action == glfw.PRESS:
-                viz.dispatch_key(key, mods)
-
-        glfw.set_mouse_button_callback(win, on_mouse)
-        glfw.set_cursor_pos_callback(win, on_move)
-        glfw.set_scroll_callback(win, on_scroll)
-        glfw.set_key_callback(win, on_key)
+        bridge = WindowEventBridge(viz, glfw.PRESS, glfw.get_cursor_pos)
+        glfw.set_mouse_button_callback(win, bridge.on_mouse)
+        glfw.set_cursor_pos_callback(win, bridge.on_move)
+        glfw.set_scroll_callback(win, bridge.on_scroll)
+        glfw.set_key_callback(win, bridge.on_key)
 
         it = iter(scan_iter) if scan_iter is not None else None
         while not glfw.window_should_close(win):

@@ -223,3 +223,78 @@ def test_gl_buffer_cache_reuse(renderer):
     renderer.render(viz)
     ids = [cid for cid, _, _ in renderer._cloud_cache]
     assert id(c2) in ids and id(c1) not in ids
+
+
+def test_window_scene_graph_short_of_creation(renderer):
+    """Everything run_window() would do except open the glfw window:
+    a real decoded scan through LidarScanViz, SimpleViz's playback key
+    bindings in the event registry, and the EXACT window event wiring
+    (WindowEventBridge is what run_window installs) — driven headless
+    and rendered through the real GL backend."""
+    import os
+
+    from ouster_sdk_tpu import open_source
+    from ouster_sdk_tpu.viz.core import SimpleViz
+
+    pcap = "/root/reference/tests/pcaps/OS-2-128-U1_v2.3.0_1024x10.pcap"
+    if not os.path.exists(pcap):
+        pytest.skip("reference pcap fixtures unavailable")
+    src = open_source(pcap)
+    info = src.sensor_info[0]
+    scan = None
+    for ls_set in src:
+        scan = ls_set[0]
+        if scan is not None:
+            break
+    src.close()
+
+    sviz = SimpleViz([info])          # installs SPACE/,/./</> bindings
+    sviz.scan_viz.update([scan])      # full scene: cloud + panels + imu
+    viz = sviz.scan_viz.viz
+
+    events = []
+    viz.push_mouse_button_handler(
+        lambda ctx, b, e, m: events.append(("mouse", b, e, m)) or True)
+    viz.push_scroll_handler(
+        lambda ctx, x, y: events.append(("scroll", x, y)) or True)
+
+    pos = {"xy": (100.0, 100.0)}
+    PRESS, RELEASE = 1, 0
+    bridge = vgl.WindowEventBridge(viz, press=PRESS,
+                                   cursor_pos=lambda w: pos["xy"])
+
+    # drag: press at (100,100) then move to (130,80) -> orbit
+    yaw0, pitch0 = viz.camera.yaw, viz.camera.pitch
+    dist0 = viz.camera.distance
+    bridge.on_mouse(None, 0, PRESS, 0)
+    bridge.on_move(None, 130.0, 80.0)
+    assert viz.camera.yaw == pytest.approx((yaw0 + 30 * 0.3) % 360)
+    assert viz.camera.pitch == pytest.approx(pitch0 + 20 * 0.3)
+    # release ends the drag; further motion must not orbit
+    yaw1 = viz.camera.yaw
+    bridge.on_mouse(None, 0, RELEASE, 0)
+    bridge.on_move(None, 300.0, 300.0)
+    assert viz.camera.yaw == yaw1
+
+    # scroll dollies the camera and reaches the scroll registry
+    bridge.on_scroll(None, 0.0, 2.0)
+    assert viz.camera.distance < dist0
+
+    # keys reach SimpleViz's playback bindings through the registry;
+    # key releases must not dispatch
+    assert not sviz.paused
+    bridge.on_key(None, ord(" "), 0, PRESS, 0)
+    assert sviz.paused
+    bridge.on_key(None, ord(" "), 0, RELEASE, 0)
+    assert sviz.paused                      # release ignored
+    assert sviz.rate == 0.0
+    bridge.on_key(None, ord("<"), 0, PRESS, 0)
+    assert sviz.rate == 3.0                 # cycled down from free-run
+
+    # mouse/scroll events were observed by the pushed handlers
+    assert ("mouse", 0, PRESS, 0) in events
+    assert any(e[0] == "scroll" for e in events)
+
+    # the wired scene graph draws through the real GL path
+    frame = renderer.render(viz)
+    assert _lit(frame).sum() > 50
