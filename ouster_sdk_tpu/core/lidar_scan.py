@@ -147,6 +147,7 @@ class LidarScan:
             # used by e.g. MaskedScanSource to yield modified copies)
             import copy as _copy
 
+            info._resolve_deferred()  # copies own independent host arrays
             self.__dict__.update(_copy.deepcopy(info).__dict__)
             return
         if isinstance(info, (int, np.integer)):
@@ -213,8 +214,34 @@ class LidarScan:
         # device-projected XYZ cache (attach_xyz_cache): does not
         # participate in equality/serialization
         self._xyz_cache: Dict = {}
+        # deferred pixel-field fill (set_deferred_fields): device routes
+        # park the decoded frame in HBM and run this on first touch
+        self._deferred_fields = None
         for ft in field_types:
             self.add_field(ft)
+
+    # -- deferred (device-resident) pixel fields ----------------------------
+    def set_deferred_fields(self, fill) -> None:
+        """Defer pixel-field population: `fill(self)` runs once, the
+        first time any field is touched. The live device route parks the
+        decoded frame in HBM and defers the device->host readback here,
+        so scans that are only counted/queued/dropped (or consumed by
+        further device stages) never pay a d2h transfer — TPU-native
+        scans live on the device by default. Header arrays (timestamp /
+        measurement_id / status / pose / packet headers) are always
+        populated eagerly and never defer."""
+        self._deferred_fields = fill
+
+    def _resolve_deferred(self) -> None:
+        fill = getattr(self, "_deferred_fields", None)
+        if fill is not None:
+            self._deferred_fields = None
+            fill(self)
+
+    @property
+    def fields_deferred(self) -> bool:
+        """Whether pixel fields still await their device readback."""
+        return getattr(self, "_deferred_fields", None) is not None
 
     # -- device-projected XYZ cache ----------------------------------------
     def attach_xyz_cache(self, return_idx: int, use_extrinsics: bool,
@@ -273,6 +300,7 @@ class LidarScan:
             return self.add_field(ft)
         if ft.name in self._fields:
             raise ValueError(f"Duplicated field {ft.name!r}")
+        self._resolve_deferred()
         shape = ft.shape(self.h, self.w, len(self.packet_timestamp))
         if data is None:
             data = np.zeros(shape, dtype=ft.element_type)
@@ -285,10 +313,14 @@ class LidarScan:
     def del_field(self, name: str) -> np.ndarray:
         if name not in self._fields:
             raise ValueError(f"No such field {name!r}")
+        self._resolve_deferred()
         self._field_types.pop(name)
         return self._fields.pop(name)
 
     def field(self, name: str) -> np.ndarray:
+        if name not in self._fields:
+            raise KeyError(name)  # unknown names never force a readback
+        self._resolve_deferred()
         return self._fields[name]
 
     def has_field(self, name: str) -> bool:
@@ -411,6 +443,8 @@ class LidarScan:
             return False
         if sorted(self._fields) != sorted(other._fields):
             return False
+        self._resolve_deferred()
+        other._resolve_deferred()
         for k in self._fields:
             if not np.array_equal(self._fields[k], other._fields[k]):
                 return False

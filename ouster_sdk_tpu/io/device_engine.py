@@ -96,6 +96,22 @@ def materialize_scan(info: SensorInfo, pf: PacketFormat, plan,
     ls.frame_id = int(frame_id)
     ls.sensor_info = info
 
+    _populate_pixel_fields(ls, plan, host, k)
+
+    ls.timestamp[:] = (host["timestamp_lo"][k].astype(np.uint64)
+                       | host["timestamp_hi"][k].astype(np.uint64)
+                       << np.uint64(32))
+    ls.measurement_id[:] = host["measurement_id"][k]
+    ls.status[:] = host["status"][k]
+    _populate_packet_headers(ls, pf, pkt_ts_row, pkt_hdrs_row,
+                             first_hdr_row)
+    return ls
+
+
+def _populate_pixel_fields(ls: LidarScan, plan,
+                           host: Dict[str, np.ndarray], k: int) -> None:
+    """Write one decoded frame's channel fields (slot k of the decode
+    output dict) into the scan, restacking multi-return '#' planes."""
     combined: Dict[str, np.ndarray] = {}
     multi: Dict[str, List[np.ndarray]] = {}
     for f in plan.fields:
@@ -110,15 +126,14 @@ def materialize_scan(info: SensorInfo, pf: PacketFormat, plan,
         if ls.has_field(name):
             ls.field(name)[:] = arr
 
-    ls.timestamp[:] = (host["timestamp_lo"][k].astype(np.uint64)
-                       | host["timestamp_hi"][k].astype(np.uint64)
-                       << np.uint64(32))
-    ls.measurement_id[:] = host["measurement_id"][k]
-    ls.status[:] = host["status"][k]
+
+def _populate_packet_headers(ls: LidarScan, pf: PacketFormat,
+                             pkt_ts_row: np.ndarray,
+                             pkt_hdrs_row: np.ndarray,
+                             first_hdr_row: np.ndarray) -> None:
     ls.packet_timestamp[:] = pkt_ts_row
     ls.alert_flags[:] = read_bits(
         pkt_hdrs_row, pf.geom.alert_flags).astype(np.uint8)
-
     ls.frame_status = _frame_status(
         int(read_bits(first_hdr_row, pf.geom.thermal_shutdown)),
         int(read_bits(first_hdr_row, pf.geom.shot_limiting)))
@@ -126,6 +141,64 @@ def materialize_scan(info: SensorInfo, pf: PacketFormat, plan,
         read_bits(first_hdr_row, pf.geom.countdown_thermal_shutdown))
     ls.shot_limiting_countdown = int(
         read_bits(first_hdr_row, pf.geom.countdown_shot_limiting))
+
+
+def _host_column_headers(plan, colhdr: np.ndarray
+                         ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                    np.ndarray]:
+    """Numpy twin of decode_frame_planar's column-header extraction
+    (ops/unpack.py:269-303 incl. the zero-invalid masking) over the
+    HOST-staged col-header words, so the live route can populate scan
+    headers without any device readback. Returns (timestamp u64,
+    measurement_id u16, status u32) arrays plus the valid mask."""
+    from ..ops.unpack import _extract
+
+    w = colhdr.T  # words on the last axis, like col_hdrs.T in the jit
+    status = _extract(w, plan.staged_status_word, plan.status_bit,
+                      plan.status_size)
+    m_id = _extract(w, plan.mid_word, plan.mid_bit, 16)
+    valid = (status & 1).astype(bool)
+    ts = (colhdr[0].astype(np.uint64)
+          | colhdr[1].astype(np.uint64) << np.uint64(32))
+    return (np.where(valid, ts, 0).astype(np.uint64),
+            np.where(valid, m_id, 0).astype(np.uint16),
+            np.where(valid, status, 0).astype(np.uint32),
+            valid)
+
+
+def materialize_scan_deferred(info: SensorInfo, pf: PacketFormat, plan,
+                              dev, colhdr: np.ndarray, frame_id: int,
+                              pkt_ts_row: np.ndarray,
+                              pkt_hdrs_row: np.ndarray,
+                              first_hdr_row: np.ndarray,
+                              field_types=None) -> LidarScan:
+    """Build a LidarScan whose pixel fields stay DEVICE-RESIDENT: every
+    header populates eagerly from the host-staged words (zero d2h), and
+    the decoded frame (`dev`, the decode dispatch's output dict, slot 0)
+    reads back lazily on first field access via set_deferred_fields.
+
+    This is the TPU-native live contract: scans that are queued,
+    dropped, counted, or consumed by further device stages never pay a
+    device->host transfer; only a host consumer that actually touches a
+    field does (ref: sensor_scan_source.cpp:222 drop-oldest — dropped
+    scans there also never surface their pixels)."""
+    ls = LidarScan(info, field_types=field_types)
+    ls.frame_id = int(frame_id)
+    ls.sensor_info = info
+
+    ts, m_id, status, _ = _host_column_headers(plan, colhdr)
+    ls.timestamp[:] = ts
+    ls.measurement_id[:] = m_id
+    ls.status[:] = status
+    _populate_packet_headers(ls, pf, pkt_ts_row, pkt_hdrs_row,
+                             first_hdr_row)
+
+    def fill(scan: LidarScan, _dev=dev, _plan=plan) -> None:
+        import jax
+
+        _populate_pixel_fields(scan, _plan, jax.device_get(_dev), 0)
+
+    ls.set_deferred_fields(fill)
     return ls
 
 
@@ -681,9 +754,15 @@ class LiveDeviceBatcher:
         self._released = -1       # fid of the last released frame
         self._slots: set = set()  # distinct packet slots with ts != 0
         # single-frame outputs: the slab only ever holds one frame id
-        # (a boundary flush precedes staging a new id)
-        self._planes = np.zeros((1, plan.pw, plan.h, plan.w), np.uint32)
-        self._colhdr = np.zeros((1, plan.schw, plan.w), np.uint32)
+        # (a boundary flush precedes staging a new id). planes/colhdr
+        # are a small RING because the upload is now async (the deferred
+        # scans never force a sync): a host buffer must not be rewritten
+        # by the next flush while its device_put may still be in flight.
+        self._ring = [
+            (np.zeros((1, plan.pw, plan.h, plan.w), np.uint32),
+             np.zeros((1, plan.schw, plan.w), np.uint32))
+            for _ in range(4)]
+        self._ring_i = 0
         self._fid_out = np.zeros(1, np.int64)
         self._ts_out = np.zeros(1, np.uint64)
         self._pkt_ts = np.zeros((1, plan.n_pkts), np.uint64)
@@ -858,12 +937,14 @@ class LiveDeviceBatcher:
         if self._decode is None:
             self._decode = self._make_decode()
         plan = self.plan
+        planes, colhdr = self._ring[self._ring_i]
+        self._ring_i = (self._ring_i + 1) % len(self._ring)
         res = native.group_frames_planar(
             self._slab, self._offsets[:self._n], self._ts[:self._n],
             self.pf.lidar_packet_size, self._fid_byte, self._fid_shift,
             self._fid_mask, self.pf.packet_header_size, self.pf.col_size,
             self.pf.col_header_size, plan.mid_word * 4, plan.cpp, plan.h,
-            plan.pw, plan.w, self._planes, self._colhdr, self._fid_out,
+            plan.pw, plan.w, planes, colhdr, self._fid_out,
             self._ts_out, out_pkt_ts=self._pkt_ts,
             out_pkt_hdrs=self._pkt_hdrs, out_first_hdr=self._first_hdr,
             ftr_words=plan.schw - plan.chw)
@@ -876,12 +957,16 @@ class LiveDeviceBatcher:
         _, nf = res
         if nf == 0:
             return []
-        dev = self._decode(jax.device_put(self._planes[:1]),
-                           jax.device_put(self._colhdr[:1]))
-        host = jax.device_get(dev)
+        # async dispatch, NO readback: the scan's pixel fields stay in
+        # HBM and materialize lazily on first access (headers populate
+        # from the host-staged words) — a live pipeline that feeds
+        # device-side consumers or drops scans under backpressure never
+        # pays a d2h transfer per frame
+        dev = self._decode(jax.device_put(planes),
+                           jax.device_put(colhdr))
         stats["batches"] += 1
-        scan = materialize_scan(
-            self.info, self.pf, plan, host, 0,
+        scan = materialize_scan_deferred(
+            self.info, self.pf, plan, dev, colhdr[0],
             int(self._fid_out[0]), self._pkt_ts[0], self._pkt_hdrs[0],
             self._first_hdr[0], self._field_types)
         # frame_status/countdowns come from the frame-OPENING packet —

@@ -388,6 +388,60 @@ def test_live_device_batcher_bit_equal_to_numpy():
 
 @pytest.mark.skipif(not _native_available(),
                     reason="native library unavailable")
+def test_live_device_scans_defer_readback(monkeypatch):
+    """Live device scans park pixel fields in HBM (TPU-native contract):
+    headers populate eagerly from the host-staged words, NO device
+    readback runs while scans are only queued/counted, and the first
+    field touch materializes exactly once, bit-equal to the numpy
+    batcher (incl. the host-twin header extraction)."""
+    import jax
+
+    from ouster_sdk_tpu.core.batcher import ScanBatcher
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+    from ouster_sdk_tpu.core.packets import LidarPacket
+    from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
+
+    info = _test_info(7504, 7505)
+    frames = {f: [p for _, _, p in _frame_packets(info, f)]
+              for f in (1, 2)}
+    stream = frames[1] + frames[2]
+    ts = [1_000_000 * (i + 1) for i in range(len(stream))]
+
+    ref_scans = []
+    b, cur = ScanBatcher(info), LidarScan(info)
+    for p, t in zip(stream, ts):
+        if b(LidarPacket(np.frombuffer(p, np.uint8), t), cur):
+            ref_scans.append(cur)
+            cur = LidarScan(info)
+
+    gets = []
+    real_get = jax.device_get
+    monkeypatch.setattr(
+        jax, "device_get", lambda x: (gets.append(1), real_get(x))[1])
+
+    stager = LiveDeviceBatcher(info)
+    out = []
+    for p, t in zip(stream, ts):
+        out.extend(stager.push(np.frombuffer(p, np.uint8), t))
+    assert [s.frame_id for s in out] == [1, 2]  # count-based completion
+
+    s = out[0]
+    assert s.fields_deferred
+    assert gets == []                         # zero d2h so far
+    # headers are eager: completion/timestamps work without a readback
+    assert s.complete()
+    assert s.timestamp.any() and s.status.any()
+    assert gets == []
+
+    _ = s.field(ChanField.RANGE)              # first touch materializes
+    assert not s.fields_deferred
+    assert len(gets) == 1
+    _scan_equal(s, ref_scans[0])              # bit-equal after resolve
+    assert len(gets) == 1                     # ...and exactly one d2h
+
+
+@pytest.mark.skipif(not _native_available(),
+                    reason="native library unavailable")
 def test_live_source_device_engine_end_to_end():
     """SensorScanSource(engine='device') delivers device-decoded scans
     from an emulated sensor (stats counters prove the route)."""
