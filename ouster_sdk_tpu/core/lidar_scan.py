@@ -8,9 +8,14 @@ per-profile default field sets (ref: lidar_scan.cpp:799-893).
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
+
+#: guards first-touch materialization of deferred (device-resident)
+#: pixel fields; reentrant because a fill writes through field()
+_DEFERRED_LOCK = threading.RLock()
 
 from .constants import (
     ChanField,
@@ -233,10 +238,21 @@ class LidarScan:
         self._deferred_fields = fill
 
     def _resolve_deferred(self) -> None:
-        fill = getattr(self, "_deferred_fields", None)
-        if fill is not None:
+        # the lock makes first-touch materialization safe across threads
+        # (producer thread vs consumer(s)); it is reentrant because the
+        # fill itself writes through field(). A failed fill restores the
+        # hook so the scan never silently serves its zero-initialized
+        # arrays as data.
+        with _DEFERRED_LOCK:
+            fill = getattr(self, "_deferred_fields", None)
+            if fill is None:
+                return
             self._deferred_fields = None
-            fill(self)
+            try:
+                fill(self)
+            except BaseException:
+                self._deferred_fields = fill
+                raise
 
     @property
     def fields_deferred(self) -> bool:

@@ -762,6 +762,7 @@ class LiveDeviceBatcher:
             (np.zeros((1, plan.pw, plan.h, plan.w), np.uint32),
              np.zeros((1, plan.schw, plan.w), np.uint32))
             for _ in range(4)]
+        self._ring_pending: List = [None] * len(self._ring)
         self._ring_i = 0
         self._fid_out = np.zeros(1, np.int64)
         self._ts_out = np.zeros(1, np.uint64)
@@ -937,8 +938,16 @@ class LiveDeviceBatcher:
         if self._decode is None:
             self._decode = self._make_decode()
         plan = self.plan
-        planes, colhdr = self._ring[self._ring_i]
+        slot = self._ring_i
+        planes, colhdr = self._ring[slot]
         self._ring_i = (self._ring_i + 1) % len(self._ring)
+        if self._ring_pending[slot] is not None:
+            # completion FENCE (no transfer) before rewriting a slot:
+            # the upload from this buffer 4 flushes ago must have landed
+            # in HBM, or the rewrite would corrupt that frame. With the
+            # ring ahead of the transfer this never actually blocks.
+            jax.block_until_ready(self._ring_pending[slot])
+            self._ring_pending[slot] = None
         res = native.group_frames_planar(
             self._slab, self._offsets[:self._n], self._ts[:self._n],
             self.pf.lidar_packet_size, self._fid_byte, self._fid_shift,
@@ -962,8 +971,10 @@ class LiveDeviceBatcher:
         # from the host-staged words) — a live pipeline that feeds
         # device-side consumers or drops scans under backpressure never
         # pays a d2h transfer per frame
-        dev = self._decode(jax.device_put(planes),
-                           jax.device_put(colhdr))
+        planes_dev = jax.device_put(planes)
+        colhdr_dev = jax.device_put(colhdr)
+        self._ring_pending[slot] = (planes_dev, colhdr_dev)
+        dev = self._decode(planes_dev, colhdr_dev)
         stats["batches"] += 1
         scan = materialize_scan_deferred(
             self.info, self.pf, plan, dev, colhdr[0],
@@ -974,8 +985,23 @@ class LiveDeviceBatcher:
         # staged first_hdr carries (batcher.py:115-118)
         scan.frame_status, scan.shutdown_countdown, \
             scan.shot_limiting_countdown = self._opener
-        for kind, buf, ts in aux:
-            self._aux.apply(kind, buf, ts, scan)
+        if aux:
+            # hybrid route: aux packets write only scan FIELDS (the
+            # numpy batcher's own writers, batcher.py:311-361), so they
+            # defer WITH the pixel readback — aux profiles keep the
+            # zero-d2h contract. The opener header assignment re-runs
+            # after the writers, preserving the eager path's ordering.
+            base_fill, applier, opener = \
+                scan._deferred_fields, self._aux, self._opener
+
+            def fill_with_aux(s: LidarScan) -> None:
+                base_fill(s)
+                for kind, buf, ts in aux:
+                    applier.apply(kind, buf, ts, s)
+                s.frame_status, s.shutdown_countdown, \
+                    s.shot_limiting_countdown = opener
+
+            scan.set_deferred_fields(fill_with_aux)
         stats["scans"] += 1
         return [scan]
 

@@ -421,17 +421,21 @@ def test_live_device_scans_defer_readback(monkeypatch):
 
     stager = LiveDeviceBatcher(info)
     out = []
-    for p, t in zip(stream, ts):
-        out.extend(stager.push(np.frombuffer(p, np.uint8), t))
-    assert [s.frame_id for s in out] == [1, 2]  # count-based completion
+    # the guard turns any IMPLICIT device->host transfer (np.asarray /
+    # float() coercions) into an error; explicit device_get stays
+    # allowed and is counted by the monkeypatch
+    with jax.transfer_guard_device_to_host("disallow"):
+        for p, t in zip(stream, ts):
+            out.extend(stager.push(np.frombuffer(p, np.uint8), t))
+        assert [s.frame_id for s in out] == [1, 2]  # count completion
 
-    s = out[0]
-    assert s.fields_deferred
-    assert gets == []                         # zero d2h so far
-    # headers are eager: completion/timestamps work without a readback
-    assert s.complete()
-    assert s.timestamp.any() and s.status.any()
-    assert gets == []
+        s = out[0]
+        assert s.fields_deferred
+        assert gets == []                     # zero d2h so far
+        # headers are eager: completion/timestamps need no readback
+        assert s.complete()
+        assert s.timestamp.any() and s.status.any()
+        assert gets == []
 
     _ = s.field(ChanField.RANGE)              # first touch materializes
     assert not s.fields_deferred
@@ -614,3 +618,32 @@ def test_packet_to_scan_latency_emulated():
     assert len(releases) >= n_frames * 3 // 4, len(releases)
     avg_ms, p95_ms = delay_stats(releases, sched)
     assert 0.0 <= avg_ms < 150.0, (avg_ms, p95_ms)
+
+
+def test_deferred_fill_failure_restores_hook():
+    """A failed deferred fill (flaky link, device OOM) must surface the
+    error AND leave the scan deferred — never silently serve the
+    zero-initialized arrays as data."""
+    from ouster_sdk_tpu.core.lidar_scan import LidarScan
+
+    scan = LidarScan(32, 64)
+    attempts = []
+
+    def boom(s):
+        attempts.append(1)
+        raise RuntimeError("tunnel hiccup")
+
+    scan.set_deferred_fields(boom)
+    with pytest.raises(RuntimeError, match="tunnel hiccup"):
+        scan.field("RANGE")
+    assert scan.fields_deferred          # hook restored, retryable
+    with pytest.raises(RuntimeError):
+        scan.field("RANGE")              # retry runs the fill again
+    assert len(attempts) == 2
+
+    def ok(s):
+        s.field("RANGE")[:] = 7
+
+    scan.set_deferred_fields(ok)
+    assert (scan.field("RANGE") == 7).all()
+    assert not scan.fields_deferred
