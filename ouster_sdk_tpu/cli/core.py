@@ -914,6 +914,66 @@ def util() -> None:
     """Utilities."""
 
 
+def _system_info(devices: bool = False) -> dict:
+    """Reference report shape (ref: cli/core/util.py:50-96
+    get_system_info): platform attrs with an md5-hashed node id,
+    cpuinfo, package versions; optionally the accelerator inventory."""
+    import hashlib
+    import platform
+
+    from .. import __version__ as sdk_version
+
+    res = {"platform": {
+        attr: getattr(platform, attr)()
+        for attr in ("machine", "platform", "processor", "python_version",
+                     "python_build", "python_compiler", "release",
+                     "system")}}
+    # hash of the hostname crudely identifies systems without leaking it
+    res["platform"]["node"] = hashlib.md5(
+        platform.node().encode()).hexdigest()[:7]
+    res["cpuinfo"] = {"brand_raw": _cpu_brand()}
+    res["packages"] = {"ouster-sdk-tpu": sdk_version}
+    if devices:
+        import jax
+
+        res["devices"] = [
+            {"kind": d.device_kind, "platform": d.platform, "id": d.id}
+            for d in jax.devices()]
+    return res
+
+
+@util.command("system-info")
+@click.option("--devices", is_flag=True,
+              help="include the jax accelerator inventory")
+def util_system_info(devices) -> None:
+    """Print system information as a json blob
+    (ref: cli/core/util.py:140-142)."""
+    click.echo(json.dumps(_system_info(devices), indent=4))
+
+
+@util.command("validate-metadata")
+@click.argument("file", required=True,
+                type=click.Path(exists=True, dir_okay=False))
+def util_validate_metadata(file) -> None:
+    """Validate a metadata json file (ref: cli/core/util.py:145-169 —
+    same issue-tier sections and no-issues message)."""
+    from ..core.metadata import parse_and_validate_metadata
+
+    with open(file) as f:
+        _, issues = parse_and_validate_metadata(f.read())
+    have_issues = False
+    for title, items in (("CRITICAL ISSUES:", issues.critical),
+                         ("WARNING ISSUES:", issues.warning),
+                         ("INFORMATION ISSUES:", issues.information)):
+        if items:
+            have_issues = True
+            click.echo(title)
+            for item in items:
+                click.echo(item.to_string())
+    if not have_issues:
+        click.echo("No issues found")
+
+
 @util.command("benchmark")
 @click.argument("url")
 @click.option("--frames", type=int, default=10)

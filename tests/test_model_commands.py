@@ -92,3 +92,32 @@ def test_viz_html_from_pcap(tmp_path):
     r = CliRunner().invoke(cli, ["source", pcap, "viz", "--html", out])
     assert r.exit_code == 0, r.output
     assert os.path.getsize(out) > 100_000
+
+
+def test_util_system_info():
+    runner = CliRunner()
+    from ouster_sdk_tpu.cli.core import cli
+
+    res = runner.invoke(cli, ["util", "system-info"])
+    assert res.exit_code == 0, res.output
+    import json as _json
+
+    blob = _json.loads(res.output)
+    assert set(blob) >= {"platform", "cpuinfo", "packages"}
+    assert len(blob["platform"]["node"]) == 7  # md5-hashed host id
+    assert "ouster-sdk-tpu" in blob["packages"]
+
+
+def test_util_validate_metadata():
+    runner = CliRunner()
+    from ouster_sdk_tpu.cli.core import cli
+
+    good = "/root/reference/tests/metadata/3_0_1_os-122246000293-128.json"
+    res = runner.invoke(cli, ["util", "validate-metadata", good])
+    assert res.exit_code == 0, res.output
+
+    bad = ("/root/reference/tests/metadata/malformed/"
+           "complete_but_all_zeros_legacy.json")
+    res = runner.invoke(cli, ["util", "validate-metadata", bad])
+    assert res.exit_code == 0, res.output
+    assert "ISSUES:" in res.output
