@@ -298,6 +298,49 @@ def main():
     else:
         print(f"lutfree ok (max err {err.max():.2e} m)", file=sys.stderr)
 
+    # ---- 3b. OSF device projection on hardware --------------------------
+    # The OSF route's device half (host PNG decode -> fused dd projection
+    # -> snapshot-guarded XYZ caches) running on the REAL chip against a
+    # real reference capture (CPU-jax coverage: tests/test_device_osf.py).
+    osf_fixture = ("/root/reference/tests/osfs/"
+                   "OS-0-128_v3.0.1_1024x10_20241017_141645.osf")
+    if os.path.exists(osf_fixture):
+        from ouster_sdk_tpu import ChanField as _CF
+        from ouster_sdk_tpu.io import device_engine as _de
+        from ouster_sdk_tpu.io.osf import OsfScanSource
+
+        before = _de.stats["osf_batches"]
+        src = OsfScanSource(osf_fixture)
+        lut64_osf = make_xyz_lut(src.sensor_info[0])
+        n_osf, worst = 0, 0.0
+        for ls_set in src:
+            for s in ls_set:
+                if s is None:
+                    continue
+                rng_osf = s.field(_CF.RANGE)
+                hit = s.cached_xyz(0, False, rng_osf)
+                if hit is None:
+                    failures.append("OSF scan missing device XYZ cache")
+                    continue
+                ref_osf = lut64_osf(rng_osf)
+                e = np.abs(hit.astype(np.float64) - ref_osf)
+                u = np.spacing(np.abs(ref_osf).astype(np.float32)
+                               ).astype(np.float64)
+                if not (e <= np.maximum(u * 0.5 + 1e-30, 1e-7)).all():
+                    failures.append(
+                        f"OSF device projection: max err {e.max()}")
+                worst = max(worst, float(e.max()))
+                n_osf += 1
+        if _de.stats["osf_batches"] <= before:
+            failures.append("OSF route never dispatched to the device")
+        elif n_osf:
+            print(f"OSF device projection ok on hardware "
+                  f"({n_osf} scans, max err {worst:.2e} m)",
+                  file=sys.stderr)
+    else:
+        print("OSF fixture unavailable; section 3b skipped",
+              file=sys.stderr)
+
     # ---- 4. device-resident ICP matches the host KD-tree path ----------
     from ouster_sdk_tpu.slam.jax_icp import (_MAP_CHUNK, _bucket,
                                              register_points_jax)
