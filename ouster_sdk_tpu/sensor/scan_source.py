@@ -272,6 +272,12 @@ class SensorPacketSource:
         for c in self._clients:
             c.close()
 
+    def __enter__(self) -> "SensorPacketSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
 
 class SensorScanSource(ScanSource):
     """Live ScanSource with a batcher thread and bounded scan queue
@@ -400,3 +406,9 @@ class SensorScanSource(ScanSource):
         self._stop.set()
         self._thread.join(timeout=2)
         self._packets.close()
+
+    def __enter__(self) -> "SensorScanSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

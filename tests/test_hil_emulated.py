@@ -647,3 +647,137 @@ def test_deferred_fill_failure_restores_hook():
     scan.set_deferred_fields(ok)
     assert (scan.field("RANGE") == 7).all()
     assert not scan.fields_deferred
+
+
+# ---------------------------------------------------------------------------
+# core streaming semantics (ref: tests/hil/test_core.py
+# test_scans_consecutive, test_scans_read_gap, test_packets_consecutive,
+# tests/hil/test_config.py test_config_noop) — emulator-paced analogs of
+# the reference's hardware matrix; tests/hil runs the same semantics
+# against real sensors.
+# ---------------------------------------------------------------------------
+
+def test_scans_consecutive_emulated():
+    """A keeping-up consumer sees every frame: consecutive frame ids,
+    all complete (ref: test_core.py test_scans_consecutive)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames = 20
+    with SensorEmulator(info, _frames_factory(info, n_frames),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               sensor_info=[info],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               queue_size=4, timeout=None)
+        try:
+            frame_ids, scans = [], []
+            while len(frame_ids) < n_frames:
+                idx, scan = src.get_scan(timeout_sec=5.0)
+                if scan is None:
+                    break
+                frame_ids.append(scan.frame_id)
+                scans.append(scan)
+        finally:
+            src.close()
+    # a paced stream with a prompt consumer: nothing dropped, nothing
+    # reordered, every scan complete
+    assert src.dropped_scans == 0
+    assert frame_ids == list(range(1, n_frames + 1))
+    assert all(s.complete() for s in scans), "received incomplete scans"
+
+
+def test_scans_read_gap_emulated():
+    """Pausing mid-read against a paced stream with a depth-2 queue
+    drops a single contiguous run of frames: exactly one frame-id gap
+    (ref: test_core.py test_scans_read_gap)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    n_frames, period_ns = 24, 200_000_000  # 5 fps -> generous margins
+    with SensorEmulator(info,
+                        _frames_factory(info, n_frames,
+                                        period_ns=period_ns),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               sensor_info=[info],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               queue_size=2, timeout=None)
+        frame_ids = []
+        try:
+            for _ in range(5):  # keep up for a while
+                idx, scan = src.get_scan(timeout_sec=10.0)
+                assert scan is not None
+                frame_ids.append(scan.frame_id)
+            time.sleep(1.5)  # ~7 frames arrive; queue keeps only 2
+            while len(frame_ids) < n_frames:
+                idx, scan = src.get_scan(timeout_sec=3.0)
+                if scan is None:
+                    break
+                frame_ids.append(scan.frame_id)
+        finally:
+            src.close()
+    gaps = np.count_nonzero(np.diff(np.asarray(frame_ids,
+                                               np.int64)) != 1)
+    assert src.dropped_scans > 0
+    assert gaps == 1, (frame_ids, src.dropped_scans)
+    assert frame_ids == sorted(frame_ids), "reordered frames"
+
+
+def test_packets_consecutive_measurement_ids_emulated():
+    """No packet loss or reorder on a paced stream: concatenated
+    measurement ids advance by exactly 1 (mod W) across the whole
+    capture (ref: test_core.py test_packets_consecutive)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    from ouster_sdk_tpu import PacketFormat
+
+    pf = PacketFormat.from_info(info)
+    w = info.format.columns_per_frame
+    n_frames = 3
+    expected = n_frames * (w // info.format.columns_per_packet)
+    with SensorEmulator(info, _frames_factory(info, n_frames),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        src = SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                                 lidar_port=lidar_port,
+                                 imu_port=imu_port, timeout=None)
+        mids = []
+        try:
+            while len(mids) < expected:
+                idx, pkt = src.get_packet(timeout_sec=3.0)
+                if pkt is None:
+                    break
+                if pkt.type().value == "Lidar":
+                    mids.append(pf.col_measurement_id(pkt.buf)
+                                .astype(np.int64))
+        finally:
+            src.close()
+    assert len(mids) == expected, "lost packets on loopback"
+    all_mids = np.concatenate(mids)
+    assert np.count_nonzero(np.diff(all_mids) % w != 1) == 0, \
+        "non-consecutive measurement ids"
+
+
+def test_config_noop_emulated():
+    """Setting the empty config changes nothing: active and staged
+    params identical before/after (ref: test_config.py
+    test_config_noop)."""
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import SensorHttp, get_config, \
+        set_config
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    with SensorEmulator(info, _frames_factory(info, 1),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=0.0) as emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        http = SensorHttp.create(host)
+        cfg0 = get_config(host)
+        active0 = http.active_config_params()
+        set_config(host, SensorConfig())
+        cfg1 = get_config(host)
+        active1 = http.active_config_params()
+    assert cfg0 == cfg1
+    assert active0 == active1
