@@ -329,3 +329,9 @@ class PcapPacketSource:
 
     def close(self) -> None:
         pass
+
+    def __enter__(self) -> "PcapPacketSource":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
