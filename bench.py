@@ -520,6 +520,11 @@ def main():
         warm = LiveDeviceBatcher(live_info)
         for p, buf in enumerate(base_bufs):
             warm.push(np.frombuffer(buf.tobytes(), np.uint8), p + 1)
+        # flush explicitly: profiles that expect aux packets (IMU/zone)
+        # never _complete() on lidar packets alone, and the decode jit
+        # only compiles inside _flush — without this the prewarm would
+        # silently do nothing for those profiles
+        warm._flush()
 
         with SensorEmulator(live_info, factory, lidar_port=lidar_port,
                             imu_port=imu_port, rate=1.0) as emu:

@@ -13,10 +13,6 @@ from typing import Dict, Iterator, List, Optional, Tuple, Union
 
 import numpy as np
 
-#: guards first-touch materialization of deferred (device-resident)
-#: pixel fields; reentrant because a fill writes through field()
-_DEFERRED_LOCK = threading.RLock()
-
 from .constants import (
     ChanField,
     FRAME_STATUS_SHOT_LIMITING_SHIFT,
@@ -220,8 +216,12 @@ class LidarScan:
         # participate in equality/serialization
         self._xyz_cache: Dict = {}
         # deferred pixel-field fill (set_deferred_fields): device routes
-        # park the decoded frame in HBM and run this on first touch
+        # park the decoded frame in HBM and run this on first touch.
+        # Lock is PER SCAN so first-touch readbacks of unrelated scans
+        # (different sensors / consumer threads) never serialize against
+        # each other; reentrant because a fill writes through field().
         self._deferred_fields = None
+        self._deferred_lock = threading.RLock()
         for ft in field_types:
             self.add_field(ft)
 
@@ -238,19 +238,28 @@ class LidarScan:
         self._deferred_fields = fill
 
     def _resolve_deferred(self) -> None:
-        # the lock makes first-touch materialization safe across threads
-        # (producer thread vs consumer(s)); it is reentrant because the
-        # fill itself writes through field(). A failed fill restores the
-        # hook so the scan never silently serves its zero-initialized
-        # arrays as data.
-        with _DEFERRED_LOCK:
+        # the per-scan lock makes first-touch materialization safe across
+        # threads (producer thread vs consumer(s)). A failed fill restores
+        # the hook so the scan never silently serves its zero-initialized
+        # arrays as data, and is wrapped so a late failure (arbitrary
+        # field()/__eq__ call, possibly after the source closed) is
+        # attributable to the live decode pipeline it originated in.
+        with self._deferred_lock:
             fill = getattr(self, "_deferred_fields", None)
             if fill is None:
                 return
             self._deferred_fields = None
             try:
                 fill(self)
-            except BaseException:
+            except Exception as exc:
+                self._deferred_fields = fill
+                raise RuntimeError(
+                    "deferred device readback failed while materializing "
+                    f"pixel fields of frame_id={self.frame_id} "
+                    f"({type(exc).__name__}: {exc}); the scan was decoded "
+                    "on-device by the live pipeline and its fields resolve "
+                    "lazily on first access") from exc
+            except BaseException:  # KeyboardInterrupt etc: pass through
                 self._deferred_fields = fill
                 raise
 

@@ -973,8 +973,13 @@ class LiveDeviceBatcher:
         # pays a d2h transfer per frame
         planes_dev = jax.device_put(planes)
         colhdr_dev = jax.device_put(colhdr)
-        self._ring_pending[slot] = (planes_dev, colhdr_dev)
         dev = self._decode(planes_dev, colhdr_dev)
+        # fence token = the DECODE OUTPUTS, not the uploads: on backends
+        # where device_put can alias the host buffer (JAX CPU) the upload
+        # is trivially "ready" while the decode that reads it is still
+        # queued. Readiness of the decode outputs subsumes the transfer
+        # and guarantees every consumer of this slot's bytes has executed.
+        self._ring_pending[slot] = dev
         stats["batches"] += 1
         scan = materialize_scan_deferred(
             self.info, self.pf, plan, dev, colhdr[0],
@@ -987,19 +992,16 @@ class LiveDeviceBatcher:
             scan.shot_limiting_countdown = self._opener
         if aux:
             # hybrid route: aux packets write only scan FIELDS (the
-            # numpy batcher's own writers, batcher.py:311-361), so they
-            # defer WITH the pixel readback — aux profiles keep the
-            # zero-d2h contract. The opener header assignment re-runs
-            # after the writers, preserving the eager path's ordering.
-            base_fill, applier, opener = \
-                scan._deferred_fields, self._aux, self._opener
+            # numpy batcher's own writers, batcher.py:311-361) and never
+            # the frame_status/countdown headers — those were assigned
+            # eagerly above at release time, so a consumer mutation made
+            # before first field access survives the deferred fill.
+            base_fill, applier = scan._deferred_fields, self._aux
 
             def fill_with_aux(s: LidarScan) -> None:
                 base_fill(s)
                 for kind, buf, ts in aux:
                     applier.apply(kind, buf, ts, s)
-                s.frame_status, s.shutdown_countdown, \
-                    s.shot_limiting_countdown = opener
 
             scan.set_deferred_fields(fill_with_aux)
         stats["scans"] += 1

@@ -23,6 +23,111 @@ from ..core.types import SensorInfo
 # (ts_ns, kind, payload) with kind in {"lidar", "imu", "zone"}
 PacketItem = Tuple[int, str, bytes]
 
+# -- fw-style config parameter domains ---------------------------------------
+# The accept/reject sets a modern (fw 3.x, gen2+) sensor enforces at
+# set_config_param time; the reference HIL matrix drives exactly these
+# (ref: tests/hil/test_config.py:185-230 signal-multiplier accept
+# {0.25,0.5,1,2,3} / reject {0.3,1.2,5,5.5}; types.h:87-97 lidar modes).
+_VALID_SIGNAL_MULTIPLIERS = (0.25, 0.5, 1.0, 2.0, 3.0)
+_VALID_LIDAR_MODES = {"512x10", "512x20", "1024x10", "1024x20",
+                      "2048x10", "4096x5"}
+_VALID_TIMESTAMP_MODES = {"TIME_FROM_INTERNAL_OSC",
+                          "TIME_FROM_SYNC_PULSE_IN", "TIME_FROM_PTP_1588"}
+_VALID_OPERATING_MODES = {"NORMAL", "STANDBY"}
+_VALID_NMEA_BAUD = {"BAUD_9600", "BAUD_115200"}
+_VALID_POLARITIES = {"ACTIVE_LOW", "ACTIVE_HIGH"}
+
+
+def _config_param_error(key: str, value) -> Optional[str]:
+    """fw-style DOMAIN validation of one staged parameter; returns an
+    error string (the fw's 400 body) or None when acceptable. Unknown
+    keys pass through verbatim, like the fw's extra_options surface."""
+    def _bad():
+        return (f"Invalid Configuration Value: cannot set {key} "
+                f"to {value!r}")
+
+    if key == "signal_multiplier":
+        try:
+            v = float(value)
+        except (TypeError, ValueError):
+            return _bad()
+        if not any(abs(v - ok) < 1e-9 for ok in _VALID_SIGNAL_MULTIPLIERS):
+            return _bad()
+    elif key == "azimuth_window":
+        try:
+            lo, hi = value
+            lo, hi = int(lo), int(hi)
+        except (TypeError, ValueError):
+            return _bad()
+        if not (0 <= lo <= 360000 and 0 <= hi <= 360000):
+            return _bad()
+    elif key == "lidar_mode":
+        if str(value) not in _VALID_LIDAR_MODES:
+            return _bad()
+    elif key == "timestamp_mode":
+        if str(value) not in _VALID_TIMESTAMP_MODES:
+            return _bad()
+    elif key == "operating_mode" or key == "auto_start_flag":
+        mode = value
+        if key == "auto_start_flag":  # legacy alias (types.h:164-184)
+            mode = "NORMAL" if value in (1, True, "1") else "STANDBY"
+        if str(mode) not in _VALID_OPERATING_MODES:
+            return _bad()
+    elif key in ("udp_port_lidar", "udp_port_imu", "udp_port_zm"):
+        try:
+            port = int(value)
+        except (TypeError, ValueError):
+            return _bad()
+        if not 0 <= port <= 65535:
+            return _bad()
+    elif key == "nmea_leap_seconds":
+        try:
+            if int(value) < 0:
+                return _bad()
+        except (TypeError, ValueError):
+            return _bad()
+    elif key == "nmea_baud_rate":
+        if str(value) not in _VALID_NMEA_BAUD:
+            return _bad()
+    elif key in ("nmea_in_polarity", "sync_pulse_in_polarity",
+                 "sync_pulse_out_polarity"):
+        if str(value) not in _VALID_POLARITIES:
+            return _bad()
+    elif key == "columns_per_packet":
+        try:
+            if int(value) not in (16, 32):
+                return _bad()
+        except (TypeError, ValueError):
+            return _bad()
+    return None
+
+
+def _config_cross_error(cfg: dict) -> Optional[str]:
+    """fw-style cross-parameter validation run at REINITIALIZE over the
+    merged (active <- staged) set: signal multiplier >1 narrows the
+    allowed azimuth window (2x -> <=180 deg, 3x -> <=120 deg), the rule
+    the reference accept-matrix sidesteps by shrinking the window first
+    (ref: tests/hil/test_config.py:193 'make sure azimuth window is
+    small enough for everything')."""
+    try:
+        sm = float(cfg.get("signal_multiplier", 1) or 1)
+    except (TypeError, ValueError):
+        return None
+    if sm <= 1:
+        return None
+    win = cfg.get("azimuth_window") or (0, 360000)
+    try:
+        lo, hi = int(win[0]), int(win[1])
+    except (TypeError, ValueError, IndexError):
+        return None
+    size = (hi - lo) if hi >= lo else (360000 - lo + hi)
+    limit = int(360000 / sm)
+    if size > limit:
+        return ("Invalid Configuration: signal_multiplier "
+                f"{sm:g} requires azimuth window <= {limit} "
+                f"millidegrees, got {size}")
+    return None
+
 
 class SensorEmulator:
     """Serve packets as a fake sensor on loopback/LAN.
@@ -55,7 +160,18 @@ class SensorEmulator:
         self._loop = loop
         self._stop = threading.Event()
         self._upgrade_firmware = upgrade_firmware
-        self._staged_config = {}
+        # fw-style config plane (ref: sensor_http_imp.cpp + the fw
+        # semantics the reference HIL matrix exercises,
+        # tests/hil/test_config.py:26-209): parameters stage with DOMAIN
+        # validation at set_config_param time, apply to the active set at
+        # reinitialize (with cross-parameter validation), persist via
+        # save_config_params, and restart() reloads the persisted set.
+        # Every apply bumps init_id like a real reinit.
+        self._cfg_lock = threading.Lock()
+        self._staged_config: dict = {}
+        self._active_config: dict = {}    # seeded in _make_handler
+        self._persisted_config: dict = {}
+        self._init_id_bump = 0
         self.packets_sent = 0
         self.passes_completed = 0
 
@@ -81,12 +197,48 @@ class SensorEmulator:
         self.mdns_port = self._mdns.bound_port if self._mdns else None
 
     # -- control plane ------------------------------------------------------
+    def _apply_staged(self) -> Optional[str]:
+        """Reinitialize: cross-validate, staged -> active, bump init_id.
+        Returns an error string instead of applying when the merged set
+        is inconsistent (fw rejects the reinit, staged params remain)."""
+        with self._cfg_lock:
+            merged = dict(self._active_config)
+            merged.update(self._staged_config)
+            err = _config_cross_error(merged)
+            if err:
+                return err
+            self._active_config = merged
+            self._staged_config = {}
+            self._init_id_bump += 1
+        return None
+
+    def _restart(self) -> None:
+        """System restart: active reloads from the persisted set (the
+        mechanism test_config_persist exercises), staged cleared."""
+        with self._cfg_lock:
+            self._active_config = dict(self._persisted_config)
+            self._staged_config = {}
+            self._init_id_bump += 1
+
     def _make_handler(self):
         meta = json.loads(self.info.to_json_string())
         # advertise the emulator's actual ports
         meta.setdefault("config_params", {})
         meta["config_params"]["udp_port_lidar"] = self.lidar_port
         meta["config_params"]["udp_port_imu"] = self.imu_port
+        # seed the fw config plane: active = the metadata's config
+        # section + the constructor's data-plane destination; the send
+        # loop reads udp_dest/operating_mode back from the ACTIVE set so
+        # a reinit with udp_dest="" really stops the stream (the
+        # behavior test_config_udp_auto measures)
+        self._active_config = dict(meta["config_params"])
+        if not self._active_config.get("udp_dest"):
+            self._active_config["udp_dest"] = self._udp_dest
+        if not self._active_config.get("operating_mode"):
+            self._active_config["operating_mode"] = "NORMAL"
+        self._base_init_id = int(
+            meta.get("sensor_info", {}).get("initialization_id", 0) or 0)
+        self._persisted_config = dict(self._active_config)
         # SensorHttp.create() probes image_rev and rejects fw < 2.4; the
         # emulator only implements the modern /api/v1 surface, so a missing
         # or pre-2.4 image_rev (common in old recordings) is upgraded to a
@@ -120,21 +272,37 @@ class SensorEmulator:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _meta_view(self):
+                """Metadata reflecting the LIVE config plane: active
+                config_params + the current init_id (a real reinit
+                changes initialization_id, which test_config_noop
+                checks; everything else must stay byte-identical)."""
+                m = dict(meta)
+                with emu._cfg_lock:
+                    m["config_params"] = dict(emu._active_config)
+                    si = dict(m.get("sensor_info", {}))
+                    si["initialization_id"] = \
+                        emu._base_init_id + emu._init_id_bump
+                    m["sensor_info"] = si
+                return m
+
             def do_GET(self):
                 u = urlparse(self.path)
                 p = u.path.rstrip("/")
                 if p == "/api/v1/sensor/metadata":
-                    return self._json(meta)
+                    return self._json(self._meta_view())
                 if p.startswith("/api/v1/sensor/metadata/"):
                     key = p.rsplit("/", 1)[1]
-                    if key in meta:
-                        return self._json(meta[key])
+                    m = self._meta_view()
+                    if key in m:
+                        return self._json(m[key])
                     return self._json({"error": "unknown section"}, 404)
                 if p == "/api/v1/sensor/cmd/get_config_param":
                     which = (u.query.split("=", 1) + [""])[1]
-                    cfg = dict(meta.get("config_params", {}))
-                    if which == "staged":
-                        cfg.update(emu._staged_config)
+                    with emu._cfg_lock:
+                        cfg = dict(emu._active_config)
+                        if which == "staged":
+                            cfg.update(emu._staged_config)
                     return self._json(cfg)
                 if p == "/api/v1/system/firmware":
                     return self._json(
@@ -173,12 +341,34 @@ class SensorEmulator:
                             # requester's address (ref:
                             # sensor_http_imp.cpp auto udp_dest flow)
                             v = self.client_address[0]
-                        emu._staged_config[k] = v
+                        # fw-style domain validation: an out-of-domain
+                        # value is rejected HERE with a 400, which the
+                        # client surfaces as a RuntimeError — the
+                        # reference reject matrix (sig mult 0.3/1.2/5/
+                        # 5.5, test_config.py:217) exercises exactly
+                        # this path
+                        err = _config_param_error(k, v)
+                        if err:
+                            return self._json({"error": err}, 400)
+                        with emu._cfg_lock:
+                            emu._staged_config[k] = v
                     return self._json("set_config_param")
-                if p in ("/api/v1/sensor/cmd/set_udp_dest_auto",
-                         "/api/v1/sensor/cmd/reinitialize",
-                         "/api/v1/sensor/cmd/save_config_params",
-                         "/api/v1/system/restart"):
+                if p == "/api/v1/sensor/cmd/set_udp_dest_auto":
+                    with emu._cfg_lock:
+                        emu._staged_config["udp_dest"] = \
+                            self.client_address[0]
+                    return self._json("ok")
+                if p == "/api/v1/sensor/cmd/reinitialize":
+                    err = emu._apply_staged()
+                    if err:
+                        return self._json({"error": err}, 400)
+                    return self._json("ok")
+                if p == "/api/v1/sensor/cmd/save_config_params":
+                    with emu._cfg_lock:
+                        emu._persisted_config = dict(emu._active_config)
+                    return self._json("ok")
+                if p == "/api/v1/system/restart":
+                    emu._restart()
                     return self._json("ok")
                 if p == "/api/v1/user/data":
                     ln = int(self.headers.get("Content-Length", 0))
@@ -244,7 +434,17 @@ class SensorEmulator:
                         time.sleep(min(delay, 1.0))
                     if self._stop.is_set():
                         return
-                sock.sendto(payload, (self._udp_dest, ports[kind]))
+                # destination + gating come from the ACTIVE config so a
+                # reinit with udp_dest="" (or operating_mode STANDBY)
+                # really silences the stream, like the fw
+                # (ref: tests/hil/test_config.py test_config_udp_auto:
+                # "Checking for no incoming data"); pacing continues so a
+                # later re-enable stays time-consistent
+                cfg = self._active_config
+                dest = cfg.get("udp_dest", self._udp_dest)
+                if not dest or cfg.get("operating_mode") == "STANDBY":
+                    continue
+                sock.sendto(payload, (dest, ports[kind]))
                 self.packets_sent += 1
             self.passes_completed += 1
             if not self._loop:

@@ -781,3 +781,271 @@ def test_config_noop_emulated():
         active1 = http.active_config_params()
     assert cfg0 == cfg1
     assert active0 == active1
+
+
+# ---------------------------------------------------------------------------
+# the HIL config matrix (ref: tests/hil/test_config.py:26-230) — the
+# emulator's config plane enforces fw-style domain validation at
+# set_config_param, cross-parameter validation at reinitialize, persist
+# via save_config_params, and restart-from-persisted, so every client
+# error path executes in-image. tests/hil/test_config.py runs the same
+# matrix against real sensors.
+# ---------------------------------------------------------------------------
+
+def _config_rig(rate=0.0, n_frames=1, endless=False):
+    """(emu ctx, host) pair for config-plane tests. endless=True uses a
+    LAZY generator factory (one synthesized frame replayed with paced
+    timestamps) so long streams start instantly."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    if endless:
+        base = synth_frame_packets(info, frame_id=1)
+        period_ns = 20_000_000
+
+        def factory():
+            for f in range(n_frames):
+                ts0 = f * period_ns
+                for i, raw in enumerate(base):
+                    yield (ts0 + i * 100_000, "lidar", raw)
+    else:
+        factory = _frames_factory(info, n_frames)
+    emu = SensorEmulator(info, factory,
+                         lidar_port=lidar_port, imu_port=imu_port,
+                         rate=rate, loop=rate > 0)
+    return emu, info
+
+
+def test_config_noop_reinit_changes_init_id_emulated():
+    """A forced reinit bumps init_id in metadata but nothing else
+    changes (ref: test_config.py test_config_noop init_id check)."""
+    import json
+
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import SensorHttp, set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        http = SensorHttp.create(host)
+        meta0 = json.loads(http.metadata())
+        set_config(host, SensorConfig(), force_reinit=True)
+        meta1 = json.loads(http.metadata())
+    i0 = meta0["sensor_info"]["initialization_id"]
+    i1 = meta1["sensor_info"]["initialization_id"]
+    assert i1 != i0
+    meta1["sensor_info"]["initialization_id"] = i0
+    assert meta0 == meta1
+
+
+def test_config_basic_emulated():
+    """Basic values round-trip through set_config/get_config
+    (ref: test_config.py test_config_basic)."""
+    from ouster_sdk_tpu.core.types import TimestampMode
+    from ouster_sdk_tpu.sensor.http import get_config, set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        cfg0 = get_config(host)
+        cfg0.timestamp_mode = TimestampMode.TIME_FROM_PTP_1588
+        cfg0.nmea_leap_seconds = 20
+        set_config(host, cfg0)
+        cfg1 = get_config(host)
+    assert cfg1 == cfg0
+
+
+def test_config_operating_mode_emulated():
+    """operating_mode sets and GATES the data plane: STANDBY silences
+    the stream, NORMAL resumes it (ref: test_config.py
+    test_config_operating_mode)."""
+    from ouster_sdk_tpu.core.types import OperatingMode, SensorConfig
+    from ouster_sdk_tpu.sensor.http import get_config, set_config
+
+    emu, info = _config_rig(rate=1.0, n_frames=2000, endless=True)
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        deadline = time.monotonic() + 5
+        while emu.packets_sent == 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert emu.packets_sent > 0, "stream never started"
+
+        cfg0 = SensorConfig()
+        cfg0.operating_mode = OperatingMode.STANDBY
+        set_config(host, cfg0)
+        assert get_config(host).operating_mode == OperatingMode.STANDBY
+        time.sleep(0.3)               # drain in-flight sends
+        sent0 = emu.packets_sent
+        time.sleep(0.5)
+        assert emu.packets_sent == sent0, "STANDBY sensor kept streaming"
+
+        cfg0.operating_mode = OperatingMode.NORMAL
+        set_config(host, cfg0)
+        deadline = time.monotonic() + 5
+        while emu.packets_sent == sent0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert emu.packets_sent > sent0, "stream did not resume"
+
+
+def test_config_udp_auto_emulated():
+    """udp_dest="" stops data (ClientTimeout); set_config with
+    udp_dest_auto restores delivery to this host (ref: test_config.py
+    test_config_udp_auto)."""
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import get_config, set_config
+
+    emu, info = _config_rig(rate=1.0, n_frames=2000, endless=True)
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        no_udp = SensorConfig()
+        no_udp.udp_dest = ""
+        set_config(host, no_udp)
+        assert (get_config(host).udp_dest or "") == ""
+
+        with pytest.raises(ClientTimeout):
+            src = SensorPacketSource(
+                [host], sensor_info=[info],
+                lidar_port=info.config.udp_port_lidar,
+                imu_port=info.config.udp_port_imu,
+                no_auto_udp_dest=True, timeout=1.0)
+            try:
+                for _ in range(10):
+                    idx, pkt = src.get_packet(timeout_sec=0.2)
+                    assert pkt is None, "data while udp_dest disabled"
+                raise ClientTimeout("no data (manual poll)")
+            finally:
+                src.close()
+
+        # auto re-resolves to this host and data flows again
+        set_config(host, SensorConfig(), udp_dest_auto=True)
+        cfg1 = get_config(host)
+        assert cfg1.udp_dest == "127.0.0.1"
+        src = SensorPacketSource(
+            [host], sensor_info=[info],
+            lidar_port=info.config.udp_port_lidar,
+            imu_port=info.config.udp_port_imu,
+            no_auto_udp_dest=True, timeout=5.0)
+        try:
+            got = 0
+            deadline = time.monotonic() + 8
+            while got < 5 and time.monotonic() < deadline:
+                idx, pkt = src.get_packet(timeout_sec=1.0)
+                if pkt is not None:
+                    got += 1
+            assert got == 5, "no data after udp_dest auto"
+        finally:
+            src.close()
+
+
+def test_config_persist_emulated():
+    """persist=True survives a restart; without it the restart reverts
+    to the persisted set (ref: test_config.py test_config_persist)."""
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import SensorHttp, get_config, \
+        set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        base = get_config(host)
+        set_config(host, base, persist=True)
+
+        cfg0 = SensorConfig()
+        cfg0.azimuth_window = (583, 39402)
+        set_config(host, cfg0)          # not persisted
+        assert get_config(host).azimuth_window == (583, 39402)
+
+        SensorHttp.create(host).restart()
+        assert get_config(host).azimuth_window == base.azimuth_window
+
+        set_config(host, cfg0, persist=True)
+        SensorHttp.create(host).restart()
+        assert get_config(host).azimuth_window == (583, 39402)
+
+
+@pytest.mark.parametrize("signal_multiplier", [0.25, 0.5, 1, 2, 3])
+def test_good_signal_multiplier_values_emulated(signal_multiplier):
+    """Every valid signal multiplier sets and reads back; the azimuth
+    window is narrowed first so >1 multipliers pass cross-validation
+    (ref: test_config.py test_good_signal_multiplier_values)."""
+    from ouster_sdk_tpu.core.types import LidarMode, SensorConfig
+    from ouster_sdk_tpu.sensor.http import get_config, set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        cfg0 = SensorConfig()
+        cfg0.azimuth_window = (0, 10000)
+        cfg0.lidar_mode = LidarMode.from_string("1024x10")
+        cfg0.signal_multiplier = signal_multiplier
+        set_config(host, cfg0)
+        cfg1 = get_config(host)
+    assert cfg1.signal_multiplier == signal_multiplier
+
+
+@pytest.mark.parametrize("signal_multiplier", [0.3, 1.2, 5, 5.5])
+def test_bad_signal_multiplier_values_emulated(signal_multiplier):
+    """Out-of-domain signal multipliers raise through the real client
+    path (ref: test_config.py test_bad_signal_multiplier_values)."""
+    from ouster_sdk_tpu.core.types import LidarMode, SensorConfig
+    from ouster_sdk_tpu.sensor.http import set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        cfg0 = SensorConfig()
+        cfg0.azimuth_window = (0, 10000)
+        cfg0.lidar_mode = LidarMode.from_string("1024x10")
+        cfg0.signal_multiplier = signal_multiplier
+        with pytest.raises(RuntimeError):
+            set_config(host, cfg0)
+
+
+def test_signal_multiplier_window_cross_validation_emulated():
+    """A valid multiplier with a too-wide azimuth window is rejected at
+    REINITIALIZE, not at staging — the fw's cross-parameter rule (2x
+    needs <=180 deg) the accept matrix sidesteps by narrowing first."""
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import SensorHttp, set_config
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        http = SensorHttp.create(host)
+        # staging alone succeeds (domain-valid)...
+        http.set_config_param("signal_multiplier", 2)
+        assert http.staged_config_params()["signal_multiplier"] == 2
+        # ...the reinit rejects the merged set (full default window)
+        with pytest.raises(RuntimeError):
+            http.reinitialize()
+        # and set_config of the same pair raises end-to-end
+        cfg = SensorConfig()
+        cfg.signal_multiplier = 2
+        cfg.azimuth_window = (0, 200000)   # > 180 deg at 2x
+        with pytest.raises(RuntimeError):
+            set_config(host, cfg)
+
+
+@pytest.mark.parametrize("key,bad", [
+    ("lidar_mode", "3000x10"),
+    ("timestamp_mode", "TIME_FROM_NOWHERE"),
+    ("operating_mode", "SLEEPING"),
+    ("azimuth_window", [0, 400000]),
+    ("udp_port_lidar", 70000),
+    ("nmea_leap_seconds", -3),
+])
+def test_bad_config_param_domains_emulated(key, bad):
+    """The fw rejects out-of-domain values for every validated knob;
+    the client surfaces each as RuntimeError (ref: the fw validation
+    surface behind test_config.py's matrix)."""
+    from ouster_sdk_tpu.sensor.http import SensorHttp
+
+    emu, info = _config_rig()
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        http = SensorHttp.create(host)
+        with pytest.raises(RuntimeError):
+            http.set_config_param(key, bad)
+        # nothing staged by the failed set
+        assert key not in {
+            k: v for k, v in http.staged_config_params().items()
+            if http.active_config_params().get(k) != v}
