@@ -450,42 +450,48 @@ def main():
     # ZERO d2h — it runs here, before the parity/kernel readbacks, while
     # the tunnel's h2d is still at full rate, and cannot itself poison
     # the sections that follow.
-    def live_run(mode, dual, n_frames=40):
-        from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, \
-            SensorInfo
-        from ouster_sdk_tpu.core.types import UDPProfileLidar
-        from ouster_sdk_tpu.sensor.emulator import SensorEmulator
-        from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
-
+    # Pacing methodology: an emulator paced at rate=1.0 can never measure
+    # headroom — a pipeline that keeps up consumes at exactly the sensor
+    # rate. Each config is paced ABOVE real-time (rate=R) instead: if the
+    # full stream arrives with zero drops, the pipeline sustains >= R x
+    # the sensor's own rate, and the measured scans/s says how fast it
+    # actually ran. Locally this path sustains 2048x10-dual at 2x pace
+    # zero-drop; the paces below leave slack for driver-host contention.
+    def _free_ports(n):
         import socket
 
         socks = [socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-                 for _ in range(2)]
+                 for _ in range(n)]
         for s in socks:
             s.bind(("127.0.0.1", 0))
-        lidar_port, imu_port = [s.getsockname()[1] for s in socks]
+        ports = [s.getsockname()[1] for s in socks]
         for s in socks:
             s.close()
-        live_info = SensorInfo.from_default(LidarMode.from_string(mode))
-        live_info.format.udp_profile_lidar = \
+        return ports
+
+    def _mk_sensor(mode, dual, sn, ports, n_frames):
+        """SensorInfo + paced packet factory + prebuilt frame bufs."""
+        from ouster_sdk_tpu import ChanField, LidarMode, PacketWriter, \
+            SensorInfo
+        from ouster_sdk_tpu.core.types import UDPProfileLidar
+
+        info = SensorInfo.from_default(LidarMode.from_string(mode))
+        info.format.udp_profile_lidar = \
             UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_DUAL if dual else \
             UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
-        live_info.config.udp_port_lidar = lidar_port
-        live_info.config.udp_port_imu = imu_port
-        live_info.sn = 122246000042
+        info.config.udp_port_lidar, info.config.udp_port_imu = ports
+        info.sn = sn
         fps = int(mode.split("x")[1])
         period_ns = 10 ** 9 // fps
-
-        pwr = PacketWriter(live_info.format)
-        w_cols = live_info.format.columns_per_frame
-        cpp = live_info.format.columns_per_packet
-        n_pkts = w_cols // cpp
-        rng = np.random.default_rng(5)
+        pwr = PacketWriter(info.format)
+        cpp = info.format.columns_per_packet
+        n_pkts = info.format.columns_per_frame // cpp
+        rng = np.random.default_rng(sn % 97)
         base_bufs = []
         for p in range(n_pkts):
             buf = pwr.new_packet()
-            pwr.set_packet_header(buf, init_id=live_info.init_id,
-                                  prod_sn=live_info.sn)
+            pwr.set_packet_header(buf, init_id=info.init_id,
+                                  prod_sn=info.sn)
             m0 = p * cpp
             pwr.set_col_headers(
                 buf, np.arange(cpp, dtype=np.uint64) + 1000 + m0,
@@ -501,41 +507,58 @@ def main():
         def factory():
             items = []
             for f in range(n_frames):
-                ts0 = f * period_ns
+                ts0 = (f + 1) * period_ns
                 for p, buf in enumerate(base_bufs):
                     b = bytearray(buf.tobytes())
-                    pwr.set_frame_id(
-                        np.frombuffer(b, np.uint8), f + 1)
-                    items.append(
-                        (ts0 + p * (period_ns // (n_pkts + 1)),
-                         "lidar", bytes(b)))
+                    arr = np.frombuffer(b, np.uint8)
+                    pwr.set_frame_id(arr, f + 1)
+                    pkt_ts = ts0 + p * (period_ns // (n_pkts + 1))
+                    # advancing column timestamps so time-collation can
+                    # pair concurrent sensors' frames like a real capture
+                    pwr.set_col_headers(
+                        arr,
+                        np.uint64(pkt_ts) + np.arange(cpp,
+                                                      dtype=np.uint64),
+                        np.arange(cpp, dtype=np.uint16) + p * cpp,
+                        np.ones(cpp, dtype=np.uint32))
+                    items.append((pkt_ts, "lidar", bytes(b)))
             return items
 
-        # prewarm the decode jit OUTSIDE the paced window (one synthetic
-        # frame through a throwaway batcher; persistent + in-process XLA
-        # caches make the real batcher's first flush near-instant, so no
-        # compile stall eats into the emulator's real-time budget)
+        return info, factory, base_bufs, fps
+
+    def _prewarm(info, base_bufs):
+        # prewarm the decode jit OUTSIDE the paced window; the jitted
+        # decode is shared across batcher instances (keyed by DecodePlan)
+        # so the real batcher's first flush is dispatch-only
         from ouster_sdk_tpu.io.device_engine import LiveDeviceBatcher
 
-        warm = LiveDeviceBatcher(live_info)
-        for p, buf in enumerate(base_bufs):
-            warm.push(np.frombuffer(buf.tobytes(), np.uint8), p + 1)
+        warm = LiveDeviceBatcher(info)
+        for buf in base_bufs:
+            warm.push(np.frombuffer(buf.tobytes(), np.uint8), 1)
         # flush explicitly: profiles that expect aux packets (IMU/zone)
         # never _complete() on lidar packets alone, and the decode jit
-        # only compiles inside _flush — without this the prewarm would
-        # silently do nothing for those profiles
+        # only compiles inside _flush
         warm._flush()
 
-        with SensorEmulator(live_info, factory, lidar_port=lidar_port,
-                            imu_port=imu_port, rate=1.0) as emu:
+    def live_run(mode, dual, rate, n_frames=40):
+        from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+        from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
+
+        ports = _free_ports(2)
+        live_info, factory, base_bufs, fps = _mk_sensor(
+            mode, dual, 122246000042, ports, n_frames)
+        _prewarm(live_info, base_bufs)
+
+        with SensorEmulator(live_info, factory, lidar_port=ports[0],
+                            imu_port=ports[1], rate=rate) as emu:
             src = SensorScanSource(
                 [f"127.0.0.1:{emu.http_port}"], sensor_info=[live_info],
-                lidar_port=lidar_port, imu_port=imu_port, timeout=5.0)
+                lidar_port=ports[0], imu_port=ports[1], timeout=5.0)
             try:
                 engine = src.engine_used[0]
                 got = 0
                 t_first = t_last = None
-                deadline = time.monotonic() + n_frames / fps + 8.0
+                deadline = time.monotonic() + n_frames / (fps * rate) + 8.0
                 while got < n_frames - 1 and time.monotonic() < deadline:
                     _, scan = src.get_scan(timeout_sec=1.0)
                     if scan is None:
@@ -551,16 +574,104 @@ def main():
                 src.close()
         sps = (got - 1) / (t_last - t_first) if got > 1 and \
             t_last > t_first else 0.0
-        print(f"live [{mode}{'-dual' if dual else ''}/{engine}]: "
-              f"{got}/{n_frames - 1} scans at {sps:.1f} scans/s "
-              f"(sensor rate {fps} Hz = {sps / fps:.2f}x real-time), "
+        complete = got >= n_frames - 1 and drops == 0
+        # a complete zero-drop stream at pace R proves >= R x real-time;
+        # cap the burst-skewed instantaneous rate at the pace so the
+        # reported margin is a floor, never an artifact
+        rt_x = min(sps / fps, rate) if complete else sps / fps
+        print(f"live [{mode}{'-dual' if dual else ''}/{engine}] paced at "
+              f"{rate}x: {got}/{n_frames - 1} scans at {sps:.1f} scans/s "
+              f"(sensor rate {fps} Hz -> {rt_x:.2f}x real-time), "
               f"drops={drops}", file=sys.stderr)
-        return sps, drops, engine, fps
+        return sps, drops, engine, fps, rt_x
 
-    live_sps, live_drops, live_engine, live_fps = live_run("1024x10",
-                                                           dual=False)
-    live2_sps, live2_drops, live2_engine, live2_fps = live_run(
-        "2048x10", dual=True)
+    def live_multi_run(rate, n_frames=40):
+        """TWO concurrent emulated sensors (1024x10-dual + 2048x10)
+        through ONE SensorScanSource, time-collated, device engine —
+        the reference live backend's native shape (N sockets fanned into
+        one queue, a batcher per sensor; ref:
+        sensor_packet_source.cpp:343-548, sensor_scan_source.cpp:150)."""
+        from ouster_sdk_tpu.io.sources import collate_scans
+        from ouster_sdk_tpu.sensor.emulator import SensorEmulator
+        from ouster_sdk_tpu.sensor.scan_source import SensorScanSource
+
+        pA, pB = _free_ports(2), _free_ports(2)
+        infoA, factA, bufsA, fpsA = _mk_sensor(
+            "1024x10", True, 992240000001, pA, n_frames)
+        infoB, factB, bufsB, fpsB = _mk_sensor(
+            "2048x10", False, 992240000002, pB, n_frames)
+        _prewarm(infoA, bufsA)
+        _prewarm(infoB, bufsB)
+        fps = min(fpsA, fpsB)
+
+        with SensorEmulator(infoA, factA, lidar_port=pA[0],
+                            imu_port=pA[1], rate=rate) as emuA, \
+             SensorEmulator(infoB, factB, lidar_port=pB[0],
+                            imu_port=pB[1], rate=rate) as emuB:
+            src = SensorScanSource(
+                [f"127.0.0.1:{emuA.http_port}",
+                 f"127.0.0.1:{emuB.http_port}"],
+                sensor_info=[infoA, infoB], timeout=5.0, queue_size=4)
+            try:
+                engines = src.engine_used
+                per_sensor = [0, 0]
+                sets_full = 0
+                spans = [[None, None], [None, None]]  # per-sensor 1st/last
+                deadline = time.monotonic() + n_frames / (fps * rate) + 10.0
+
+                def scan_iter():
+                    while time.monotonic() < deadline:
+                        idx, scan = src.get_scan(timeout_sec=1.0)
+                        if scan is None:
+                            if emuA.passes_completed and \
+                                    emuB.passes_completed and \
+                                    src._queue.empty():
+                                return
+                            continue
+                        now = time.monotonic()
+                        spans[idx][0] = spans[idx][0] or now
+                        spans[idx][1] = now
+                        per_sensor[idx] += 1
+                        yield idx, scan
+
+                for lss in collate_scans(scan_iter(), 2):
+                    if all(lss[i] is not None for i in range(2)):
+                        sets_full += 1
+                    if min(per_sensor) >= n_frames - 1:
+                        break
+                drops = src.dropped_scans
+            finally:
+                src.close()
+        # throughput = per-sensor scan delivery rate (what the pipeline
+        # sustains with both UDP streams + device decodes concurrent);
+        # full-set count rides along as a collation-quality signal — set
+        # pairing jitters with emission interleave, not throughput
+        per_rates = [
+            (per_sensor[i] - 1) / (spans[i][1] - spans[i][0])
+            if per_sensor[i] > 1 and spans[i][1] > spans[i][0] else 0.0
+            for i in range(2)]
+        rate_scans = min(per_rates)
+        complete = min(per_sensor) >= n_frames - 1 and drops == 0
+        rt_x = min(rate_scans / fps, rate) if complete \
+            else rate_scans / fps
+        print(f"live multi [1024x10-dual + 2048x10 / "
+              f"{'+'.join(engines)}] paced at {rate}x: per-sensor "
+              f"{per_sensor[0]}/{n_frames} + {per_sensor[1]}/{n_frames} "
+              f"scans at {per_rates[0]:.1f} + {per_rates[1]:.1f} "
+              f"scans/s ({rt_x:.2f}x of {fps} Hz), {sets_full} full "
+              f"collated sets, drops={drops}", file=sys.stderr)
+        return rate_scans, drops, per_sensor, sets_full, rt_x
+
+    live_sps, live_drops, live_engine, live_fps, live_rtx = live_run(
+        "1024x10", dual=False, rate=1.5)
+    live2_sps, live2_drops, live2_engine, live2_fps, live2_rtx = live_run(
+        "2048x10", dual=True, rate=1.5)
+    # 20 Hz: the 50 ms per-scan deadline (latency stress, distinct from
+    # 2048x10's bandwidth stress; modes: types.h:87-97)
+    live3_sps, live3_drops, live3_engine, live3_fps, live3_rtx = live_run(
+        "1024x20", dual=False, rate=1.25, n_frames=60)
+    (multi_sets_ps, multi_drops, multi_per_sensor, multi_sets_full,
+     multi_rtx) = live_multi_run(rate=1.2)
 
 
     # stage + upload the kernel-loop batch while h2d is still fast (the
@@ -694,17 +805,36 @@ def main():
                                    "capture, bp64 wire codec, x64 loops "
                                    "per pass",
         "live_scans_per_s": round(live_sps, 1),
-        "live_realtime_x": round(live_sps / live_fps, 2),
+        "live_realtime_x": round(live_rtx, 2),
         "live_drops": live_drops,
         "live_engine": live_engine,
-        "live_config": "1024x10 single, emulator-paced loopback UDP "
-                       "through SensorScanSource (LiveDeviceBatcher)",
+        "live_config": "1024x10 single, emulator paced at 1.5x through "
+                       "SensorScanSource (LiveDeviceBatcher); realtime_x "
+                       "is a zero-drop floor",
         "live_heavy_scans_per_s": round(live2_sps, 1),
-        "live_heavy_realtime_x": round(live2_sps / live2_fps, 2),
+        "live_heavy_realtime_x": round(live2_rtx, 2),
         "live_heavy_drops": live2_drops,
         "live_heavy_engine": live2_engine,
-        "live_heavy_config": "2048x10 dual, emulator-paced loopback UDP "
-                             "through SensorScanSource",
+        "live_heavy_config": "2048x10 dual, emulator paced at 1.5x "
+                             "through SensorScanSource; realtime_x is a "
+                             "zero-drop floor",
+        "live_1024x20_scans_per_s": round(live3_sps, 1),
+        "live_1024x20_realtime_x": round(live3_rtx, 2),
+        "live_1024x20_drops": live3_drops,
+        "live_1024x20_engine": live3_engine,
+        "live_1024x20_config": "1024x20 single (50 ms deadline), emulator "
+                               "paced at 1.25x; realtime_x is a zero-drop "
+                               "floor",
+        "live_multi_scans_per_s": round(multi_sets_ps, 1),
+        "live_multi_realtime_x": round(multi_rtx, 2),
+        "live_multi_drops": multi_drops,
+        "live_multi_scans_per_sensor": multi_per_sensor,
+        "live_multi_full_sets": multi_sets_full,
+        "live_multi_config": "TWO concurrent sensors (1024x10-dual + "
+                             "2048x10) through one SensorScanSource, "
+                             "time-collated, device engine, paced at "
+                             "1.2x; realtime_x = min per-sensor "
+                             "delivery rate, a zero-drop floor",
     }))
 
 

@@ -627,7 +627,7 @@ def source_save(ctx, path, fields, prefix, out_dir, overwrite, ts_mode,
               help="write KITTI poses to this file")
 @click.option("--backend", default="host", show_default=True,
               type=click.Choice(["host", "tpu"]),
-              help="registration backend: host KD-tree ICP or the "
+              help="registration backend: host voxel-hash ICP or the "
                    "device-resident GN ICP (slam/jax_icp.py)")
 @click.pass_context
 def source_slam(ctx, voxel_size, min_range, max_range, deskew_method,
@@ -1115,7 +1115,7 @@ def util_benchmark(url, frames, report_dir, trace_dir):
         except Exception as e:  # noqa: BLE001
             click.echo(f"  device pipeline stage skipped: {e}", err=True)
 
-    # ICP registration: host KD-tree vs device-resident GN loop
+    # ICP registration: host voxel-hash vs device-resident GN loop
     try:
         from ..slam.jax_icp import JaxICP
         from ..slam.kiss_icp import KissConfig, KissICP

@@ -268,6 +268,20 @@ class LidarScan:
         """Whether pixel fields still await their device readback."""
         return getattr(self, "_deferred_fields", None) is not None
 
+    def __getstate__(self):
+        # a copied/pickled scan must carry real pixel data: resolve any
+        # deferred device readback first (the fill closure and the
+        # per-scan lock are process-local and unpicklable)
+        self._resolve_deferred()
+        state = self.__dict__.copy()
+        state.pop("_deferred_lock", None)
+        state["_deferred_fields"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._deferred_lock = threading.RLock()
+
     # -- device-projected XYZ cache ----------------------------------------
     def attach_xyz_cache(self, return_idx: int, use_extrinsics: bool,
                          xyz: np.ndarray, rng_snapshot: np.ndarray) -> None:

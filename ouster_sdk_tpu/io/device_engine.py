@@ -781,17 +781,28 @@ class LiveDeviceBatcher:
         # (batcher.py:115-118) — an aux packet can open the frame
         self._opener = (0, 0, 0)
 
+    # jitted decode shared ACROSS batcher instances (module cache keyed
+    # by the frozen DecodePlan): a per-instance jax.jit closure would
+    # re-trace on every new LiveDeviceBatcher, so a prewarm batcher's
+    # compile would not carry over to the real one — at stream start
+    # that re-trace stalls the batcher thread for ~1 s and the first
+    # seconds of a paced live stream arrive late in a burst
+    _DECODE_CACHE: Dict = {}
+
     def _make_decode(self):
         import jax
 
         from ..ops.unpack import decode_frame_planar_batch
 
         plan = self.plan
+        fn = LiveDeviceBatcher._DECODE_CACHE.get(plan)
+        if fn is None:
+            def decode(planes, hdrs):
+                return decode_frame_planar_batch(planes, hdrs, plan, True)
 
-        def decode(planes, hdrs):
-            return decode_frame_planar_batch(planes, hdrs, plan, True)
-
-        return jax.jit(decode)
+            fn = jax.jit(decode)
+            LiveDeviceBatcher._DECODE_CACHE[plan] = fn
+        return fn
 
     @property
     def expected_imu_packets(self) -> int:

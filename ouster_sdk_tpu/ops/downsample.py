@@ -29,6 +29,24 @@ def _voxel_keys_np(points: np.ndarray, voxel_size: np.ndarray) -> np.ndarray:
         (idx[:, 2] + off)
 
 
+def voxel_downsample_first(points: np.ndarray,
+                           voxel_size: float) -> np.ndarray:
+    """First-point-per-voxel downsample — kiss-icp's VoxelDownsample
+    semantics (ref: thirdparty/kiss-icp/cpp/kiss_icp/core/VoxelUtils.cpp:
+    `if (!grid.contains(voxel)) grid.insert({voxel, point})`). The SDK's
+    own voxel_downsample (downsample.h) keeps CENTROIDS; KISS-ICP keeps
+    the first point inserted, so both live side by side. Output order is
+    first-occurrence order (the reference's robin_map iteration order is
+    unspecified)."""
+    points = np.asarray(points, dtype=np.float64).reshape(-1, 3)
+    if points.size == 0:
+        return points.reshape(0, 3)
+    vs = np.broadcast_to(np.float64(voxel_size), (3,))
+    keys = _voxel_keys_np(points, vs)
+    _, first_idx = np.unique(keys, return_index=True)
+    return points[np.sort(first_idx)]
+
+
 def voxel_downsample(
     points: np.ndarray,
     voxel_size: Union[float, Sequence[float]],

@@ -21,6 +21,28 @@ from .http import SensorHttp, build_sensor_config, fetch_metadata
 RCVBUF_SIZE = 256 * 1024 * 1024  # generous; kernel clamps to rmem_max
 
 
+def grow_rcvbuf(sock: socket.socket, size: int = RCVBUF_SIZE) -> int:
+    """Grow a socket's kernel receive buffer as far as the host allows
+    and return the effective size. SO_RCVBUFFORCE (root) bypasses the
+    rmem_max clamp — at 2048x10 dual a frame is ~2.1 MB of UDP payload
+    and a stock 4 MB rmem_max holds <2 frames, so any consumer stall
+    beyond ~200 ms silently loses whole frames in the kernel. The
+    reference sets a 256 MB SO_RCVBUF for the same reason
+    (ref: client.cpp udp_data_socket RCVBUF_SIZE)."""
+    force = getattr(socket, "SO_RCVBUFFORCE", 33)  # linux-only opt
+    try:
+        sock.setsockopt(socket.SOL_SOCKET, force, size)
+    except OSError:
+        try:
+            sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, size)
+        except OSError:
+            pass
+    try:
+        return sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
+    except OSError:
+        return 0
+
+
 @dataclass
 class ClientEvent:
     """(ref: sensor_packet_source.h:43)"""
@@ -37,10 +59,7 @@ def udp_data_socket(port: int, reuse: bool = True,
     sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     if reuse and hasattr(socket, "SO_REUSEPORT"):
         sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEPORT, 1)
-    try:
-        sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, RCVBUF_SIZE)
-    except OSError:
-        pass
+    grow_rcvbuf(sock)
     sock.bind(("", port))
     if mtp_group:
         mreq = struct.pack("4s4s", socket.inet_aton(mtp_group),

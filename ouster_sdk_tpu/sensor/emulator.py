@@ -412,6 +412,17 @@ class SensorEmulator:
     # -- data plane ----------------------------------------------------------
     def _send_loop(self):
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # a real sensor's NIC never blocks on the host's send queue; give
+        # the loopback sender the same headroom (root bypasses wmem_max)
+        force = getattr(socket, "SO_SNDBUFFORCE", 32)
+        try:
+            sock.setsockopt(socket.SOL_SOCKET, force, 64 * 1024 * 1024)
+        except OSError:
+            try:
+                sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
+                                64 * 1024 * 1024)
+            except OSError:
+                pass
         ports = {"lidar": self.lidar_port, "imu": self.imu_port,
                  "zone": self.info.config.udp_port_zm or 7504}
         while not self._stop.is_set():

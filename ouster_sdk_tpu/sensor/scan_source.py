@@ -135,6 +135,13 @@ class SensorPacketSource:
             self._infos.append(info)
 
         self._formats = [PacketFormat.from_info(i) for i in self._infos]
+        # precomputed per-sensor fast paths for _classify: the live
+        # receive path runs per packet (2.5k pkts/s/sensor at 2048x20)
+        # so the id check reads init_id/prod_sn straight from the packet
+        # bytes instead of staging header words
+        self._idchecks = [
+            self._make_idcheck(i, pf)
+            for i, pf in zip(self._infos, self._formats)]
         self._drained: list = []
         self._stop = threading.Event()
         self._bufq: "queue.Queue" = queue.Queue(
@@ -149,29 +156,57 @@ class SensorPacketSource:
     def sensor_info(self) -> List[SensorInfo]:
         return self._infos
 
+    @staticmethod
+    def _make_idcheck(info: SensorInfo, pf: PacketFormat):
+        """Closure replicating LidarPacket.validate's ID semantics
+        (packet init_id/prod_sn must match metadata when both sides are
+        nonzero, ref: packet.cpp LidarPacket::validate) at a per-packet
+        cost of two int.from_bytes. None = nothing to check."""
+        from ..core.types import UDPProfileLidar
+
+        if info.format.udp_profile_lidar == UDPProfileLidar.LEGACY:
+            return None  # no packet header to check
+        exp_init = int(info.init_id or 0)
+        exp_sn = int(info.sn or 0)
+        if not exp_init and not exp_sn:
+            return None
+        read_init = pf.scalar_reader(pf.geom.init_id)
+        read_sn = pf.scalar_reader(pf.geom.prod_sn)
+
+        def check(data) -> bool:
+            if exp_init:
+                v = read_init(data)
+                if v and v != exp_init:
+                    return False
+            if exp_sn:
+                v = read_sn(data)
+                if v and v != exp_sn:
+                    return False
+            return True
+
+        return check
+
     def _classify(self, idx: int, data: bytes, ts: int) -> Optional[Packet]:
         pf = self._formats[idx]
         n = len(data)
         if n == pf.lidar_packet_size:
-            p = LidarPacket(data, ts)
-            from ..core.packets import PacketValidationFailure
+            check = self._idchecks[idx]
+            if check is None or check(data):
+                return LidarPacket(data, ts)
+            self.id_error_count += 1
+            # throttled: first mismatch, then every 100th, to avoid a
+            # per-packet log storm at 10 Gbit line rate
+            if self.id_error_count == 1 or \
+                    self.id_error_count % 100 == 0:
+                from ..core.error_handler import Severity
 
-            res = p.validate(self._infos[idx], pf)
-            if res == PacketValidationFailure.ID:
-                self.id_error_count += 1
-                # throttled: first mismatch, then every 100th, to avoid a
-                # per-packet log storm at 10 Gbit line rate
-                if self.id_error_count == 1 or \
-                        self.id_error_count % 100 == 0:
-                    from ..core.error_handler import Severity
-
-                    self._error_handler(
-                        Severity.WARNING,
-                        f"sensor {idx}: lidar packet init_id/serial "
-                        f"mismatch (count={self.id_error_count})")
-                if not self._soft_id_check:
-                    return None
-            return p
+                self._error_handler(
+                    Severity.WARNING,
+                    f"sensor {idx}: lidar packet init_id/serial "
+                    f"mismatch (count={self.id_error_count})")
+            if not self._soft_id_check:
+                return None
+            return LidarPacket(data, ts)
         if n == pf.imu_packet_size:
             return ImuPacket(data, ts)
         if pf.zone_monitoring_enabled and n == pf.zone_packet_size:
@@ -196,18 +231,18 @@ class SensorPacketSource:
         if self._drained:
             return self._drained.pop(0)
 
-        socks = {}
-        for i, c in enumerate(self._clients):
-            socks[c.lidar_sock] = i
-            socks[c.imu_sock] = i
-            if c.zm_sock:
-                socks[c.zm_sock] = i
+        socks = self.__dict__.get("_sock_map")
+        if socks is None:
+            socks = self._sock_map = self._build_sock_map()
         readable, _, _ = _select.select(list(socks), [], [], timeout_sec)
         for s in readable:
             idx = socks[s]
             # high-rate path: drain the socket in one recvmmsg syscall
             # (ref: sensor_packet_source.cpp recv loop; native batching
-            # amortizes syscall cost at multi-kHz packet rates)
+            # amortizes syscall cost at multi-kHz packet rates). EVERY
+            # readable socket is drained before returning — stopping at
+            # the first non-empty one would starve the other sensors of
+            # a multi-sensor fan-in whenever one stream stays busy
             from ..utils import native
 
             ws = self.__dict__.setdefault("_recv_ws", {})
@@ -220,8 +255,6 @@ class SensorPacketSource:
                         idx, bufs[k, :sizes[k]].tobytes(), ts)
                     if pkt is not None:
                         self._drained.append((idx, pkt))
-                if self._drained:
-                    return self._drained.pop(0)
                 continue
             try:
                 data = s.recv(65536)
@@ -229,8 +262,19 @@ class SensorPacketSource:
                 continue
             pkt = self._classify(idx, data, time.time_ns())
             if pkt is not None:
-                return idx, pkt
+                self._drained.append((idx, pkt))
+        if self._drained:
+            return self._drained.pop(0)
         return None, None
+
+    def _build_sock_map(self):
+        socks = {}
+        for i, c in enumerate(self._clients):
+            socks[c.lidar_sock] = i
+            socks[c.imu_sock] = i
+            if c.zm_sock:
+                socks[c.zm_sock] = i
+        return socks
 
     def _buffer_loop(self) -> None:
         """Background receiver with drop-oldest overflow

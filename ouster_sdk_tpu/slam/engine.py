@@ -35,14 +35,14 @@ class SlamConfig:
     # IMU integration when scans carry IMU fields, else constant
     # velocity; ref: source_mapping.py --deskew-method)
     deskew: str = "constant_velocity"
-    # registration backend: "host" (KD-tree KissICP) or "tpu"
+    # registration backend: "host" (voxel-hash KissICP) or "tpu"
     # (slam/jax_icp.py — the whole GN ICP loop as one device program)
     backend: str = "host"
 
 
 def _make_icp(config: "SlamConfig", kiss_config: "KissConfig"):
     """Registration-backend factory shared by SlamEngine and
-    LocalizationEngine (config.backend: host KD-tree vs device ICP)."""
+    LocalizationEngine (config.backend: host voxel-hash vs device ICP)."""
     if config.backend == "tpu":
         from .jax_icp import JaxICP
 

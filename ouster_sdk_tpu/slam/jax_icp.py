@@ -1,11 +1,11 @@
 """TPU-resident ICP registration.
 
-The reference registers scans with a host KD-tree/voxel-grid ICP
+The reference registers scans with a host voxel-hash ICP
 (ref: ouster_mapping thirdparty kiss-icp Registration.cpp). Here the
 entire inner loop — nearest-neighbor search, Geman-McClure-robust
 Gauss-Newton, SE(3) update, convergence test — runs as ONE jitted
 device program (`lax.while_loop`), so a frame registration is a single
-dispatch instead of ~20 host KD-tree queries.
+dispatch instead of ~20 host neighborhood-scan passes.
 
 Design notes (TPU-first, not a port):
 - NN is brute force over the local map, chunked with `lax.fori_loop`;
@@ -13,7 +13,7 @@ Design notes (TPU-first, not a port):
   XLA fuses into one loop — it never materializes in HBM. At the
   typical sizes (N≈2-8k source points, M≈100-500k map points) that is
   ~10 GFLOP per Gauss-Newton iteration, microseconds of VPU time —
-  cheaper than a host KD-tree build+query and latency-free on-device.
+  cheaper than host per-query neighborhood walks and latency-free on-device.
 - Shapes are static: source and map are padded to bucket sizes
   (powers of two) so at most a handful of programs compile; invalid
   rows are masked with +inf / zero weight.
@@ -73,11 +73,17 @@ def _se3_exp_kiss(dx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chunked_nn(src: jnp.ndarray, map_pts: jnp.ndarray,
-                map_valid: jnp.ndarray
+                map_valid: jnp.ndarray, voxel_size: jnp.ndarray
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Running (best_d2, best_idx) over map chunks; the per-chunk
-    (N, Mc) distance block is fused by XLA (broadcast -> reduce)."""
+    (N, Mc) distance block is fused by XLA (broadcast -> reduce).
+    Candidates are restricted to the query's 27-voxel neighborhood
+    (Chebyshev distance <= 1 in voxel space) — the host VoxelHashMap's
+    GetClosestNeighbor semantics (ref: VoxelHashMap.cpp voxel_shifts),
+    expressed as a mask over the brute-force block."""
     n_chunks = map_pts.shape[0] // _MAP_CHUNK
+    src_vox = jnp.floor(src / voxel_size)
+    map_vox = jnp.floor(map_pts / voxel_size)
 
     def body(k, carry):
         best_d2, best_idx = carry
@@ -85,9 +91,14 @@ def _chunked_nn(src: jnp.ndarray, map_pts: jnp.ndarray,
                                       _MAP_CHUNK)
         vl = lax.dynamic_slice_in_dim(map_valid, k * _MAP_CHUNK,
                                       _MAP_CHUNK)
+        mvox = lax.dynamic_slice_in_dim(map_vox, k * _MAP_CHUNK,
+                                        _MAP_CHUNK)
         d2 = jnp.sum(
             (src[:, None, :] - sl[None, :, :]) ** 2, axis=-1)
-        d2 = jnp.where(vl[None, :], d2, jnp.inf)
+        neigh = jnp.max(
+            jnp.abs(src_vox[:, None, :] - mvox[None, :, :]),
+            axis=-1) <= 1.0
+        d2 = jnp.where(vl[None, :] & neigh, d2, jnp.inf)
         cmin = jnp.min(d2, axis=1)
         cidx = jnp.argmin(d2, axis=1) + k * _MAP_CHUNK
         upd = cmin < best_d2
@@ -116,14 +127,17 @@ def register_points_jax(src: jnp.ndarray, src_valid: jnp.ndarray,
                         init_pose: jnp.ndarray,
                         max_corr_dist: jnp.ndarray,
                         kernel_scale: jnp.ndarray,
+                        voxel_size: jnp.ndarray = 1.0,
                         max_iters: int = 100,
                         convergence: float = 1e-4) -> jnp.ndarray:
     """Whole robust GN ICP as one device program
     (ref semantics: Registration.cpp AlignPointsToMap; GM kernel,
-    J = [I | -hat(s)], left-multiplied increments)."""
+    J = [I | -hat(s)], left-multiplied increments, NN limited to the
+    27-voxel neighborhood like VoxelHashMap::GetClosestNeighbor)."""
     src = src.astype(jnp.float32)
     init_pose = init_pose.astype(jnp.float32)
     src_w = src @ init_pose[:3, :3].T + init_pose[:3, 3]
+    voxel_size = jnp.asarray(voxel_size, dtype=jnp.float32)
 
     def cond(carry):
         _, _, it, done = carry
@@ -131,8 +145,11 @@ def register_points_jax(src: jnp.ndarray, src_valid: jnp.ndarray,
 
     def step(carry):
         cur, T_icp, it, _ = carry
-        best_d2, best_idx = _chunked_nn(cur, map_pts, map_valid)
-        corr = (best_d2 <= max_corr_dist * max_corr_dist) & src_valid
+        best_d2, best_idx = _chunked_nn(cur, map_pts, map_valid,
+                                        voxel_size)
+        # strict <, like DataAssociation's
+        # `distance < max_correspondance_distance`
+        corr = (best_d2 < max_corr_dist * max_corr_dist) & src_valid
         tgt = map_pts[best_idx]
         r = cur - tgt
         r2 = jnp.sum(r * r, axis=1)
@@ -217,6 +234,7 @@ class JaxICP(KissICP):
                 jnp.asarray(map_pad), jnp.asarray(map_valid),
                 jnp.asarray(initial_guess, dtype=jnp.float32),
                 jnp.float32(3.0 * sigma), jnp.float32(sigma / 3.0),
+                jnp.float32(self.config.voxel_size),
                 max_iters=self.config.max_num_iterations,
                 convergence=self.config.convergence_criterion),
                 dtype=np.float64)

@@ -1,19 +1,21 @@
-"""KISS-ICP odometry: voxel map + adaptive threshold + robust point-to-point
-ICP.
+"""KISS-ICP odometry: voxel-hash map + adaptive threshold + robust
+point-to-point ICP.
 
-Rebuild of the reference's vendored kiss-icp pipeline
-(ref: ouster_mapping/src/kiss_icp.{h,cpp}:17-69, thirdparty/kiss-icp/cpp/
-kiss_icp/core/{Registration,Threshold,VoxelHashMap}.cpp). Differences from
-the reference are intentional and noted:
-  - nearest neighbors come from a cKDTree rebuilt per frame instead of the
-    27-voxel-neighborhood scan (equal or better associations; the TPU-side
-    fixed-capacity grid-hash path lives in ops/downsample.py and
-    slam/registration_jax.py as it matures)
+Rebuild of the reference's vendored kiss-icp pipeline with the SAME data
+structures and semantics (ref: ouster_mapping/src/kiss_icp.{h,cpp}:17-69,
+thirdparty/kiss-icp/cpp/kiss_icp/core/{Registration,Threshold,
+VoxelHashMap,VoxelUtils}.cpp):
+  - VoxelDownsample keeps the FIRST point per voxel (VoxelUtils.cpp)
+  - the local map is a voxel hash capping max_points_per_voxel per cell,
+    rejecting points closer than map_resolution =
+    sqrt(voxel_size^2 / max_points_per_voxel) to an existing point in
+    the cell (VoxelHashMap::AddPoints), pruned when a cell's first point
+    is >= max_distance from the origin
+  - nearest neighbors scan the 27-voxel neighborhood of the query
+    (VoxelHashMap::GetClosestNeighbor) — vectorized here over all
+    queries with a sorted-key searchsorted instead of a robin_map, same
+    associations
   - math in numpy float64 like the reference's Eigen doubles
-  - voxelize() keeps per-voxel CENTROIDS (ops/downsample.voxel_downsample)
-    where the reference VoxelDownsample keeps the first point per voxel;
-    centroids are a standard variant with slightly better sampling
-    uniformity, at the cost of tiny trajectory differences
 """
 
 from __future__ import annotations
@@ -22,9 +24,8 @@ from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import numpy as np
-from scipy.spatial import cKDTree
 
-from ..ops.downsample import voxel_downsample
+from ..ops.downsample import voxel_downsample_first
 
 
 @dataclass
@@ -91,22 +92,44 @@ class AdaptiveThreshold:
             self._num_samples += 1
 
 
+_ENC_OFF = np.int64(1 << 20)
+
+# the 27 adjacent-voxel shifts scanned by GetClosestNeighbor
+# (ref: VoxelHashMap.cpp voxel_shifts)
+_SHIFTS_27 = np.array(
+    [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+     for dz in (-1, 0, 1)], dtype=np.int64)
+
+
+def _enc_vox(vox: np.ndarray) -> np.ndarray:
+    """Pack (..., 3) int64 voxel coords into one int64 key (21 bits per
+    signed axis — +-1e6 voxels, far beyond max_range/voxel_size)."""
+    return ((vox[..., 0] + _ENC_OFF) << 42) | \
+        ((vox[..., 1] + _ENC_OFF) << 21) | (vox[..., 2] + _ENC_OFF)
+
+
 class VoxelHashMap:
-    """Local map: capped points per voxel, pruned by distance
-    (ref: VoxelHashMap.cpp)."""
+    """Local map: voxel hash of up-to-N points per cell with
+    min-distance admission, adjacent-voxel nearest neighbors, pruned by
+    distance from the origin (ref: VoxelHashMap.{hpp,cpp}). The robin_map
+    becomes a python dict keyed by packed voxel coords; the NN scan is
+    vectorized over all queries with a sorted-key searchsorted."""
 
     def __init__(self, voxel_size: float, max_distance: float,
                  max_points_per_voxel: int):
         self.voxel_size = voxel_size
         self.max_distance = max_distance
         self.max_points_per_voxel = max_points_per_voxel
-        self._voxels: Dict[Tuple[int, int, int], np.ndarray] = {}
-        self._tree: Optional[cKDTree] = None
-        self._tree_pts: Optional[np.ndarray] = None
+        # AddPoints' admission radius (ref: VoxelHashMap.cpp
+        # map_resolution = sqrt(voxel_size^2 / max_points_per_voxel))
+        self._map_resolution2 = voxel_size * voxel_size \
+            / max_points_per_voxel
+        self._voxels: Dict[int, np.ndarray] = {}  # enc key -> (k, 3)
+        self._arrays: Optional[Tuple[np.ndarray, np.ndarray]] = None
 
     def clear(self) -> None:
         self._voxels.clear()
-        self._tree = None
+        self._arrays = None
 
     def empty(self) -> bool:
         return not self._voxels
@@ -117,34 +140,46 @@ class VoxelHashMap:
         return np.concatenate(list(self._voxels.values()), axis=0)
 
     def add_points(self, points: np.ndarray) -> None:
+        """(ref: VoxelHashMap::AddPoints): per point, in order — skip if
+        the cell is full or any point already in the cell (including ones
+        admitted earlier in this call) lies within map_resolution."""
         if points.size == 0:
             return
-        keys = np.floor(points / self.voxel_size).astype(np.int64)
-        order = np.lexsort((keys[:, 2], keys[:, 1], keys[:, 0]))
+        cap = self.max_points_per_voxel
+        res2 = self._map_resolution2
+        keys = _enc_vox(np.floor(points / self.voxel_size).astype(np.int64))
+        order = np.argsort(keys, kind="stable")  # groups keep scan order
         keys_s, pts_s = keys[order], points[order]
-        change = np.concatenate([[True], np.any(np.diff(keys_s, axis=0) != 0,
-                                                axis=1)])
-        starts = np.flatnonzero(change)
+        starts = np.flatnonzero(
+            np.concatenate([[True], np.diff(keys_s) != 0]))
         ends = np.concatenate([starts[1:], [keys_s.shape[0]]])
         for s, e in zip(starts, ends):
-            key = tuple(keys_s[s])
-            existing = self._voxels.get(key)
-            cap = self.max_points_per_voxel
-            if existing is None:
-                self._voxels[key] = pts_s[s:min(e, s + cap)].copy()
-            elif existing.shape[0] < cap:
-                room = cap - existing.shape[0]
-                self._voxels[key] = np.concatenate(
-                    [existing, pts_s[s:min(e, s + room)]], axis=0)
-        self._tree = None
+            key = int(keys_s[s])
+            cur = self._voxels.get(key)
+            if cur is not None and cur.shape[0] >= cap:
+                continue
+            if cur is None:
+                cur = np.empty((0, 3), dtype=np.float64)
+            for p in pts_s[s:e]:
+                if cur.shape[0] >= cap:
+                    break
+                if cur.shape[0] and (
+                        np.einsum("nc,nc->n", cur - p, cur - p)
+                        < res2).any():
+                    continue
+                cur = np.concatenate([cur, p[None]], axis=0)
+            self._voxels[key] = cur
+        self._arrays = None
 
     def remove_far_points(self, origin: np.ndarray) -> None:
+        """(ref: VoxelHashMap::RemovePointsFarFromLocation): a cell dies
+        when its FIRST point is >= max_distance from the origin."""
         md2 = self.max_distance * self.max_distance
         dead = [k for k, pts in self._voxels.items()
-                if np.sum((pts[0] - origin) ** 2) > md2]
+                if np.sum((pts[0] - origin) ** 2) >= md2]
         for k in dead:
             del self._voxels[k]
-        self._tree = None
+        self._arrays = None
 
     def update(self, points: np.ndarray, pose: np.ndarray) -> None:
         """(ref: VoxelHashMap::Update): transform to world, add, prune."""
@@ -152,23 +187,49 @@ class VoxelHashMap:
         self.add_points(world)
         self.remove_far_points(pose[:3, 3])
 
-    def _ensure_tree(self) -> Optional[cKDTree]:
-        if self._tree is None and self._voxels:
-            self._tree_pts = self.pointcloud()
-            self._tree = cKDTree(self._tree_pts)
-        return self._tree
+    def _ensure_arrays(self) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Sorted packed keys + (V, cap, 3) point array padded with +inf
+        (pads fall out of every min-distance naturally)."""
+        if self._arrays is None and self._voxels:
+            keys = np.fromiter(self._voxels.keys(), dtype=np.int64,
+                               count=len(self._voxels))
+            order = np.argsort(keys)
+            keys = keys[order]
+            vals = list(self._voxels.values())
+            pts = np.full((len(keys), self.max_points_per_voxel, 3),
+                          np.inf, dtype=np.float64)
+            for r, src_i in enumerate(order):
+                v = vals[src_i]
+                pts[r, :v.shape[0]] = v
+            self._arrays = (keys, pts)
+        return self._arrays
 
     def closest_neighbors(self, points: np.ndarray, max_dist: float
                           ) -> Tuple[np.ndarray, np.ndarray]:
-        """Vectorized GetClosestNeighbor: (mask, target_points)."""
-        tree = self._ensure_tree()
-        if tree is None:
+        """Vectorized GetClosestNeighbor over all queries: nearest point
+        within the 27-voxel neighborhood, accepted when its distance is
+        STRICTLY below max_dist (ref: Registration.cpp DataAssociation
+        `distance < max_correspondance_distance`)."""
+        arrays = self._ensure_arrays()
+        if arrays is None:
             return np.zeros(len(points), bool), np.zeros_like(points)
-        dist, idx = tree.query(points, k=1,
-                               distance_upper_bound=max_dist)
-        mask = np.isfinite(dist)
-        tgt = np.zeros_like(points)
-        tgt[mask] = self._tree_pts[idx[mask]]
+        keys_sorted, pts = arrays
+        n = len(points)
+        qv = np.floor(points / self.voxel_size).astype(np.int64)
+        enc = _enc_vox(qv[:, None, :] + _SHIFTS_27[None, :, :])  # (N, 27)
+        pos = np.searchsorted(keys_sorted, enc)
+        pos_c = np.minimum(pos, len(keys_sorted) - 1)
+        found = keys_sorted[pos_c] == enc
+        cand = pts[np.where(found, pos_c, 0)]          # (N, 27, cap, 3)
+        cand = np.where(found[..., None, None], cand, np.inf)
+        diff = cand - points[:, None, None, :]
+        d2 = np.einsum("nvkc,nvkc->nvk", diff, diff).reshape(n, -1)
+        amin = np.argmin(d2, axis=1)
+        rows = np.arange(n)
+        dmin2 = d2[rows, amin]
+        mask = dmin2 < max_dist * max_dist
+        tgt = np.where(mask[:, None],
+                       cand.reshape(n, -1, 3)[rows, amin], 0.0)
         return mask, tgt
 
 
@@ -258,11 +319,12 @@ class KissICP:
 
     def voxelize(self, frame: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """(ref: kiss_icp.cpp:50-57): map update at 0.5*voxel, registration
-        source at 1.5*voxel."""
-        frame_downsample, _ = voxel_downsample(
+        source at 1.5*voxel; first-point-per-voxel like the reference's
+        VoxelDownsample (VoxelUtils.cpp)."""
+        frame_downsample = voxel_downsample_first(
             frame, self.config.voxel_size * 0.5)
-        source, _ = voxel_downsample(frame_downsample,
-                                     self.config.voxel_size * 1.5)
+        source = voxel_downsample_first(frame_downsample,
+                                        self.config.voxel_size * 1.5)
         return source, frame_downsample
 
     def register_frame(self, frame: np.ndarray, initial_guess: np.ndarray,

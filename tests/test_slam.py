@@ -110,7 +110,7 @@ def test_slam_trajectory_vs_kitti():
 
 def test_jax_icp_matches_host_single_shot():
     """Device-resident GN ICP (slam/jax_icp.py) recovers the same pose
-    as the host KD-tree ICP on one registration."""
+    as the host voxel-hash ICP on one registration."""
     import jax.numpy as jnp
 
     from ouster_sdk_tpu.slam.jax_icp import (_MAP_CHUNK, _bucket,

@@ -341,7 +341,7 @@ def main():
         print("OSF fixture unavailable; section 3b skipped",
               file=sys.stderr)
 
-    # ---- 4. device-resident ICP matches the host KD-tree path ----------
+    # ---- 4. device-resident ICP matches the host voxel-hash path -------
     from ouster_sdk_tpu.slam.jax_icp import (_MAP_CHUNK, _bucket,
                                              register_points_jax)
     from ouster_sdk_tpu.slam.kiss_icp import (VoxelHashMap,
