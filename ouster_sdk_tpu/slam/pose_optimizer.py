@@ -147,6 +147,21 @@ class SolverConfig:
     def scipy_loss(self) -> str:
         return LOSS_FUNCTIONS.get(self.loss.upper(), self.loss)
 
+    def scipy_loss_scale(self) -> float:
+        """loss_scale translated to scipy's f_scale so the robust cost
+        curve matches Ceres' exactly (verified in
+        tests/test_pose_optimizer_verification.py):
+          HuberLoss(a)    == loss='huber',   f_scale=a
+          CauchyLoss(a)   == loss='cauchy',  f_scale=a
+          SoftLOneLoss(a) == loss='soft_l1', f_scale=a
+          ArctanLoss(a)   == loss='arctan',  f_scale=sqrt(a)
+        (ceres ArctanLoss: rho(s)=a*atan(s/a); scipy arctan:
+        fs^2*atan(s/fs^2) -> fs=sqrt(a);
+        ref: pose_optimizer.cpp create_loss_function)."""
+        if self.loss.upper() == "ARCTAN_LOSS":
+            return float(np.sqrt(self.loss_scale))
+        return float(self.loss_scale)
+
 
 class PoseOptimizer:
     """Pose-graph refinement (ref: pose_optimizer.cpp)."""
@@ -260,7 +275,7 @@ class PoseOptimizer:
             jac_sparsity=self._jac_sparsity(),
             method="trf",
             loss=cfg.scipy_loss(),
-            f_scale=cfg.loss_scale,
+            f_scale=cfg.scipy_loss_scale(),
             max_nfev=cfg.max_num_iterations * 10,
             # reference tolerances (1e-18/1e-20) are below f64 eps; scipy
             # rejects sub-eps tolerances, so clamp like Ceres effectively
