@@ -744,6 +744,11 @@ class LiveDeviceBatcher:
             (self.plan.mid_word * 4)
         self._hw = self.pf.packet_header_size // 4
         plan = self.plan
+        # completion counts the WINDOW's packets, not the full frame's
+        # (azimuth-windowed sensors never send out-of-window packets;
+        # ref: lidar_scan.cpp:1605-1617 expected from
+        # lidar_packets_per_frame, types.h:849-856)
+        self._expected_pkts = info.format.lidar_packets_per_frame()
         cap = plan.n_pkts + 8  # one frame + straggler slack
         self._slab = np.zeros((cap, self.pf.lidar_packet_size), np.uint8)
         self._offsets = (np.arange(cap, dtype=np.int64)
@@ -847,9 +852,13 @@ class LiveDeviceBatcher:
 
     def _complete(self) -> bool:
         """Count-based completion incl. aux, mirroring
-        _check_scan_complete (lidar_scan.cpp:1605-1617)."""
-        return (self._n >= self.plan.n_pkts
-                and len(self._slots) >= self.plan.n_pkts
+        _check_scan_complete (lidar_scan.cpp:1605-1617): enough packets
+        batched AND the count of distinct stamped slots EQUALS the
+        window's expectation — a stray out-of-window packet overshoots
+        the oracle's count_nonzero(packet_timestamp) == expected, so the
+        frame then releases only at the boundary, like the oracle."""
+        return (self._n >= self._expected_pkts
+                and len(self._slots) == self._expected_pkts
                 and self._aux_counts["imu"] >= self.expected_imu_packets
                 and self._aux_counts["zone"] >= self.expected_zone_packets)
 
