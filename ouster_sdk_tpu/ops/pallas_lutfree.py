@@ -162,6 +162,41 @@ def _prep_pixel_words(frames_words, plan):
     return pix, valid_row, B, squeeze
 
 
+def lutfree_supported(info: SensorInfo) -> bool:
+    """Static eligibility for the LUT-free family.
+
+    True when the projection factorizes into the six per-row tables:
+    OS-style per-BEAM angle tables (one entry per pixel row — DF sensors'
+    per-pixel w*h tables don't factorize, ref: xyzlut.cpp:52-64) AND
+    every RANGE plane the profile carries lives in one u32 word.
+    Ineligible profiles (and profiles with no RANGE plane at all, e.g.
+    FIVE_WORD_PIXEL / RAW32 raw-word decodes) take the planar LUT family
+    (ops/pallas_kernels.py) through ScanPipeline — the dispatch never
+    dead-ends; see tests/test_lutfree.py::test_every_profile_projects."""
+    from .unpack import make_decode_plan
+
+    fmt = info.format
+    h = fmt.pixels_per_column
+    if (len(info.beam_azimuth_angles or []) != h
+            or len(info.beam_altitude_angles or []) != h):
+        return False
+    try:
+        plan = make_decode_plan(info)
+    except Exception:
+        return False
+    names = {f.name for f in plan.fields}
+    if "RANGE" not in names:
+        return False
+    for name in ("RANGE", "RANGE2"):
+        if name not in names:
+            continue
+        try:
+            _field_plan(plan, name)
+        except (ValueError, NotImplementedError):
+            return False
+    return True
+
+
 def _field_plan(plan, field):
     fp = next((f for f in plan.fields if f.name == field), None)
     if fp is None:

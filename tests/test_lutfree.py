@@ -189,6 +189,96 @@ def test_lutfree_rejects_df_sensors():
         FactorTables(info)
 
 
+def test_every_profile_projects_or_falls_back():
+    """Dispatch contract (the lutfree family's word-spanning guard must
+    never dead-end a profile): every built-in RANGE-bearing profile is
+    lutfree-eligible; profiles without a RANGE plane (FIVE_WORD raw-word
+    decode) are decode-only exactly like the reference; DF-style
+    per-pixel angle tables and custom word-spanning profiles classify as
+    ineligible and the planar LUT family still projects them."""
+    from ouster_sdk_tpu import HeaderType, LidarMode, SensorInfo
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.pallas_lutfree import lutfree_supported
+    from ouster_sdk_tpu.ops.profiles import DEFAULT_SCAN_FIELDS
+
+    for p in UDPProfileLidar:
+        if p in (UDPProfileLidar.UNKNOWN, UDPProfileLidar.OFF):
+            continue
+        info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+        info.format.udp_profile_lidar = p
+        if "FUSA" in p.name:
+            info.format.header_type = HeaderType.FUSA
+        names = {n for n, _ in DEFAULT_SCAN_FIELDS.get(p, [])}
+        assert lutfree_supported(info) == ("RANGE" in names), p
+    # the eligible set is exactly the set the 1-ulp parametrized test
+    # above covers — no profile falls between the two
+    eligible = set(_all_single_word_profiles())
+    for p in UDPProfileLidar:
+        if p in (UDPProfileLidar.UNKNOWN, UDPProfileLidar.OFF):
+            continue
+        names = {n for n, _ in DEFAULT_SCAN_FIELDS.get(p, [])}
+        assert (p in eligible) == ("RANGE" in names), p
+
+
+def test_df_tables_fall_back_to_planar_lut_family():
+    """A sensor the lutfree family rejects (per-pixel DF angle tables)
+    must still project through the planar LUT family — the dispatch
+    fallback is real, not hypothetical."""
+    from ouster_sdk_tpu import LidarMode, SensorInfo
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.fused import ScanPipeline
+    from ouster_sdk_tpu.ops.pallas_lutfree import lutfree_supported
+    from ouster_sdk_tpu.ops.unpack import frame_words_from_packets, \
+        make_decode_plan
+    from ouster_sdk_tpu import LidarPacket, PacketWriter
+
+    info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+    info.format.pixels_per_column = 16
+    info.format.pixel_shift_by_row = [0] * 16
+    info.format.udp_profile_lidar = UDPProfileLidar.RNG19_RFL8_SIG16_NIR16
+    h, w = 16, info.format.columns_per_frame
+    rng = np.random.default_rng(9)
+    # per-PIXEL tables (w*h) — the DF layout lutfree cannot factorize
+    info.beam_azimuth_angles = list(rng.uniform(-3, 3, h * w))
+    info.beam_altitude_angles = list(rng.uniform(-20, 20, h * w))
+    assert not lutfree_supported(info)
+
+    pw_ = PacketWriter(info.format)
+    cpp = pw_.columns_per_packet
+    pkts = []
+    for p in range(w // cpp):
+        buf = pw_.new_packet()
+        pw_.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+        pw_.set_frame_id(buf, 1)
+        pw_.set_col_headers(
+            buf, np.arange(cpp, dtype=np.uint64) + 100,
+            np.arange(cpp, dtype=np.uint16) + p * cpp,
+            np.ones(cpp, dtype=np.uint32))
+        pw_.set_field(buf, "RANGE",
+                      rng.integers(0, 1 << 16, size=(h, cpp)))
+        pkts.append(LidarPacket(buf.tobytes(), host_timestamp=p + 1))
+    plan = make_decode_plan(info)
+    words = np.asarray(frame_words_from_packets(pkts, plan))
+
+    # restage word-planar (what FrameReader's native grouper produces)
+    cols = words[:, plan.hw:plan.hw + plan.cpp * plan.cw].reshape(
+        plan.w, plan.cw)
+    pix = cols[:, plan.chw:plan.chw + plan.h * plan.pw]
+    planes = np.ascontiguousarray(
+        pix.reshape(plan.w, plan.h, plan.pw).transpose(2, 1, 0))
+    hdrs = np.ascontiguousarray(cols[:, :plan.chw].T)
+
+    pipe = ScanPipeline(info)
+    xyz = np.asarray(pipe.project_planar(
+        jnp.asarray(planes), jnp.asarray(hdrs), engine="xla"))[0]
+    xyz = np.moveaxis(xyz, 0, -1)
+    rng_img = np.asarray(decode_frame(jnp.asarray(words),
+                                      plan)[ChanField.RANGE])
+    ref = make_xyz_lut(info)(rng_img)
+    assert np.abs(xyz - ref).max() < 1e-5, \
+        "planar LUT fallback diverged from the f64 DF projection"
+
+
 def test_lutfree_rejects_nondivisible_tile_w():
     """A tile width that doesn't divide the frame width must raise
     up front instead of leaving output columns unwritten."""
