@@ -6,7 +6,7 @@ projection, SE(3) dewarp — runs as fused kernels on device; host-side code
 handles UDP/pcap/OSF ingest and the streaming state machines.
 """
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 from .core.types import (  # noqa: F401
     INVALID_VERSION,

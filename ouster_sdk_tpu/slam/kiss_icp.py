@@ -153,13 +153,22 @@ class VoxelHashMap:
         starts = np.flatnonzero(
             np.concatenate([[True], np.diff(keys_s) != 0]))
         ends = np.concatenate([starts[1:], [keys_s.shape[0]]])
+        pts_s = np.ascontiguousarray(pts_s, dtype=np.float64)
+        voxels = self._voxels
+        get = voxels.get
+        pending = []  # (key, row): fresh voxel, single candidate
         for s, e in zip(starts, ends):
             key = int(keys_s[s])
-            cur = self._voxels.get(key)
+            cur = get(key)
+            if cur is None and e - s == 1:
+                # dominant case (a fresh voxel, one candidate): the
+                # admission rules are vacuous — defer to a bulk copy
+                pending.append((key, s))
+                continue
             if cur is not None and cur.shape[0] >= cap:
                 continue
             if cur is None:
-                cur = np.empty((0, 3), dtype=np.float64)
+                cur = pts_s[s:s]  # empty (0, 3)
             for p in pts_s[s:e]:
                 if cur.shape[0] >= cap:
                     break
@@ -168,7 +177,15 @@ class VoxelHashMap:
                         < res2).any():
                     continue
                 cur = np.concatenate([cur, p[None]], axis=0)
-            self._voxels[key] = cur
+            voxels[key] = cur
+        if pending:
+            # one compact copy; the stored views keep only THIS block
+            # alive, not the whole call's point array
+            rows = np.fromiter((s for _, s in pending), np.int64,
+                               len(pending))
+            block = pts_s[rows]
+            for r, (key, _) in enumerate(pending):
+                voxels[key] = block[r:r + 1]
         self._arrays = None
 
     def remove_far_points(self, origin: np.ndarray) -> None:
@@ -220,16 +237,25 @@ class VoxelHashMap:
         pos = np.searchsorted(keys_sorted, enc)
         pos_c = np.minimum(pos, len(keys_sorted) - 1)
         found = keys_sorted[pos_c] == enc
-        cand = pts[np.where(found, pos_c, 0)]          # (N, 27, cap, 3)
-        cand = np.where(found[..., None, None], cand, np.inf)
-        diff = cand - points[:, None, None, :]
-        d2 = np.einsum("nvkc,nvkc->nvk", diff, diff).reshape(n, -1)
-        amin = np.argmin(d2, axis=1)
-        rows = np.arange(n)
-        dmin2 = d2[rows, amin]
+        # sparse gather: only EXISTING neighbor voxels contribute (the
+        # dense (N, 27, cap, 3) block moved ~100 MB per call)
+        qidx, _ = np.nonzero(found)                    # (K,)
+        cand = pts[pos_c[found]]                       # (K, cap, 3)
+        diff = cand - points[qidx, None, :]
+        d2 = np.einsum("kvc,kvc->kv", diff, diff)      # (K, cap)
+        flat = np.argmin(d2, axis=1)
+        kmin = d2[np.arange(d2.shape[0]), flat]        # (K,)
+        dmin2 = np.full(n, np.inf)
+        np.fmin.at(dmin2, qidx, kmin)
+        # recover the winning point: first K whose min equals the query
+        # minimum (exact-tie choice is unspecified in the reference too)
+        win = kmin == dmin2[qidx]
+        tgt = np.zeros_like(points)
+        # reversed so the FIRST winner per query lands last
+        tgt[qidx[win][::-1]] = cand[np.arange(len(qidx))[win],
+                                    flat[win]][::-1]
         mask = dmin2 < max_dist * max_dist
-        tgt = np.where(mask[:, None],
-                       cand.reshape(n, -1, 3)[rows, amin], 0.0)
+        tgt = np.where(mask[:, None], tgt, 0.0)
         return mask, tgt
 
 

@@ -283,6 +283,37 @@ def test_two_emulated_sensors_distinct_ports_collate():
             src.close()
 
 
+def test_two_sensor_fanin_is_fair():
+    """Regression: _poll_once must drain EVERY readable socket before
+    returning. Stopping at the first non-empty one starved the other
+    sensor completely — its packets sat in the kernel buffer until the
+    busy stream ended, so one sensor's scans all arrived before the
+    other's first. With a fair drain, two equally-paced sensors deliver
+    interleaved: by the time one has 8 scans the other must have some."""
+    p = _free_ports(4)
+    info_a = _test_info(p[0], p[1], sn=122246000005)
+    info_b = _test_info(p[2], p[3], sn=122246000006)
+    with SensorEmulator(info_a, _frames_factory(info_a, 14),
+                        lidar_port=p[0], imu_port=p[1], rate=2.0), \
+         SensorEmulator(info_b, _frames_factory(info_b, 14),
+                        lidar_port=p[2], imu_port=p[3], rate=2.0):
+        src = SensorScanSource(["127.0.0.1", "127.0.0.1"],
+                               sensor_info=[info_a, info_b],
+                               timeout=10.0, queue_size=16)
+        try:
+            seen = [0, 0]
+            deadline = time.time() + 20
+            while max(seen) < 8 and time.time() < deadline:
+                idx, scan = src.get_scan(timeout_sec=1.0)
+                if scan is not None:
+                    seen[idx] += 1
+            assert max(seen) >= 8, seen
+            assert min(seen) >= 2, \
+                f"fan-in starved sensor {seen.index(min(seen))}: {seen}"
+        finally:
+            src.close()
+
+
 def test_sets_from_two_sensors():
     """Iterating the multi-sensor source yields collated LidarScanSets
     with per-sensor slots filled by the right serial."""

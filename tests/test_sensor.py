@@ -278,3 +278,44 @@ def test_emulator_to_planar_device_pipeline():
     ref = pf.packet_field_all(ChanField.RANGE, bufs)
     ref = np.concatenate(list(ref), axis=1)[:, :info.format.columns_per_frame]
     np.testing.assert_array_equal(np.asarray(out[ChanField.RANGE]), ref)
+
+
+def test_scalar_reader_matches_word_path_all_profiles():
+    """The byte-level scalar_reader (the live receive path's fast
+    init_id/prod_sn/frame_id check) must agree with the word-staged
+    read_bits accessors for every eUDP header layout, incl. FUSA's
+    32-bit frame_id (ref: parsing.cpp:466-621)."""
+    import numpy as np
+
+    from ouster_sdk_tpu import (HeaderType, LidarMode, PacketWriter,
+                                SensorInfo)
+    from ouster_sdk_tpu.core.types import UDPProfileLidar
+    from ouster_sdk_tpu.ops.packet_format import PacketFormat
+
+    for profile, header in [
+            (UDPProfileLidar.RNG19_RFL8_SIG16_NIR16, HeaderType.STANDARD),
+            (UDPProfileLidar.RNG19_RFL8_SIG16_NIR16_DUAL,
+             HeaderType.STANDARD),
+            (UDPProfileLidar.FUSA_RNG15_RFL8_NIR8_DUAL, HeaderType.FUSA),
+            (UDPProfileLidar.RNG15_RFL8_NIR8, HeaderType.STANDARD)]:
+        info = SensorInfo.from_default(LidarMode.from_string("512x10"))
+        info.format.udp_profile_lidar = profile
+        info.format.header_type = header
+        info.init_id = 0x123456
+        info.sn = 99224400817
+        pw = PacketWriter(info.format)
+        buf = pw.new_packet()
+        pw.set_packet_header(buf, init_id=info.init_id, prod_sn=info.sn)
+        fid = 0xABCDEF01 if header == HeaderType.FUSA else 0xBEEF
+        pw.set_frame_id(buf, fid)
+        pf = PacketFormat.from_info(info)
+        raw = buf.tobytes()
+        for fi_name, expect in (("init_id", info.init_id),
+                                ("prod_sn", info.sn),
+                                ("frame_id", fid)):
+            fi = getattr(pf.geom, fi_name)
+            fast = pf.scalar_reader(fi)
+            word = getattr(pf, fi_name)(buf)
+            assert fast(raw) == word == expect, (profile, fi_name)
+            # ndarray input too (the recvmmsg workspace path)
+            assert fast(np.frombuffer(raw, np.uint8)) == expect
