@@ -113,10 +113,40 @@ class SourcePipeline:
                 raise e
 
 
+def _print_version(ctx, param, value):
+    """Eager -v/--version: version plus discovered plugins (ref:
+    cli/core/__init__.py:61-69)."""
+    if not value or ctx.resilient_parsing:
+        return
+    click.echo(f"ouster-cli, version {__version__}")
+    from .runner import find_plugins
+    click.echo("\nPlugins provided:")
+    for plugin in find_plugins():
+        click.echo(plugin.name)
+    ctx.exit()
+
+
 @click.group(name="ouster-cli")
-@click.version_option(__version__, prog_name="ouster-cli (ouster_sdk_tpu)")
-def cli() -> None:
+@click.option("-v", "--version", is_flag=True, callback=_print_version,
+              expose_value=False, is_eager=True)
+@click.option("--traceback", "trace", is_flag=True, default=False,
+              help="Turn on the tracebacks on errors")
+@click.option("--sdk-log-level",
+              type=click.Choice(["trace", "debug", "info", "warning",
+                                 "error", "critical", "off"],
+                                case_sensitive=False),
+              help="Set Ouster SDK logging level")
+@click.pass_context
+def cli(ctx, trace: bool, sdk_log_level: Optional[str]) -> None:
     """Ouster SDK command-line tool (TPU-native rebuild)."""
+    from . import runner
+    runner.TRACEBACK = trace
+    ctx.ensure_object(dict)
+    ctx.obj["TRACEBACK"] = trace
+    if sdk_log_level:
+        from ..core.logging import init_logger
+        ctx.obj["SDK_LOG_LEVEL"] = sdk_log_level.lower()
+        init_logger(ctx.obj["SDK_LOG_LEVEL"])
 
 
 @cli.group(chain=True)
