@@ -124,6 +124,8 @@ def _log_location() -> str:
 
 
 def _setup_invocation_log() -> None:
+    if logger.handlers:
+        return  # in-process re-entry (tests, embedders): keep one sink
     location = _log_location()
     log_dir = os.path.dirname(location)
     handler: Optional[logging.Handler] = None

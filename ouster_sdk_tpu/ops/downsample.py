@@ -21,12 +21,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _voxel_keys_np(points: np.ndarray, voxel_size: np.ndarray) -> np.ndarray:
-    idx = np.floor(points / voxel_size).astype(np.int64)
-    # pack 3x21-bit signed coordinates into one int64 key
+def pack_voxel_coords(idx: np.ndarray) -> np.ndarray:
+    """Pack (..., 3) int64 voxel coords into one int64 key — 21 bits per
+    signed axis, so +-2^20 voxels from the origin (e.g. ~52 km at
+    0.05 m voxels); coordinates beyond that wrap silently. Single
+    source of truth for the packing (VoxelHashMap shares it)."""
     off = np.int64(1 << 20)
-    return ((idx[:, 0] + off) << 42) | ((idx[:, 1] + off) << 21) | \
-        (idx[:, 2] + off)
+    return ((idx[..., 0] + off) << 42) | ((idx[..., 1] + off) << 21) | \
+        (idx[..., 2] + off)
+
+
+def _voxel_keys_np(points: np.ndarray, voxel_size: np.ndarray) -> np.ndarray:
+    return pack_voxel_coords(np.floor(points / voxel_size).astype(np.int64))
 
 
 def voxel_downsample_first(points: np.ndarray,

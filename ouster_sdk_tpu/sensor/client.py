@@ -30,15 +30,29 @@ def grow_rcvbuf(sock: socket.socket, size: int = RCVBUF_SIZE) -> int:
     reference sets a 256 MB SO_RCVBUF for the same reason
     (ref: client.cpp udp_data_socket RCVBUF_SIZE)."""
     force = getattr(socket, "SO_RCVBUFFORCE", 33)  # linux-only opt
+    return _grow_buf(sock, force, socket.SO_RCVBUF, size)
+
+
+def grow_sndbuf(sock: socket.socket, size: int) -> int:
+    """Send-side twin of grow_rcvbuf (SO_SNDBUFFORCE bypasses wmem_max
+    for root) — the emulator's data plane uses it so the loopback
+    sender never blocks on the host's send queue, like a real sensor's
+    NIC."""
+    force = getattr(socket, "SO_SNDBUFFORCE", 32)  # linux-only opt
+    return _grow_buf(sock, force, socket.SO_SNDBUF, size)
+
+
+def _grow_buf(sock: socket.socket, force_opt: int, plain_opt: int,
+              size: int) -> int:
     try:
-        sock.setsockopt(socket.SOL_SOCKET, force, size)
+        sock.setsockopt(socket.SOL_SOCKET, force_opt, size)
     except OSError:
         try:
-            sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, size)
+            sock.setsockopt(socket.SOL_SOCKET, plain_opt, size)
         except OSError:
             pass
     try:
-        return sock.getsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF)
+        return sock.getsockopt(socket.SOL_SOCKET, plain_opt)
     except OSError:
         return 0
 

@@ -14,6 +14,8 @@ import json
 import socket
 import threading
 import time
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Iterable, Optional, Tuple
 from urllib.parse import urlparse
@@ -232,8 +234,12 @@ class SensorEmulator:
         # a reinit with udp_dest="" really stops the stream (the
         # behavior test_config_udp_auto measures)
         self._active_config = dict(meta["config_params"])
-        if not self._active_config.get("udp_dest"):
-            self._active_config["udp_dest"] = self._udp_dest
+        # the constructor's destination is where this rig actually
+        # sends; a recorded metadata's capture-time udp_dest (e.g. the
+        # original LAN address baked into a real fixture's
+        # config_params) is stale for this process and would silently
+        # blackhole the stream
+        self._active_config["udp_dest"] = self._udp_dest
         if not self._active_config.get("operating_mode"):
             self._active_config["operating_mode"] = "NORMAL"
         self._base_init_id = int(
@@ -414,17 +420,23 @@ class SensorEmulator:
         sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         # a real sensor's NIC never blocks on the host's send queue; give
         # the loopback sender the same headroom (root bypasses wmem_max)
-        force = getattr(socket, "SO_SNDBUFFORCE", 32)
-        try:
-            sock.setsockopt(socket.SOL_SOCKET, force, 64 * 1024 * 1024)
-        except OSError:
-            try:
-                sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF,
-                                64 * 1024 * 1024)
-            except OSError:
-                pass
+        from .client import grow_sndbuf
+
+        grow_sndbuf(sock, 64 * 1024 * 1024)
         ports = {"lidar": self.lidar_port, "imu": self.imu_port,
                  "zone": self.info.config.udp_port_zm or 7504}
+        # init_id restamping: a real reinit changes the id every
+        # subsequent packet carries; the factory pre-baked packets with
+        # the ORIGINAL init_id, so after any bump the emulator must
+        # rewrite the header field or the client's hard packet-id check
+        # (scan_source._make_idcheck) drops every lidar packet
+        from ..ops.profiles import make_packet_geometry
+
+        try:
+            geom = make_packet_geometry(self.info.format)
+            initid_fi = geom.init_id if geom.init_id.bit_size else None
+        except Exception:
+            initid_fi = None  # LEGACY / exotic formats carry no init_id
         while not self._stop.is_set():
             t0_pkt = None
             t0_wall = time.monotonic()
@@ -455,6 +467,18 @@ class SensorEmulator:
                 dest = cfg.get("udp_dest", self._udp_dest)
                 if not dest or cfg.get("operating_mode") == "STANDBY":
                     continue
+                bump = self._init_id_bump
+                if (bump and kind == "lidar" and initid_fi is not None
+                        and len(payload) % 4 == 0):
+                    from ..ops.packet_format import read_bits, write_bits
+
+                    words = np.frombuffer(bytearray(payload),
+                                          dtype="<u4")
+                    old = int(read_bits(words, initid_fi))
+                    if old:  # zero means "unstamped": leave it alone
+                        write_bits(words, initid_fi,
+                                   self._base_init_id + bump)
+                        payload = words.tobytes()
                 sock.sendto(payload, (dest, ports[kind]))
                 self.packets_sent += 1
             self.passes_completed += 1

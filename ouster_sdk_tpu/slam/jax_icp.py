@@ -73,17 +73,19 @@ def _se3_exp_kiss(dx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _chunked_nn(src: jnp.ndarray, map_pts: jnp.ndarray,
-                map_valid: jnp.ndarray, voxel_size: jnp.ndarray
+                map_valid: jnp.ndarray, voxel_size=None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Running (best_d2, best_idx) over map chunks; the per-chunk
     (N, Mc) distance block is fused by XLA (broadcast -> reduce).
-    Candidates are restricted to the query's 27-voxel neighborhood
-    (Chebyshev distance <= 1 in voxel space) — the host VoxelHashMap's
-    GetClosestNeighbor semantics (ref: VoxelHashMap.cpp voxel_shifts),
-    expressed as a mask over the brute-force block."""
+    With voxel_size set, candidates are restricted to the query's
+    27-voxel neighborhood (Chebyshev distance <= 1 in voxel space) —
+    the host VoxelHashMap's GetClosestNeighbor semantics (ref:
+    VoxelHashMap.cpp voxel_shifts), expressed as a mask over the
+    brute-force block; with voxel_size=None the NN is whole-map."""
     n_chunks = map_pts.shape[0] // _MAP_CHUNK
-    src_vox = jnp.floor(src / voxel_size)
-    map_vox = jnp.floor(map_pts / voxel_size)
+    if voxel_size is not None:
+        src_vox = jnp.floor(src / voxel_size)
+        map_vox = jnp.floor(map_pts / voxel_size)
 
     def body(k, carry):
         best_d2, best_idx = carry
@@ -91,14 +93,16 @@ def _chunked_nn(src: jnp.ndarray, map_pts: jnp.ndarray,
                                       _MAP_CHUNK)
         vl = lax.dynamic_slice_in_dim(map_valid, k * _MAP_CHUNK,
                                       _MAP_CHUNK)
-        mvox = lax.dynamic_slice_in_dim(map_vox, k * _MAP_CHUNK,
-                                        _MAP_CHUNK)
         d2 = jnp.sum(
             (src[:, None, :] - sl[None, :, :]) ** 2, axis=-1)
-        neigh = jnp.max(
-            jnp.abs(src_vox[:, None, :] - mvox[None, :, :]),
-            axis=-1) <= 1.0
-        d2 = jnp.where(vl[None, :] & neigh, d2, jnp.inf)
+        keep = vl[None, :]
+        if voxel_size is not None:
+            mvox = lax.dynamic_slice_in_dim(map_vox, k * _MAP_CHUNK,
+                                            _MAP_CHUNK)
+            keep = keep & (jnp.max(
+                jnp.abs(src_vox[:, None, :] - mvox[None, :, :]),
+                axis=-1) <= 1.0)
+        d2 = jnp.where(keep, d2, jnp.inf)
         cmin = jnp.min(d2, axis=1)
         cidx = jnp.argmin(d2, axis=1) + k * _MAP_CHUNK
         upd = cmin < best_d2
@@ -127,17 +131,22 @@ def register_points_jax(src: jnp.ndarray, src_valid: jnp.ndarray,
                         init_pose: jnp.ndarray,
                         max_corr_dist: jnp.ndarray,
                         kernel_scale: jnp.ndarray,
-                        voxel_size: jnp.ndarray = 1.0,
                         max_iters: int = 100,
-                        convergence: float = 1e-4) -> jnp.ndarray:
+                        convergence: float = 1e-4,
+                        voxel_size=None) -> jnp.ndarray:
     """Whole robust GN ICP as one device program
     (ref semantics: Registration.cpp AlignPointsToMap; GM kernel,
-    J = [I | -hat(s)], left-multiplied increments, NN limited to the
-    27-voxel neighborhood like VoxelHashMap::GetClosestNeighbor)."""
+    J = [I | -hat(s)], left-multiplied increments). With voxel_size
+    set (the map's voxel size), the NN is limited to the 27-voxel
+    neighborhood like VoxelHashMap::GetClosestNeighbor; the default
+    (None) keeps the whole-map exact NN — note masking is equivalent
+    to the whole-map NN whenever voxel_size >= max_corr_dist, since
+    any neighbor outside the 27-cube is farther than one voxel."""
     src = src.astype(jnp.float32)
     init_pose = init_pose.astype(jnp.float32)
     src_w = src @ init_pose[:3, :3].T + init_pose[:3, 3]
-    voxel_size = jnp.asarray(voxel_size, dtype=jnp.float32)
+    if voxel_size is not None:
+        voxel_size = jnp.asarray(voxel_size, dtype=jnp.float32)
 
     def cond(carry):
         _, _, it, done = carry
@@ -234,7 +243,7 @@ class JaxICP(KissICP):
                 jnp.asarray(map_pad), jnp.asarray(map_valid),
                 jnp.asarray(initial_guess, dtype=jnp.float32),
                 jnp.float32(3.0 * sigma), jnp.float32(sigma / 3.0),
-                jnp.float32(self.config.voxel_size),
+                voxel_size=jnp.float32(self.config.voxel_size),
                 max_iters=self.config.max_num_iterations,
                 convergence=self.config.convergence_criterion),
                 dtype=np.float64)

@@ -92,20 +92,14 @@ class AdaptiveThreshold:
             self._num_samples += 1
 
 
-_ENC_OFF = np.int64(1 << 20)
-
 # the 27 adjacent-voxel shifts scanned by GetClosestNeighbor
 # (ref: VoxelHashMap.cpp voxel_shifts)
 _SHIFTS_27 = np.array(
     [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
      for dz in (-1, 0, 1)], dtype=np.int64)
 
-
-def _enc_vox(vox: np.ndarray) -> np.ndarray:
-    """Pack (..., 3) int64 voxel coords into one int64 key (21 bits per
-    signed axis — +-1e6 voxels, far beyond max_range/voxel_size)."""
-    return ((vox[..., 0] + _ENC_OFF) << 42) | \
-        ((vox[..., 1] + _ENC_OFF) << 21) | (vox[..., 2] + _ENC_OFF)
+# one shared packing with the downsample grid (21 bits/signed axis)
+from ..ops.downsample import pack_voxel_coords as _enc_vox  # noqa: E402
 
 
 class VoxelHashMap:

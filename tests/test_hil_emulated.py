@@ -1080,3 +1080,57 @@ def test_bad_config_param_domains_emulated(key, bad):
         assert key not in {
             k: v for k, v in http.staged_config_params().items()
             if http.active_config_params().get(k) != v}
+
+
+# ---------------------------------------------------------------------------
+# emulator data-plane fidelity regressions
+# ---------------------------------------------------------------------------
+
+def test_emulator_udp_dest_constructor_wins():
+    """Metadata recorded with a foreign udp_dest must not hijack the
+    emulator's data plane: the constructor's destination wins at
+    startup (regression: a real fixture's capture-time LAN address in
+    config_params silently blackholed the loopback stream)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    info.config.udp_dest = "169.254.196.55"  # stale capture-time addr
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind(("127.0.0.1", lidar_port))
+    sock.settimeout(5.0)
+    try:
+        with SensorEmulator(info, _frames_factory(info, 3),
+                            lidar_port=lidar_port, imu_port=imu_port,
+                            rate=0):
+            data = sock.recv(65535)
+        assert len(data) > 0
+    finally:
+        sock.close()
+
+
+def test_emulator_restamps_init_id_after_reinit():
+    """After a reinit bump the data plane must stamp the NEW init_id:
+    a client that resolves metadata over HTTP (no sensor_info override)
+    sees the bumped id and would otherwise hard-drop every pre-baked
+    packet still carrying the original one (regression)."""
+    from ouster_sdk_tpu.core.types import SensorConfig
+    from ouster_sdk_tpu.sensor.http import set_config
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    info.init_id = 37
+    with SensorEmulator(info, _frames_factory(info, 30),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=1.0) as emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        set_config(host, SensorConfig(), force_reinit=True)  # 37 -> 38
+        src = SensorScanSource([host],
+                               lidar_port=lidar_port, imu_port=imu_port,
+                               queue_size=4, timeout=None)
+        try:
+            fetched = src.sensor_info[0].init_id
+            idx, scan = src.get_scan(timeout_sec=10.0)
+        finally:
+            src.close()
+    assert fetched == 38, f"metadata should carry the bumped id, got " \
+        f"{fetched}"
+    assert scan is not None and scan.complete()

@@ -146,7 +146,7 @@ def test_jax_icp_matches_host_single_shot():
     dev = np.asarray(register_points_jax(
         jnp.asarray(sp), jnp.asarray(sv), jnp.asarray(mpad),
         jnp.asarray(mv), jnp.asarray(np.eye(4), jnp.float32),
-        jnp.float32(1.0), jnp.float32(0.3)))
+        jnp.float32(1.0), jnp.float32(0.3), voxel_size=jnp.float32(1.0)))
     assert np.linalg.norm(dev[:3, 3] - host[:3, 3]) < 1e-3
     assert np.abs(dev[:3, :3] - host[:3, :3]).max() < 1e-4
 

@@ -373,7 +373,7 @@ def main():
     dev_T = np.asarray(register_points_jax(
         jnp.asarray(sp), jnp.asarray(sv), jnp.asarray(mpad),
         jnp.asarray(mv), jnp.asarray(np.eye(4), jnp.float32),
-        jnp.float32(3.0), jnp.float32(0.6)))
+        jnp.float32(3.0), jnp.float32(0.6), voxel_size=jnp.float32(1.0)))
     icp_err = np.linalg.norm(dev_T[:3, 3] - host_T[:3, 3])
     if icp_err > 1e-3:
         failures.append(f"device ICP vs host: {icp_err} m")
