@@ -100,6 +100,7 @@ from .ops.image_processing import (  # noqa: F401
 )
 from .ops.downsample import voxel_downsample  # noqa: F401
 from .ops.normals import normals  # noqa: F401
+from .ops.normals_jax import normals_jax  # noqa: F401
 from .ops.profiles import FieldInfo, add_custom_profile  # noqa: F401
 from .sensor.http import (  # noqa: F401
     LONG_HTTP_REQUEST_TIMEOUT_SECONDS,

@@ -326,15 +326,18 @@ def model_save(ctx, filename, downsample, overwrite):
 
 
 @source.command("normals")
+@click.option("--backend", type=click.Choice(["numpy", "jax"]),
+              default="numpy", show_default=True,
+              help="jax = one fused device program per frame shape")
 @click.pass_context
-def source_normals(ctx):
+def source_normals(ctx, backend):
     """Compute NORMALS fields for each scan (ref: processing.cpp normals)."""
     from ..ops.normals import scan_normals
 
     def stage(it):
         for ls_set in it:
             for s in ls_set.valid():
-                scan_normals(s)
+                scan_normals(s, backend=backend)
             yield ls_set
 
     ctx.obj.add_stage(stage)

@@ -272,10 +272,13 @@ def _normals_single(xyz, range_img, origins, xyz2, range2, search_range,
     return out
 
 
-def scan_normals(scan, info=None, use_extrinsics: bool = False):
+def scan_normals(scan, info=None, use_extrinsics: bool = False,
+                 backend: str = "numpy"):
     """Convenience: compute NORMALS (and NORMALS2) for a LidarScan in the
     sensor frame and write them back as fields (ref: processing.cpp bound
-    normals overloads)."""
+    normals overloads). backend='jax' runs the device twin
+    (ops/normals_jax.py) — one fused XLA program per frame shape, f32
+    on TPU."""
     from ..core.constants import ChanField
     from ..core.field import FieldClass, FieldType
     from .destagger import destagger
@@ -294,7 +297,16 @@ def scan_normals(scan, info=None, use_extrinsics: bool = False):
         xyz2 = destagger(info, lut(rng2))
         rng2_d = destagger(info, rng2)
 
-    n1, n2 = normals(xyz, rng_d, origins, xyz2, rng2_d)
+    if backend == "jax":
+        from .normals_jax import normals_jax
+
+        n1, n2 = normals_jax(xyz, rng_d, origins, xyz2, rng2_d)
+        n1 = np.asarray(n1)
+        n2 = None if n2 is None else np.asarray(n2)
+    elif backend == "numpy":
+        n1, n2 = normals(xyz, rng_d, origins, xyz2, rng2_d)
+    else:
+        raise ValueError(f"unknown normals backend {backend!r}")
     from .destagger import stagger
 
     n1_st = stagger(info, n1).astype(np.float32)
