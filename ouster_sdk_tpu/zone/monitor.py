@@ -15,19 +15,25 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.constants import RANGE_UNIT
 from ..core.types import SensorInfo
-from ..ops.xyzlut import make_xyz_lut
 from .zone import Zone, ZoneMode, ZoneSet
 from .zrb import Zrb
 
 
+# f32 machine epsilon: the reference's intersection tolerances are
+# float (triangle.cpp:27), kept here even though the math runs in f64
+_EPS = float(np.finfo(np.float32).eps)
+
+
 def ray_triangle_intersect(origins: np.ndarray, dirs: np.ndarray,
                            tris: np.ndarray) -> np.ndarray:
-    """Batched Möller-Trumbore (ref: ouster_client ray.h/triangle.cpp).
+    """Batched Möller-Trumbore (ref: triangle.cpp:26-61
+    Triangle::intersect + mesh.cpp:287-296 intersection_distances).
 
-    origins/dirs: (N, 3); tris: (M, 3, 3). Returns (N, M) ray parameters t
-    (inf where no hit).
+    origins/dirs: (N, 3); tris: (M, 3, 3). Returns (N, M) ray parameters
+    t (inf where no positive hit). Boundary tolerances match the
+    reference: u/v/(u+v) accepted within f32 epsilon of [0, 1], parallel
+    cutoff |det| < f32 epsilon, hits filtered to t > 0.
     """
     v0 = tris[:, 0]
     e1 = tris[:, 1] - v0
@@ -40,58 +46,85 @@ def ray_triangle_intersect(origins: np.ndarray, dirs: np.ndarray,
         e1c, e2c, v0c = e1[s:s + chunk], e2[s:s + chunk], v0[s:s + chunk]
         p = np.cross(dirs[:, None, :], e2c[None])          # (N, M, 3)
         det = np.einsum("mc,nmc->nm", e1c, p)
-        ok = np.abs(det) > 1e-12
+        ok = np.abs(det) >= _EPS
         inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
         tvec = origins[:, None, :] - v0c[None]
         u = np.einsum("nmc,nmc->nm", tvec, p) * inv
         q = np.cross(tvec, e1c[None])
         v = np.einsum("nc,nmc->nm", dirs, q) * inv
         t = np.einsum("mc,nmc->nm", e2c, q) * inv
-        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0)
+        hit = ok & (u >= -_EPS) & (u <= 1 + _EPS) & (v >= -_EPS) \
+            & (u + v <= 1 + _EPS) & (t > 0)
         out[:, s:s + chunk] = np.where(hit, t, np.inf)
     return out
 
 
-def render_zone_bounds(zone: Zone, info: SensorInfo,
-                       m_per_zmbin: float = 0.004) -> Zrb:
-    """Render a zone mesh to per-pixel near/far bounds
-    (ref: zone_render_mini.cpp): cast each beam, take min/max hit."""
-    h = info.format.pixels_per_column
-    w = info.format.columns_per_frame
-    lut = make_xyz_lut(info)
-    # unit directions + per-pixel origins in meters (sensor frame)
-    dirs = lut.direction.reshape(-1, 3)
-    mags = np.linalg.norm(dirs, axis=1, keepdims=True)
-    unit = dirs / np.maximum(mags, 1e-30)
+def closest_and_farthest_intersections(
+        origins: np.ndarray, dirs: np.ndarray,
+        tris: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-ray (near, far, n_hits) over all positive intersections
+    (ref: mesh.cpp:270-285 Mesh::closest_and_farthest_intersections):
+    >= 2 hits -> (min, max); exactly 1 hit -> (0, hit) — the ray starts
+    inside or the mesh is open; 0 hits -> (0, 0)."""
+    t = ray_triangle_intersect(origins, dirs, tris)
+    finite = np.isfinite(t)
+    n = finite.sum(axis=1)
+    near = np.where(n > 0, np.min(t, axis=1), 0.0)
+    far = np.where(
+        n > 0, np.max(np.where(finite, t, -np.inf), axis=1), 0.0)
+    near = np.where(n == 1, 0.0, near)
+    return near, far, n
+
+
+def render_zone_to_zrb(stl, config) -> Tuple[Zrb, int]:
+    """Core zone render: cast every beam of the BeamConfig through the
+    STL mesh and build the Zrb (ref: zone.cpp:63-127 Zone::render).
+    Returns (zrb, pixels_with_intersections)."""
+    import hashlib
+
+    from .zone import CoordinateFrame
+
+    tris = stl.to_mesh()
+    lut = (config.lut
+           if stl.coordinate_frame == CoordinateFrame.BODY
+           else config.lut_no_sensor_to_body_transform)
+    # LUT direction magnitude is range_unit (0.001): x1000 gives unit
+    # beams so t is in meters (ref: zone.cpp:96-98 direction * 1000.f)
+    dirs = lut.direction.reshape(-1, 3) * 1000.0
     origins = lut.offset.reshape(-1, 3)
 
-    t = ray_triangle_intersect(origins, unit, zone.triangles)  # meters
-    near = np.min(t, axis=1)
-    far = np.where(np.isfinite(near),
-                   np.max(np.where(np.isfinite(t), t, -np.inf), axis=1),
-                   np.inf)
-    # inside-the-mesh handling: an ODD hit count means the beam origin
-    # is inside the (closed) zone volume, so the zone starts at the
-    # sensor — near = 0, far = first exit face
-    # (ref: zone_render_mini.cpp parity handling)
-    hits = np.isfinite(t).sum(axis=1)
-    inside = hits % 2 == 1
-    far = np.where(inside, near, far)
-    near = np.where(inside, 0.0, near)
+    near, far, n = closest_and_farthest_intersections(origins, dirs, tris)
+    near_mm = np.round(near * 1000.0)
+    far_mm = np.round(far * 1000.0)
+    if near_mm.max(initial=0) > 0xFFFFFFFF or \
+            far_mm.max(initial=0) > 0xFFFFFFFF:
+        raise ValueError("Zone::render: range overflow")
 
-    zrb = Zrb(h, w, m_per_zmbin,
-              serial_number=info.sn or 1,
-              beam_to_lidar=info.beam_to_lidar_transform,
-              lidar_to_sensor=info.lidar_to_sensor_transform,
-              sensor_to_body=np.eye(4))
-    near_mm = np.where(np.isfinite(near), near * 1000.0, 0.0)
-    far_mm = np.where(np.isfinite(far), far * 1000.0, 0.0)
-    max_mm = 0xFFFF * m_per_zmbin * 1000.0
-    zrb.near_range_mm = np.clip(near_mm, 0, max_mm).astype(
-        np.uint32).reshape(h, w)
-    zrb.far_range_mm = np.clip(far_mm, 0, max_mm).astype(
-        np.uint32).reshape(h, w)
-    return zrb
+    zrb = Zrb(config.n_rows, config.n_cols, config.m_per_zmbin,
+              serial_number=config.serial_number,
+              stl_hash=hashlib.sha256(stl._data).digest(),
+              beam_to_lidar=config.beam_to_lidar_transform,
+              lidar_to_sensor=config.lidar_to_sensor_transform,
+              sensor_to_body=config.sensor_to_body_transform)
+    shape = (config.n_rows, config.n_cols)
+    zrb.near_range_mm = near_mm.astype(np.uint32).reshape(shape)
+    zrb.far_range_mm = far_mm.astype(np.uint32).reshape(shape)
+    return zrb, int((n > 0).sum())
+
+
+def render_zone_bounds(zone: Zone, info: SensorInfo,
+                       m_per_zmbin: Optional[float] = None,
+                       sensor_to_body: Optional[np.ndarray] = None) -> Zrb:
+    """Render a zone mesh to per-pixel near/far bounds using the
+    sensor's own geometry (ref: zone_render_mini.cpp). Convenience
+    wrapper over Zone.render/BeamConfig."""
+    from .zone import BeamConfig
+
+    config = BeamConfig.from_sensor_info(
+        info, sensor_to_body_transform=sensor_to_body,
+        m_per_zmbin=m_per_zmbin)
+    zone.render(config)
+    return zone.zrb
 
 
 def zone_occupancy(range_img: np.ndarray, zrb: Zrb,

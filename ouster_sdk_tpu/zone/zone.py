@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 import io
 import json
+import re
 import struct
 import zipfile
 from dataclasses import dataclass, field as dc_field
@@ -29,15 +30,27 @@ class ZoneMode(Enum):
 
 
 def load_stl(data_or_path) -> np.ndarray:
-    """Load a binary (or ASCII) STL into (n_tris, 3, 3) float64 vertices
-    (ref: ouster_client stl.h/stl.cpp)."""
+    """Load a binary or ASCII STL into (n_tris, 3, 3) float64 vertices
+    (ref: ouster_client stl.cpp, mesh.cpp load_from_stl_stream:218-235).
+
+    Format sniff follows the reference: the first line is lowercased and
+    the file is ASCII iff it contains "solid"; otherwise binary.
+    """
     if isinstance(data_or_path, (bytes, bytearray)):
         data = bytes(data_or_path)
     else:
         with open(data_or_path, "rb") as f:
             data = f.read()
 
-    if data[:5].lower() == b"solid" and b"facet" in data[:500]:
+    # sniff on the first NON-BLANK line, like read_stl_ascii_line
+    first_line = b""
+    for ln in data.split(b"\n"):
+        if ln.strip():
+            first_line = ln.lower()
+            break
+    if not first_line:
+        raise ValueError("STL file too short.")
+    if b"solid" in first_line:
         return _load_stl_ascii(data)
 
     if len(data) < 84:
@@ -51,16 +64,57 @@ def load_stl(data_or_path) -> np.ndarray:
     return rec["v"].astype(np.float64)
 
 
+_VERTEX_RE = re.compile(
+    r"^\s*vertex\s+(-?[0-9.]+(?:[eE][+-]\d+)?)"
+    r"\s+(-?[0-9.]+(?:[eE][+-]\d+)?)"
+    r"\s+(-?[0-9.]+(?:[eE][+-]\d+)?)")
+
+
 def _load_stl_ascii(data: bytes) -> np.ndarray:
+    """Strict ASCII STL grammar, mirroring the reference parser
+    (ref: mesh.cpp load_from_stl_ascii / load_from_stl_ascii_facet):
+    solid header; facets of 'outer loop', 3x vertex, 'endloop',
+    'endfacet'; terminated by 'endsolid'. Blank lines skipped."""
+    lines = [ln for ln in data.decode(errors="replace").splitlines()
+             if ln.strip()]
+    it = iter(lines)
+
+    def next_line(err: str) -> str:
+        try:
+            return next(it)
+        except StopIteration:
+            raise ValueError(err) from None
+
+    if not re.search(r"^\s*solid\b", next_line(
+            "STL parse: failed to find 'solid' header")):
+        raise ValueError("STL parse: failed to find 'solid' header")
+
     verts: List[List[float]] = []
-    for line in data.decode(errors="replace").splitlines():
-        tok = line.strip().split()
-        if tok[:1] == ["vertex"]:
-            verts.append([float(x) for x in tok[1:4]])
-    arr = np.asarray(verts, dtype=np.float64)
-    if arr.size % 9:
-        raise ValueError("malformed ASCII STL")
-    return arr.reshape(-1, 3, 3)
+    for line in it:
+        if re.search(r"^\s*endsolid\b", line):
+            arr = np.asarray(verts, dtype=np.float64)
+            return arr.reshape(-1, 3, 3)
+        if not re.search(r"^\s*facet\b", line):
+            raise ValueError(
+                "STL parse: unexpected line outside of a facet: " + line)
+        if not re.search(r"^\s*outer\s+loop",
+                         next_line("STL parse: expected 'outer loop'")):
+            raise ValueError("STL parse: expected 'outer loop'")
+        for _ in range(3):
+            m = _VERTEX_RE.search(
+                next_line("STL parse: expected 'vertex'"))
+            if not m:
+                raise ValueError("STL parse: expected 'vertex'")
+            verts.append([float(m.group(1)), float(m.group(2)),
+                          float(m.group(3))])
+        if not re.search(r"^\s*endloop",
+                         next_line("STL parse: expected 'endloop'")):
+            raise ValueError("STL parse: expected 'endloop'")
+        if not re.search(r"^\s*endfacet",
+                         next_line("STL parse: expected 'endfacet'")):
+            raise ValueError("STL parse: expected 'endfacet'")
+    raise ValueError(
+        "STL parse: file ended unexpectedly without 'endsolid'")
 
 
 def save_stl(path_or_buf, triangles: np.ndarray) -> Optional[bytes]:
@@ -95,11 +149,73 @@ class Zone:
     frame_count: int = 1   # consecutive triggered frames before alerting
     min_range_m: float = 0.0
     max_range_m: float = 200.0
+    #: source mesh handle; when set its triangles/coordinate frame drive
+    #: render() (ref: zone.h stl member)
+    stl: Optional["Stl"] = None
+    #: rendered near/far bounds, populated by render() (ref: zone.h zrb)
+    zrb: Optional["Zrb"] = None
+
+    @property
+    def point_count(self) -> int:
+        """Reference name for the occupancy point threshold
+        (ref: zone.h point_count == our min_points)."""
+        return self.min_points
+
+    @point_count.setter
+    def point_count(self, v: int) -> None:
+        self.min_points = int(v)
 
     def mesh_hash(self) -> bytes:
         return hashlib.sha256(
             np.ascontiguousarray(self.triangles,
                                  dtype=np.float32).tobytes()).digest()
+
+    def check_invariants(self) -> None:
+        """(ref: zone.cpp:17-46 Zone::check_invariants)"""
+        if self.min_points == 0:
+            raise ValueError("Zone: point_count must be in [1, 262143]")
+        if self.frame_count == 0:
+            raise ValueError("Zone: frame_count must be in [1, 65535]")
+        has_tris = self.triangles is not None and self.triangles.size > 0
+        if self.stl is None and self.zrb is None and not has_tris:
+            raise ValueError("Zone: must have either STL or ZRB")
+        if self.mode not in (ZoneMode.OCCUPANCY, ZoneMode.VACANCY):
+            raise ValueError("Zone: mode must be OCCUPANCY or VACANCY")
+        if self.stl is not None:
+            if not self.stl._data:
+                raise ValueError("Zone: STL blob cannot be empty")
+            if self.stl.coordinate_frame == CoordinateFrame.NONE:
+                raise ValueError(
+                    "Zone: STL coordinate frame must be BODY or SENSOR")
+        if self.zrb is not None:
+            if int((self.zrb.far_range_mm != 0).sum()) < self.min_points:
+                raise ValueError(
+                    "Zone: ZRB far range image has fewer nonzero pixels "
+                    "than point_count")
+
+    def render(self, beam_config: "BeamConfig") -> bool:
+        """Ray-cast the zone mesh into per-pixel near/far bounds,
+        stored in self.zrb (ref: zone.cpp:63-127 Zone::render).
+        Returns True iff any beam intersected the mesh."""
+        from .monitor import render_zone_to_zrb
+
+        self.check_invariants()
+        stl = self.stl
+        if stl is None:
+            if self.triangles is None or self.triangles.size == 0:
+                return False
+            blob = save_stl(None, self.triangles)
+            stl = Stl(blob, coordinate_frame=CoordinateFrame.BODY)
+        tris = stl.to_mesh()
+        if tris.shape[0] == 0:
+            return False
+        zrb, n_hit = render_zone_to_zrb(stl, beam_config)
+        self.zrb = zrb  # assigned even when nothing intersects (zone.cpp:75)
+        if 0 < n_hit < self.min_points:
+            raise ValueError(
+                f"Zone: area of rendered zone ({n_hit}) is smaller than "
+                f"point_count ({self.min_points}) specified in zone.")
+        return n_hit > 0
 
     @classmethod
     def box(cls, zone_id: int, center, size, name: str = "") -> "Zone":
@@ -236,11 +352,18 @@ ZoneSet.save = _zoneset_save
 
 
 class CoordinateFrame(Enum):
-    """STL vertex frame (ref: zone_monitor.cpp binding
-    Stl::CoordinateFrame BODY/SENSOR)."""
+    """STL vertex frame (ref: stl.h:67-74 Stl::CoordinateFrame)."""
 
-    BODY = 0
-    SENSOR = 1
+    NONE = 0
+    BODY = 1
+    SENSOR = 2
+
+    @staticmethod
+    def from_string(s: str):
+        """(ref: stl.cpp string_to_coordinate_frame — no NONE; returns
+        None for unknown strings instead of the reference's bool-out.)"""
+        return {"BODY": CoordinateFrame.BODY,
+                "SENSOR": CoordinateFrame.SENSOR}.get(s)
 
 
 class Stl:
@@ -269,6 +392,13 @@ class Stl:
         import hashlib
 
         return hashlib.sha256(self._data).hexdigest()
+
+    @property
+    def hash_bytes(self) -> bytes:
+        """sha256 digest bytes — the form stored in a Zrb's stl_hash."""
+        import hashlib
+
+        return hashlib.sha256(self._data).digest()
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, Stl):
@@ -303,6 +433,96 @@ class Triangle:
 Coord = np.ndarray
 
 
+def _scale_translation(mat: np.ndarray) -> np.ndarray:
+    """Translation meters -> mm, as the XYZLut expects
+    (ref: beam_config.cpp scale_translation)."""
+    res = np.array(mat, dtype=np.float64)
+    res[:3, 3] *= 1000.0
+    return res
+
+
 class BeamConfig:
-    """(ref: client.pyi BeamConfig — unbound in the reference binding
-    as well; placeholder for API parity)."""
+    """Beam geometry bundle for zone rendering (ref: beam_config.h:26,
+    beam_config.cpp:23-57). Precomputes two projection LUTs with
+    range_unit=0.001: `lut` includes the sensor_to_body transform
+    (translation scaled to mm) for BODY-frame meshes;
+    `lut_no_sensor_to_body_transform` is the plain sensor-frame LUT.
+    (The reference's Python binding leaves this class unbound; it is a
+    real object here because the zone renderer needs it.)"""
+
+    def __init__(self, n_cols: int, px_altitudes, px_azimuths,
+                 beam_to_lidar_transform: np.ndarray,
+                 lidar_to_sensor_transform: np.ndarray,
+                 sensor_to_body_transform: np.ndarray,
+                 m_per_zmbin: float, serial_number: int):
+        from ..ops.xyzlut import make_xyz_lut
+
+        beam_to_lidar_transform = np.asarray(beam_to_lidar_transform,
+                                             dtype=np.float64)
+        lidar_to_sensor_transform = np.asarray(lidar_to_sensor_transform,
+                                               dtype=np.float64)
+        sensor_to_body_transform = np.asarray(sensor_to_body_transform,
+                                              dtype=np.float64)
+        if not beam_to_lidar_transform.any():
+            raise ValueError("BeamConfig: beam_to_lidar_transform not set")
+        if not lidar_to_sensor_transform.any():
+            raise ValueError(
+                "BeamConfig: lidar_to_sensor_transform not set")
+        if not sensor_to_body_transform.any():
+            raise ValueError("BeamConfig: sensor_to_body_transform not set")
+        self.n_cols = int(n_cols)
+        self.n_rows = len(px_altitudes)
+        self.px_altitudes = np.asarray(px_altitudes, dtype=np.float64)
+        self.px_azimuths = np.asarray(px_azimuths, dtype=np.float64)
+        self.beam_to_lidar_transform = beam_to_lidar_transform
+        self.lidar_to_sensor_transform = lidar_to_sensor_transform
+        self.sensor_to_body_transform = sensor_to_body_transform
+        self.m_per_zmbin = float(m_per_zmbin)
+        self.serial_number = int(serial_number)
+        self.lut = make_xyz_lut(
+            self.n_cols, h=self.n_rows, range_unit=0.001,
+            beam_to_lidar_transform=beam_to_lidar_transform,
+            transform=_scale_translation(sensor_to_body_transform)
+            @ lidar_to_sensor_transform,
+            azimuth_angles_deg=self.px_azimuths,
+            altitude_angles_deg=self.px_altitudes)
+        self.lut_no_sensor_to_body_transform = make_xyz_lut(
+            self.n_cols, h=self.n_rows, range_unit=0.001,
+            beam_to_lidar_transform=beam_to_lidar_transform,
+            transform=lidar_to_sensor_transform,
+            azimuth_angles_deg=self.px_azimuths,
+            altitude_angles_deg=self.px_altitudes)
+
+    @classmethod
+    def from_sensor_info(cls, info,
+                         sensor_to_body_transform: Optional[np.ndarray]
+                         = None,
+                         m_per_zmbin: Optional[float] = None
+                         ) -> "BeamConfig":
+        """Build from a SensorInfo, as zone_render_mini.cpp:46-57 does."""
+        from .zrb import DEFAULT_M_PER_ZMBIN
+
+        return cls(
+            info.format.columns_per_frame, info.beam_altitude_angles,
+            info.beam_azimuth_angles, info.beam_to_lidar_transform,
+            info.lidar_to_sensor_transform,
+            np.eye(4) if sensor_to_body_transform is None
+            else sensor_to_body_transform,
+            DEFAULT_M_PER_ZMBIN if m_per_zmbin is None else m_per_zmbin,
+            info.sn or 1)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, BeamConfig):
+            return NotImplemented
+        return (self.n_cols == other.n_cols
+                and self.n_rows == other.n_rows
+                and np.array_equal(self.px_altitudes, other.px_altitudes)
+                and np.array_equal(self.px_azimuths, other.px_azimuths)
+                and np.array_equal(self.beam_to_lidar_transform,
+                                   other.beam_to_lidar_transform)
+                and np.array_equal(self.lidar_to_sensor_transform,
+                                   other.lidar_to_sensor_transform)
+                and np.array_equal(self.sensor_to_body_transform,
+                                   other.sensor_to_body_transform)
+                and self.m_per_zmbin == other.m_per_zmbin
+                and self.serial_number == other.serial_number)

@@ -6,9 +6,15 @@ src/zrb.cpp:95-275, src/zone_header.h). Byte-compatible layout:
   CacheHeaderInfo (39 B):  char[7] version "ZONE03\\0", sha256[32]
   CacheRenderMetadata (540 B): char[16] serial, u32 n_cols, u32 n_rows,
     f32 m_per_zmbin, sha256 stl_hash, sha256 bounds_hash,
-    f32[16] beam_to_lidar, f32[16] lidar_to_sensor, f32[16] sensor_to_body,
-    2048-bit valid-column mask
+    f32[16] beam_to_lidar, f32[16] lidar_to_sensor, f32[16] sensor_to_body
+    (each COLUMN-major, i.e. raw Eigen mat4d .data() order, zrb.cpp:227-236),
+    2048-bit valid-column mask (bitset<2048>, little-endian bit order)
   data: n_cols * n_rows u32, column-major, (far_bins << 16) | near_bins
+
+Bin quantization is float32 (`mm_per_bin = m_per_zmbin * 1000.f`,
+zrb.cpp:97,245) — kept in f32 here so bins round identically.
+Verified byte-level against the reference's shipped golden
+tests/zone_monitor/0.zrb (tests/test_zone_render_conformance.py).
 """
 
 from __future__ import annotations
@@ -18,6 +24,9 @@ import struct
 from typing import Optional, Union
 
 import numpy as np
+
+#: default zone-monitor bin size (ref: zrb.h:19)
+DEFAULT_M_PER_ZMBIN = 0.0074927621875
 
 ZONE_CACHE_VERSION = b"ZONE03\x00"
 _INFO_SIZE = 39
@@ -46,6 +55,32 @@ class Zrb:
             np.eye(4) if lidar_to_sensor is None else lidar_to_sensor)
         self.sensor_to_body_transform = (
             np.eye(4) if sensor_to_body is None else sensor_to_body)
+        # unset until save()/blob() computes it, or a blob load restores
+        # it (ref: zrb.h:149, zone_render_test.cpp "valid column mask is
+        # not set until save/blob is called")
+        self.valid_col_mask = np.zeros(2048, dtype=bool)
+
+    def __eq__(self, other: object) -> bool:
+        """Field-wise equality (ref: zrb.cpp operator== — images, bin
+        size, stl hash, serial, all three transforms)."""
+        if not isinstance(other, Zrb):
+            return NotImplemented
+        return (np.array_equal(self.near_range_mm, other.near_range_mm)
+                and np.array_equal(self.far_range_mm, other.far_range_mm)
+                and np.float32(self.m_per_zmbin)
+                == np.float32(other.m_per_zmbin)
+                and self.stl_hash == other.stl_hash
+                and self.serial_number == other.serial_number
+                and np.array_equal(self.beam_to_lidar_transform,
+                                   other.beam_to_lidar_transform)
+                and np.array_equal(self.lidar_to_sensor_transform,
+                                   other.lidar_to_sensor_transform)
+                and np.array_equal(self.sensor_to_body_transform,
+                                   other.sensor_to_body_transform))
+
+    def __ne__(self, other: object) -> bool:
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
 
     @classmethod
     def from_blob(cls, blob: Union[bytes, bytearray]) -> "Zrb":
@@ -55,8 +90,13 @@ class Zrb:
 
     @classmethod
     def from_file(cls, path: str) -> "Zrb":
-        with open(path, "rb") as f:
-            return cls.from_blob(f.read())
+        try:
+            with open(path, "rb") as f:
+                return cls.from_blob(f.read())
+        except OSError as exc:
+            # (ref: zrb_test.cpp from_file_bad error text)
+            raise RuntimeError(
+                "Zrb read error: could not open file") from exc
 
     # ------------------------------------------------------------------
     def blob(self) -> bytes:
@@ -66,9 +106,12 @@ class Zrb:
         if self.near_range_mm.size == 0 or self.far_range_mm.size == 0:
             raise ValueError("Zrb: image data missing")
 
-        mm_per_bin = self.m_per_zmbin * 1000.0
-        near_bins = np.round(self.near_range_mm / mm_per_bin)
-        far_bins = np.round(self.far_range_mm / mm_per_bin)
+        # f32 bin math, exactly like the reference (zrb.cpp:97-105)
+        mm_per_bin = np.float32(self.m_per_zmbin) * np.float32(1000.0)
+        near_bins = np.round(self.near_range_mm.astype(np.float32)
+                             / mm_per_bin)
+        far_bins = np.round(self.far_range_mm.astype(np.float32)
+                            / mm_per_bin)
         if near_bins.max(initial=0) > 0xFFFF or \
                 far_bins.max(initial=0) > 0xFFFF:
             raise ValueError("Zrb: range value exceeds maximum encodable "
@@ -80,6 +123,7 @@ class Zrb:
 
         valid_cols = np.zeros(2048, dtype=bool)
         valid_cols[:n_cols] = (far_bins > 0).any(axis=0)
+        self.valid_col_mask = valid_cols
         mask_bytes = np.packbits(valid_cols, bitorder="little").tobytes()
 
         serial = str(self.serial_number).encode()[:16].ljust(16, b"\x00")
@@ -90,15 +134,19 @@ class Zrb:
         struct.pack_into("<IIf", meta, 16, n_cols, n_rows, self.m_per_zmbin)
         meta[28:60] = self.stl_hash
         meta[60:92] = bounds_hash
+        # transforms serialize COLUMN-major (raw Eigen .data() order)
         struct.pack_into("<16f", meta, 92,
                          *np.asarray(self.beam_to_lidar_transform,
-                                     dtype=np.float32).reshape(-1))
+                                     dtype=np.float32).reshape(-1,
+                                                               order="F"))
         struct.pack_into("<16f", meta, 156,
                          *np.asarray(self.lidar_to_sensor_transform,
-                                     dtype=np.float32).reshape(-1))
+                                     dtype=np.float32).reshape(-1,
+                                                               order="F"))
         struct.pack_into("<16f", meta, 220,
                          *np.asarray(self.sensor_to_body_transform,
-                                     dtype=np.float32).reshape(-1))
+                                     dtype=np.float32).reshape(-1,
+                                                               order="F"))
         meta[284:284 + 256] = mask_bytes
 
         total_hash = hashlib.sha256(bytes(meta[:_META_HASHED_PREFIX])) \
@@ -128,15 +176,19 @@ class Zrb:
         self.m_per_zmbin = m_per_zmbin
         self.stl_hash = bytes(meta[28:60])
         bounds_hash = meta[60:92]
+        # transforms are stored column-major (raw Eigen .data() order)
         self.beam_to_lidar_transform = np.array(
             struct.unpack_from("<16f", meta, 92), dtype=np.float64
-        ).reshape(4, 4)
+        ).reshape(4, 4, order="F")
         self.lidar_to_sensor_transform = np.array(
             struct.unpack_from("<16f", meta, 156), dtype=np.float64
-        ).reshape(4, 4)
+        ).reshape(4, 4, order="F")
         self.sensor_to_body_transform = np.array(
             struct.unpack_from("<16f", meta, 220), dtype=np.float64
-        ).reshape(4, 4)
+        ).reshape(4, 4, order="F")
+        self.valid_col_mask = np.unpackbits(
+            np.frombuffer(meta[284:284 + 256], dtype=np.uint8),
+            bitorder="little").astype(bool)
 
         data = blob[_INFO_SIZE + _META_SIZE:
                     _INFO_SIZE + _META_SIZE + 4 * n_rows * n_cols]
@@ -145,8 +197,11 @@ class Zrb:
         if hashlib.sha256(data).digest() != bytes(bounds_hash):
             raise ValueError("Zrb: bounds hash mismatch")
         packed = np.frombuffer(data, dtype="<u4").reshape(n_cols, n_rows).T
-        mm_per_bin = self.m_per_zmbin * 1000.0
+        # f32 de-quantization, exactly like the reference (zrb.cpp:245-263)
+        mm_per_bin = np.float32(self.m_per_zmbin) * np.float32(1000.0)
         self.near_range_mm = np.round(
-            (packed & 0xFFFF) * mm_per_bin).astype(np.uint32)
+            (packed & 0xFFFF).astype(np.float32) * mm_per_bin
+        ).astype(np.uint32)
         self.far_range_mm = np.round(
-            (packed >> 16) * mm_per_bin).astype(np.uint32)
+            (packed >> 16).astype(np.float32) * mm_per_bin
+        ).astype(np.uint32)
