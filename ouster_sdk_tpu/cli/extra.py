@@ -205,13 +205,20 @@ def source_emulate_zones(ctx, config, live):
     from ..zone.monitor import EmulatedZoneMon
     from ..zone.zone import ZoneSet
 
-    if config is None:
-        raise click.ClickException(
-            "no zone configuration: pass --config <zones.zip>")
-    zone_set = ZoneSet.from_zip(open(config, "rb").read())
-    live_ids = [int(v) for v in live.split(",")] if live else None
-
     pipeline = ctx.obj
+    if config is not None:
+        zone_set = ZoneSet.from_zip(open(config, "rb").read())
+    else:
+        # zone set embedded in the sensor metadata
+        # (ref: metadata.cpp:871-875)
+        zone_set = next(
+            (i.zone_set for i in pipeline.infos
+             if getattr(i, "zone_set", None) is not None), None)
+        if zone_set is None:
+            raise click.ClickException(
+                "no zone configuration: pass --config <zones.zip> or use "
+                "a source whose metadata embeds a zone_set")
+    live_ids = [int(v) for v in live.split(",")] if live else None
 
     def stage(it):
         mons = None
@@ -225,13 +232,22 @@ def source_emulate_zones(ctx, config, live):
             for k, s in enumerate(ls_set):
                 if s is None:
                     continue
-                if not s.has_field(ChanField.ZONE_MASK):
-                    s.add_field(FieldType(ChanField.ZONE_MASK, np.uint16,
-                                          (), FieldClass.PIXEL_FIELD))
-                if not s.has_field(ChanField.ZONE_STATES):
-                    s.add_field(FieldType(ChanField.ZONE_STATES,
-                                          ZONE_STATE_DTYPE, (16,),
-                                          FieldClass.SCAN_FIELD))
+                # sources that already carry sensor-produced zone fields
+                # (e.g. a ZM-profile OSF) expose them read-only — replace
+                # them with writable emulated ones
+                for name, ftype in (
+                        (ChanField.ZONE_MASK,
+                         FieldType(ChanField.ZONE_MASK, np.uint16,
+                                   (), FieldClass.PIXEL_FIELD)),
+                        (ChanField.ZONE_STATES,
+                         FieldType(ChanField.ZONE_STATES,
+                                   ZONE_STATE_DTYPE, (16,),
+                                   FieldClass.SCAN_FIELD))):
+                    if s.has_field(name) and \
+                            not s.field(name).flags.writeable:
+                        s.del_field(name)
+                    if not s.has_field(name):
+                        s.add_field(ftype)
                 mask = s.field(ChanField.ZONE_MASK)
                 mask[:] = 0
                 mons[k].calc_triggers(s.field(ChanField.RANGE), mask)

@@ -475,6 +475,16 @@ class SensorInfo:
             }
         if self.user_data:
             d["user_data"] = self.user_data
+        if self.zone_set is not None:
+            # embed the zone set as base64 of the STL+ZRB zip
+            # (ref: sensor_info.cpp:388-392)
+            import base64
+
+            from ..zone.zone import ZoneSetOutputFilter
+
+            d["zone_set"] = base64.b64encode(
+                self.zone_set.to_zip_blob(
+                    ZoneSetOutputFilter.STL_AND_ZRB)).decode()
         if not np.array_equal(self.extrinsic, np.eye(4)):
             d["ouster-sdk"] = {
                 "extrinsic": self.extrinsic.flatten().tolist()}

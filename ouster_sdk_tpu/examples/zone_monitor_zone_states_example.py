@@ -20,7 +20,7 @@ def zone_states_example(source_file: str, n_scans: int = 5) -> None:
         Zone.box(2, center=(12.0, 0.0, 0.0), size=(6.0, 6.0, 3.0),
                  name="warning"),
     ])
-    for z in zone_set.zones:
+    for z in zone_set.zones.values():
         z.mode = ZoneMode.OCCUPANCY
         z.min_points = 20
 

@@ -49,16 +49,16 @@ def render_zone_scene(zone_set: ZoneSet, info, scan=None,
     viz = PointViz(width=width, height=height)
     drawables: List = []
     centers = []
-    for zone in zone_set.zones:
-        color = zone_color(zone.id)
-        if zone.id not in triggered:
+    for zid, zone in zone_set.zones.items():
+        color = zone_color(zid)
+        if zid not in triggered:
             color = tuple(int(c * 0.45) for c in color)
         drawables.append(zone_wireframe(zone, color))
         c = np.asarray(zone.triangles, np.float64).reshape(-1, 3).mean(0)
         centers.append(c)
-        if zone.id in triggered:
+        if zid in triggered:
             drawables.append(Label(
-                f"{zone.id} {triggered[zone.id]}", c,
+                f"{zid} {triggered[zid]}", c,
                 color=color))
     if scan is not None:
         rng = scan.field(ChanField.RANGE)

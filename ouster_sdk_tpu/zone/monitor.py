@@ -161,16 +161,30 @@ class EmulatedZoneMon:
     live zones, and ZoneState records identical to the sensor's zone
     packets (ref: sdk/zone_monitor/zone_common.py:14 EmulatedZoneMon)."""
 
-    def __init__(self, zone_set: ZoneSet, info: SensorInfo,
+    def __init__(self, zone_set: ZoneSet,
+                 info: Optional[SensorInfo] = None,
                  zrbs: Optional[Dict[int, Zrb]] = None,
                  m_per_zmbin: float = 0.004):
         if not zone_set.zones:
             raise ValueError("ZoneSet must have at least one zone defined")
         self.zone_set = zone_set
-        self.zones = {z.id: z for z in zone_set.zones}
-        self.rendered = zrbs if zrbs is not None else {
-            z.id: render_zone_bounds(z, info, m_per_zmbin)
-            for z in zone_set.zones}
+        self.zones = dict(zone_set.zones)
+        if zrbs is not None:
+            self.rendered = zrbs
+        elif all(z.zrb is not None for z in self.zones.values()):
+            # reference-style use: pre-rendered ZRBs travel on the zones
+            # (ref: zone_common.py:33-39)
+            self.rendered = {zid: z.zrb for zid, z in self.zones.items()}
+        elif info is not None:
+            self.rendered = {
+                zid: render_zone_bounds(
+                    z, info, m_per_zmbin,
+                    sensor_to_body=zone_set.sensor_to_body_transform)
+                for zid, z in self.zones.items()}
+        else:
+            raise ValueError(
+                "EmulatedZoneMon: all zones in ZoneSet must have a valid "
+                "ZRB")
         self.live_zones: List[int] = zone_set.live_ids
         self.zone_triggers = [0] * MAX_AVAILABLE_ZONES
         self.zone_alerts = [0] * MAX_AVAILABLE_ZONES
@@ -274,8 +288,10 @@ class ZoneMonitor:
         self.zone_set = zone_set
         self.info = info
         self.zrbs: Dict[int, Zrb] = {
-            z.id: render_zone_bounds(z, info, m_per_zmbin)
-            for z in zone_set.zones}
+            zid: render_zone_bounds(
+                z, info, m_per_zmbin,
+                sensor_to_body=zone_set.sensor_to_body_transform)
+            for zid, z in zone_set.zones.items()}
 
     def check_scan(self, scan) -> Dict[int, int]:
         """Per-zone occupancy counts for a LidarScan."""
@@ -283,11 +299,11 @@ class ZoneMonitor:
 
         rng = scan.field(ChanField.RANGE)
         out: Dict[int, int] = {}
-        for z in self.zone_set.zones:
-            zrb = self.zrbs[z.id]
+        for zid, z in self.zone_set.zones.items():
+            zrb = self.zrbs[zid]
             count, _ = zone_occupancy(
                 rng, zrb, min_range_mm=int(z.min_range_m * 1000))
-            out[z.id] = count
+            out[zid] = count
         return out
 
 

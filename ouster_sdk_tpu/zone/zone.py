@@ -16,7 +16,7 @@ import struct
 import zipfile
 from dataclasses import dataclass, field as dc_field
 from enum import Enum
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -170,6 +170,14 @@ class Zone:
             np.ascontiguousarray(self.triangles,
                                  dtype=np.float32).tobytes()).digest()
 
+    def _ensure_stl(self) -> None:
+        """Materialize an Stl handle from raw triangles so
+        serialization/render can treat every zone uniformly."""
+        if self.stl is None and self.triangles is not None \
+                and self.triangles.size:
+            self.stl = Stl(save_stl(None, self.triangles),
+                           coordinate_frame=CoordinateFrame.BODY)
+
     def check_invariants(self) -> None:
         """(ref: zone.cpp:17-46 Zone::check_invariants)"""
         if self.min_points == 0:
@@ -234,64 +242,6 @@ class Zone:
         return cls(zone_id, name=name or f"box{zone_id}", triangles=tris)
 
 
-@dataclass
-class ZoneSet:
-    """(ref: zone_monitor.h:42)"""
-
-    zones: List[Zone] = dc_field(default_factory=list)
-    # zones live at power-on (ref: zone_common.py power_on_live_ids);
-    # None = all zones live
-    power_on_live_ids: Optional[List[int]] = None
-
-    @property
-    def live_ids(self) -> List[int]:
-        if self.power_on_live_ids is not None:
-            return list(self.power_on_live_ids)
-        return [z.id for z in self.zones]
-
-    def hash(self) -> bytes:
-        h = hashlib.sha256()
-        for z in sorted(self.zones, key=lambda z: z.id):
-            h.update(struct.pack("<IB", z.id, z.mode.value))
-            h.update(z.mesh_hash())
-        return h.digest()
-
-    def to_zip(self) -> bytes:
-        """Package as the sensor-facing zip (json + STLs)
-        (ref: sensor_http.h:401-461 zone config zip)."""
-        buf = io.BytesIO()
-        with zipfile.ZipFile(buf, "w") as zf:
-            cfg = {"zones": [
-                {"id": z.id, "name": z.name, "mode": z.mode.name.lower(),
-                 "mesh": f"zone_{z.id}.stl", "min_points": z.min_points,
-                 "frame_count": z.frame_count,
-                 "min_range_m": z.min_range_m, "max_range_m": z.max_range_m}
-                for z in self.zones]}
-            if self.power_on_live_ids is not None:
-                cfg["power_on_live_ids"] = list(self.power_on_live_ids)
-            zf.writestr("zones.json", json.dumps(cfg, indent=2))
-            for z in self.zones:
-                zf.writestr(f"zone_{z.id}.stl", save_stl(None, z.triangles))
-        return buf.getvalue()
-
-    @classmethod
-    def from_zip(cls, blob: bytes) -> "ZoneSet":
-        zones = []
-        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
-            cfg = json.loads(zf.read("zones.json"))
-            for zc in cfg.get("zones", []):
-                tris = load_stl(zf.read(zc["mesh"]))
-                zones.append(Zone(
-                    id=zc["id"], name=zc.get("name", ""),
-                    mode=ZoneMode[zc.get("mode", "occupancy").upper()],
-                    triangles=tris,
-                    min_points=zc.get("min_points", 1),
-                    frame_count=zc.get("frame_count", 1),
-                    min_range_m=zc.get("min_range_m", 0.0),
-                    max_range_m=zc.get("max_range_m", 200.0)))
-        return cls(zones, power_on_live_ids=cfg.get("power_on_live_ids"))
-
-
 class ZoneSetOutputFilter(Enum):
     """What a serialized zone set carries
     (ref: client.pyi:1854 ZoneSetOutputFilter STL/ZRB/STL_AND_ZRB)."""
@@ -301,54 +251,266 @@ class ZoneSetOutputFilter(Enum):
     STL_AND_ZRB = 3
 
 
-def _zoneset_to_json(self, zone_set_output=ZoneSetOutputFilter.STL) -> str:
-    """zones.json content (ref: client.pyi ZoneSet.to_json)."""
-    cfg = {"zones": [
-        {"id": z.id, "name": z.name, "mode": z.mode.name.lower(),
-         "mesh": f"zone_{z.id}.stl", "min_points": z.min_points,
-         "frame_count": z.frame_count,
-         "min_range_m": z.min_range_m, "max_range_m": z.max_range_m}
-        for z in self.zones]}
-    if self.power_on_live_ids is not None:
-        cfg["power_on_live_ids"] = list(self.power_on_live_ids)
-    return json.dumps(cfg, indent=2)
+class ZoneSet:
+    """Zone-monitor configuration: zones keyed by id, a power-on live
+    set, and the body-frame extrinsics; serialized as the sensor-facing
+    zip of metadata.json + per-zone STL/ZRB entries
+    (ref: zone_monitor.h:42, zone_monitor.cpp:216-527).
+    """
 
+    def __init__(self, zones=None,
+                 power_on_live_ids: Optional[List[int]] = None,
+                 sensor_to_body_transform: Optional[np.ndarray] = None,
+                 label: str = ""):
+        self.zones: Dict[int, Zone] = {}
+        if isinstance(zones, dict):
+            self.zones = {int(k): v for k, v in zones.items()}
+        elif zones:
+            for z in zones:
+                self.zones[int(z.id)] = z
+        self.power_on_live_ids = (None if power_on_live_ids is None
+                                  else list(power_on_live_ids))
+        self.sensor_to_body_transform = sensor_to_body_transform
+        self.label = label
 
-def _zoneset_to_zip_blob(self,
-                         zone_set_output=ZoneSetOutputFilter.STL,
-                         zrbs=None) -> bytes:
-    """Zip blob with the requested artifacts: STL meshes and/or
-    pre-rendered Zrb range-image blobs (ref: client.pyi
-    ZoneSet.to_zip_blob; zrb entries keyed zone_<id>.zrb)."""
-    want_stl = zone_set_output in (ZoneSetOutputFilter.STL,
-                                   ZoneSetOutputFilter.STL_AND_ZRB)
-    want_zrb = zone_set_output in (ZoneSetOutputFilter.ZRB,
-                                   ZoneSetOutputFilter.STL_AND_ZRB)
-    buf = io.BytesIO()
-    with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("zones.json", self.to_json(zone_set_output))
-        if want_stl:
-            for z in self.zones:
-                zf.writestr(f"zone_{z.id}.stl",
-                            save_stl(None, z.triangles))
-        if want_zrb:
-            for zid, zrb in (zrbs or {}).items():
-                blob = zrb.to_blob() if hasattr(zrb, "to_blob") else \
-                    bytes(zrb)
-                zf.writestr(f"zone_{zid}.zrb", blob)
-    return buf.getvalue()
+    # -------------------------------------------------------------- views
+    @property
+    def live_ids(self) -> List[int]:
+        """power_on_live_ids, defaulting to every configured zone."""
+        if self.power_on_live_ids is not None:
+            return list(self.power_on_live_ids)
+        return sorted(self.zones)
 
+    def hash(self) -> bytes:
+        h = hashlib.sha256()
+        for zid in sorted(self.zones):
+            z = self.zones[zid]
+            h.update(struct.pack("<IB", zid, z.mode.value))
+            h.update(z.mesh_hash())
+        return h.digest()
 
-def _zoneset_save(self, path: str,
-                  zone_set_output=ZoneSetOutputFilter.STL) -> None:
-    """Write the zip to disk (ref: client.pyi ZoneSet.save)."""
-    with open(path, "wb") as f:
-        f.write(self.to_zip_blob(zone_set_output))
+    def __eq__(self, other: object) -> bool:
+        """(ref: zone_monitor.cpp operator== — zones, live ids, s2b)"""
+        if not isinstance(other, ZoneSet):
+            return NotImplemented
+        if set(self.zones) != set(other.zones):
+            return False
+        for zid, z in self.zones.items():
+            o = other.zones[zid]
+            if (z.mode != o.mode or z.min_points != o.min_points
+                    or z.frame_count != o.frame_count
+                    or z.mesh_hash() != o.mesh_hash()):
+                return False
+        a = (np.eye(4) if self.sensor_to_body_transform is None
+             else self.sensor_to_body_transform)
+        b = (np.eye(4) if other.sensor_to_body_transform is None
+             else other.sensor_to_body_transform)
+        return (self.live_ids == other.live_ids
+                and np.array_equal(a, b))
 
+    def __ne__(self, other: object) -> bool:
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
 
-ZoneSet.to_json = _zoneset_to_json
-ZoneSet.to_zip_blob = _zoneset_to_zip_blob
-ZoneSet.save = _zoneset_save
+    # --------------------------------------------------------- invariants
+    def check_invariants(self) -> None:
+        """(ref: zone_monitor.cpp:297-335 ZoneSet::check_invariants)"""
+        if self.sensor_to_body_transform is None or \
+                not np.asarray(self.sensor_to_body_transform).any():
+            raise ValueError(
+                "ZoneSet: sensor_to_body_transform must be set.")
+        first_shape = None
+        for zid in sorted(self.zones):
+            zone = self.zones[zid]
+            zone._ensure_stl()
+            try:
+                zone.check_invariants()
+            except Exception as exc:
+                raise ValueError(
+                    f"ZoneSet: Zone {zid} failed invariant check: "
+                    f"{exc}") from exc
+            if zone.stl is None and zone.zrb is None:
+                raise ValueError(
+                    "ZoneSet: all Zones must have either an STL or ZRB "
+                    "file.")
+            if zone.zrb is not None:
+                shape = zone.zrb.near_range_mm.shape
+                if first_shape is None:
+                    first_shape = shape
+                elif shape != first_shape:
+                    raise ValueError(
+                        "ZoneSet: all ZRBs must have the same "
+                        "resolution.")
+
+    # ------------------------------------------------------------- render
+    def render(self, sensor_info) -> None:
+        """Render every STL zone into its ZRB against the sensor's beam
+        geometry (ref: zone_monitor.cpp:367-418 ZoneSet::render)."""
+        from .zrb import DEFAULT_M_PER_ZMBIN
+
+        if self.sensor_to_body_transform is None or \
+                not np.asarray(self.sensor_to_body_transform).any():
+            # surfaces as the BeamConfig validation error, like the
+            # reference (zone_monitor_test.cpp:41-71)
+            beam_config = BeamConfig.from_sensor_info(
+                sensor_info,
+                sensor_to_body_transform=np.zeros((4, 4)))
+        else:
+            beam_config = BeamConfig.from_sensor_info(
+                sensor_info,
+                sensor_to_body_transform=self.sensor_to_body_transform,
+                m_per_zmbin=DEFAULT_M_PER_ZMBIN)
+        for zid in sorted(self.zones):
+            zone = self.zones[zid]
+            zone._ensure_stl()
+            if zone.zrb is not None and zone.stl is None:
+                continue  # "rendering not required" (zone_monitor.cpp:384)
+            if not zone.render(beam_config):
+                raise RuntimeError(
+                    f"ZoneSet::render: zone {zid} was out of sensor "
+                    "FOV.")
+            zone.zrb.serial_number = sensor_info.sn
+        # zones with pre-existing ZRBs still get the sensor serial
+        for zone in self.zones.values():
+            if zone.zrb is not None:
+                zone.zrb.serial_number = sensor_info.sn
+
+    # -------------------------------------------------------- serialization
+    def to_json(self,
+                zone_set_output=ZoneSetOutputFilter.STL) -> str:
+        """metadata.json content (ref: zone_monitor.cpp:469-516
+        ZoneSet::to_json). Calls check_invariants()."""
+        self.check_invariants()
+        zones_json: Dict[str, Any] = {}
+        for zid in sorted(self.zones):
+            z = self.zones[zid]
+            zj: Dict[str, Any] = {
+                "point_count": z.min_points,
+                "frame_count": z.frame_count,
+                "mode": z.mode.name,
+                "label": z.name,
+            }
+            if z.stl is not None and \
+                    zone_set_output != ZoneSetOutputFilter.ZRB:
+                zj["stl"] = {
+                    "file_name": z.stl.filename_or_default(zid),
+                    "coordinate_frame": z.stl.coordinate_frame.name,
+                    "hash": z.stl.hash,
+                }
+            if z.zrb is not None and \
+                    zone_set_output != ZoneSetOutputFilter.STL:
+                zj["zrb"] = {
+                    "file_name": f"{zid}.zrb",
+                    "hash": hashlib.sha256(z.zrb.blob()).hexdigest(),
+                }
+            zones_json[str(zid)] = zj
+        out: Dict[str, Any] = {
+            "label": self.label,
+            "version": {"metadata": 1, "file_naming": 1},
+            "power_on_live_ids": self.live_ids,
+            "zones": zones_json,
+            "sensor_to_body_transform": np.asarray(
+                self.sensor_to_body_transform,
+                dtype=np.float64).reshape(-1).tolist(),
+        }
+        return json.dumps(out, indent=2)
+
+    def to_zip_blob(self,
+                    zone_set_output=ZoneSetOutputFilter.STL) -> bytes:
+        """The sensor-facing zip: metadata.json + <id>.stl / <id>.zrb
+        entries (ref: zone_monitor.cpp:420-458)."""
+        metadata = self.to_json(zone_set_output)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("metadata.json", metadata)
+            for zid in sorted(self.zones):
+                z = self.zones[zid]
+                if z.stl is not None and \
+                        zone_set_output != ZoneSetOutputFilter.ZRB:
+                    blob = z.stl._data
+                    if not blob:
+                        raise RuntimeError(
+                            f"Zone {zid} has an empty stl blob")
+                    zf.writestr(z.stl.filename_or_default(zid), blob)
+                if z.zrb is not None and \
+                        zone_set_output != ZoneSetOutputFilter.STL:
+                    zf.writestr(f"{zid}.zrb", z.zrb.blob())
+        return buf.getvalue()
+
+    def to_zip(self) -> bytes:
+        """Convenience alias of to_zip_blob(STL)."""
+        return self.to_zip_blob(ZoneSetOutputFilter.STL)
+
+    def save(self, path: str,
+             zone_set_output=ZoneSetOutputFilter.STL) -> None:
+        with open(path, "wb") as f:
+            f.write(self.to_zip_blob(zone_set_output))
+
+    @classmethod
+    def from_zip(cls, blob) -> "ZoneSet":
+        """Parse the sensor-facing zip (ref: zone_monitor.cpp:216-293
+        parse_and_validate_zone_set_config_zip). Accepts bytes or a
+        file path."""
+        if isinstance(blob, str):
+            with open(blob, "rb") as f:
+                blob = f.read()
+        zs = cls()
+        with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+            names = set(zf.namelist())
+            if "metadata.json" not in names and "zones.json" in names:
+                return cls._from_legacy_zip(zf)
+            meta = json.loads(zf.read("metadata.json"))
+            zs.label = meta.get("label", "")
+            zs.power_on_live_ids = [
+                int(i) for i in meta["power_on_live_ids"]]
+            zs.sensor_to_body_transform = np.asarray(
+                meta["sensor_to_body_transform"],
+                dtype=np.float64).reshape(4, 4)
+            for key, zj in meta["zones"].items():
+                zid = int(key)
+                mode = ZoneMode.__members__.get(zj["mode"])
+                if mode is None or mode == ZoneMode.NONE:
+                    raise ValueError(
+                        f"Invalid zone mode string for zone {zid}")
+                zone = Zone(zid, name=zj.get("label", ""), mode=mode,
+                            min_points=int(zj["point_count"]),
+                            frame_count=int(zj["frame_count"]))
+                if "stl" in zj:
+                    frame = CoordinateFrame.from_string(
+                        zj["stl"]["coordinate_frame"])
+                    if frame is None:
+                        raise ValueError(
+                            "Invalid coordinate frame string for zone "
+                            f"{zid}")
+                    stl = Stl(zf.read(zj["stl"]["file_name"]),
+                              coordinate_frame=frame)
+                    stl.filename = zj["stl"]["file_name"]
+                    zone.stl = stl
+                    zone.triangles = stl.to_mesh()
+                if "zrb" in zj:
+                    from .zrb import Zrb
+
+                    zone.zrb = Zrb.from_blob(
+                        zf.read(zj["zrb"]["file_name"]))
+                zs.zones[zid] = zone
+        return zs
+
+    @classmethod
+    def _from_legacy_zip(cls, zf) -> "ZoneSet":
+        """Read the pre-0.5.1 zones.json layout for old recordings."""
+        cfg = json.loads(zf.read("zones.json"))
+        zones = []
+        for zc in cfg.get("zones", []):
+            tris = load_stl(zf.read(zc["mesh"]))
+            zones.append(Zone(
+                id=zc["id"], name=zc.get("name", ""),
+                mode=ZoneMode[zc.get("mode", "occupancy").upper()],
+                triangles=tris,
+                min_points=zc.get("min_points", 1),
+                frame_count=zc.get("frame_count", 1),
+                min_range_m=zc.get("min_range_m", 0.0),
+                max_range_m=zc.get("max_range_m", 200.0)))
+        return cls(zones, power_on_live_ids=cfg.get("power_on_live_ids"))
 
 
 class CoordinateFrame(Enum):
@@ -399,6 +561,14 @@ class Stl:
         import hashlib
 
         return hashlib.sha256(self._data).digest()
+
+    def filename_or_default(self, zone_id: int) -> str:
+        """Zip entry name: the original filename or <id>.stl
+        (ref: zone_monitor.cpp:436-443)."""
+        import os
+
+        return (os.path.basename(self.filename) if self.filename
+                else f"{zone_id}.stl")
 
     def __eq__(self, other: object) -> bool:
         if not isinstance(other, Stl):

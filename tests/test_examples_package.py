@@ -146,7 +146,10 @@ def test_zone_emulation_example(pcap, tmp_path):
         emulate
     from ouster_sdk_tpu.zone import Zone, ZoneSet
 
-    zs = ZoneSet([Zone.box(1, (5, 0, 0), (4, 4, 4))])
+    import numpy as np
+
+    zs = ZoneSet([Zone.box(1, (5, 0, 0), (4, 4, 4))],
+                 sensor_to_body_transform=np.eye(4))
     zip_path = tmp_path / "zones.zip"
     zip_path.write_bytes(zs.to_zip_blob())
 

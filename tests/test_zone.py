@@ -99,13 +99,23 @@ def test_zone_render_and_occupancy():
 
 def test_zoneset_zip_roundtrip():
     zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2]),
-                  Zone.box(2, [0, 5, 0], [1, 1, 3])])
+                  Zone.box(2, [0, 5, 0], [1, 1, 3])],
+                 sensor_to_body_transform=np.eye(4))
     blob = zs.to_zip()
     back = ZoneSet.from_zip(blob)
-    assert [z.id for z in back.zones] == [1, 2]
-    np.testing.assert_allclose(back.zones[0].triangles,
-                               zs.zones[0].triangles, atol=1e-5)
+    assert sorted(back.zones) == [1, 2]
+    np.testing.assert_allclose(back.zones[1].triangles,
+                               zs.zones[1].triangles, atol=1e-5)
     assert back.hash() == zs.hash()
+    assert back == zs  # reference operator== semantics
+
+
+def test_zoneset_requires_sensor_to_body():
+    """(ref: zone_monitor_test.cpp it_should_throw_if_no_s2b)"""
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2])])
+    with pytest.raises(ValueError,
+                       match="sensor_to_body_transform must be set"):
+        zs.to_zip_blob()
 
 
 def test_zone_monitor_end_to_end():
@@ -210,10 +220,12 @@ def test_emulated_zone_mon_vacancy_mode():
 def test_zoneset_live_ids_zip_roundtrip():
     zs = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2]),
                   Zone.box(2, [0, 5, 0], [1, 1, 3])],
-                 power_on_live_ids=[2])
+                 power_on_live_ids=[2],
+                 sensor_to_body_transform=np.eye(4))
     back = ZoneSet.from_zip(zs.to_zip())
     assert back.live_ids == [2]
-    zs2 = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2])])
+    zs2 = ZoneSet([Zone.box(1, [5, 0, 0], [2, 2, 2])],
+                  sensor_to_body_transform=np.eye(4))
     assert ZoneSet.from_zip(zs2.to_zip()).live_ids == [1]
 
 
@@ -229,7 +241,8 @@ def test_cli_emulate_zones():
         import pytest
 
         pytest.skip("fixture missing")
-    zs = ZoneSet([Zone.box(1, [5, 0, 0], [6, 6, 6])])
+    zs = ZoneSet([Zone.box(1, [5, 0, 0], [6, 6, 6])],
+                 sensor_to_body_transform=np.eye(4))
     zpath = "/tmp/test_zones.zip"
     open(zpath, "wb").write(zs.to_zip())
     r = CliRunner().invoke(cli, [
@@ -259,3 +272,20 @@ def test_voxel_style_zone_mesh():
 
     d = np.linalg.norm(mesh.triangles.reshape(-1, 3), axis=1)
     assert d.min() > 3.0 and d.max() < 12.0
+
+
+def test_cli_emulate_zones_embedded_zone_set():
+    """emulate_zones with no --config uses the zone set embedded in the
+    source metadata (ref: metadata.cpp:871-875 embedded zone_set)."""
+    import os
+
+    from click.testing import CliRunner
+
+    from ouster_sdk_tpu.cli import cli
+
+    osf = "/root/reference/tests/zone_monitor/single_frame_zm.osf"
+    if not os.path.exists(osf):
+        pytest.skip("fixture missing")
+    r = CliRunner().invoke(cli, [
+        "source", osf, "slice", ":1", "emulate_zones", "stats"])
+    assert r.exit_code == 0, r.output

@@ -347,3 +347,215 @@ def test_coordinate_frame_strings():
     assert CoordinateFrame.from_string("bogus") is None
     assert CoordinateFrame.BODY.name == "BODY"
     assert CoordinateFrame.NONE.value == 0
+
+
+# --------------------------------------------- ZM OSF fixture conformance
+
+ZM_OSF = os.path.join(DATA_DIR, "single_frame_zm.osf")
+
+
+@pytest.fixture(scope="module")
+def zm_source():
+    from ouster_sdk_tpu import open_source
+
+    src = open_source(ZM_OSF)
+    info = src.sensor_info[0]
+    scan = next(iter(src))[0]
+    return info, scan
+
+
+def test_zm_osf_zone_states_pinned(zm_source):
+    """ZONE_STATES decode from the reference's ZM OSF fixture
+    (ref: python/tests/test_zone_monitor.py:297-313 pinned values)."""
+    _, scan = zm_source
+    z0 = scan.field("ZONE_STATES")[0]
+    assert z0["id"] == 0 and z0["live"] == 1 and z0["error_flags"] == 0
+    assert z0["min_range"] == 674
+    assert z0["max_range"] == 1019
+    assert z0["mean_range"] == 832
+    assert z0["count"] == 1094
+    assert z0["trigger_type"] == ZoneMode.OCCUPANCY.value
+    assert z0["trigger_status"] == 1
+    assert z0["triggered_frames"] == 10553
+    assert z0["occlusion_count"] == 837
+    assert z0["invalid_count"] == 1093
+    assert z0["max_count"] == 3439
+
+
+def test_zm_osf_embedded_zone_set(zm_source):
+    """sensor metadata carries the zone set as base64 zip
+    (ref: metadata.cpp:871-875, sensor_info.cpp:388-392)."""
+    info, _ = zm_source
+    zs = info.zone_set
+    assert zs is not None
+    assert sorted(zs.zones) == [0, 1, 2, 3]
+    for z in zs.zones.values():
+        assert z.zrb is not None and z.stl is not None
+    # serialize -> reparse roundtrip through sensor metadata json
+    import json as _json
+
+    from ouster_sdk_tpu import sensor_info_from_metadata
+
+    blob = info.to_json_string()
+    assert "zone_set" in _json.loads(blob)
+    back = sensor_info_from_metadata(blob)
+    assert back.zone_set is not None
+    assert back.zone_set == zs
+
+
+def test_zm_osf_emulated_zone_mon_pinned(zm_source):
+    """EmulatedZoneMon over the fixture's RANGE reproduces the
+    reference's pinned per-zone stats bit-for-bit
+    (ref: python/tests/test_zone_monitor.py:315-341)."""
+    import numpy as _np
+
+    from ouster_sdk_tpu.zone.monitor import EmulatedZoneMon
+
+    info, scan = zm_source
+    ezm = EmulatedZoneMon(info.zone_set)
+    bm = _np.zeros((info.format.pixels_per_column,
+                    info.format.columns_per_frame), dtype=_np.uint32)
+    ezm.calc_triggers(scan.field("RANGE"), bm)
+    ezm.calc_triggers(scan.field("RANGE"), bm)
+    p = ezm.get_packet()[0]
+    assert p["id"] == 0 and p["live"] == 1 and p["error_flags"] == 0
+    assert p["min_range"] == 676
+    assert p["max_range"] == 1020
+    assert p["mean_range"] == 836
+    assert p["count"] == 1089
+    assert p["trigger_type"] == ZoneMode.OCCUPANCY.value
+    assert p["trigger_status"] == 1
+    assert p["triggered_frames"] == 1
+    assert p["occlusion_count"] == 847
+    assert p["invalid_count"] == 1140
+    assert p["max_count"] == 3439
+    # pixels inside zone 0 carry live-index bit 0 in the bitmask
+    assert int((bm & 1).sum()) >= p["count"]
+
+
+def test_zm_osf_vacancy_modes(zm_source):
+    """(ref: python/tests/test_zone_monitor.py vacancy_mode/_2)"""
+    import numpy as _np
+
+    from ouster_sdk_tpu.zone.monitor import EmulatedZoneMon
+
+    info, scan = zm_source
+    zs = info.zone_set
+    zs.zones[0].mode = ZoneMode.VACANCY
+    try:
+        ezm = EmulatedZoneMon(zs)
+        bm = _np.zeros((info.format.pixels_per_column,
+                        info.format.columns_per_frame), dtype=_np.uint32)
+        rng = scan.field("RANGE")
+        ezm.calc_triggers(rng, bm)
+        ezm.calc_triggers(rng, bm)
+        p = ezm.get_packet()[0]
+        assert p["trigger_type"] == ZoneMode.VACANCY.value
+        assert p["trigger_status"] == 0
+        assert p["triggered_frames"] == 0
+        # pushing everything past the zone triggers VACANCY
+        ezm2 = EmulatedZoneMon(zs)
+        ezm2.calc_triggers(rng + 1000, bm)
+        ezm2.calc_triggers(rng + 1000, bm)
+        p2 = ezm2.get_packet()[0]
+        assert p2["trigger_status"] == 1
+        assert p2["triggered_frames"] == 1
+    finally:
+        zs.zones[0].mode = ZoneMode.OCCUPANCY
+
+
+def test_emulated_zone_mon_requires_rendered_zones():
+    """(ref: python/tests/test_zone_monitor.py:280-294)"""
+    from ouster_sdk_tpu.zone.monitor import EmulatedZoneMon
+    from ouster_sdk_tpu.zone.zone import ZoneSet
+
+    zone = Zone(0)
+    zone.point_count = 1
+    zone.frame_count = 1
+    zone.mode = ZoneMode.OCCUPANCY
+    zone.stl = Stl(os.path.join(DATA_DIR, "0.stl"),
+                   coordinate_frame=CoordinateFrame.BODY)
+    zs = ZoneSet({0: zone}, sensor_to_body_transform=np.eye(4))
+    assert zs.zones[0].zrb is None
+    with pytest.raises(ValueError,
+                       match="all zones in ZoneSet must have a valid ZRB"):
+        EmulatedZoneMon(zs)
+
+
+# ---------------------------------------------------- ZoneSet render API
+
+def test_zone_set_render_matches_golden_size():
+    """(ref: zone_monitor_test.cpp:73-102 ZoneSet render)"""
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    from ouster_sdk_tpu.zone.zone import ZoneSet
+
+    info = sensor_info_from_metadata(
+        open(os.path.join(DATA_DIR, "785.json")).read())
+    s2b = np.eye(4)
+    s2b[2, 3] = 1.0
+    zone = Zone(0)
+    zone.point_count = 100
+    zone.frame_count = 10
+    zone.mode = ZoneMode.OCCUPANCY
+    zone.stl = Stl(os.path.join(DATA_DIR, "0.stl"),
+                   coordinate_frame=CoordinateFrame.BODY)
+    zs = ZoneSet({0: zone}, sensor_to_body_transform=s2b)
+    zs.render(info)
+    golden = open(os.path.join(DATA_DIR, "0.zrb"), "rb").read()
+    blob = zs.zones[0].zrb.blob()
+    assert len(blob) == len(golden)
+    assert zs.zones[0].zrb.serial_number == info.sn
+
+
+def test_zone_set_render_requires_s2b():
+    """(ref: zone_monitor_test.cpp:41-71)"""
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    from ouster_sdk_tpu.zone.zone import ZoneSet
+
+    info = sensor_info_from_metadata(
+        open(os.path.join(DATA_DIR, "785.json")).read())
+    zone = Zone(0)
+    zone.point_count = 100
+    zone.frame_count = 2
+    zone.stl = Stl(os.path.join(DATA_DIR, "0.stl"),
+                   coordinate_frame=CoordinateFrame.BODY)
+    zs = ZoneSet({0: zone})
+    with pytest.raises(ValueError,
+                       match="sensor_to_body_transform not set"):
+        zs.render(info)
+
+
+def test_zone_set_render_out_of_fov():
+    """(ref: zone_monitor_test.cpp:104-140 render_out_of_fov)"""
+    from ouster_sdk_tpu import sensor_info_from_metadata
+    from ouster_sdk_tpu.zone.zone import ZoneSet
+
+    info = sensor_info_from_metadata(
+        open(os.path.join(DATA_DIR, "785.json")).read())
+    # rotate the body frame 90 deg about Y: the zone points away
+    s2b = np.eye(4)
+    c, s = np.cos(np.pi / 2), np.sin(np.pi / 2)
+    s2b[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    zone = Zone(0)
+    zone.point_count = 1
+    zone.frame_count = 10
+    zone.stl = Stl(os.path.join(DATA_DIR, "1.stl"),
+                   coordinate_frame=CoordinateFrame.BODY)
+    zs = ZoneSet({0: zone}, sensor_to_body_transform=s2b)
+    with pytest.raises(RuntimeError, match="was out of sensor FOV"):
+        zs.render(info)
+
+
+def test_zone_set_all_zrbs_same_resolution():
+    """(ref: zone_monitor_test.cpp:354 all_zrbs_must_have_the_same...)"""
+    from ouster_sdk_tpu.zone.zone import ZoneSet
+
+    a, b = Zone(0), Zone(1)
+    a.zrb = Zrb(64, 1024, serial_number=1)
+    a.zrb.far_range_mm[:] = 100
+    b.zrb = Zrb(128, 1024, serial_number=1)
+    b.zrb.far_range_mm[:] = 100
+    zs = ZoneSet({0: a, 1: b}, sensor_to_body_transform=np.eye(4))
+    with pytest.raises(ValueError,
+                       match="same resolution"):
+        zs.check_invariants()
