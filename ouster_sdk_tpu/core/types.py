@@ -381,6 +381,18 @@ class SensorInfo:
     # (ref: client.pyi SensorInfo.zone_set: Optional[ZoneSet])
     zone_set: Optional[object] = None
 
+    def __post_init__(self) -> None:
+        # SensorInfo(metadata_json_str) parses like the reference ctor
+        # (ref: client.pyi SensorInfo.__init__(metadata: str);
+        # sensor_info.cpp SensorInfo(const std::string&))
+        if isinstance(self.sn, (str, bytes)):
+            from .metadata import sensor_info_from_metadata
+
+            parsed = sensor_info_from_metadata(
+                self.sn.decode() if isinstance(self.sn, bytes)
+                else self.sn)
+            self.__dict__.update(parsed.__dict__)
+
     def get_version(self) -> Version:
         return Version.from_string(self.image_rev or self.fw_rev)
 

@@ -7,9 +7,11 @@ from .zone import (  # noqa: F401
     BeamConfig,
     Coord,
     CoordinateFrame,
+    Mesh,
     Triangle,
     Stl,
     Zone,
+    ZoneError,
     ZoneMode,
     ZoneSet,
     ZoneSetOutputFilter,
@@ -18,9 +20,15 @@ from .zone import (  # noqa: F401
 )
 from .monitor import (  # noqa: F401
     MAX_ACTIVE_ZONES,
+    MAX_AVAILABLE_ZONES,
     EmulatedZoneMon,
     ZoneMonitor,
     ZoneState,
     render_zone_bounds,
     zone_occupancy,
 )
+
+#: LidarScan field names carrying zone-monitor data
+#: (ref: python/src/ouster/sdk/zone_monitor/__init__.py:11-12)
+ZONE_STATES_FIELDNAME = "ZONE_STATES"
+ZONE_OCCUPANCY_FIELDNAME = "ZONE_MASK"

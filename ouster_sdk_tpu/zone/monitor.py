@@ -170,13 +170,14 @@ class EmulatedZoneMon:
         self.zone_set = zone_set
         self.zones = dict(zone_set.zones)
         if zrbs is not None:
-            self.rendered = zrbs
+            self.rendered_zones = zrbs
         elif all(z.zrb is not None for z in self.zones.values()):
             # reference-style use: pre-rendered ZRBs travel on the zones
-            # (ref: zone_common.py:33-39)
-            self.rendered = {zid: z.zrb for zid, z in self.zones.items()}
+            # (ref: zone_common.py:37-40)
+            self.rendered_zones = {
+                zid: z.zrb for zid, z in self.zones.items()}
         elif info is not None:
-            self.rendered = {
+            self.rendered_zones = {
                 zid: render_zone_bounds(
                     z, info, m_per_zmbin,
                     sensor_to_body=zone_set.sensor_to_body_transform)
@@ -185,6 +186,8 @@ class EmulatedZoneMon:
             raise ValueError(
                 "EmulatedZoneMon: all zones in ZoneSet must have a valid "
                 "ZRB")
+        #: legacy alias kept for earlier-round callers
+        self.rendered = self.rendered_zones
         self.live_zones: List[int] = zone_set.live_ids
         self.zone_triggers = [0] * MAX_AVAILABLE_ZONES
         self.zone_alerts = [0] * MAX_AVAILABLE_ZONES
@@ -195,9 +198,14 @@ class EmulatedZoneMon:
         self.zone_mins: Dict[int, int] = {}
         self.zone_maxes: Dict[int, int] = {}
         self.zone_avgs: Dict[int, int] = {}
+        #: frame counter surfaced by the reference (zone_common.py:36;
+        #: initialized and never advanced there — kept live here)
+        self.update_count = 0
+        #: verbose trigger logging toggle (ref: zone_common.py:41)
+        self.debug = False
         self.max_counts: Dict[int, int] = {
             zid: int(np.count_nonzero(zrb.near_range_mm < zrb.far_range_mm))
-            for zid, zrb in self.rendered.items()}
+            for zid, zrb in self.rendered_zones.items()}
 
     def set_live_zones(self, live_zones: List[int]) -> None:
         # reset hysteresis for zones leaving the live set, else a
@@ -214,18 +222,16 @@ class EmulatedZoneMon:
                       bitmask_field: Optional[np.ndarray] = None) -> None:
         """One frame update: counts + hysteresis; sets bit (1 << live
         index) in bitmask_field for pixels inside each live zone."""
+        self.update_count += 1
         for zid, zone in self.zones.items():
             if zid not in self.live_zones:
                 continue
-            zrb = self.rendered[zid]
-            # zone range filters like ZoneMonitor.check_scan
-            # (ref: zone_common.py min/max range)
-            lo_mm = max(int(zone.min_range_m * 1000),
-                        0)
-            hi_mm = int(zone.max_range_m * 1000)
+            zrb = self.rendered_zones[zid]
+            # pure ZRB bounds test — no min/max-range clamp, exactly
+            # like the reference (zone_common.py:59-62 trigger_mask)
             inside = (range_field > 0) & \
-                (range_field >= np.maximum(zrb.near_range_mm, lo_mm)) & \
-                (range_field <= np.minimum(zrb.far_range_mm, hi_mm))
+                (zrb.near_range_mm <= range_field) & \
+                (range_field <= zrb.far_range_mm)
             self.zone_counts[zid] = int(np.count_nonzero(inside))
             self.invalid_counts[zid] = int(np.count_nonzero(
                 (range_field == 0) & (zrb.near_range_mm > 0)))

@@ -29,6 +29,16 @@ class ZoneMode(Enum):
     VACANCY = 2
 
 
+class ZoneError(ValueError, RuntimeError):
+    """Zone/ZoneSet validation failure.
+
+    Dual-typed: the reference's C++ invariant checks surface in Python
+    as RuntimeError (ref: python/tests/test_zone_monitor.py:424-485
+    pytest.raises(RuntimeError)), while this package's earlier tests
+    match ValueError — both catch this.
+    """
+
+
 def load_stl(data_or_path) -> np.ndarray:
     """Load a binary or ASCII STL into (n_tris, 3, 3) float64 vertices
     (ref: ouster_client stl.cpp, mesh.cpp load_from_stl_stream:218-235).
@@ -138,9 +148,9 @@ def save_stl(path_or_buf, triangles: np.ndarray) -> Optional[bytes]:
 
 @dataclass
 class Zone:
-    """(ref: zone.h:24)"""
+    """(ref: zone.h:24; default-constructible like client.pyi:1843)"""
 
-    id: int
+    id: int = 0
     name: str = ""
     mode: ZoneMode = ZoneMode.OCCUPANCY
     triangles: np.ndarray = dc_field(
@@ -165,9 +175,26 @@ class Zone:
     def point_count(self, v: int) -> None:
         self.min_points = int(v)
 
+    @property
+    def label(self) -> str:
+        """Reference name for the zone's display label
+        (ref: zone_monitor.cpp metadata "label" key == our name)."""
+        return self.name
+
+    @label.setter
+    def label(self, v: str) -> None:
+        self.name = str(v)
+
     def mesh_hash(self) -> bytes:
+        """Identity hash of the zone's effective mesh: the attached
+        STL's triangles when present, else the raw triangles array.
+        Keeps a freshly-authored zone (mesh only on .stl) equal to its
+        zip round-trip (mesh mirrored into .triangles)."""
+        tris = self.triangles
+        if self.stl is not None:
+            tris = self.stl.to_mesh()
         return hashlib.sha256(
-            np.ascontiguousarray(self.triangles,
+            np.ascontiguousarray(tris,
                                  dtype=np.float32).tobytes()).digest()
 
     def _ensure_stl(self) -> None:
@@ -181,23 +208,23 @@ class Zone:
     def check_invariants(self) -> None:
         """(ref: zone.cpp:17-46 Zone::check_invariants)"""
         if self.min_points == 0:
-            raise ValueError("Zone: point_count must be in [1, 262143]")
+            raise ZoneError("Zone: point_count must be in [1, 262143]")
         if self.frame_count == 0:
-            raise ValueError("Zone: frame_count must be in [1, 65535]")
+            raise ZoneError("Zone: frame_count must be in [1, 65535]")
         has_tris = self.triangles is not None and self.triangles.size > 0
         if self.stl is None and self.zrb is None and not has_tris:
-            raise ValueError("Zone: must have either STL or ZRB")
+            raise ZoneError("Zone: must have either STL or ZRB")
         if self.mode not in (ZoneMode.OCCUPANCY, ZoneMode.VACANCY):
-            raise ValueError("Zone: mode must be OCCUPANCY or VACANCY")
+            raise ZoneError("Zone: mode must be OCCUPANCY or VACANCY")
         if self.stl is not None:
             if not self.stl._data:
-                raise ValueError("Zone: STL blob cannot be empty")
+                raise ZoneError("Zone: STL blob cannot be empty")
             if self.stl.coordinate_frame == CoordinateFrame.NONE:
-                raise ValueError(
+                raise ZoneError(
                     "Zone: STL coordinate frame must be BODY or SENSOR")
         if self.zrb is not None:
             if int((self.zrb.far_range_mm != 0).sum()) < self.min_points:
-                raise ValueError(
+                raise ZoneError(
                     "Zone: ZRB far range image has fewer nonzero pixels "
                     "than point_count")
 
@@ -220,7 +247,7 @@ class Zone:
         zrb, n_hit = render_zone_to_zrb(stl, beam_config)
         self.zrb = zrb  # assigned even when nothing intersects (zone.cpp:75)
         if 0 < n_hit < self.min_points:
-            raise ValueError(
+            raise ZoneError(
                 f"Zone: area of rendered zone ({n_hit}) is smaller than "
                 f"point_count ({self.min_points}) specified in zone.")
         return n_hit > 0
@@ -262,7 +289,19 @@ class ZoneSet:
                  power_on_live_ids: Optional[List[int]] = None,
                  sensor_to_body_transform: Optional[np.ndarray] = None,
                  label: str = ""):
+        from .zrb import DEFAULT_M_PER_ZMBIN
+
+        self.m_per_zmbin = DEFAULT_M_PER_ZMBIN
         self.zones: Dict[int, Zone] = {}
+        if isinstance(zones, (str, bytes, bytearray)):
+            # ZoneSet(path) / ZoneSet(zip_bytes) (ref: client.pyi:1866)
+            src = ZoneSet.from_zip(zones if isinstance(zones, str)
+                                   else bytes(zones))
+            self.zones = src.zones
+            self.power_on_live_ids = src.power_on_live_ids
+            self.sensor_to_body_transform = src.sensor_to_body_transform
+            self.label = src.label
+            return
         if isinstance(zones, dict):
             self.zones = {int(k): v for k, v in zones.items()}
         elif zones:
@@ -290,9 +329,14 @@ class ZoneSet:
         return h.digest()
 
     def __eq__(self, other: object) -> bool:
-        """(ref: zone_monitor.cpp operator== — zones, live ids, s2b)"""
+        """(ref: zone_monitor.cpp operator== — zones, live ids, s2b).
+        Comparing against a non-ZoneSet raises TypeError, matching the
+        reference binding (python/tests/test_zone_monitor.py:487-497
+        'comparing to None currently raises TypeError')."""
         if not isinstance(other, ZoneSet):
-            return NotImplemented
+            raise TypeError(
+                "ZoneSet.__eq__: cannot compare ZoneSet with "
+                f"{type(other).__name__}")
         if set(self.zones) != set(other.zones):
             return False
         for zid, z in self.zones.items():
@@ -314,11 +358,25 @@ class ZoneSet:
 
     # --------------------------------------------------------- invariants
     def check_invariants(self) -> None:
-        """(ref: zone_monitor.cpp:297-335 ZoneSet::check_invariants)"""
+        """(ref: zone_monitor.cpp:297-335 ZoneSet::check_invariants +
+        the metadata JSON-schema domain checks that precede it)"""
         if self.sensor_to_body_transform is None or \
                 not np.asarray(self.sensor_to_body_transform).any():
-            raise ValueError(
+            raise ZoneError(
                 "ZoneSet: sensor_to_body_transform must be set.")
+        # zone ids and live ids are schema-bounded to [0, 127]; the
+        # error texts replicate the reference's json-schema validator
+        # (ref: python/tests/test_zone_monitor.py:456-485)
+        for zid in sorted(self.zones):
+            if not 0 <= int(zid) <= 127:
+                raise ZoneError(
+                    f'Additional property "{zid}" found but was '
+                    "invalid.")
+        for lid in (self.power_on_live_ids or []):
+            if int(lid) > 127:
+                raise ZoneError(f"{lid} exceeds maximum of 127")
+            if int(lid) < 0:
+                raise ZoneError(f"{lid} is below minimum of 0")
         first_shape = None
         for zid in sorted(self.zones):
             zone = self.zones[zid]
@@ -326,11 +384,11 @@ class ZoneSet:
             try:
                 zone.check_invariants()
             except Exception as exc:
-                raise ValueError(
+                raise ZoneError(
                     f"ZoneSet: Zone {zid} failed invariant check: "
                     f"{exc}") from exc
             if zone.stl is None and zone.zrb is None:
-                raise ValueError(
+                raise ZoneError(
                     "ZoneSet: all Zones must have either an STL or ZRB "
                     "file.")
             if zone.zrb is not None:
@@ -338,7 +396,7 @@ class ZoneSet:
                 if first_shape is None:
                     first_shape = shape
                 elif shape != first_shape:
-                    raise ValueError(
+                    raise ZoneError(
                         "ZoneSet: all ZRBs must have the same "
                         "resolution.")
 
@@ -359,7 +417,8 @@ class ZoneSet:
             beam_config = BeamConfig.from_sensor_info(
                 sensor_info,
                 sensor_to_body_transform=self.sensor_to_body_transform,
-                m_per_zmbin=DEFAULT_M_PER_ZMBIN)
+                m_per_zmbin=getattr(self, "m_per_zmbin",
+                                    DEFAULT_M_PER_ZMBIN))
         for zid in sorted(self.zones):
             zone = self.zones[zid]
             zone._ensure_stl()
@@ -457,6 +516,19 @@ class ZoneSet:
         zs = cls()
         with zipfile.ZipFile(io.BytesIO(blob)) as zf:
             names = set(zf.namelist())
+
+            def read_entry(name: str) -> bytes:
+                """Case-insensitive entry lookup: the metadata may name
+                '0.stl' while the archive carries '0.STL'
+                (ref: python/tests/test_zone_monitor.py:563-593
+                test_filename_case)."""
+                if name in names:
+                    return zf.read(name)
+                for cand in names:
+                    if cand.lower() == name.lower():
+                        return zf.read(cand)
+                raise KeyError(name)
+
             if "metadata.json" not in names and "zones.json" in names:
                 return cls._from_legacy_zip(zf)
             meta = json.loads(zf.read("metadata.json"))
@@ -482,7 +554,7 @@ class ZoneSet:
                         raise ValueError(
                             "Invalid coordinate frame string for zone "
                             f"{zid}")
-                    stl = Stl(zf.read(zj["stl"]["file_name"]),
+                    stl = Stl(read_entry(zj["stl"]["file_name"]),
                               coordinate_frame=frame)
                     stl.filename = zj["stl"]["file_name"]
                     zone.stl = stl
@@ -491,7 +563,7 @@ class ZoneSet:
                     from .zrb import Zrb
 
                     zone.zrb = Zrb.from_blob(
-                        zf.read(zj["zrb"]["file_name"]))
+                        read_entry(zj["zrb"]["file_name"]))
                 zs.zones[zid] = zone
         return zs
 
@@ -544,9 +616,11 @@ class Stl:
         self.coordinate_frame = coordinate_frame
         self.triangles = load_stl(self._data)
 
-    def to_mesh(self) -> np.ndarray:
-        """Triangle vertices, (n_tris, 3, 3) float64."""
-        return self.triangles
+    def to_mesh(self) -> "Mesh":
+        """Triangle vertices, (n_tris, 3, 3) float64, with the
+        reference's per-triangle accessors (ref: client.pyi:1764
+        Stl.to_mesh -> Mesh)."""
+        return Mesh(self.triangles)
 
     @property
     def hash(self) -> str:
@@ -597,6 +671,21 @@ class Triangle:
         n = np.cross(self._v[1] - self._v[0], self._v[2] - self._v[0])
         mag = np.linalg.norm(n)
         return n / mag if mag > 0 else n
+
+
+class Mesh(np.ndarray):
+    """Triangle mesh: an (n, 3, 3) float64 vertex array that also
+    offers the reference binding's ``.triangles`` accessor returning
+    Triangle views (ref: client.pyi Mesh;
+    python/tests/test_zone_monitor.py:159-181 test_mesh_bindings)."""
+
+    def __new__(cls, vertices) -> "Mesh":
+        arr = np.asarray(vertices, dtype=np.float64).reshape(-1, 3, 3)
+        return arr.view(cls)
+
+    @property
+    def triangles(self) -> List["Triangle"]:
+        return [Triangle(v) for v in np.asarray(self)]
 
 
 #: Plain 3-vector used by the mesh accessors (ref: client.pyi Coord).

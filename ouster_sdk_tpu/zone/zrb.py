@@ -35,20 +35,42 @@ _META_HASHED_PREFIX = 16 + 4 + 4 + 4 + 32 + 32  # up to beam_to_lidar
 
 
 class Zrb:
-    """Near/far range images (mm) + render metadata."""
+    """Near/far range images (mm) + render metadata.
 
-    def __init__(self, n_rows: int = 0, n_cols: int = 0,
+    Constructor overloads mirror the reference binding
+    (ref: client.pyi:1775-1803): ``Zrb()``, ``Zrb(file_path)``,
+    ``Zrb(blob_bytes_or_list)`` — plus the keyword form used by the
+    renderer.
+    """
+
+    def __init__(self, n_rows=0, n_cols: int = 0,
                  m_per_zmbin: float = 0.004,
                  serial_number: int = 0,
                  stl_hash: bytes = b"\x00" * 32,
                  beam_to_lidar: Optional[np.ndarray] = None,
                  lidar_to_sensor: Optional[np.ndarray] = None,
                  sensor_to_body: Optional[np.ndarray] = None):
+        if isinstance(n_rows, str):
+            # Zrb(file_path) (ref: client.pyi:1789)
+            try:
+                with open(n_rows, "rb") as f:
+                    blob = f.read()
+            except OSError as exc:
+                raise RuntimeError(
+                    "Zrb read error: could not open file") from exc
+            self.__init__()
+            self._load(blob)
+            return
+        if isinstance(n_rows, (bytes, bytearray, list)):
+            # Zrb(blob) (ref: client.pyi:1802)
+            self.__init__()
+            self._load(bytes(n_rows))
+            return
         self.near_range_mm = np.zeros((n_rows, n_cols), dtype=np.uint32)
         self.far_range_mm = np.zeros((n_rows, n_cols), dtype=np.uint32)
         self.m_per_zmbin = float(m_per_zmbin)
         self.serial_number = serial_number
-        self.stl_hash = stl_hash
+        self.stl_hash = stl_hash  # property setter normalizes to bytes
         self.beam_to_lidar_transform = (
             np.eye(4) if beam_to_lidar is None else beam_to_lidar)
         self.lidar_to_sensor_transform = (
@@ -60,6 +82,38 @@ class Zrb:
         # not set until save/blob is called")
         self.valid_col_mask = np.zeros(2048, dtype=bool)
 
+    @property
+    def stl_hash(self):
+        """Source STL sha256 as a hex string; None when unset — the
+        reference binding surfaces the optional the same way
+        (ref: client.pyi:1818 `stl_hash -> str`;
+        python/tests/test_zrb.py `zrb.stl_hash is None`)."""
+        if self._stl_hash == b"\x00" * 32:
+            return None
+        return self._stl_hash.hex()
+
+    @stl_hash.setter
+    def stl_hash(self, value) -> None:
+        if value is None:
+            self._stl_hash = b"\x00" * 32
+        elif isinstance(value, str):
+            self._stl_hash = bytes.fromhex(value)
+        else:
+            self._stl_hash = bytes(value)
+        if len(self._stl_hash) != 32:
+            raise ValueError("Zrb: stl_hash must be 32 bytes")
+
+    @property
+    def stl_hash_bytes(self) -> bytes:
+        """Raw digest form, as stored in the blob."""
+        return self._stl_hash
+
+    @property
+    def hash(self) -> str:
+        """sha256 hex of the full serialized blob
+        (ref: client.pyi:1822 Zrb.hash; zrb.cpp Zrb::hash)."""
+        return hashlib.sha256(self.blob()).hexdigest()
+
     def __eq__(self, other: object) -> bool:
         """Field-wise equality (ref: zrb.cpp operator== — images, bin
         size, stl hash, serial, all three transforms)."""
@@ -69,7 +123,7 @@ class Zrb:
                 and np.array_equal(self.far_range_mm, other.far_range_mm)
                 and np.float32(self.m_per_zmbin)
                 == np.float32(other.m_per_zmbin)
-                and self.stl_hash == other.stl_hash
+                and self._stl_hash == other._stl_hash
                 and self.serial_number == other.serial_number
                 and np.array_equal(self.beam_to_lidar_transform,
                                    other.beam_to_lidar_transform)
@@ -101,10 +155,14 @@ class Zrb:
     # ------------------------------------------------------------------
     def blob(self) -> bytes:
         n_rows, n_cols = self.near_range_mm.shape
+        # error type + text match the reference binding
+        # (ref: python/tests/test_zrb.py:9-18 pytest.raises(RuntimeError))
         if self.serial_number == 0:
-            raise ValueError("Zrb: serial number not set")
-        if self.near_range_mm.size == 0 or self.far_range_mm.size == 0:
-            raise ValueError("Zrb: image data missing")
+            raise RuntimeError("Zrb::save: serial number not set")
+        if self.near_range_mm.size == 0:
+            raise RuntimeError("Zrb::save: near image data missing")
+        if self.far_range_mm.size == 0:
+            raise RuntimeError("Zrb::save: far image data missing")
 
         # f32 bin math, exactly like the reference (zrb.cpp:97-105)
         mm_per_bin = np.float32(self.m_per_zmbin) * np.float32(1000.0)
@@ -132,7 +190,7 @@ class Zrb:
         meta = bytearray(_META_SIZE)
         meta[0:16] = serial
         struct.pack_into("<IIf", meta, 16, n_cols, n_rows, self.m_per_zmbin)
-        meta[28:60] = self.stl_hash
+        meta[28:60] = self._stl_hash
         meta[60:92] = bounds_hash
         # transforms serialize COLUMN-major (raw Eigen .data() order)
         struct.pack_into("<16f", meta, 92,
@@ -174,7 +232,7 @@ class Zrb:
         n_cols, n_rows, m_per_zmbin = struct.unpack_from("<IIf", meta, 16)
         self.serial_number = int(serial) if serial.isdigit() else 0
         self.m_per_zmbin = m_per_zmbin
-        self.stl_hash = bytes(meta[28:60])
+        self._stl_hash = bytes(meta[28:60])
         bounds_hash = meta[60:92]
         # transforms are stored column-major (raw Eigen .data() order)
         self.beam_to_lidar_transform = np.array(

@@ -73,8 +73,9 @@ def test_golden_zrb_read():
     assert z.near_range_mm.shape == (128, 1024)
     assert z.far_range_mm.shape == (128, 1024)
     assert z.serial_number == 122247000785
-    assert z.stl_hash.hex() == ("9cb392667efd9bb1dd2f02c138049243"
-                                "a6103b4a0ef86574681c0641a195c7fd")
+    # stl_hash surfaces as a hex string (ref: client.pyi:1818)
+    assert z.stl_hash == ("9cb392667efd9bb1dd2f02c138049243"
+                          "a6103b4a0ef86574681c0641a195c7fd")
     assert z.m_per_zmbin == np.float32(DEFAULT_M_PER_ZMBIN)
     # transforms are column-major in the blob: the z+1 m translation
     # must land at (2, 3) of the row-major matrix
@@ -172,7 +173,7 @@ def test_render_pinned_values():
     assert zrb2.valid_col_mask.any()
     assert abs(int(zrb2.near_range_mm[59, 180]) - 2253) <= max_error
     assert abs(int(zrb2.far_range_mm[71, 274]) - 2375) <= max_error
-    assert zrb2.stl_hash == zone.stl.hash_bytes
+    assert zrb2.stl_hash == zone.stl.hash
 
 
 def test_render_no_stl_raises():
