@@ -497,9 +497,17 @@ class SensorInfo:
             d["zone_set"] = base64.b64encode(
                 self.zone_set.to_zip_blob(
                     ZoneSetOutputFilter.STL_AND_ZRB)).decode()
-        if not np.array_equal(self.extrinsic, np.eye(4)):
-            d["ouster-sdk"] = {
-                "extrinsic": self.extrinsic.flatten().tolist()}
+        # always emitted by the client-side serialization, never by the
+        # sensor's own metadata endpoint
+        # (ref: sensor_info.cpp:407-413 to_json_string)
+        from .. import __version__
+
+        d["ouster-sdk"] = {
+            "extrinsic": np.asarray(
+                self.extrinsic).flatten().tolist(),
+            "output_source": "sensor_info_to_string",
+            "client_version": f"ouster_sdk_tpu {__version__}",
+        }
         return json.dumps(d, indent=4)
 
     @classmethod

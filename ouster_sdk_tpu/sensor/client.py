@@ -152,8 +152,8 @@ class Client:
 
 def init_client(
     hostname: str,
-    lidar_port: int = 0,
-    imu_port: int = 0,
+    lidar_port: Optional[int] = None,
+    imu_port: Optional[int] = None,
     *,
     config: Optional[SensorConfig] = None,
     do_not_reinitialize: bool = False,
@@ -162,28 +162,35 @@ def init_client(
 ) -> Tuple[Client, SensorInfo]:
     """Configure the sensor over HTTP and open data sockets
     (ref: client.h:109-166 init_client overloads + config handshake
-    client.cpp:309-396). When the caller pins no ports and stages no
-    config, the sockets bind to the ports the sensor's active config
-    advertises (the reference's no-config init_client listens on the
-    sensor's current ports)."""
+    client.cpp:309-396). Port semantics follow the reference: None
+    (unspecified) listens on the staged/active config's ports; an
+    explicit 0 binds an OS-assigned ephemeral port and reconfigures
+    the sensor to send there (ref: sensor_packet_source.cpp:344-365
+    "Opening ephemeral port")."""
     import copy
 
     http_client = SensorHttp.create(hostname)
+    # explicit 0 = ephemeral request: Client(port=0) binds an
+    # OS-assigned port; the sensor is then staged to send there
+    ephemeral = lidar_port == 0 or imu_port == 0
     # port priority: explicit args > ports pinned in the passed config >
     # the sensor's active config > defaults — the sockets must listen
     # exactly where the sensor is told to send
     cfg = copy.deepcopy(config) if config is not None else None
-    if not lidar_port and cfg is not None and cfg.udp_port_lidar:
+    if lidar_port is None and cfg is not None and cfg.udp_port_lidar:
         lidar_port = cfg.udp_port_lidar
-    if not imu_port and cfg is not None and cfg.udp_port_imu:
+    if imu_port is None and cfg is not None and cfg.udp_port_imu:
         imu_port = cfg.udp_port_imu
-    if not lidar_port and cfg is None:
+    if lidar_port is None and cfg is None:
         try:
             active = http_client.active_config_params()
-            lidar_port = int(active.get("udp_port_lidar") or 0)
-            imu_port = imu_port or int(active.get("udp_port_imu") or 0)
+            lidar_port = int(active.get("udp_port_lidar") or 0) or None
+            if imu_port is None:
+                imu_port = int(active.get("udp_port_imu") or 0) or None
         except Exception:
             pass
+    if ephemeral and cfg is None and not do_not_reinitialize:
+        cfg = SensorConfig()  # stage the bound ports below
     # open the zone-monitor socket when the sensor streams zone packets
     # (ref: sensor_packet_source.cpp zone socket)
     zm_port = None
@@ -194,7 +201,11 @@ def init_client(
             zm_port = int(active.get("udp_port_zm") or 7504)
     except Exception:
         pass
-    client = Client(hostname, lidar_port or 7502, imu_port or 7503,
+    # 0 passes through: Client binds an ephemeral port and reports the
+    # OS-assigned number back via .lidar_port/.imu_port
+    client = Client(hostname,
+                    7502 if lidar_port is None else lidar_port,
+                    7503 if imu_port is None else imu_port,
                     zm_port=zm_port)
     if cfg is not None and not do_not_reinitialize:
         if cfg.udp_port_lidar is None:

@@ -224,6 +224,10 @@ class SensorEmulator:
 
     def _make_handler(self):
         meta = json.loads(self.info.to_json_string())
+        # the fw's metadata endpoint never carries the client-side
+        # 'ouster-sdk' section (ref: tests/hil/test_core.py:243
+        # "'ouster-sdk' not in meta_via_requests")
+        meta.pop("ouster-sdk", None)
         # advertise the emulator's actual ports
         meta.setdefault("config_params", {})
         meta["config_params"]["udp_port_lidar"] = self.lidar_port
@@ -479,7 +483,19 @@ class SensorEmulator:
                         write_bits(words, initid_fi,
                                    self._base_init_id + bump)
                         payload = words.tobytes()
-                sock.sendto(payload, (dest, ports[kind]))
+                # like udp_dest, the destination PORT follows the
+                # ACTIVE config: a client that staged an ephemeral
+                # port (udp_port_lidar=0 flow) must start receiving
+                # there after the reinit (ref:
+                # sensor_packet_source.cpp:344-365 ephemeral ports)
+                if kind == "lidar":
+                    port = int(cfg.get("udp_port_lidar")
+                               or ports["lidar"])
+                elif kind == "imu":
+                    port = int(cfg.get("udp_port_imu") or ports["imu"])
+                else:
+                    port = int(cfg.get("udp_port_zm") or ports["zone"])
+                sock.sendto(payload, (dest, port))
                 self.packets_sent += 1
             self.passes_completed += 1
             if not self._loop:

@@ -116,6 +116,11 @@ class SensorPacketSource:
             if sensor_info is not None:
                 # operate without contacting hardware
                 # (ref: open_source.h:80 sensor_info override)
+                if lidar_port == 0 or imu_port == 0:
+                    raise ValueError(
+                        "Cannot specify ephemeral ports when providing "
+                        "metadata to SensorClient for sensor "
+                        f"'{host}'")  # ref: sensor_packet_source.cpp:384
                 info = sensor_info[i]
                 zm_port = (info.config.udp_port_zm or 7504) \
                     if info.format.zone_monitoring_enabled else None
@@ -126,8 +131,11 @@ class SensorPacketSource:
                                 or 7503,
                                 zm_port=zm_port)
             else:
+                # None and 0 are distinct: None listens on the config's
+                # ports, 0 requests an OS-assigned ephemeral port
+                # (ref: sensor_packet_source.cpp:344-365)
                 client, info = init_client(
-                    host, lidar_port or 0, imu_port or 0, config=cfg,
+                    host, lidar_port, imu_port, config=cfg,
                     do_not_reinitialize=do_not_reinitialize,
                     no_auto_udp_dest=no_auto_udp_dest,
                     timeout_sec=config_timeout)

@@ -163,3 +163,83 @@ def test_config_noop(sensor_hostname):
     set_config(sensor_hostname, SensorConfig(), force_reinit=True)
     cfg1 = get_config(sensor_hostname)
     assert cfg0 == cfg1
+
+
+def test_packets_dynamic_port(sensor_hostname):
+    """lidar_port=0 / imu_port=0 select OS-assigned ephemeral ports;
+    two concurrent sources coexist
+    (ref: test_core.py test_packets_dynamic_port)."""
+    from ouster_sdk_tpu.sensor.scan_source import SensorPacketSource
+
+    with SensorPacketSource([sensor_hostname], lidar_port=0,
+                            imu_port=0, timeout=5.0) as s1, \
+            SensorPacketSource([sensor_hostname], lidar_port=0,
+                               imu_port=0, timeout=5.0) as s2:
+        p1, p2 = s1._clients[0].lidar_port, s2._clients[0].lidar_port
+        assert p1 not in (0, 7502) and p2 not in (0, 7502) and p1 != p2
+        # the stream follows the most recent configuration
+        idx, pkt = next(iter(s2))
+        assert pkt is not None
+
+
+def test_packets_timeout(sensor_hostname):
+    """Reading times out when pointed at ports where no packets arrive
+    (ref: test_core.py test_packets_timeout)."""
+    from ouster_sdk_tpu.sensor.scan_source import (
+        ClientTimeout,
+        SensorPacketSource,
+    )
+
+    with SensorPacketSource([sensor_hostname]) as probe:
+        metadata = [probe.sensor_info[0]]
+    metadata[0].config.udp_port_lidar = 7505
+    metadata[0].config.udp_port_imu = 7505
+    with pytest.raises(ClientTimeout):
+        with SensorPacketSource([sensor_hostname],
+                                sensor_info=metadata,
+                                timeout=2.0) as src:
+            next(iter(src))
+
+
+def test_scans_read_timeout_only_imu(sensor_hostname):
+    """Scan reads time out when only IMU packets are arriving
+    (ref: test_core.py test_scans_read_timeout_only_imu)."""
+    from ouster_sdk_tpu.sensor.scan_source import ClientTimeout
+
+    probe = _scan_source(sensor_hostname, timeout=None)
+    try:
+        metadata = [probe.sensor_info[0]]
+    finally:
+        probe.close()
+    imu_port = metadata[0].config.udp_port_imu
+    src = _scan_source(sensor_hostname, sensor_info=metadata,
+                       lidar_port=7505, imu_port=imu_port, timeout=1.0)
+    try:
+        with pytest.raises(ClientTimeout):
+            next(iter(src))
+    finally:
+        src.close()
+
+
+def test_sensor_metadata_endpoint(sensor_hostname):
+    """SensorInfo parsed from the raw HTTP metadata endpoint matches
+    the client's resolved metadata; only the client-side serialization
+    adds the 'ouster-sdk' section
+    (ref: test_core.py test_sensor_metadata_endpoint)."""
+    import json
+    import urllib.request
+
+    from ouster_sdk_tpu import SensorInfo
+    from ouster_sdk_tpu.sensor.scan_source import SensorPacketSource
+
+    with SensorPacketSource([sensor_hostname], timeout=None) as src:
+        with urllib.request.urlopen(
+                f"http://{sensor_hostname}/api/v1/sensor/metadata") as r:
+            text = r.read().decode()
+        metadata = SensorInfo(SensorInfo(text).to_json_string())
+        assert metadata.config == src.sensor_info[0].config
+        assert metadata.has_fields_equal(src.sensor_info[0])
+        assert metadata == src.sensor_info[0]
+        assert "ouster-sdk" not in json.loads(text)
+        assert "ouster-sdk" in json.loads(
+            src.sensor_info[0].to_json_string())

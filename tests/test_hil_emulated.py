@@ -1134,3 +1134,115 @@ def test_emulator_restamps_init_id_after_reinit():
     assert fetched == 38, f"metadata should carry the bumped id, got " \
         f"{fetched}"
     assert scan is not None and scan.complete()
+
+
+# ---------------------------------------------------------------------------
+# dynamic (ephemeral) ports, partial-traffic timeout, metadata endpoint
+# (ref: tests/hil/test_core.py test_packets_dynamic_port:86,
+#  test_scans_read_timeout_only_imu:304, test_sensor_metadata_endpoint:208;
+#  sensor_packet_source.cpp:344-365 "Opening ephemeral port")
+# ---------------------------------------------------------------------------
+
+def test_packets_dynamic_port_emulated():
+    """lidar_port=0 binds an OS-assigned port and reconfigures the
+    sensor to send there; two concurrent sources coexist, each with
+    distinct ephemeral ports, and the stream follows the most recent
+    configuration (ref: test_core.py test_packets_dynamic_port)."""
+    emu, info = _config_rig(rate=1.0, n_frames=600, endless=True)
+    with emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        src1 = SensorPacketSource([host], lidar_port=0, imu_port=0,
+                                  timeout=5.0)
+        try:
+            c1 = src1._clients[0]
+            # a real OS-assigned port, not a default or the emulator's
+            assert c1.lidar_port not in (0, 7502, emu.lidar_port)
+            assert c1.imu_port not in (0, 7503, emu.imu_port)
+            assert c1.lidar_port != c1.imu_port
+            # the sensor was reconfigured to send at the ephemeral port
+            idx, pkt = next(iter(src1))
+            assert pkt is not None
+
+            src2 = SensorPacketSource([host], lidar_port=0, imu_port=0,
+                                      timeout=5.0)
+            try:
+                c2 = src2._clients[0]
+                assert c2.lidar_port not in (0, c1.lidar_port)
+                # stream now follows the second source's config
+                idx, pkt = next(iter(src2))
+                assert pkt is not None
+            finally:
+                src2.close()
+        finally:
+            src1.close()
+
+
+def test_dynamic_port_rejected_with_metadata_emulated():
+    """Ephemeral ports cannot be combined with a sensor_info override
+    (ref: sensor_packet_source.cpp:384-389 invalid_argument)."""
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    with pytest.raises(ValueError,
+                       match="Cannot specify ephemeral ports when "
+                             "providing metadata"):
+        SensorPacketSource(["127.0.0.1"], sensor_info=[info],
+                           lidar_port=0, imu_port=0)
+
+
+def test_scans_read_timeout_only_imu_emulated():
+    """IMU packets arriving without lidar packets still time the scan
+    iterator out: traffic is not scans (ref: test_core.py
+    test_scans_read_timeout_only_imu)."""
+    emu_lidar, imu_port, dead_lidar = _free_ports(3)
+    info = _test_info(emu_lidar, imu_port)
+    n_frames = 40
+    with SensorEmulator(info, _paced_factory(info, n_frames),
+                        lidar_port=emu_lidar, imu_port=imu_port,
+                        rate=1.0) as emu:
+        # listen for imu where the emulator sends it, but point the
+        # lidar socket at a silent port
+        src = SensorScanSource([f"127.0.0.1:{emu.http_port}"],
+                               sensor_info=[info],
+                               lidar_port=dead_lidar, imu_port=imu_port,
+                               timeout=1.0)
+        try:
+            with pytest.raises(ClientTimeout):
+                next(iter(src))
+        finally:
+            src.close()
+
+
+def test_sensor_metadata_endpoint_emulated():
+    """SensorInfo parsed from the raw HTTP metadata endpoint matches
+    the one the client resolves, and only the client-side serialization
+    adds the 'ouster-sdk' section (ref: test_core.py
+    test_sensor_metadata_endpoint)."""
+    import json as _json
+    import urllib.request
+
+    from ouster_sdk_tpu import SensorInfo
+
+    lidar_port, imu_port = _free_ports(2)
+    info = _test_info(lidar_port, imu_port)
+    with SensorEmulator(info, _frames_factory(info, 1),
+                        lidar_port=lidar_port, imu_port=imu_port,
+                        rate=0.0) as emu:
+        host = f"127.0.0.1:{emu.http_port}"
+        with urllib.request.urlopen(
+                f"http://{host}/api/v1/sensor/metadata") as r:
+            text = r.read().decode()
+        # the reference round-trips through the SensorInfo(str) ctor
+        metadata = SensorInfo(SensorInfo(text).to_json_string())
+        src = SensorPacketSource([host], timeout=None)
+        try:
+            assert metadata.config == src.sensor_info[0].config
+            assert metadata.has_fields_equal(src.sensor_info[0])
+            assert type(metadata) == type(src.sensor_info[0])  # noqa: E721
+            assert metadata == src.sensor_info[0]
+        finally:
+            src.close()
+        meta_via_endpoint = _json.loads(text)
+        meta_via_client = _json.loads(
+            src.sensor_info[0].to_json_string())
+        assert "ouster-sdk" not in meta_via_endpoint
+        assert "ouster-sdk" in meta_via_client
