@@ -103,7 +103,15 @@ ZONE_STATE_DTYPE = np.dtype([
 
 @dataclass
 class FieldType:
-    """Declared type of one scan field (ref: lidar_scan.h FieldType)."""
+    """Declared type of one scan field (ref: lidar_scan.h FieldType).
+
+    Fixed-length string dtypes follow the reference binding
+    (ref: python/src/cpp/client/field.cpp:99-124): a char field stores
+    element type CHAR (S1 here) with the string length folded into the
+    LAST extra dim — constructing with np.dtype("S25") appends 25 to
+    extra_dims, the `element_type` property reports "S<last dim>", and
+    re-assigning it pops/pushes that dim.
+    """
 
     name: str
     element_type: np.dtype
@@ -111,9 +119,43 @@ class FieldType:
     field_class: FieldClass = FieldClass.PIXEL_FIELD
 
     def __post_init__(self) -> None:
-        if not isinstance(self.element_type, np.dtype):
-            self.element_type = np.dtype(self.element_type)
-        self.extra_dims = tuple(self.extra_dims)
+        dt = self.__dict__["_etype"]  # raw ctor value via the setter
+        dims = tuple(self.extra_dims)
+        if dt.kind == "S" and dt.itemsize > 1:
+            dims = dims + (dt.itemsize,)
+            dt = np.dtype("S1")
+        self.__dict__["_etype"] = dt
+        self.__dict__["extra_dims"] = dims
+        self.__dict__["_init_done"] = True
+
+    def _get_element_type(self) -> np.dtype:
+        dt = self.__dict__["_etype"]
+        if dt.kind == "S":
+            dims = self.__dict__.get("extra_dims", ())
+            if dims:
+                return np.dtype(f"S{dims[-1]}")
+        return dt
+
+    def _set_element_type(self, value) -> None:
+        dt = value if isinstance(value, np.dtype) else np.dtype(value)
+        if self.__dict__.get("_init_done"):
+            # reassignment: pop the old char dim, push the new one
+            # (ref: field.cpp:109-122 element_type setter;
+            # python/tests/test_data.py:792-809 fieldtype_char_dtype)
+            dims = tuple(self.__dict__.get("extra_dims", ()))
+            if self.__dict__["_etype"].kind == "S" and dims:
+                dims = dims[:-1]
+            if dt.kind == "S" and dt.itemsize > 0:
+                dims = dims + (dt.itemsize,)
+                dt = np.dtype("S1")
+            self.__dict__["extra_dims"] = dims
+        self.__dict__["_etype"] = dt
+
+    @property
+    def storage_dtype(self) -> np.dtype:
+        """The dtype arrays are allocated with: S1 for char fields (the
+        string length lives in extra_dims), the element type otherwise."""
+        return self.__dict__["_etype"]
 
     def shape(self, h: int, w: int, packets: int) -> Tuple[int, ...]:
         if self.field_class == FieldClass.PIXEL_FIELD:
@@ -123,3 +165,10 @@ class FieldType:
         if self.field_class == FieldClass.PACKET_FIELD:
             return (packets,) + self.extra_dims
         return self.extra_dims
+
+
+# element_type as a class-level property so the dataclass-generated
+# __init__ routes through _set_element_type while plain attribute reads
+# (name, extra_dims, field_class) stay native-speed
+FieldType.element_type = property(FieldType._get_element_type,
+                                  FieldType._set_element_type)

@@ -150,6 +150,30 @@ class LidarScan:
 
             info._resolve_deferred()  # copies own independent host arrays
             self.__dict__.update(_copy.deepcopy(info).__dict__)
+            if isinstance(_pos2, (list, tuple)) or field_types is not None:
+                # LidarScan(scan, field_types): clone with the requested
+                # field set — existing fields cast elementwise, missing
+                # fields zero-filled, absent ones dropped
+                # (ref: lidar_scan.h LidarScan(const LidarScan&,
+                # const std::vector<FieldType>&);
+                # python/tests/test_data.py:495-563
+                # copy_extension/retraction/cast)
+                want = list(_pos2) if isinstance(_pos2, (list, tuple)) \
+                    else list(field_types)
+                old_fields, old_types = self._fields, self._field_types
+                self._fields, self._field_types = {}, {}
+                n_packets = (-(-self.w // self.columns_per_packet)
+                             if self.columns_per_packet else 0)
+                for ft in want:
+                    name = str(ft.name)
+                    shape = ft.shape(self.h, self.w, n_packets)
+                    src = old_fields.get(name)
+                    if src is not None and src.shape == shape:
+                        arr = src.astype(ft.storage_dtype, copy=True)
+                    else:
+                        arr = np.zeros(shape, dtype=ft.storage_dtype)
+                    self._fields[name] = arr
+                    self._field_types[name] = ft
             return
         if isinstance(info, (int, np.integer)):
             # positional overloads, all (h, w)-first like the reference
@@ -193,7 +217,10 @@ class LidarScan:
         self.w = int(w)
         self.h = int(h)
         self.columns_per_packet = int(columns_per_packet)
-        n_packets = self.w // self.columns_per_packet \
+        # packet headers are wide enough for a PARTIAL trailing packet:
+        # ceil(w / columns_per_packet)
+        # (ref: python/tests/test_data.py:824-831 packet_header_width)
+        n_packets = -(-self.w // self.columns_per_packet) \
             if self.columns_per_packet else 0
 
         self.frame_id: int = -1
@@ -342,9 +369,9 @@ class LidarScan:
         self._resolve_deferred()
         shape = ft.shape(self.h, self.w, len(self.packet_timestamp))
         if data is None:
-            data = np.zeros(shape, dtype=ft.element_type)
+            data = np.zeros(shape, dtype=ft.storage_dtype)
         else:
-            data = np.asarray(data, dtype=ft.element_type).reshape(shape)
+            data = np.asarray(data, dtype=ft.storage_dtype).reshape(shape)
         self._fields[ft.name] = data
         self._field_types[ft.name] = ft
         return data
@@ -358,7 +385,10 @@ class LidarScan:
 
     def field(self, name: str) -> np.ndarray:
         if name not in self._fields:
-            raise KeyError(name)  # unknown names never force a readback
+            # std::out_of_range -> IndexError, like the binding
+            # (ref: lidar_scan.cpp:410); unknown names never force a
+            # deferred readback
+            raise IndexError(f"Field '{name}' not found in LidarScan.")
         self._resolve_deferred()
         return self._fields[name]
 
@@ -391,7 +421,11 @@ class LidarScan:
             if self.sensor_info is not None:
                 window = self.sensor_info.format.column_window
             else:
-                window = (0, self.w - 1)
+                # (ref: python/tests/test_data.py:193-199 — complete()
+                # without a window needs a sensor_info to supply one)
+                raise RuntimeError(
+                    "LidarScan::complete: no column window provided "
+                    "and scan has no sensor_info")
         start, end = window
         status = self.status
         if start <= end:
@@ -485,7 +519,12 @@ class LidarScan:
         self._resolve_deferred()
         other._resolve_deferred()
         for k in self._fields:
-            if not np.array_equal(self._fields[k], other._fields[k]):
+            a, b = self._fields[k], other._fields[k]
+            # dtype/shape are part of field identity: a u16 SIGNAL scan
+            # is not equal to a u32 one even with identical values
+            # (ref: python/tests/test_data.py:390-409 ls3 != ls4)
+            if a.dtype != b.dtype or a.shape != b.shape \
+                    or not np.array_equal(a, b):
                 return False
         return (
             np.array_equal(self.timestamp, other.timestamp)

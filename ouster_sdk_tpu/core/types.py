@@ -178,24 +178,31 @@ class Version:
 
     @classmethod
     def from_string(cls, s: str) -> "Version":
-        """Parse version strings like 'v2.3.0', 'ousteros-image-prod-aries-v2.0.0-rc.2+123',
-        '1.14.0-beta.1'."""
+        """Parse version strings like 'v2.3.0',
+        'ousteros-image-prod-aries-v2.0.0-rc.2+123', '1.14.0-beta.1'.
+
+        The regex is the reference's own
+        (ref: types.cpp:751-774 version_from_string): an optional
+        '<stage>-<machine>-' pair directly before the semver carries the
+        build stage and machine; empty major/minor/patch parse invalid
+        (all zeros)."""
         import re
 
-        # Reference parse (ref: ouster_client/src/version.cpp): optionally
-        # 'ousteros-image-<stage>-<machine>-v?' prefix, then semver.
         m = re.search(
-            r"v?(\d+)\.(\d+)\.(\d+)(?:-([0-9A-Za-z.-]+))?(?:\+([0-9A-Za-z.-]+))?$",
+            r"(([\w\d]*)-([\w\d]*)-)?v?(\d*)\.(\d*)\.(\d*)"
+            r"-?([\d\w.]*)?\+?([\d\w.]*)?",
             s.strip(),
         )
-        if not m:
+        if not m or not (m.group(4) and m.group(5) and m.group(6)):
             return cls()
         return cls(
-            major=int(m.group(1)),
-            minor=int(m.group(2)),
-            patch=int(m.group(3)),
-            prerelease=m.group(4) or "",
-            build=m.group(5) or "",
+            major=int(m.group(4)),
+            minor=int(m.group(5)),
+            patch=int(m.group(6)),
+            stage=m.group(2) or "",
+            machine=m.group(3) or "",
+            prerelease=m.group(7) or "",
+            build=m.group(8) or "",
         )
 
     def __bool__(self) -> bool:

@@ -813,9 +813,9 @@ class Writer:
         for ft in sorted(fts, key=lambda ft: _NAME_TO_CHAN_FIELD.get(
                 ft.name, 255)):
             enum_val = _NAME_TO_CHAN_FIELD.get(ft.name)
-            if enum_val is not None and ft.element_type in _DTYPE_TO_TYPE:
+            if enum_val is not None and ft.storage_dtype in _DTYPE_TO_TYPE:
                 cf_structs += struct.pack(
-                    "<BB", enum_val, _DTYPE_TO_TYPE[ft.element_type])
+                    "<BB", enum_val, _DTYPE_TO_TYPE[ft.storage_dtype])
         ft_vec = b2.vector_structs(bytes(cf_structs),
                                   len(cf_structs) // 2, align=1)
         b2.start_table()

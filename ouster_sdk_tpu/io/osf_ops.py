@@ -297,7 +297,7 @@ def slice_and_cast(lidar_scan, field_types):
             raise ValueError(
                 f"cannot slice: source scan has no field {ft.name}")
         out.field(ft.name)[:] = src.field(ft.name).astype(
-            ft.element_type, copy=False)
+            ft.storage_dtype, copy=False)
     out.frame_id = src.frame_id
     out.frame_status = src.frame_status
     out.timestamp[:] = src.timestamp
