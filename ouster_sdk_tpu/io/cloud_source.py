@@ -110,6 +110,7 @@ class CloudScanSource(ScanSource):
     def _iter_sets(self) -> Iterator[LidarScanSet]:
         yield LidarScanSet([self._scan])
 
+    @property
     def scans_num(self) -> List[int]:
         return [1]
 

@@ -223,7 +223,29 @@ def reduce_scan(scan: LidarScan, beams: int) -> LidarScan:
     return out
 
 
-class ClippedScanSource(ScanSource):
+class _ForwardsParent:
+    """Derived views forward liveness/index state to their parent
+    (ref: clipped_scan_source.py:28-43 and the masked/reduced twins)."""
+
+    _parent: ScanSource
+
+    @property
+    def is_live(self) -> bool:
+        return self._parent.is_live
+
+    @property
+    def is_indexed(self) -> bool:
+        return self._parent.is_indexed
+
+    @property
+    def scans_num(self):
+        return self._parent.scans_num
+
+    def __len__(self) -> int:
+        return len(self._parent)
+
+
+class ClippedScanSource(_ForwardsParent, ScanSource):
     """Clips field values to [lower, upper] in RAW field units (mm for
     RANGE), yielding CLIPPED COPIES so other consumers of the parent
     stream see unmodified scans
@@ -253,7 +275,7 @@ class ClippedScanSource(ScanSource):
             yield LidarScanSet(out)
 
 
-class MaskedScanSource(ScanSource):
+class MaskedScanSource(_ForwardsParent, ScanSource):
     """Masks are given in DESTAGGERED (image) coordinates and are
     inverse-destaggered per sensor at construction; scans are yielded as
     modified copies (ref: sdk/core/masked_scan_source.py:11-57)."""
@@ -286,7 +308,7 @@ class MaskedScanSource(ScanSource):
             yield LidarScanSet(out)
 
 
-class ReducedScanSource(ScanSource):
+class ReducedScanSource(_ForwardsParent, ScanSource):
     """(ref: sdk/core/reduced_scan_source.py)"""
 
     def __init__(self, parent: ScanSource, beams: List[int]):

@@ -1241,6 +1241,7 @@ class OsfScanSource(ScanSource):
             proj.attach(list(enumerate(scans)))
         return LidarScanSet(scans)
 
+    @property
     def scans_num(self) -> List[int]:
         counts = [0] * len(self.sensor_info)
         for idx, _ in self._msg_index:

@@ -308,7 +308,8 @@ class PcapScanSource(ScanSource):
         if self._lazy_index is not None:
             return len(self._lazy)
         if self._scan_cache is None:
-            raise TypeError("source is not indexed")
+            raise TypeError("Cannot get the length of an unindexed scan "
+                            "source.")
         return len(self._set_cache)
 
     def __getitem__(self, i) -> LidarScanSet:
@@ -327,11 +328,15 @@ class PcapScanSource(ScanSource):
             return LidarScanSet([self._lazy.scan_at(i)])
         return LidarScanSet(self._set_cache[i])
 
+    @property
     def scans_num(self) -> List[int]:
         if self._lazy_index is not None:
             return [len(self._lazy)]
         if self._scan_cache is None:
-            raise TypeError("source is not indexed")
+            raise RuntimeError(
+                "Cannot perform 'scans_num' on an unindexed source. "
+                "Specify the index parameter as true when creating the "
+                "source to produce an index.")
         return [len(c) for c in self._scan_cache]
 
     def individual_index(self) -> List[List[int]]:

@@ -51,9 +51,32 @@ _EXTENSIONS = {
 }
 
 
+_EXT_ERROR = ("Could not detect IO type from file extension. Expecting "
+              "one of .osf, .pcap, .bag, .mcap, .csv, .png, .ply, .pcd, "
+              ".stl or .las.")
+
+
+def is_host(name: str) -> bool:
+    """Whether the string resolves as a host (ref: compat_ops.cpp:65-80
+    is_host — getaddrinfo probe). An optional ':port' suffix (the
+    emulator rig's http override) is stripped first."""
+    import socket as _socket
+
+    host = name
+    if host.count(":") == 1:
+        h, p = host.split(":")
+        if p.isdigit():
+            host = h
+    try:
+        _socket.getaddrinfo(host, None)
+        return True
+    except OSError:
+        return False
+
+
 def io_type(source: str) -> IoType:
-    """URL/extension -> IoType (ref: io_type.cpp:80-140). A directory is a
-    ROS2 bag when it carries a .bag suffix or contains .db3 storage."""
+    """URL/extension -> IoType (ref: io_type.cpp:123-152). A directory is
+    a ROS bag when it carries a .bag suffix or contains .db3 storage."""
     if not source:
         raise ValueError("source url is empty")
     ext = os.path.splitext(source)[1].lower()
@@ -63,12 +86,20 @@ def io_type(source: str) -> IoType:
         if ext == ".bag" or glob.glob(os.path.join(source, "*.db3")):
             return IoType.BAG
         raise ValueError(
-            f"'{source}' is a directory and not a ROS bag")
-    if ext in _EXTENSIONS:
-        return _EXTENSIONS[ext]
+            f"Source type of '{source}' not found. Was a directory and "
+            "was not a ROSbag.")
     if os.path.exists(source):
-        raise ValueError(f"unknown source extension: {source}")
-    return IoType.SENSOR  # hostname / IP
+        if ext in _EXTENSIONS:
+            return _EXTENSIONS[ext]
+        raise ValueError(_EXT_ERROR)
+    if ext in _EXTENSIONS:
+        # a named-but-missing file of a known type: let the backend
+        # surface the IO error for its own format
+        return _EXTENSIONS[ext]
+    if is_host(source):
+        return IoType.SENSOR
+    raise ValueError(f"Source type of '{source}' not found. File or "
+                     "host not found.")
 
 
 #: Reference export name for the IoType enum (ref: core/io_types.py:2).
@@ -77,11 +108,11 @@ OusterIoType = IoType
 
 def io_type_from_extension(filename: str) -> IoType:
     """Filename extension -> IoType, no filesystem checks
-    (ref: io_type.cpp:82-110)."""
+    (ref: io_type.cpp:82-121)."""
     ext = os.path.splitext(filename)[1].lower()
     if ext in _EXTENSIONS:
         return _EXTENSIONS[ext]
-    raise ValueError(f"unknown source extension: {filename}")
+    raise ValueError(_EXT_ERROR)
 
 
 def extension_from_io_type(t: IoType) -> Optional[str]:
@@ -248,10 +279,49 @@ class ScanSource:
                     out[s_idx].append(i)
         return out
 
+    @property
+    def scans_num(self) -> List[int]:
+        """Number of scans per sensor — a property, like the reference
+        binding (ref: client.pyi:4343 ScanSource.scans_num;
+        python/tests/test_open_source.py:96-104 unindexed error)."""
+        if not self.is_indexed:
+            raise RuntimeError(
+                "Cannot perform 'scans_num' on an unindexed source. "
+                "Specify the index parameter as true when creating the "
+                "source to produce an index.")
+        out = [0] * len(self.sensor_info)
+        for i in range(len(self)):  # type: ignore[arg-type]
+            for s_idx, scan in enumerate(self[i]):  # type: ignore[index]
+                if scan is not None:
+                    out[s_idx] += 1
+        return out
+
     def single(self, sensor_idx: int = 0) -> "SingleScanSource":
         """Iterate one sensor's scans (ref: Singler,
         scan_source_utils.h:90)."""
         return SingleScanSource(self, sensor_idx)
+
+    # -- chaining derived views (ref: client.pyi:4402-4415) -----------------
+    def mask(self, fields, masks) -> "ScanSource":
+        """Zero the given fields outside per-sensor destaggered masks
+        (ref: client.pyi:4402 ScanSource.mask)."""
+        from .derived import MaskedScanSource
+
+        return MaskedScanSource(self, fields, masks)
+
+    def clip(self, fields, lower, upper) -> "ScanSource":
+        """Clamp field values to [lower, upper], zeroing outside
+        (ref: client.pyi:4405 ScanSource.clip)."""
+        from .derived import ClippedScanSource
+
+        return ClippedScanSource(self, fields, lower, upper)
+
+    def reduce(self, beams) -> "ScanSource":
+        """Reduce beam count per sensor
+        (ref: client.pyi:4412 ScanSource.reduce)."""
+        from .derived import ReducedScanSource
+
+        return ReducedScanSource(self, beams)
 
     def close(self) -> None:
         pass
@@ -264,7 +334,9 @@ class ScanSource:
 
     # -- optional random access -------------------------------------------
     def __len__(self) -> int:
-        raise TypeError("source is not indexed")
+        # (ref: python/tests/test_open_source.py:106-113)
+        raise TypeError("Cannot get the length of an unindexed scan "
+                        "source.")
 
     def __getitem__(self, i) -> LidarScanSet:
         raise TypeError("source is not indexed")
@@ -586,11 +658,15 @@ def open_source(source: str, *, sensor_idx: int = -1, collate: bool = True,
     from . import bag_source  # noqa: F401
     from . import cloud_source  # noqa: F401
 
-    t = io_type(source)
-    if t not in _SCAN_SOURCE_BUILDERS:
-        raise ValueError(f"No scan source backend for {t}")
+    if len(source) == 0:
+        raise ValueError("No valid source specified")
     opts = ScanSourceOptions(**options)
     try:
+        t = io_type(source)
+        if t not in _SCAN_SOURCE_BUILDERS:
+            raise NotImplementedError(
+                f"Could not open scan source. Unhandled source type "
+                f"{t.name}.")
         src = _SCAN_SOURCE_BUILDERS[t](source, opts)
         opts.check(f"{t.value} scan source")
     except (KeyboardInterrupt, SystemExit):
@@ -606,11 +682,15 @@ def open_packet_source(source: str, **options):
     from . import pcap_scan_source  # noqa: F401
     from ..sensor import sensor_scan_source  # noqa: F401
 
-    t = io_type(source)
-    if t not in _PACKET_SOURCE_BUILDERS:
-        raise ValueError(f"No packet source backend for {t}")
+    if len(source) == 0:
+        raise ValueError("No valid source specified")
     opts = ScanSourceOptions(**options)
     try:
+        t = io_type(source)
+        if t not in _PACKET_SOURCE_BUILDERS:
+            raise NotImplementedError(
+                f"Could not open packet source. Unhandled source type "
+                f"{t.name}.")
         src = _PACKET_SOURCE_BUILDERS[t](source, opts)
         opts.check(f"{t.value} packet source")
     except (KeyboardInterrupt, SystemExit):

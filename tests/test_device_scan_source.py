@@ -893,7 +893,7 @@ def test_lazy_device_index(monkeypatch):
     ref = PcapScanSource(pcap, index=True)
     assert ref._lazy_index is None, "numpy route materializes"
     assert len(ref) == n
-    assert ref.scans_num() == src.scans_num()
+    assert ref.scans_num == src.scans_num
     assert ref.full_index() == src.full_index()
     for i in (0, n - 1):
         _assert_scan_equal(src[i][0], ref[i][0], f"vs-numpy[{i}]")

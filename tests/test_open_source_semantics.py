@@ -25,9 +25,14 @@ def test_open_source_empty_url():
 
 
 def test_open_source_unsupported_extension(tmp_path):
+    # backend/io_type failures surface wrapped in SourceURLException,
+    # like the reference (open_source.py:100-101)
+    from ouster_sdk_tpu.io.sources import SourceURLException
+
     p = tmp_path / "data.txt"
     p.write_text("hello")
-    with pytest.raises(ValueError):
+    with pytest.raises(SourceURLException,
+                       match="Could not detect IO type"):
         open_source(str(p))
 
 
